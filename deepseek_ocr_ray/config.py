@@ -1,0 +1,134 @@
+"""Pipeline configuration.
+
+The reference scatters configuration across module-level constants
+(`/root/reference/DeepSeek-OCR-master/DeepSeek-OCR-vllm/config.py:8-29`) and a
+Gradio-exposed dict (`/root/reference/app/config.py:29-71`).  Here it is one
+explicit dataclass handed to the pipeline builder, so a user can construct
+several differently-configured pipelines in one process (the reference cannot:
+its config is frozen at import time).
+
+Nothing here imports Ray; this module is pure data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Resolution presets — vision-token cost per page depends on these.
+# Mirrors /root/reference/DeepSeek-OCR-master/DeepSeek-OCR-vllm/config.py:1-12
+# and /root/reference/app/config.py:29-35 (named presets).
+RESOLUTION_PRESETS: dict[str, dict] = {
+    "tiny": {"base_size": 512, "image_size": 512, "crop_mode": False},
+    "small": {"base_size": 640, "image_size": 640, "crop_mode": False},
+    "base": {"base_size": 1024, "image_size": 1024, "crop_mode": False},
+    "large": {"base_size": 1280, "image_size": 1280, "crop_mode": False},
+    # "Gundam" dynamic-resolution mode (the reference default / recommendation)
+    "gundam": {"base_size": 1024, "image_size": 640, "crop_mode": True},
+}
+
+# Prompt modes — mirrors the task table at /root/reference/app/config.py:40-71.
+# Keys are English equivalents of the reference's Chinese task names.
+PROMPT_MODES: dict[str, dict] = {
+    "markdown": {
+        "prompt": "<image>\n<|grounding|>Convert the document to markdown. ",
+        "has_grounding": True,
+    },
+    "free_ocr": {"prompt": "<image>\nFree OCR. ", "has_grounding": False},
+    "locate": {
+        "prompt_template": "<image>\nLocate <|ref|>{text}<|/ref|> in the image. ",
+        "has_grounding": True,
+        "requires_input": True,
+    },
+    "image_ocr": {
+        "prompt": "<image>\n<|grounding|>OCR this image. ",
+        "has_grounding": True,
+    },
+    "parse_figure": {"prompt": "<image>\nParse the figure. ", "has_grounding": False},
+    "describe": {
+        "prompt": "<image>\nDescribe this image in detail. ",
+        "has_grounding": False,
+    },
+    "custom": {
+        "prompt_template": "<image>\n{text}",
+        "has_grounding": None,  # decided by presence of <|grounding|> in the text
+        "requires_input": True,
+    },
+}
+
+
+def get_prompt(mode: str, custom_text: str = "") -> tuple[str, bool]:
+    """Resolve a prompt mode to (prompt, has_grounding).
+
+    Same dispatch semantics as /root/reference/app/config.py:104-123:
+    unknown mode falls back to Free OCR; 'locate' strips its input,
+    'custom' detects grounding from the user text.
+    """
+    cfg = PROMPT_MODES.get(mode)
+    if not cfg:
+        return "<image>\nFree OCR. ", False
+    if cfg.get("requires_input"):
+        if mode == "locate":
+            return cfg["prompt_template"].format(text=custom_text.strip()), True
+        if mode == "custom":
+            return (
+                cfg["prompt_template"].format(text=custom_text),
+                "<|grounding|>" in custom_text,
+            )
+    return cfg["prompt"], cfg["has_grounding"]
+
+
+@dataclass
+class PipelineConfig:
+    """Everything the extract pipeline needs, in one place."""
+
+    # --- model / preprocess (reference DSV/config.py:8-16) ---
+    resolution: str = "gundam"
+    min_crops: int = 2
+    max_crops: int = 6
+    prompt_mode: str = "markdown"
+    prompt_text: str = ""  # for locate / custom modes
+    max_tokens: int = 8192
+    # n-gram no-repeat decoding params per entry point:
+    # image 30/90, pdf 20/50, batch-eval 40/90 (see SURVEY.md T3)
+    ngram_size: int = 20
+    ngram_window: int = 50
+    # drop pages whose generation hit max_tokens without EOS
+    # (reference SKIP_REPEAT, DSV/config.py:16; DSV/run_dpsk_ocr_pdf.py:295-299)
+    skip_repeat: bool = True
+
+    # --- Ray execution ---
+    # media (OCR) actor pool: concurrency can be int or (min, max)
+    ocr_concurrency: object = (2, 8)
+    ocr_batch_size: int = 64
+    ocr_num_cpus: float = 1.0
+    ocr_num_gpus: float = 0.0  # 1.0 per actor with a real vLLM model
+    cpu_batch_size: int = 256
+    # hash-partitioning width for checkpointed runs
+    num_partitions: int = 16
+
+    # --- page assembly (reference DSV/run_dpsk_ocr_pdf.py:302-304) ---
+    page_split: str = "\n<--- Page Split --->\n"
+
+    @property
+    def preset(self) -> dict:
+        return RESOLUTION_PRESETS[self.resolution]
+
+    @property
+    def base_size(self) -> int:
+        return self.preset["base_size"]
+
+    @property
+    def image_size(self) -> int:
+        return self.preset["image_size"]
+
+    @property
+    def crop_mode(self) -> bool:
+        return self.preset["crop_mode"]
+
+    @property
+    def prompt(self) -> str:
+        return get_prompt(self.prompt_mode, self.prompt_text)[0]
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,75 @@
+"""The flagship extraction pipeline, end to end.
+
+Ray-Data restatement of the reference lifecycle (SURVEY.md §3):
+
+    read (Lance/Parquet interleaved docs)
+      → map_batches(explode_docs)                      # fan-out, vectorized
+      → map_batches(OcrStage, concurrency=pool)        # stateful actor pool
+      → map_batches(parse_units)                       # span parse + cleaners + HTML strip
+      → map_batches(add_bucket)                        # stable hash bucket
+      → groupby(assembly_bucket).map_groups(assemble)  # the one shuffle
+      → write_parquet(partitioned)  /  caller consumes
+
+Everything upstream of the groupby is embarrassingly parallel and streams
+with backpressure; nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import ray.data
+
+from ..config import PipelineConfig
+from ..stages.assemble import add_bucket, assemble_bucket
+from ..stages.model_stub import OcrStage
+from ..stages.transforms import explode_docs, parse_units
+
+# groups per assembly shuffle — bounded group count so 10^12 docs never mean
+# 10^12 Python group calls; each group assembles many docs vectorized.
+DEFAULT_ASSEMBLY_BUCKETS = 64
+
+
+def extract_dataset(
+    ds: ray.data.Dataset,
+    config: PipelineConfig | None = None,
+    assembly_buckets: int = DEFAULT_ASSEMBLY_BUCKETS,
+) -> ray.data.Dataset:
+    """Interleaved doc Dataset → extracted doc Dataset (OUT_SCHEMA rows)."""
+    cfg = config or PipelineConfig()
+    units = ds.map_batches(
+        explode_docs, batch_format="pyarrow", batch_size=cfg.cpu_batch_size
+    )
+    ocr = units.map_batches(
+        OcrStage,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.ocr_batch_size,
+        concurrency=cfg.ocr_concurrency,
+        num_cpus=cfg.ocr_num_cpus,
+        **({"num_gpus": cfg.ocr_num_gpus} if cfg.ocr_num_gpus else {}),
+    )
+    parsed = ocr.map_batches(
+        functools.partial(parse_units, config=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.cpu_batch_size,
+    )
+    bucketed = parsed.map_batches(
+        functools.partial(add_bucket, n_buckets=assembly_buckets),
+        batch_format="pyarrow",
+        batch_size=cfg.cpu_batch_size,
+    )
+    return bucketed.groupby("assembly_bucket").map_groups(
+        functools.partial(assemble_bucket, config=cfg),
+        batch_format="pyarrow",
+    )
+
+
+def extract_path(
+    path: str,
+    config: PipelineConfig | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    from ..sources.interleaved import read_interleaved
+
+    return extract_dataset(read_interleaved(path), config, **kwargs)

@@ -1,0 +1,106 @@
+"""Document reassembly — the pipeline's one wide (shuffle) step.
+
+The reference reassembles pages by positional zip in submission order
+(DSV/run_dpsk_ocr_pdf.py:292); a distributed pipeline cannot rely on order,
+so units carry ``(doc_id, unit_id)`` and are reassembled by key.
+
+Scale design: instead of ``groupby("doc_id")`` (one Python call per document,
+10^12 tiny groups), units are grouped by a **stable hash bucket** of doc_id
+(``assembly_bucket``), so the shuffle has a bounded number of groups and each
+group assembles many documents in one vectorized pass.  A document's units
+always land in the same bucket, so no second-level merge is needed; the
+bucket count is the knob that trades shuffle-group size vs parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..schema import OUT_SCHEMA
+from .transforms import MEDIA_KINDS, SENTINEL_KIND
+
+
+def stable_bucket(doc_ids: list[str], n_buckets: int) -> list[int]:
+    """md5-based bucket — stable across processes/parallelism (Python's
+    ``hash`` is salted per process and must never partition data)."""
+    return [
+        int.from_bytes(hashlib.md5(d.encode()).digest()[:4], "little") % n_buckets
+        for d in doc_ids
+    ]
+
+
+def add_bucket(batch: pa.Table, *, n_buckets: int) -> pa.Table:
+    return batch.append_column(
+        "assembly_bucket",
+        pa.array(stable_bucket(batch["doc_id"].to_pylist(), n_buckets), pa.int32()),
+    )
+
+
+def assemble_bucket(group: pa.Table, *, config: PipelineConfig) -> pa.Table:
+    """Assemble every document in one bucket: sort by (doc_id, unit_id),
+    walk group boundaries, emit one output row per doc.
+
+    Markdown convention: an OCR'd page contributes its cleaned markdown plus
+    the page split marker (appended after *each* page, reference
+    run_dpsk_ocr_pdf.py:302-304); skipped (no-EOS) pages and quarantined
+    units contribute nothing — not even a split; textual/html units
+    contribute their fragment + a blank line.
+    """
+    g = group.sort_by([("doc_id", "ascending"), ("unit_id", "ascending")])
+    doc_ids = g["doc_id"].to_pylist()
+    kinds = g["kind"].to_pylist()
+    sub_kinds = g["sub_kinds"].to_pylist()
+    sub_texts = g["sub_texts"].to_pylist()
+    sub_refs = g["sub_refs"].to_pylist()
+    fragments = g["fragment"].to_pylist()
+    truncs = g["truncated"].to_pylist()
+    is_page = g["is_page"].to_pylist()
+    errs = g["unit_error"].to_pylist()
+    n = len(doc_ids)
+
+    out_rows: list[dict] = []
+    i = 0
+    split = config.page_split
+    n_parts = config.num_partitions
+    while i < n:
+        j = i
+        doc = doc_ids[i]
+        spans: list[dict] = []
+        md_parts: list[str] = []
+        truncated = False
+        doc_errs: list[str] = []
+        off = 0
+        while j < n and doc_ids[j] == doc:
+            if errs[j] is not None:
+                doc_errs.append(errs[j])
+            elif kinds[j] != SENTINEL_KIND:
+                for k, t, r in zip(sub_kinds[j], sub_texts[j], sub_refs[j]):
+                    spans.append({"kind": k, "text": t, "media_ref": r, "offset": off})
+                    off += 1
+                if is_page[j]:
+                    md_parts.append(fragments[j] + split)
+                elif kinds[j] in MEDIA_KINDS:
+                    pass  # skipped page: contributes nothing
+                elif fragments[j]:
+                    md_parts.append(fragments[j] + "\n\n")
+            truncated = truncated or truncs[j]
+            j += 1
+        pid = (
+            int.from_bytes(hashlib.md5(doc.encode()).digest()[:4], "little") % n_parts
+        )
+        out_rows.append(
+            {
+                "doc_id": doc,
+                "spans": spans,
+                "markdown": "".join(md_parts),
+                "n_spans": off,
+                "truncated": truncated,
+                "partition_id": pid,
+                "error": "; ".join(doc_errs) if doc_errs else None,
+            }
+        )
+        i = j
+    return pa.Table.from_pylist(out_rows, schema=OUT_SCHEMA)

@@ -1,0 +1,226 @@
+"""Deterministic stand-ins for the GPU model stage and the media decoder.
+
+No GPU, no model weights and no image libraries ship in this sandbox, so the
+vLLM actor (reference: engine singleton at /root/reference/app/engine.py:27-131,
+model at DSV/deepseek_ocr.py:261-582) is replaced by a **deterministic stub**
+with the same interface shape: load-once state in ``__init__``, batch-in /
+batch-out ``__call__``.  The stub's output is a pure function of
+``media_ref`` and exercises every branch of the reference's output grammar:
+
+- grounded markup ``<|ref|>label<|/ref|><|det|>[[x1,y1,x2,y2],...]<|/det|>``
+  with single and multi-box refs (coords on the 0-999 grid),
+- image refs (→ crops / markdown image substitution),
+- tables with ``<td>`` cells (the no-repeat whitelist tokens),
+- display formulas with ``\\quad (N)`` equation tags (clean_formula cases),
+- ``\\coloneqq`` / ``\\eqqcolon`` and 3-4 newline runs (cleaner cases),
+- occasionally malformed coordinate literals (must be skipped safely —
+  the reference ``eval``s and drops them, app/processors.py:69-71),
+- a ~3% no-EOS tail (generation "ran to max_tokens repeating"; SKIP_REPEAT
+  drops such pages, DSV/run_dpsk_ocr_pdf.py:295-299).
+
+Swapping in the real model = replacing ``StubOcrModel.generate`` with a vLLM
+``llm.generate`` call and ``fake_decode_dims`` with a real rasterizer/decoder;
+every other stage is production code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..functions.grounding import EOS_MARKER
+from ..functions.tiling import count_tiles, num_image_tokens
+
+# Page-size table spanning the tiling decision space (FIXTURES.md F4):
+# ≤640×640 → untiled; the rest hit distinct (w,h) grids.
+_PAGE_DIMS: list[tuple[int, int]] = [
+    (640, 640),
+    (512, 512),
+    (800, 600),
+    (1024, 1024),
+    (1280, 720),
+    (900, 1800),
+    (2000, 500),
+    (4000, 3000),
+    (1100, 1100),
+]
+
+_WORDS = (
+    "stream arrow block ratio lemma graph signal matrix vector tensor "
+    "theorem proof corollary figure caption axis legend model layer token"
+).split()
+
+
+def _ref_rng(media_ref: str) -> np.random.RandomState:
+    h = hashlib.md5(media_ref.encode()).digest()
+    return np.random.RandomState(int.from_bytes(h[:4], "little"))
+
+
+def fake_decode_dims(media_ref: str) -> tuple[int, int]:
+    """Deterministic page (width, height) for a media_ref.
+
+    Stands in for image decode / PDF rasterization (reference
+    ``pdf_to_images_high_quality``, DSV/run_dpsk_ocr_pdf.py:70-101 and
+    ``load_image``, run_dpsk_ocr_image.py:40-54).  A real deployment decodes
+    the bytes behind the ref; the Ray-side plumbing is identical.
+    """
+    rng = _ref_rng(media_ref + "#dims")
+    return _PAGE_DIMS[int(rng.randint(0, len(_PAGE_DIMS)))]
+
+
+def _box(rng: np.random.RandomState) -> str:
+    x1, y1 = int(rng.randint(0, 900)), int(rng.randint(0, 900))
+    x2, y2 = int(rng.randint(x1 + 10, 1000)), int(rng.randint(y1 + 10, 1000))
+    return f"[{x1}, {y1}, {x2}, {y2}]"
+
+
+def _det(rng: np.random.RandomState, n_boxes: int = 1, malformed: bool = False) -> str:
+    if malformed:
+        # two reference-observed failure shapes: truncated box, non-numeric
+        return "[[12, 34, 56]]" if rng.rand() < 0.5 else "[[a, b, c, d]]"
+    return "[" + ", ".join(_box(rng) for _ in range(n_boxes)) + "]"
+
+
+def _sent(rng: np.random.RandomState, n: int) -> str:
+    return " ".join(_WORDS[i] for i in rng.randint(0, len(_WORDS), n))
+
+
+def generate_page_markdown(media_ref: str) -> str:
+    """The stub "model": raw grounded-markdown output for one page.
+
+    Pure function of ``media_ref`` — identical at any parallelism level, on
+    resume, and between the pipeline and the sequential test oracle.
+    """
+    rng = _ref_rng(media_ref + "#gen")
+    parts: list[str] = []
+    n_elems = int(rng.randint(2, 9))
+    for _ in range(n_elems):
+        r = rng.rand()
+        malformed = rng.rand() < 0.02
+        if r < 0.15:
+            parts.append(
+                f"<|ref|>title<|/ref|><|det|>{_det(rng, 1, malformed)}<|/det|>"
+                f"# {_sent(rng, int(rng.randint(2, 6)))}\n\n"
+            )
+        elif r < 0.55:
+            body = _sent(rng, int(rng.randint(10, 40)))
+            if rng.rand() < 0.15:
+                body += " \\coloneqq " + _sent(rng, 3)
+            if rng.rand() < 0.1:
+                body += " \\eqqcolon " + _sent(rng, 2)
+            nl = "\n" * int(rng.choice([2, 2, 2, 3, 4]))
+            nb = 2 if rng.rand() < 0.15 else 1
+            parts.append(
+                f"<|ref|>text<|/ref|><|det|>{_det(rng, nb, malformed)}<|/det|>"
+                f"{body}{nl}"
+            )
+        elif r < 0.70:
+            parts.append(
+                f"<|ref|>image<|/ref|><|det|>{_det(rng, 1, malformed)}<|/det|>\n"
+            )
+        elif r < 0.82:
+            rows = "".join(
+                "<tr>"
+                + "".join(
+                    f"<td>{_sent(rng, 2)}</td>" for _ in range(int(rng.randint(2, 4)))
+                )
+                + "</tr>"
+                for _ in range(int(rng.randint(1, 4)))
+            )
+            parts.append(
+                f"<|ref|>table<|/ref|><|det|>{_det(rng, 1, malformed)}<|/det|>"
+                f"<table>{rows}</table>\n\n"
+            )
+        else:
+            tag = f" \\quad ({int(rng.randint(1, 20))})" if rng.rand() < 0.7 else ""
+            parts.append(
+                f"<|ref|>formula<|/ref|><|det|>{_det(rng, 1, malformed)}<|/det|>"
+                f"\\[ E_{{{int(rng.randint(0, 9))}}} = m c^2{tag} \\]\n\n"
+            )
+    out = "".join(parts)
+    if rng.rand() >= 0.03:  # ~3% of pages repeat to max_tokens → no EOS marker
+        out += EOS_MARKER
+    return out
+
+
+class StubOcrModel:
+    """Load-once "model" with the call shape of a vLLM engine wrapper.
+
+    ``__init__`` is the once-per-actor setup (the reference builds the vLLM
+    engine once per process and reuses it, app/engine.py:27-131, and warms it
+    up, app/engine.py:150-249); ``generate`` is batch-in/batch-out like
+    ``llm.generate`` (DSV/run_dpsk_ocr_pdf.py:274-277).
+    """
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.prompt = config.prompt
+        # warmup: one tiny deterministic generation (availability smoke)
+        generate_page_markdown("warmup://0")
+
+    def generate(self, media_refs: list[str]) -> list[str]:
+        return [generate_page_markdown(r) for r in media_refs]
+
+
+class OcrStage:
+    """Actor-pool ``map_batches`` stage: OCR for media units, passthrough else.
+
+    Adds columns ``raw_text`` (null for non-media rows), ``page_w``/``page_h``,
+    ``n_tiles`` and ``vision_tokens`` (the cost model of deepseek_ocr.py:61-106
+    — used for size-balanced batching at scale).  Rows whose media_ref is
+    malformed are quarantined via the ``unit_error`` column instead of being
+    dropped (the reference skips bad inputs with a warning,
+    app/processors.py:345-358 — silent drops break resumability accounting).
+    """
+
+    MEDIA_KINDS = ("pdf_page", "image")
+
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+        self.model = StubOcrModel(self.config)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        n = len(kinds)
+        raw = [None] * n
+        pw = [0] * n
+        ph = [0] * n
+        tiles = [0] * n
+        vtok = [0] * n
+        err = [None] * n
+        cfg = self.config
+        todo_idx: list[int] = []
+        todo_ref: list[str] = []
+        for i, (k, ref) in enumerate(zip(kinds, refs)):
+            if k not in self.MEDIA_KINDS:
+                continue
+            if not ref.startswith("blob://"):
+                err[i] = f"bad media_ref: {ref!r}"
+                continue
+            w, h = fake_decode_dims(ref)
+            pw[i], ph[i] = w, h
+            if cfg.crop_mode and not (w <= 640 and h <= 640):
+                wt, ht = count_tiles(w, h, cfg.min_crops, cfg.max_crops, cfg.image_size)
+            else:
+                wt = ht = 1
+            tiles[i] = wt * ht
+            vtok[i] = num_image_tokens(
+                w, h, cfg.base_size, cfg.image_size, cfg.crop_mode,
+                cfg.min_crops, cfg.max_crops,
+            )
+            todo_idx.append(i)
+            todo_ref.append(ref)
+        for i, text in zip(todo_idx, self.model.generate(todo_ref)):
+            raw[i] = text
+        return (
+            batch.append_column("raw_text", pa.array(raw, pa.large_string()))
+            .append_column("page_w", pa.array(pw, pa.int32()))
+            .append_column("page_h", pa.array(ph, pa.int32()))
+            .append_column("n_tiles", pa.array(tiles, pa.int32()))
+            .append_column("vision_tokens", pa.array(vtok, pa.int32()))
+            .append_column("unit_error", pa.array(err, pa.string()))
+        )

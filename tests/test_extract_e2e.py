@@ -1,0 +1,99 @@
+"""End-to-end: distributed pipeline output == sequential reference-semantics
+oracle, under the core invariant span-sequence equality
+(kind, text, media_ref, order) per doc_id — FIXTURES.md F5."""
+
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_ray import PipelineConfig, extract_dataset
+from deepseek_ocr_ray.schema import gen_doc
+from reference_oracle import extract_doc_oracle
+
+N_DOCS = 120
+SEED = 42
+
+
+def _span_seq(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+@pytest.fixture(scope="module")
+def oracle_docs():
+    docs = [gen_doc(i, SEED) for i in range(N_DOCS)]
+    return {d["doc_id"]: extract_doc_oracle(d) for d in docs}
+
+
+@pytest.fixture(scope="module")
+def pipeline_rows(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
+
+    out = extract_dataset(synthetic_dataset(N_DOCS, SEED), PipelineConfig())
+    return {r["doc_id"]: r for r in out.take_all()}
+
+
+def test_all_docs_present(pipeline_rows, oracle_docs):
+    assert set(pipeline_rows) == set(oracle_docs)
+
+
+def test_span_sequence_equality(pipeline_rows, oracle_docs):
+    for doc_id, expected in oracle_docs.items():
+        got = pipeline_rows[doc_id]
+        assert _span_seq(got["spans"]) == _span_seq(expected["spans"]), doc_id
+
+
+def test_markdown_and_flags_equality(pipeline_rows, oracle_docs):
+    for doc_id, expected in oracle_docs.items():
+        got = pipeline_rows[doc_id]
+        assert got["markdown"] == expected["markdown"], doc_id
+        assert got["n_spans"] == expected["n_spans"], doc_id
+        assert got["truncated"] == expected["truncated"], doc_id
+        assert got["partition_id"] == expected["partition_id"], doc_id
+        assert got["error"] == expected["error"], doc_id
+
+
+def test_invariant_under_block_shuffle(ray_session, oracle_docs):
+    """Order comes from keys, never block order (SURVEY.md §1)."""
+    import ray.data
+
+    from deepseek_ocr_ray.schema import IN_SCHEMA
+
+    docs = [gen_doc(i, SEED) for i in range(N_DOCS)]
+    docs = docs[::-1]  # reversed input order
+    tbl = pa.Table.from_pylist(docs, schema=IN_SCHEMA)
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    out = extract_dataset(ds, PipelineConfig(), assembly_buckets=5)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    for doc_id, expected in oracle_docs.items():
+        assert _span_seq(rows[doc_id]["spans"]) == _span_seq(expected["spans"])
+
+
+def test_skip_repeat_false_keeps_truncated_pages(ray_session):
+    """With skip_repeat off, no-EOS pages are extracted and flagged, matching
+    the oracle run with the same config."""
+    from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
+
+    cfg = PipelineConfig(skip_repeat=False)
+    out = extract_dataset(synthetic_dataset(N_DOCS, SEED), cfg)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    docs = [gen_doc(i, SEED) for i in range(N_DOCS)]
+    expected = {d["doc_id"]: extract_doc_oracle(d, cfg) for d in docs}
+    for doc_id, e in expected.items():
+        assert _span_seq(rows[doc_id]["spans"]) == _span_seq(e["spans"])
+        assert rows[doc_id]["markdown"] == e["markdown"]
+    # the corpus at this size must actually exercise the no-EOS branch
+    assert any(e["truncated"] for e in expected.values())
+
+
+def test_corpus_exercises_grammar(oracle_docs):
+    """The synthetic corpus must cover every grammar branch the cleaners
+    handle (otherwise equality is vacuous)."""
+    kinds = set()
+    any_error = False
+    for e in oracle_docs.values():
+        kinds.update(s["kind"] for s in e["spans"])
+        any_error = any_error or bool(e["error"])
+    assert {"text", "title", "image", "table", "formula"} <= kinds
+    assert any_error  # malformed media_ref quarantine path exercised
+    assert any(e["truncated"] for e in oracle_docs.values())

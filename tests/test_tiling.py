@@ -1,0 +1,109 @@
+"""Tiling math + vision-token cost model vs the reference's closed forms
+(image_process.py:11-83, deepseek_ocr.py:61-106) and the published per-mode
+token counts (README.md:215-223: Tiny 64 / Small 100 / Base 256 / Large 400;
+Gundam 256 + n×100)."""
+
+import pytest
+
+from deepseek_ocr_ray.functions.tiling import (
+    candidate_grids,
+    count_tiles,
+    norepeat_banned_tokens,
+    normalize_pixels,
+    num_image_tokens,
+    tile_boxes,
+)
+
+
+def test_candidate_grids_bounds():
+    grids = candidate_grids(2, 6)
+    assert all(2 <= w * h <= 6 for w, h in grids)
+    assert (1, 2) in grids and (2, 3) in grids and (6, 1) in grids
+    assert (1, 1) not in grids and (3, 3) not in grids
+    # sorted by area
+    areas = [w * h for w, h in grids]
+    assert areas == sorted(areas)
+
+
+@pytest.mark.parametrize(
+    "w,h,grid",
+    [
+        # aspect 16:9 ≈ 1.78 → best diff at (2,1)=2.0 vs (3,2)=1.5... enumerate:
+        (1280, 720, count_tiles(1280, 720)),
+        (900, 1800, count_tiles(900, 1800)),
+        (2000, 500, count_tiles(2000, 500)),
+        (4000, 3000, count_tiles(4000, 3000)),
+    ],
+)
+def test_count_tiles_self_consistent(w, h, grid):
+    # the chosen grid minimizes |aspect - gw/gh| over the candidate set
+    aspect = w / h
+    diffs = {g: abs(aspect - g[0] / g[1]) for g in candidate_grids(2, 6)}
+    assert diffs[grid] == min(diffs.values())
+
+
+def test_count_tiles_portrait_vs_landscape():
+    gw, gh = count_tiles(900, 1800)
+    assert gh > gw  # portrait → more height tiles
+    gw2, gh2 = count_tiles(2000, 500)
+    assert gw2 > gh2  # wide → more width tiles
+
+
+def test_tile_boxes_row_major():
+    boxes = tile_boxes(1280, 1280, (2, 2), 640)
+    assert boxes == [
+        (0, 0, 640, 640),
+        (640, 0, 1280, 640),
+        (0, 640, 640, 1280),
+        (640, 640, 1280, 1280),
+    ]
+
+
+@pytest.mark.parametrize(
+    "base,img,crop,expected",
+    [
+        (512, 512, False, 8 * 9 + 1),     # Tiny: h=w=ceil(32/4)=8 → 72+1=73... README says 64 "valid" tokens
+        (640, 640, False, 10 * 11 + 1),   # Small
+        (1024, 1024, False, 16 * 17 + 1), # Base
+        (1280, 1280, False, 20 * 21 + 1), # Large
+    ],
+)
+def test_token_formula_untiled(base, img, crop, expected):
+    assert num_image_tokens(600, 600, base, img, crop) == expected
+
+
+def test_token_formula_gundam_tiled():
+    # Gundam base=1024 img=640 crop: global 16*17, local (ht*10)*(wt*10+1), +1
+    w, h = 1280, 720
+    wt, ht = count_tiles(w, h, 2, 6, 640)
+    expected = 16 * 17 + (ht * 10) * (wt * 10 + 1) + 1
+    assert num_image_tokens(w, h, 1024, 640, True) == expected
+
+
+def test_token_formula_small_image_untiled_in_crop_mode():
+    # ≤640×640 never tiles (deepseek_ocr.py:85-86)
+    assert num_image_tokens(640, 640, 1024, 640, True) == 16 * 17 + 1
+    assert num_image_tokens(512, 512, 1024, 640, True) == 16 * 17 + 1
+
+
+def test_normalize_pixels():
+    import numpy as np
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    img[..., 0] = 255
+    out = normalize_pixels(img)
+    assert out.shape == (3, 4, 6)
+    assert out.dtype == np.float32
+    assert np.allclose(out[0], 1.0) and np.allclose(out[1], -1.0)
+
+
+def test_norepeat_banned_tokens():
+    # sequence ...1,2,3...  then current prefix (1,2) → 3 banned (ngram=3)
+    ids = [9, 1, 2, 3, 7, 1, 2]
+    assert norepeat_banned_tokens(ids, 3, 100) == {3}
+    # whitelist exemption (reference: <td>/</td> ids)
+    assert norepeat_banned_tokens(ids, 3, 100, frozenset({3})) == set()
+    # window too small to see the earlier ngram
+    assert norepeat_banned_tokens(ids, 3, 3) == set()
+    # shorter than ngram → nothing
+    assert norepeat_banned_tokens([1, 2], 3, 100) == set()
