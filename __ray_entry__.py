@@ -1,44 +1,353 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline over the deterministic
+synthetic interleaved corpus (BASELINE.json ``input_hint`` schema).
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 plus the training-data-curation operators (dedup, similarity
+search, text analysis, multimodal plumbing); ``oracle_sql()`` carries the
+DuckDB-equivalent SQL for every SQL-expressible entry (column names match
+exactly; measures are integerized — cents / basis points — so sums compare
+bit-exactly).  Non-SQL-expressible ops (the stub-OCR extraction pipeline,
+LSH dedup decisions, language ID, multimodal decode) are rows-only checks;
+their semantics are covered by the pytest oracle-equality suite instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from deepseek_ocr_ray.functions.html_extract import extract_main_content
+from deepseek_ocr_ray.functions.text_stats import (
+    BPE_PATTERN,
+    STOPWORDS,
+    stopword_sql_list,
+)
+from deepseek_ocr_ray.pipelines import analytics
+from deepseek_ocr_ray.pipelines.extract import extract_dataset
+from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
+from deepseek_ocr_ray.stages import dedup, multimodal, similarity
+
+# corpus size for the synthetic interleaved extraction queries (the input
+# table of the north rule; sf-independent because the driver tables carry no
+# interleaved corpus — see deepseek_ocr_ray/schema.py)
+N_EXTRACT_DOCS = 400
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic interleaved corpus → full extraction pipeline."""
+    ds = synthetic_dataset(200, seed=42)
+    out = extract_dataset(ds)
+    return out.select_columns(
+        ["doc_id", "n_spans", "truncated", "partition_id", "error"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+
+def _extract_summary(sf_dir: str) -> Any:
+    out = extract_dataset(synthetic_dataset(N_EXTRACT_DOCS, seed=42))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_spans": batch["n_spans"],
+                "truncated": batch["truncated"].cast(pa.int32()),
+                "md_chars": pc.utf8_length(batch["markdown"]).cast(pa.int64()),
+                "has_error": pc.is_valid(batch["error"]).cast(pa.int32()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow").sort("doc_id")
+
+
+def _extract_spans_flat(sf_dir: str) -> Any:
+    """Flattened span sequences — the per-row invariant surface
+    (kind, text, media_ref, order) of the north rule."""
+    out = extract_dataset(synthetic_dataset(N_EXTRACT_DOCS, seed=42))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        doc_ids = batch["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": doc_ids.take(parent),
+                "offset": flat.field("offset"),
+                "kind": flat.field("kind"),
+                "text": flat.field("text").cast(pa.string()),
+                "media_ref": flat.field("media_ref"),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow").sort(
+        ["doc_id", "offset"]
+    )
+
+
+_HTML_TMPL = (
+    "<html><head><title>x</title></head><body>"
+    "<nav><ul><li><a href='/a'>home</a></li><li><a href='/b'>about</a></li></ul></nav>"
+    "<div class='sidebar'><ul><li>related links</li></ul></div>"
+    "<div class='ad'>buy now click here</div>"
+    "<article><p>{text}</p></article>"
+    "<footer>copyright 2026 privacy terms</footer>"
+    "</body></html>"
+)
+
+
+def _html_main_text(sf_dir: str) -> Any:
+    """Wrap each document text in boilerplate HTML; the extractor must
+    recover exactly the article text (SQL oracle: the raw text column)."""
+    ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        main = []
+        for t in texts:
+            spans = extract_main_content(_HTML_TMPL.format(text=t))
+            main.append(" ".join(s.text for s in spans if s.kind == "text"))
+        return pa.table({"doc_id": batch["doc_id"], "main_text": pa.array(main, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def _dedup_exact(sf_dir: str) -> Any:
+    ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.exact_dedup(ds).sort("text_hash")
+
+
+def _dedup_minhash(sf_dir: str) -> Any:
+    ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.minhash_dedup(ds, threshold=0.8).sort("doc_id")
+
+
+def _dedup_simhash(sf_dir: str) -> Any:
+    ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_dedup(ds, max_hamming=3).sort("doc_id")
+
+
+def _dedup_ngram(sf_dir: str) -> Any:
+    ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.ngram_jaccard_dedup(ds, ngram=3, threshold=0.8).sort("doc_id")
+
+
+def _dedup_embedding(sf_dir: str) -> Any:
+    ds = analytics.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_dedup(ds, threshold=0.3).sort("vec_id")
+
+
+def _embedding_dup_pairs(sf_dir: str) -> Any:
+    ds = analytics.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_dup_pairs_brute(ds, threshold=0.3).sort(
+        ["id_a", "id_b"]
+    )
+
+
+def _load_queries(sf_dir: str, n: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mask = np.asarray(t["vec_id"].to_pylist()) < n
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[mask]
+    ids = np.asarray(t["vec_id"].to_pylist())[mask]
+    return vecs, ids
+
+
+def _ann_topk(sf_dir: str) -> Any:
+    ds = analytics.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q, qids = _load_queries(sf_dir)
+    return similarity.brute_force_topk(
+        ds, q, qids, k=10, dtype=np.float64
+    ).sort(["query_id", "rank"])
+
+
+def _ann_ivf(sf_dir: str) -> Any:
+    ds = analytics.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q, qids = _load_queries(sf_dir)
+    idx = similarity.IVFIndex(n_cells=16).build(ds)
+    return idx.search(q, qids, k=10, nprobe=4).sort(["query_id", "rank"])
+
+
+def _multimodal_decode(sf_dir: str) -> Any:
+    import ray.data
+
+    tbl = multimodal.synthesize_media_table(256, seed=42)
+    ds = ray.data.from_arrow(tbl)
+    decoded = ds.map_batches(
+        multimodal.DecodeImageStage, batch_format="pyarrow",
+        batch_size=32, concurrency=2,
+    )
+    resized = decoded.map_batches(
+        multimodal.ResizeStage, fn_constructor_kwargs={"target": 1024},
+        batch_format="pyarrow", concurrency=2,
+    )
+    return resized.select_columns(
+        ["media_id", "width", "height", "resized_w", "resized_h"]
+    ).sort("media_id")
+
+
+def _frame_sample(sf_dir: str) -> Any:
+    import ray.data
+
+    tbl = multimodal.synthesize_media_table(128, seed=7).select(
+        ["media_id", "media_ref"]
+    )
+    ds = ray.data.from_arrow(tbl)
+    frames = ds.map_batches(
+        multimodal.FrameSampleStage,
+        fn_constructor_kwargs={"stride": 10, "max_frames": 32},
+        batch_format="pyarrow", concurrency=2,
+    )
+    return frames.sort(["media_ref", "frame_no"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- extraction (north rule; verified by pytest span equality) ---
+        "extract_summary": _extract_summary,
+        "extract_spans_flat": _extract_spans_flat,
+        "html_main_text": _html_main_text,
+        # --- text analysis ---
+        "doc_token_stats": analytics.doc_token_stats,
+        "doc_fingerprint": analytics.doc_fingerprints,
+        "doc_lang_quality": analytics.doc_lang_quality,
+        "lang_source_stats": analytics.lang_source_stats,
+        # --- dedup family ---
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_ngram": _dedup_ngram,
+        "dedup_embedding": _dedup_embedding,
+        "embedding_dup_pairs": _embedding_dup_pairs,
+        # --- similarity search ---
+        "ann_topk": _ann_topk,
+        "ann_ivf": _ann_ivf,
+        # --- relational / wide ops ---
+        "q1_pricing": analytics.q1_pricing,
+        "top_orders": analytics.top_orders,
+        "events_daily": analytics.events_daily,
+        "cust_nation_counts": analytics.cust_nation_counts,
+        "orders_by_segment": analytics.orders_by_segment,
+        "q3_shipping": analytics.q3_shipping,
+        "part_type_stats": analytics.part_type_stats,
+        # --- multimodal plumbing (fake codecs, real dataflow) ---
+        "multimodal_decode": _multimodal_decode,
+        "frame_sample": _frame_sample,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (keys must match queries(); omitted keys → rows-only check)
+# ---------------------------------------------------------------------------
+
+_SW = stopword_sql_list()
+# BPE pattern with SQL-escaped quotes
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+DOC_TOKEN_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> list_contains({_SW}, w))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_tokens_bpe, n_punct, n_stopwords,
+  CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS flag_len,
+  CASE WHEN n_tokens > 0
+         AND (n_chars - GREATEST(n_tokens - 1, 0))::DOUBLE / GREATEST(n_tokens, 1)
+             BETWEEN 2.0 AND 12.0
+       THEN 1 ELSE 0 END AS flag_word_len,
+  CASE WHEN n_chars > 0 AND n_punct::DOUBLE / n_chars <= 0.2
+       THEN 1 ELSE 0 END AS flag_punct,
+  CASE WHEN n_stopwords >= 1 THEN 1 ELSE 0 END AS flag_stop,
+  (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+   + CASE WHEN n_tokens > 0
+            AND (n_chars - GREATEST(n_tokens - 1, 0))::DOUBLE / GREATEST(n_tokens, 1)
+                BETWEEN 2.0 AND 12.0
+          THEN 1 ELSE 0 END
+   + CASE WHEN n_chars > 0 AND n_punct::DOUBLE / n_chars <= 0.2
+          THEN 1 ELSE 0 END
+   + CASE WHEN n_stopwords >= 1 THEN 1 ELSE 0 END) AS quality_passes
+FROM t ORDER BY doc_id
+"""
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS INTEGER) AS rank,
+       ROUND(c, 6) AS cosine
+FROM s QUALIFY rank <= 10 ORDER BY query_id, rank
+"""
+
+EMBEDDING_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+ORDER BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "html_main_text": (
+            "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_token_stats": DOC_TOKEN_STATS_SQL,
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents ORDER BY doc_id"
+        ),
+        "lang_source_stats": (
+            "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "FROM documents GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, "
+            "count(*) AS dup_count FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "embedding_dup_pairs": EMBEDDING_PAIRS_SQL,
+        "ann_topk": ANN_TOPK_SQL,
+        "q1_pricing": analytics.Q1_SQL,
+        "top_orders": analytics.TOP_ORDERS_SQL,
+        "events_daily": analytics.EVENTS_DAILY_SQL,
+        "cust_nation_counts": analytics.CUST_NATION_SQL,
+        "orders_by_segment": analytics.ORDERS_BY_SEGMENT_SQL,
+        "q3_shipping": analytics.Q3_SQL,
+        "part_type_stats": analytics.PART_TYPE_SQL,
+    }

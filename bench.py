@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the headline extraction pipeline twice in FRESH processes
+at num_cpus=8 and num_cpus=32 on the same input and reports throughputs +
+scaling efficiency (the sandbox stand-in for N vs 4N Ray nodes — see
+BASELINE.md).
+
+This script OWNS its Ray session (unlike __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline extraction corpus size (synthetic interleaved docs; ~33 spans/doc
+# avg with a media-heavy tail → ~8k media pages at 6000 docs)
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "6000"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _consume(ds) -> int:
+    """Stream-consume a Dataset without materializing it on the driver."""
+    n = 0
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def bench_extract(n_docs: int) -> tuple[float, int, int]:
+    """Headline: synthetic interleaved corpus → full extraction pipeline."""
+    from deepseek_ocr_ray.pipelines.extract import extract_dataset
+    from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
+
+    t0 = time.perf_counter()
+    out = extract_dataset(synthetic_dataset(n_docs, seed=42))
+    n_rows = 0
+    n_spans = 0
+    for batch in out.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        n_rows += batch.num_rows
+        n_spans += sum(batch["n_spans"].to_pylist())
+    dt = time.perf_counter() - t0
+    return dt, n_rows, n_spans
+
+
+def run_queries() -> dict[str, float]:
+    """Time every __ray_entry__ query at the bench SF."""
+    import __ray_entry__ as e
+
+    times: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        result = fn(SF_DIR)
+        try:
+            import ray.data
+
+            if isinstance(result, ray.data.Dataset):
+                _consume(result)
+        except Exception:
+            pass
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main_bench() -> None:
+    _init_ray(NUM_CPUS)
+    dt, n_docs, n_spans = bench_extract(N_DOCS)
+    qtimes = run_queries()
+    total = dt + sum(qtimes.values())
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_sec (extract headline + all queries)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {
+                    "extract_headline": round(dt, 3),
+                    "extract_docs_per_sec": round(n_docs / dt, 1),
+                    "extract_spans_per_sec": round(n_spans / dt, 1),
+                    **qtimes,
+                },
+                "sf": float(sf) if sf else None,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+def _scaling_child(num_cpus: int) -> dict:
+    """Run the headline pipeline in THIS process (called as a subprocess)."""
+    _init_ray(num_cpus)
+    dt, n_docs, n_spans = bench_extract(N_DOCS)
+    import ray
+
+    ray.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 2),
+        "spans_per_sec": round(n_spans / dt, 2),
+    }
+
+
+def main_scaling() -> None:
+    """Two fresh processes at num_cpus=8 and 32 → scaling efficiency."""
+    results = []
+    for n in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    lo, hi = results
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    efficiency = speedup / (hi["num_cpus"] / lo["num_cpus"])
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency (docs/s at 8 vs 32 cpus)",
+                "value": round(efficiency, 3),
+                "unit": "efficiency",
+                "queries": {
+                    f"throughput_cpus_{lo['num_cpus']}": lo["docs_per_sec"],
+                    f"throughput_cpus_{hi['num_cpus']}": hi["docs_per_sec"],
+                    "speedup": round(speedup, 3),
+                },
+                "sf": None,
+                "num_cpus": hi["num_cpus"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        print(json.dumps(_scaling_child(int(sys.argv[2]))))
+    else:
+        main_bench()

@@ -1,0 +1,415 @@
+"""Corpus analytics / relational pipelines over the benchmark tables.
+
+These exercise the engine's wide operators (groupby/aggregate, joins, sort,
+limit) plus the text-analysis kernels, with semantics chosen to be EXACTLY
+replicable in ANSI SQL so the driver's DuckDB oracle verifies them
+bit-for-bit:
+
+- money/measure sums are carried as integer cents / basis points
+  (``CAST(FLOOR(x*100 + 0.5) AS BIGINT)`` on both sides) — no float
+  summation-order noise;
+- per-row float products are computed with the same IEEE double ops in both
+  engines before integerizing;
+- dates are emitted as ``YYYY-MM-DD`` strings.
+
+Scale notes: every groupby here is a Ray hash aggregate with map-side
+combine (the shuffle carries one partial row per key per block).  Small
+dimension sides (customer keys, order→date maps after a selective filter)
+are broadcast once via ``ray.put`` and read inside ``map_batches`` — a
+broadcast-hash join.  The shuffle-hash join (``Dataset.join``) is used where
+both sides are large.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import text_stats
+
+
+def read_table(
+    sf_dir: str, name: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Column-pruned parquet scan of one benchmark table."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """ROUND-HALF-UP integer cents — identical to SQL FLOOR(x*100 + 0.5)."""
+    x = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.array(np.floor(x * 100.0 + 0.5).astype(np.int64), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# document text analytics
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document token/quality stats (integer columns, SQL-replicable)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        text_stats.doc_stats_batch, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        text_stats.fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint_md5"]).sort("doc_id")
+
+
+def doc_lang_quality(sf_dir: str) -> ray.data.Dataset:
+    """Language ID + quality flags — the lang/fingerprint parts have no SQL
+    equivalent (rows-only oracle)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = text_stats.lang_id_batch(batch)
+        q = text_stats.quality_columns(batch["text"])
+        return out.append_column("quality_passes", q["quality_passes"]).append_column(
+            "lang_declared", batch["lang"]
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def lang_source_stats(sf_dir: str) -> ray.data.Dataset:
+    """documents grouped by (lang, source): doc count + total chars."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    out = ds.groupby(["lang", "source"]).aggregate(Count(), Sum("n_chars"))
+    return (
+        out.rename_columns({"count()": "n_docs", "sum(n_chars)": "total_chars"})
+        .sort(["lang", "source"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational (TPC-H-style) pipelines
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing(sf_dir: str) -> ray.data.Dataset:
+    """Pricing summary per (returnflag, linestatus) — all-integer measures."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        disc_price = price * (1.0 - disc)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": batch["l_quantity"].cast(pa.int64()),
+                "price_cents": _cents(batch["l_extendedprice"]),
+                "disc_price_cents": pa.array(
+                    np.floor(disc_price * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "disc_bp": pa.array(
+                    np.floor(disc * 10000.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty"), Sum("price_cents"), Sum("disc_price_cents"),
+            Sum("disc_bp"), Count(),
+        )
+    )
+    return agg.rename_columns(
+        {
+            "sum(qty)": "sum_qty",
+            "sum(price_cents)": "sum_price_cents",
+            "sum(disc_price_cents)": "sum_disc_price_cents",
+            "sum(disc_bp)": "sum_disc_bp",
+            "count()": "n_rows",
+        }
+    ).sort(["l_returnflag", "l_linestatus"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_price_cents,
+       sum(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_price_cents,
+       sum(CAST(FLOOR(l_discount*10000 + 0.5) AS BIGINT)) AS sum_disc_bp,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Global sort + limit: top-k orders by totalprice (raw doubles pass
+    through unchanged, so values match SQL exactly)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def events_daily(sf_dir: str) -> ray.data.Dataset:
+    """Events per (event_type, day): count + integer-cent value sum."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": day,
+                "value_cents": _cents(batch["value"]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(), Sum("value_cents"))
+    )
+    return agg.rename_columns(
+        {"count()": "n_events", "sum(value_cents)": "sum_value_cents"}
+    ).sort(["event_type", "day"])
+
+
+EVENTS_DAILY_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       sum(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def cust_nation_counts(sf_dir: str) -> ray.data.Dataset:
+    """customer ⋈ nation ⋈ region rollup via broadcast lookup (small dims).
+
+    nation/region together are tiny (25 + 5 rows at any SF) — ``ray.put``
+    once, map each customer batch through the lookup, then hash-aggregate.
+    """
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(sf_dir, "nation").take_all()
+    }
+    reg = {
+        r["r_regionkey"]: r["r_name"]
+        for r in read_table(sf_dir, "region").take_all()
+    }
+    n2r = {
+        r["n_nationkey"]: reg[r["n_regionkey"]]
+        for r in read_table(sf_dir, "nation").take_all()
+    }
+    lookup_ref = ray.put((nat, n2r))
+
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        nat_l, n2r_l = ray.get(lookup_ref)
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": pa.array([n2r_l[int(k)] for k in keys], pa.string()),
+                "n_name": pa.array([nat_l[int(k)] for k in keys], pa.string()),
+                "acctbal_cents": _cents(batch["c_acctbal"]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Count(), Sum("acctbal_cents"))
+    )
+    return agg.rename_columns(
+        {"count()": "n_customers", "sum(acctbal_cents)": "sum_acctbal_cents"}
+    ).sort(["r_name", "n_name"])
+
+
+CUST_NATION_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       sum(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS sum_acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer via the SHUFFLE hash join (``Dataset.join``) —
+    both sides scale with SF, so this is the large-large join path."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    orders = orders.map_batches(prep_orders, batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(Count(), Sum("price_cents"))
+    return agg.rename_columns(
+        {"count()": "n_orders", "sum(price_cents)": "sum_price_cents"}
+    ).sort("c_mktsegment")
+
+
+ORDERS_BY_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS sum_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q3_shipping(sf_dir: str, segment: str = "BUILDING",
+                cutoff: str = "1995-03-15", k: int = 10) -> ray.data.Dataset:
+    """TPC-H Q3 shape: selective filters → broadcast semi-join chain →
+    revenue aggregate → top-k.  The filtered small sides (customer keys,
+    order→date map) are broadcast once; lineitem streams."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_keys = set(
+        r["c_custkey"]
+        for r in cust.filter(expr=f"c_mktsegment == '{segment}'").take_all()
+    )
+    ckref = ray.put(cust_keys)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def sel_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ckref)
+        date = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
+        custkeys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (int(ck) in keys for ck in custkeys), bool, count=len(custkeys)
+        )
+        mask &= np.asarray(
+            [d < cutoff for d in date.to_pylist()], dtype=bool
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].combine_chunks().filter(pa.array(mask)),
+                "o_orderdate": date.filter(pa.array(mask)),
+            }
+        )
+
+    sel = orders.map_batches(sel_orders, batch_format="pyarrow").take_all()
+    odate = {r["o_orderkey"]: r["o_orderdate"] for r in sel}
+    odref = ray.put(odate)
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        om = ray.get(odref)
+        ship = pc.strftime(batch["l_shipdate"], format="%Y-%m-%d").to_pylist()
+        okeys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        keep = [
+            i for i in range(len(okeys))
+            if ship[i] > cutoff and int(okeys[i]) in om
+        ]
+        return pa.table(
+            {
+                "o_orderkey": pa.array([int(okeys[i]) for i in keep], pa.int64()),
+                "o_orderdate": pa.array([om[int(okeys[i])] for i in keep], pa.string()),
+                "rev_cents": pa.array(rev[keep], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev_cents"))
+        .rename_columns({"sum(rev_cents)": "revenue_cents"})
+    )
+    return agg.sort(
+        ["revenue_cents", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       sum(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND strftime(o_orderdate, '%Y-%m-%d') < '1995-03-15'
+  AND strftime(l_shipdate, '%Y-%m-%d') > '1995-03-15'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def part_type_stats(sf_dir: str) -> ray.data.Dataset:
+    """part grouped by brand: count, min/max retail cents — Min/Max aggs."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "price_cents": _cents(batch["p_retailprice"]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(), Min("price_cents"), Max("price_cents"))
+    )
+    return agg.rename_columns(
+        {
+            "count()": "n_parts",
+            "min(price_cents)": "min_price_cents",
+            "max(price_cents)": "max_price_cents",
+        }
+    ).sort("p_brand")
+
+
+PART_TYPE_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       min(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT)) AS min_price_cents,
+       max(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT)) AS max_price_cents
+FROM part GROUP BY 1 ORDER BY 1
+"""

@@ -1,0 +1,646 @@
+"""Distributed deduplication operators (exact + near-dup families).
+
+The reference has no corpus dedup at all (SURVEY.md §2.8) — these are the
+training-data-curation operators a 100 TB pipeline needs, built Ray-Data-first:
+
+- **exact_dedup** — md5(text) → ``groupby(hash).aggregate(Min(id), Count())``.
+  Ray's hash aggregate does map-side partial aggregation per block before the
+  shuffle, so the exchange carries one row per *distinct* hash per block, not
+  one per input row.
+- **minhash_dedup** — char-shingle MinHash signatures (vectorized numpy) →
+  banded LSH bucket keys → bucket groupby → per-bucket keep-min decisions
+  verified by signature-estimated Jaccard → per-doc ``Max(dropped)`` reduce.
+- **simhash_dedup** — 64-bit SimHash over token hashes, 16-bit bands for
+  candidates, Hamming-distance verify.
+- **ngram_jaccard_dedup** — MinHash LSH for candidates, then EXACT word
+  n-gram Jaccard verification (texts carried into the bucket rows; at true
+  10^12 scale you would verify with signatures or a join — documented).
+- **embedding_dedup** — cosine near-dup over an embedding column: random-
+  hyperplane (SRP) bit-band LSH for candidates, exact cosine verify.
+  Plus a brute-force all-pairs variant (broadcast matrix) for oracles.
+
+Shared scale design (``_lsh_dedup``): all near-dup flavors reduce to
+
+    ds → map_batches(signature+bands)            # embarrassingly parallel
+       → groupby(stable bucket of band key)      # shuffle #1, bounded groups
+       → map_groups(walk buckets, emit (id, dropped) decisions)
+       → groupby(id).aggregate(Max(dropped))     # shuffle #2, map-combined
+       → filter kept
+
+A document is dropped iff some LSH bucket contains a smaller-id document
+whose verified similarity clears the threshold — deterministic at any
+parallelism level (no union-find; standard keep-first LSH semantics).
+Bucket groupby groups are *coarsened* (band-key hashed into ``n_buckets``
+groups, boundaries walked vectorized inside) so 10^12 docs never mean 10^12
+Python group calls — same trick as ``stages/assemble.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from ..functions.text_stats import md5_fingerprints
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_text_hash(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    return batch.append_column("text_hash", md5_fingerprints(batch[text_col]))
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """One row per distinct text: (text_hash, doc_id=min id, dup_count).
+
+    The canonical exact-dedup shape: hash-partition by content hash, keep the
+    smallest id per group.  SQL oracle:
+    ``SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS
+    dup_count FROM documents GROUP BY 1``.
+    """
+    hashed = ds.map_batches(
+        add_text_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
+    ).select_columns(["text_hash", id_col])
+    out = hashed.groupby("text_hash").aggregate(Count(), Min(id_col))
+    return out.rename_columns(
+        {f"min({id_col})": id_col, "count()": "dup_count"}
+    ).select_columns(["text_hash", id_col, "dup_count"])
+
+
+# ---------------------------------------------------------------------------
+# vectorized MinHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Seeded (a*x+b) mod p MinHash over char k-shingles, exact in uint64.
+
+    Shingle hashes are folded to 32 bits so a (32-bit) * x (32-bit) + b
+    (32-bit) stays below 2^64 — no silent overflow, unlike naive 64-bit
+    implementations.  Signature values are uint32.
+    """
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 5, seed: int = 42):
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 1 << 32, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 32, size=num_perm).astype(np.uint64)
+        # odd byte-position coefficients for the shingle polynomial hash
+        self.coeff = (
+            rng.randint(0, 1 << 62, size=shingle_k).astype(np.uint64) | np.uint64(1)
+        )
+        self.empty_sig = ((self.a + self.b) % _MERSENNE61).astype(np.uint64)
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        data = np.frombuffer(
+            text.encode("utf-8", "surrogatepass"), dtype=np.uint8
+        )
+        k = self.shingle_k
+        if len(data) < k:
+            data = np.pad(data, (0, k - len(data)))
+        win = np.lib.stride_tricks.sliding_window_view(data, k)
+        h = (win.astype(np.uint64) * self.coeff).sum(axis=1, dtype=np.uint64)
+        return np.unique(h & np.uint64(0xFFFFFFFF))  # fold to 32 bits
+
+    def signature(self, text: str) -> np.ndarray:
+        """(num_perm,) uint32 signature."""
+        x = self.shingle_hashes(text)
+        if len(x) == 0:
+            return (self.empty_sig & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        # (P, S): exact — see class docstring for the overflow argument
+        hx = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE61
+        return (hx.min(axis=1) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def exact_word_ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact Jaccard over word n-gram shingle sets (n=1 → bag of words)."""
+
+    def grams(t: str) -> set:
+        w = t.split()
+        if len(w) < n:
+            return {tuple(w)} if w else set()
+        return {tuple(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    u = len(ga | gb)
+    return len(ga & gb) / u if u else 0.0
+
+
+def band_key(payload_bytes: bytes) -> np.uint64:
+    """Stable 64-bit band-bucket key from raw band bytes."""
+    return np.uint64(
+        int.from_bytes(hashlib.md5(payload_bytes).digest()[:8], "little")
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic LSH dedup plumbing
+# ---------------------------------------------------------------------------
+
+_DEC_SCHEMA_DROPPED = "dropped"
+
+
+def _stable_group(band: np.ndarray, key: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Coarse shuffle group for (band, band_key) — md5-free: mix the two
+    64-bit values with splitmix-style constants (stable across processes)."""
+    x = key.astype(np.uint64) ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _lsh_dedup(
+    ds: ray.data.Dataset,
+    sig_stage,
+    verify_groups_fn,
+    *,
+    id_col: str,
+    n_buckets: int,
+    stage_kwargs: dict | None = None,
+    concurrency=(2, 8),
+) -> ray.data.Dataset:
+    """Shared LSH dedup skeleton — see module docstring for the dataflow."""
+    band_rows = ds.map_batches(
+        sig_stage,
+        fn_constructor_kwargs=stage_kwargs or {},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    decisions = band_rows.groupby("lsh_group").map_groups(
+        verify_groups_fn, batch_format="pyarrow"
+    )
+    agg = decisions.groupby(id_col).aggregate(Max(_DEC_SCHEMA_DROPPED))
+    agg = agg.rename_columns({f"max({_DEC_SCHEMA_DROPPED})": "any_dropped"})
+    return agg.filter(expr="any_dropped == 0").select_columns([id_col])
+
+
+def _walk_buckets(group: pa.Table, id_col: str, verify_pair) -> pa.Table:
+    """Sort a coarse group by (band, band_key, id); walk bucket boundaries;
+    within each true bucket the min-id doc keeps, every other doc is dropped
+    iff ``verify_pair(min_payload, payload)`` clears the threshold."""
+    g = group.sort_by(
+        [("band", "ascending"), ("band_key", "ascending"), (id_col, "ascending")]
+    )
+    bands = g["band"].to_numpy(zero_copy_only=False)
+    keys = g["band_key"].to_numpy(zero_copy_only=False)
+    ids = g[id_col].to_pylist()
+    payloads = g["payload"].to_pylist()
+    n = len(ids)
+    out_ids: list = []
+    out_drop: list[int] = []
+    i = 0
+    while i < n:
+        j = i
+        while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
+            j += 1
+        # bucket [i, j): ids sorted ascending → ids[i] is the keeper
+        out_ids.append(ids[i])
+        out_drop.append(0)
+        base = payloads[i]
+        for t in range(i + 1, j):
+            out_ids.append(ids[t])
+            out_drop.append(1 if verify_pair(base, payloads[t]) else 0)
+        i = j
+    return pa.table(
+        {
+            id_col: pa.array(out_ids),
+            _DEC_SCHEMA_DROPPED: pa.array(out_drop, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH dedup
+# ---------------------------------------------------------------------------
+
+
+class MinHashBandStage:
+    """Actor stage: text → one row per LSH band with the signature payload.
+
+    Setup (permutation tables) happens once per actor in ``__init__``.
+    """
+
+    def __init__(
+        self,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_perm: int = 128,
+        bands: int = 32,
+        shingle_k: int = 5,
+        seed: int = 42,
+        n_buckets: int = 64,
+        carry_text: bool = False,
+    ):
+        assert num_perm % bands == 0
+        self.hasher = MinHasher(num_perm, shingle_k, seed)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.n_buckets = n_buckets
+        self.carry_text = carry_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        r = self.rows_per_band
+        out_id, out_band, out_key, out_payload = [], [], [], []
+        for did, text in zip(ids, texts):
+            sig = self.hasher.signature(text)
+            payload = text if self.carry_text else sig.tolist()
+            for b in range(self.bands):
+                out_id.append(did)
+                out_band.append(b)
+                out_key.append(band_key(sig[b * r : (b + 1) * r].tobytes()))
+                out_payload.append(payload)
+        band_arr = np.asarray(out_band, dtype=np.uint64)
+        key_arr = np.asarray(out_key, dtype=np.uint64)
+        payload_type = (
+            pa.large_string() if self.carry_text else pa.list_(pa.uint32())
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(band_arr, pa.uint64()),
+                "band_key": pa.array(key_arr, pa.uint64()),
+                "payload": pa.array(out_payload, payload_type),
+                "lsh_group": pa.array(
+                    _stable_group(band_arr, key_arr, self.n_buckets), pa.int64()
+                ),
+            }
+        )
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Kept doc ids after MinHash+LSH near-dedup (signature-verified)."""
+
+    def verify(group: pa.Table) -> pa.Table:
+        return _walk_buckets(
+            group,
+            id_col,
+            lambda a, b: est_jaccard(
+                np.asarray(a, np.uint32), np.asarray(b, np.uint32)
+            )
+            >= threshold,
+        )
+
+    return _lsh_dedup(
+        ds,
+        MinHashBandStage,
+        verify,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        stage_kwargs=dict(
+            text_col=text_col,
+            id_col=id_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+            n_buckets=n_buckets,
+        ),
+    )
+
+
+def ngram_jaccard_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+    n_buckets: int = 64,
+    **minhash_kwargs,
+) -> ray.data.Dataset:
+    """MinHash-LSH candidates + EXACT word n-gram Jaccard verification.
+
+    Texts ride along in the bucket rows (``carry_text=True``) — fine at
+    benchmark scale; the 10^12-row deployment would verify by signature
+    (``minhash_dedup``) or join texts back by id.
+    """
+
+    def verify(group: pa.Table) -> pa.Table:
+        return _walk_buckets(
+            group,
+            id_col,
+            lambda a, b: exact_word_ngram_jaccard(a, b, ngram) >= threshold,
+        )
+
+    return _lsh_dedup(
+        ds,
+        MinHashBandStage,
+        verify,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        stage_kwargs=dict(
+            text_col=text_col,
+            id_col=id_col,
+            seed=seed,
+            n_buckets=n_buckets,
+            carry_text=True,
+            **minhash_kwargs,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup
+# ---------------------------------------------------------------------------
+
+
+def _token_hash64(token: str) -> int:
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "little")
+
+
+class SimHashBandStage:
+    """64-bit SimHash per doc; 4 bands × 16 bits for candidate buckets.
+
+    Token-hash cache in actor state — the vocabulary is far smaller than the
+    corpus, so hashing amortizes to a dict lookup per token.
+    """
+
+    BITS = 64
+
+    def __init__(
+        self,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        bands: int = 4,
+        n_buckets: int = 64,
+    ):
+        assert self.BITS % bands == 0
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bands = bands
+        self.band_bits = self.BITS // bands
+        self.n_buckets = n_buckets
+        self._cache: dict[str, int] = {}
+
+    def _th(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            h = _token_hash64(tok)
+            self._cache[tok] = h
+        return h
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(self.BITS, dtype=np.int64)
+        toks = text.lower().split()
+        if not toks:
+            return 0
+        hashes = np.fromiter(
+            (self._th(t) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+        bits = (hashes[:, None] >> np.arange(self.BITS, dtype=np.uint64)) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        return int(
+            ((acc > 0).astype(np.uint64) << np.arange(self.BITS, dtype=np.uint64)).sum()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_band, out_key, out_payload = [], [], [], []
+        mask = (1 << self.band_bits) - 1
+        for did, text in zip(ids, texts):
+            sh = self.simhash(text)
+            for b in range(self.bands):
+                out_id.append(did)
+                out_band.append(b)
+                out_key.append((sh >> (b * self.band_bits)) & mask)
+                out_payload.append(sh)
+        band_arr = np.asarray(out_band, dtype=np.uint64)
+        key_arr = np.asarray(out_key, dtype=np.uint64)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(band_arr, pa.uint64()),
+                "band_key": pa.array(key_arr, pa.uint64()),
+                "payload": pa.array(out_payload, pa.uint64()),
+                "lsh_group": pa.array(
+                    _stable_group(band_arr, key_arr, self.n_buckets), pa.int64()
+                ),
+            }
+        )
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin(int(a) ^ int(b)).count("1"))
+
+
+def simhash_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Kept doc ids after SimHash near-dedup (Hamming ≤ max_hamming)."""
+
+    def verify(group: pa.Table) -> pa.Table:
+        return _walk_buckets(
+            group, id_col, lambda a, b: hamming64(a, b) <= max_hamming
+        )
+
+    return _lsh_dedup(
+        ds,
+        SimHashBandStage,
+        verify,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        stage_kwargs=dict(
+            text_col=text_col, id_col=id_col, bands=bands, n_buckets=n_buckets
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+class SRPBandStage:
+    """Signed-random-projection LSH over an embedding column.
+
+    ``__init__`` draws the seeded hyperplane matrix once per actor; each band
+    is ``band_bits`` sign bits of the projected vector.  Payload is the
+    L2-normalized embedding (for exact cosine verification in the bucket).
+    """
+
+    def __init__(
+        self,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        dim: int = 64,
+        bands: int = 8,
+        band_bits: int = 16,
+        seed: int = 42,
+        n_buckets: int = 64,
+    ):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.bands = bands
+        self.band_bits = band_bits
+        self.n_buckets = n_buckets
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, bands * band_bits).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float32)
+        ids = batch[self.id_col].to_pylist()
+        n = len(ids)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        normed = vecs / np.maximum(norms, 1e-12)
+        bits = (normed @ self.planes) > 0  # (n, bands*band_bits)
+        weights = (1 << np.arange(self.band_bits, dtype=np.uint64))
+        out_id, out_band, out_key, out_payload = [], [], [], []
+        for b in range(self.bands):
+            seg = bits[:, b * self.band_bits : (b + 1) * self.band_bits]
+            keys = (seg.astype(np.uint64) * weights).sum(axis=1)
+            for i in range(n):
+                out_id.append(ids[i])
+                out_band.append(b)
+                out_key.append(keys[i])
+                out_payload.append(normed[i].tolist())
+        band_arr = np.asarray(out_band, dtype=np.uint64)
+        key_arr = np.asarray(out_key, dtype=np.uint64)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(band_arr, pa.uint64()),
+                "band_key": pa.array(key_arr, pa.uint64()),
+                "payload": pa.array(out_payload, pa.list_(pa.float32())),
+                "lsh_group": pa.array(
+                    _stable_group(band_arr, key_arr, self.n_buckets), pa.int64()
+                ),
+            }
+        )
+
+
+def embedding_dedup(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.95,
+    bands: int = 8,
+    band_bits: int = 16,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Kept vec ids after cosine near-dedup via SRP-LSH + exact verify."""
+
+    def verify(group: pa.Table) -> pa.Table:
+        return _walk_buckets(
+            group,
+            id_col,
+            lambda a, b: float(
+                np.dot(np.asarray(a, np.float32), np.asarray(b, np.float32))
+            )
+            >= threshold,
+        )
+
+    return _lsh_dedup(
+        ds,
+        SRPBandStage,
+        verify,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        stage_kwargs=dict(
+            vec_col=vec_col,
+            id_col=id_col,
+            dim=dim,
+            bands=bands,
+            band_bits=band_bits,
+            seed=seed,
+            n_buckets=n_buckets,
+        ),
+    )
+
+
+def embedding_dup_pairs_brute(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    dtype=np.float64,
+) -> ray.data.Dataset:
+    """All (id_a < id_b) pairs with cosine ≥ threshold — brute force.
+
+    The small-corpus oracle path: the full normalized matrix is broadcast
+    once via ``ray.put`` and every block matmuls against it (O(n²) flops,
+    vectorized; the LSH path above is the 10^12-scale route).
+    SQL oracle: self-join with ``list_cosine_similarity``.
+    """
+    import ray
+
+    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    full = pa.concat_tables(ray.get(refs))
+    ids_all = np.asarray(full[id_col].to_pylist())
+    vecs_all = np.asarray(full[vec_col].to_pylist(), dtype=dtype)
+    vecs_all /= np.maximum(np.linalg.norm(vecs_all, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids_all, kind="stable")
+    ids_all, vecs_all = ids_all[order], vecs_all[order]
+    ref = ray.put((ids_all, vecs_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        r_ids, r_vecs = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=dtype)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = vecs @ r_vecs.T  # (b, N)
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            mask = (sims[i] >= threshold) & (r_ids > ids[i])
+            js = np.nonzero(mask)[0]
+            out_a.extend([ids[i]] * len(js))
+            out_b.extend(r_ids[js].tolist())
+            out_s.extend(sims[i, js].tolist())
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(
+                    np.round(np.asarray(out_s, np.float64), 6), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

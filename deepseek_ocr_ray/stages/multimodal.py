@@ -1,0 +1,201 @@
+"""Multimodal (image / audio / video) column stages.
+
+Media travel as opaque ``binary`` columns (or ``media_ref`` pointers) with
+typed metadata columns alongside — never as Python objects.  Each stage is an
+actor-pool ``map_batches`` class: codec/model state loads once per actor in
+``__init__``; ``__call__`` is batch-in/batch-out Arrow.
+
+The sandbox ships no PIL/ffmpeg/torchvision, so the *codec* inner kernel is
+stubbed: ``HAVE_PIL`` gates a real decode path (raises ``NotImplementedError``
+with instructions when reached without the lib), and the default is a
+**deterministic fake decode** — a pure function of the payload bytes/ref that
+yields stable dims, channel stats and sampled frames.  Everything around the
+kernel — schemas, batch sizing, actor signatures, output layout, error
+quarantine — is real and tested; swapping in PIL/ffmpeg touches one method
+per stage (same swap-surface discipline as ``stages/model_stub.py``).
+
+Batch-size guidance: media rows are big (MBs each); callers should pass
+``batch_size`` in the low tens and let blocks stay ≲128 MiB — see
+``pipelines/extract.py`` sizing notes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - not installed in this sandbox
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def _payload_rng(payload: bytes) -> np.random.RandomState:
+    h = hashlib.md5(payload).digest()
+    return np.random.RandomState(int.from_bytes(h[:4], "little"))
+
+
+def fake_image_meta(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic (width, height, mode) for a payload — decode stand-in."""
+    rng = _payload_rng(payload + b"#meta")
+    dims = [(640, 480), (800, 600), (1024, 768), (1280, 720), (512, 512), (2048, 1536)]
+    w, h = dims[int(rng.randint(0, len(dims)))]
+    return w, h, "RGB"
+
+
+class DecodeImageStage:
+    """binary payload → (width, height, mode, mean_r/g/b) + error quarantine.
+
+    Real path (PIL): ``Image.open(BytesIO(payload))`` + EXIF transpose +
+    ``convert('RGB')`` — the reference's ``load_image``
+    (/root/reference/DeepSeek-OCR-master/DeepSeek-OCR-vllm/run_dpsk_ocr_image.py:40-54).
+    """
+
+    def __init__(self, *, payload_col: str = "payload", use_real_codec: bool = False):
+        self.payload_col = payload_col
+        self.use_real_codec = use_real_codec
+        if use_real_codec and not HAVE_PIL:
+            raise NotImplementedError(
+                "real image decode requires Pillow; install it or use the "
+                "deterministic fake codec (use_real_codec=False)"
+            )
+
+    def _decode(self, payload: bytes) -> tuple[int, int, str, np.ndarray]:
+        if self.use_real_codec:  # pragma: no cover - no PIL in sandbox
+            raise NotImplementedError("wire PIL decode here")
+        w, h, mode = fake_image_meta(payload)
+        rng = _payload_rng(payload + b"#px")
+        means = rng.randint(0, 256, size=3).astype(np.float64)
+        return w, h, mode, means
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        w = np.zeros(n, np.int32)
+        h = np.zeros(n, np.int32)
+        modes = [""] * n
+        means = np.zeros((n, 3), np.float64)
+        errs: list[str | None] = [None] * n
+        for i, p in enumerate(payloads):
+            if p is None or len(p) == 0:
+                errs[i] = "empty payload"
+                continue
+            try:
+                w[i], h[i], modes[i], means[i] = self._decode(bytes(p))
+            except Exception as e:  # quarantine, never drop
+                errs[i] = f"decode failed: {e}"
+        return (
+            batch.drop_columns([self.payload_col])
+            .append_column("width", pa.array(w, pa.int32()))
+            .append_column("height", pa.array(h, pa.int32()))
+            .append_column("mode", pa.array(modes, pa.string()))
+            .append_column("mean_rgb", pa.array(means.tolist(), pa.list_(pa.float64(), 3)))
+            .append_column("decode_error", pa.array(errs, pa.string()))
+        )
+
+
+class ResizeStage:
+    """(width, height) → target box with aspect preserved (math only here;
+    the pixel resample is the stubbed kernel).  Mirrors the reference's
+    pad-to-base / tile-to-image preprocessing geometry
+    (DSV/process/image_process.py:45-83)."""
+
+    def __init__(self, *, target: int = 1024):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(self.target / np.maximum(w, 1), self.target / np.maximum(h, 1))
+        scale = np.minimum(scale, 1.0)  # never upscale
+        nw = np.maximum(1, np.round(w * scale)).astype(np.int32)
+        nh = np.maximum(1, np.round(h * scale)).astype(np.int32)
+        return batch.append_column(
+            "resized_w", pa.array(nw, pa.int32())
+        ).append_column("resized_h", pa.array(nh, pa.int32()))
+
+
+class FrameSampleStage:
+    """video ref → one row per sampled frame (fan-out, like PDF→pages).
+
+    Frame count is decoded from the payload deterministically (fake codec);
+    sampling takes every ``stride``-th frame capped at ``max_frames``.
+    Output keys (media_ref, frame_no) keep ordering explicit — same
+    discipline as (doc_id, page_no) in the extraction pipeline.
+    """
+
+    def __init__(self, *, ref_col: str = "media_ref", stride: int = 10,
+                 max_frames: int = 32):
+        self.ref_col = ref_col
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def _frame_count(self, ref: str) -> int:
+        rng = _payload_rng(ref.encode() + b"#video")
+        return int(rng.randint(1, 3000))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch[self.ref_col].to_pylist()
+        out_ref, out_frame, out_ts = [], [], []
+        for ref in refs:
+            n = self._frame_count(ref)
+            picked = list(range(0, n, self.stride))[: self.max_frames]
+            out_ref.extend([ref] * len(picked))
+            out_frame.extend(picked)
+            out_ts.extend([f / 30.0 for f in picked])  # 30fps nominal
+        return pa.table(
+            {
+                self.ref_col: pa.array(out_ref, pa.string()),
+                "frame_no": pa.array(out_frame, pa.int32()),
+                "ts_sec": pa.array(np.round(out_ts, 6), pa.float64()),
+            }
+        )
+
+
+class AudioFeatureStage:
+    """audio payload → (duration_sec, sample_rate, rms) — stubbed kernel,
+    real plumbing.  Feature extraction state would load once per actor."""
+
+    def __init__(self, *, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        dur, sr, rms = [], [], []
+        for p in payloads:
+            rng = _payload_rng(bytes(p or b"") + b"#audio")
+            dur.append(float(np.round(rng.uniform(0.5, 600.0), 3)))
+            sr.append(int(rng.choice([16000, 22050, 44100, 48000])))
+            rms.append(float(np.round(rng.uniform(0.01, 0.5), 6)))
+        return (
+            batch.drop_columns([self.payload_col])
+            .append_column("duration_sec", pa.array(dur, pa.float64()))
+            .append_column("sample_rate", pa.array(sr, pa.int32()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+        )
+
+
+def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media rows (media_id, media_ref, payload bytes) for
+    tests/benchmarks — payload is seeded pseudo-bytes, NOT a real codec
+    bitstream (the fake decoders above only hash it)."""
+    rows_id, rows_ref, rows_payload = [], [], []
+    for i in range(n):
+        rng = np.random.RandomState(
+            int.from_bytes(hashlib.md5(f"{seed}:media-{i}".encode()).digest()[:4], "little")
+        )
+        size = int(rng.randint(64, 4096))
+        rows_id.append(i)
+        rows_ref.append(f"blob://media/{i:08d}")
+        rows_payload.append(rng.bytes(size))
+    return pa.table(
+        {
+            "media_id": pa.array(rows_id, pa.int64()),
+            "media_ref": pa.array(rows_ref, pa.string()),
+            "payload": pa.array(rows_payload, pa.binary()),
+        }
+    )

@@ -1,0 +1,129 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — plus determinism across parallelism levels (the property
+the north rule's resumability/scale-out story depends on)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_ray.stages import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls on the "
+    "quiet town and the river bends through the green valley under the bridge"
+)
+
+
+def _corpus() -> pa.Table:
+    """10 docs: 0 unique, 1=copy of 0, 2=near-copy of 0 (one word), 3-9
+    mutually dissimilar (disjoint per-doc vocabularies)."""
+    texts = [BASE, BASE, BASE.replace("green", "golden")]
+    rng = np.random.RandomState(7)
+    for i in range(7):
+        vocab = [f"w{i}x{j}" for j in range(20)]  # disjoint across docs
+        texts.append(" ".join(rng.choice(vocab, size=30).tolist()))
+    return pa.table(
+        {"doc_id": pa.array(range(10), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+def _ds(tbl: pa.Table, blocks: int = 2):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def test_exact_dedup(ray_session):
+    out = dedup.exact_dedup(_ds(_corpus())).to_pandas()
+    assert len(out) == 9  # 10 docs, one exact pair
+    dup = out[out.dup_count == 2]
+    assert len(dup) == 1 and dup.doc_id.iloc[0] == 0  # min id kept
+    assert set(out.doc_id) == set(range(10)) - {1}
+
+
+def test_minhash_signature_estimates_jaccard():
+    h = dedup.MinHasher(num_perm=256, shingle_k=5, seed=1)
+    s1 = h.signature(BASE)
+    s2 = h.signature(BASE)
+    assert np.array_equal(s1, s2)
+    near = h.signature(BASE.replace("green", "golden"))
+    far = h.signature("completely different content about other matters")
+    assert dedup.est_jaccard(s1, near) > 0.7
+    assert dedup.est_jaccard(s1, far) < 0.2
+
+
+def test_minhash_dedup_drops_near_dups(ray_session):
+    kept = dedup.minhash_dedup(
+        _ds(_corpus()), threshold=0.7
+    ).to_pandas()["doc_id"].tolist()
+    assert 0 in kept
+    assert 1 not in kept  # exact copy dropped
+    assert 2 not in kept  # near copy dropped
+    assert set(range(3, 10)) <= set(kept)
+
+
+def test_simhash_dedup(ray_session):
+    kept = dedup.simhash_dedup(
+        _ds(_corpus()), max_hamming=3
+    ).to_pandas()["doc_id"].tolist()
+    assert 0 in kept and 1 not in kept
+    assert set(range(3, 10)) <= set(kept)
+
+
+def test_ngram_jaccard_exact():
+    j = dedup.exact_word_ngram_jaccard
+    assert j("a b c d", "a b c d", 3) == 1.0
+    assert j("a b c", "x y z", 3) == 0.0
+    assert 0 < j("a b c d e", "a b c d x", 3) < 1
+    assert j("", "", 3) == 1.0
+
+
+def test_ngram_dedup(ray_session):
+    kept = dedup.ngram_jaccard_dedup(
+        _ds(_corpus()), ngram=3, threshold=0.6
+    ).to_pandas()["doc_id"].tolist()
+    assert 0 in kept and 1 not in kept
+    assert set(range(3, 10)) <= set(kept)
+
+
+def _emb_table() -> pa.Table:
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(20, 16).astype(np.float32)
+    vecs[5] = vecs[0] + 0.01 * rng.randn(16)  # near-dup of 0
+    vecs[9] = vecs[2]  # exact dup of 2
+    return pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_embedding_dedup(ray_session):
+    kept = dedup.embedding_dedup(
+        _ds(_emb_table()), dim=16, threshold=0.95
+    ).to_pandas()["vec_id"].tolist()
+    assert 0 in kept and 2 in kept
+    assert 5 not in kept and 9 not in kept
+
+
+def test_embedding_pairs_brute(ray_session):
+    pairs = dedup.embedding_dup_pairs_brute(
+        _ds(_emb_table()), threshold=0.95
+    ).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 5) in got and (2, 9) in got
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_dedup_deterministic_across_parallelism(ray_session, blocks):
+    """Kept set must not depend on block layout (scale-out invariance)."""
+    kept = dedup.minhash_dedup(
+        _ds(_corpus(), blocks), threshold=0.7
+    ).to_pandas()["doc_id"].tolist()
+    assert sorted(kept) == sorted(
+        dedup.minhash_dedup(_ds(_corpus(), 2), threshold=0.7)
+        .to_pandas()["doc_id"].tolist()
+    )

@@ -1,0 +1,104 @@
+"""Similarity-search tests: brute-force top-k vs a numpy reference, IVF
+recall, and parallelism invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_ray.stages import similarity as sim
+
+
+def _emb_table(n: int = 100, d: int = 16, seed: int = 11) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, d).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+
+
+def _ds(tbl: pa.Table, blocks: int = 3):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _numpy_topk(tbl: pa.Table, qids: list[int], k: int) -> dict[int, list[int]]:
+    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    out = {}
+    for qid in qids:
+        sims = vecs @ vecs[qid]
+        sims[qid] = -np.inf
+        order = np.lexsort((np.arange(len(sims)), -sims))[:k]
+        out[qid] = order.tolist()
+    return out
+
+
+def test_brute_force_topk_exact(ray_session):
+    tbl = _emb_table()
+    qids = [0, 3, 7]
+    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[qids]
+    got = sim.brute_force_topk(
+        _ds(tbl), q, np.asarray(qids), k=5, dtype=np.float64
+    ).to_pandas()
+    want = _numpy_topk(tbl, qids, 5)
+    for qid in qids:
+        rows = got[got.query_id == qid].sort_values("rank")
+        assert rows.neighbor_id.tolist() == want[qid]
+        assert rows["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_brute_force_parallelism_invariant(ray_session, blocks):
+    tbl = _emb_table()
+    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[[1, 2]]
+    a = sim.brute_force_topk(
+        _ds(tbl, blocks), q, np.asarray([1, 2]), k=7, dtype=np.float64
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = sim.brute_force_topk(
+        _ds(tbl, 3), q, np.asarray([1, 2]), k=7, dtype=np.float64
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_deterministic_kmeans_stable():
+    x = np.random.RandomState(0).randn(200, 8)
+    c1 = sim.deterministic_kmeans(x, 8, seed=5)
+    c2 = sim.deterministic_kmeans(x, 8, seed=5)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 8)
+
+
+def test_ivf_search_recall(ray_session):
+    tbl = _emb_table(n=300)
+    qids = [0, 10, 20, 30]
+    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[qids]
+    idx = sim.IVFIndex(n_cells=8, seed=5).build(_ds(tbl))
+    got = idx.search(q, np.asarray(qids), k=10, nprobe=4).to_pandas()
+    want = _numpy_topk(tbl, qids, 10)
+    recalls = []
+    for qid in qids:
+        found = set(got[got.query_id == qid].neighbor_id)
+        recalls.append(len(found & set(want[qid])) / 10)
+    # nprobe=4 of 8 cells → expect decent-but-approximate recall
+    assert np.mean(recalls) >= 0.5
+    # results must never include the query itself
+    assert not ((got.query_id == got.neighbor_id).any())
+
+
+def test_ivf_more_probes_more_recall(ray_session):
+    tbl = _emb_table(n=300)
+    qids = [5, 15]
+    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[qids]
+    idx = sim.IVFIndex(n_cells=8, seed=5).build(_ds(tbl))
+    full = idx.search(q, np.asarray(qids), k=10, nprobe=8).to_pandas()
+    want = _numpy_topk(tbl, qids, 10)
+    # probing every cell = exact search
+    for qid in qids:
+        rows = full[full.query_id == qid].sort_values("rank")
+        assert rows.neighbor_id.tolist() == want[qid]
