@@ -131,12 +131,19 @@ def _scaling_child(num_cpus: int) -> dict:
 
 
 def main_scaling() -> None:
-    """Two fresh processes at num_cpus=8 and 32 → scaling efficiency."""
+    """Two fresh processes at num_cpus=8 and 32 → scaling efficiency.
+
+    The scaling corpus is 4× the headline corpus: at the default size the
+    32-CPU run is dominated by fixed costs (actor-pool startup, shuffle
+    barrier) and the measurement reflects overhead, not scalability.
+    """
+    n_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(4 * N_DOCS)))
     results = []
     for n in (8, 32):
         out = subprocess.run(
             [sys.executable, __file__, "--scaling-child", str(n)],
             capture_output=True, text=True, check=True,
+            env={**os.environ, "BENCH_N_DOCS": str(n_docs)},
         )
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
     lo, hi = results

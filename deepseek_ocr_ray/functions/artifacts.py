@@ -1,0 +1,151 @@
+"""Artifact renderers — the off-critical-path outputs of the reference.
+
+The reference draws layout boxes on page images with PIL + matplotlib and
+bundles outputs into zips (SURVEY.md §2.4 P11-P13, §2.10 W3/W5).  Neither
+PIL nor matplotlib ship in this sandbox, and rasters are the wrong artifact
+for a columnar pipeline anyway — so layout visualizations are rendered as
+**deterministic SVG strings** (a text column / small file, diffable and
+seekable), with the same information content: one labeled, color-coded,
+translucent rectangle per grounding box.
+
+- ``render_layout_svg``      ≙ draw_bounding_boxes (app/processors.py:31-106,
+  DSV/run_dpsk_ocr_image.py:85-149): fixed seed-42 palette per label like the
+  app variant (np.random.seed(42), app/processors.py:57).
+- ``render_geometry_svg``    ≙ the matplotlib geometry re-plot
+  (DSV/run_dpsk_ocr_image.py:270-320) for outputs carrying a ``line_type``
+  dict — parsed with ast.literal_eval, never eval.
+- ``embed_images_in_markdown`` ≙ app/utils.py:130-147 (base64 data-URI
+  substitution of the ``**[图片 N]**`` placeholders).
+- ``bundle_zip``             ≙ the zip download bundler
+  (app/processors.py:453-460) via stdlib zipfile, deterministic entry order
+  and timestamps so resumed runs produce byte-identical bundles.
+"""
+
+from __future__ import annotations
+
+import ast
+import base64
+import io
+import zipfile
+
+import numpy as np
+
+from .grounding import extract_grounding_references, parse_coords, scale_box
+
+
+def label_palette(labels: list[str]) -> dict[str, str]:
+    """Stable color per label — seeded like the reference app variant."""
+    rng = np.random.RandomState(42)
+    out = {}
+    for lab in sorted(set(labels)):
+        r, g, b = rng.randint(60, 230, size=3)
+        out[lab] = f"#{r:02x}{g:02x}{b:02x}"
+    return out
+
+
+def render_layout_svg(raw_text: str, width: int, height: int) -> str:
+    """Page layout visualization: one rect + label text per grounding box."""
+    refs = extract_grounding_references(raw_text)
+    labels = [lab for _, lab, _ in refs]
+    palette = label_palette(labels)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">'
+    ]
+    for _, label, coords_str in refs:
+        boxes = parse_coords(coords_str)
+        if boxes is None:
+            continue  # malformed coords are skipped, reference-style
+        color = palette[label]
+        for box in boxes:
+            x1, y1, x2, y2 = scale_box(box, width, height)
+            parts.append(
+                f'<rect x="{x1}" y="{y1}" width="{x2 - x1}" height="{y2 - y1}" '
+                f'fill="{color}" fill-opacity="0.2" stroke="{color}" '
+                f'stroke-width="2"/>'
+                f'<text x="{x1}" y="{max(y1 - 4, 10)}" font-size="12" '
+                f'fill="{color}">{label}</text>'
+            )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def parse_geometry_dict(text: str) -> dict | None:
+    """Safe parse of the model's geometry dict (``'line_type'`` outputs).
+
+    The reference ``eval``s it (run_dpsk_ocr_image.py:279); we literal-parse
+    and validate the minimal shape instead.
+    """
+    start = text.find("{")
+    end = text.rfind("}")
+    if start < 0 or end <= start:
+        return None
+    try:
+        val = ast.literal_eval(text[start : end + 1])
+    except (ValueError, SyntaxError, MemoryError, RecursionError):
+        return None
+    if not isinstance(val, dict) or "line_type" not in val:
+        return None
+    return val
+
+
+def render_geometry_svg(geom: dict, size: int = 512) -> str:
+    """Re-plot parsed geometry (lines + endpoints + optional circles)."""
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" '
+        f'height="{size}" viewBox="0 0 {size} {size}">'
+    ]
+    lines = geom.get("line", [])
+    for seg in lines if isinstance(lines, list) else []:
+        if not (isinstance(seg, (list, tuple)) and len(seg) == 4):
+            continue
+        x1, y1, x2, y2 = (float(v) for v in seg)
+        parts.append(
+            f'<line x1="{x1}" y1="{y1}" x2="{x2}" y2="{y2}" '
+            f'stroke="black" stroke-width="2"/>'
+            f'<circle cx="{x1}" cy="{y1}" r="3" fill="red"/>'
+            f'<circle cx="{x2}" cy="{y2}" r="3" fill="red"/>'
+        )
+    circles = geom.get("circle", [])
+    for c in circles if isinstance(circles, list) else []:
+        if not (isinstance(c, (list, tuple)) and len(c) == 3):
+            continue
+        cx, cy, r = (float(v) for v in c)
+        parts.append(
+            f'<circle cx="{cx}" cy="{cy}" r="{r}" fill="none" '
+            f'stroke="black" stroke-width="2"/>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def embed_images_in_markdown(markdown: str, images: list[bytes],
+                             mime: str = "image/png") -> str:
+    """Replace ``**[图片 N]**`` placeholders with base64 data URIs.
+
+    Semantics of /root/reference/app/utils.py:130-147: placeholder N maps to
+    images[N-1]; missing images leave the placeholder untouched.
+    """
+    for i, img in enumerate(images, start=1):
+        placeholder = f"**[图片 {i}]**"
+        if placeholder in markdown:
+            b64 = base64.b64encode(img).decode()
+            markdown = markdown.replace(
+                placeholder, f"![图片 {i}](data:{mime};base64,{b64})", 1
+            )
+    return markdown
+
+
+def bundle_zip(entries: dict[str, bytes | str]) -> bytes:
+    """Deterministic zip of {arcname: content} — sorted entries, fixed
+    timestamps, so identical inputs give identical bytes on every run."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name in sorted(entries):
+            data = entries[name]
+            if isinstance(data, str):
+                data = data.encode()
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()

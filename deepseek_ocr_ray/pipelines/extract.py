@@ -37,27 +37,39 @@ def extract_dataset(
 ) -> ray.data.Dataset:
     """Interleaved doc Dataset → extracted doc Dataset (OUT_SCHEMA rows)."""
     cfg = config or PipelineConfig()
+    # CPU stages run per-block (batch_size=None): a fixed batch_size here
+    # would coalesce upstream blocks and cap stage parallelism at
+    # n_rows/batch_size tasks; block width is the parallelism knob.
     units = ds.map_batches(
-        explode_docs, batch_format="pyarrow", batch_size=cfg.cpu_batch_size
+        explode_docs, batch_format="pyarrow", batch_size=None
     )
+    concurrency = cfg.ocr_concurrency
+    if concurrency is None:
+        # auto: fixed pool sized to the cluster (75% of CPUs — the OCR stage
+        # dominates compute; the rest of the CPUs serve the task stages)
+        try:
+            total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            total_cpus = 8
+        concurrency = max(2, int(total_cpus * 0.75 / max(cfg.ocr_num_cpus, 0.25)))
     ocr = units.map_batches(
         OcrStage,
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,
-        concurrency=cfg.ocr_concurrency,
+        concurrency=concurrency,
         num_cpus=cfg.ocr_num_cpus,
         **({"num_gpus": cfg.ocr_num_gpus} if cfg.ocr_num_gpus else {}),
     )
     parsed = ocr.map_batches(
         functools.partial(parse_units, config=cfg),
         batch_format="pyarrow",
-        batch_size=cfg.cpu_batch_size,
+        batch_size=None,
     )
     bucketed = parsed.map_batches(
         functools.partial(add_bucket, n_buckets=assembly_buckets),
         batch_format="pyarrow",
-        batch_size=cfg.cpu_batch_size,
+        batch_size=None,
     )
     return bucketed.groupby("assembly_bucket").map_groups(
         functools.partial(assemble_bucket, config=cfg),

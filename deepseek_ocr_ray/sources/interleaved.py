@@ -61,8 +61,11 @@ def synthetic_dataset(n_docs: int, seed: int = 42, parallelism: int = -1) -> ray
     kwargs = {}
     if parallelism > 0:
         kwargs["override_num_blocks"] = parallelism
+    # batch_size=None → one batch per input block: keeps the generator as
+    # wide as ray.data.range's partitioning (a fixed batch_size here would
+    # coalesce blocks and cap downstream parallelism)
     return ray.data.range(n_docs, **kwargs).map_batches(
-        gen, batch_format="pyarrow", batch_size=256
+        gen, batch_format="pyarrow", batch_size=None
     )
 
 
