@@ -52,20 +52,38 @@ def _consume(ds) -> int:
     return n
 
 
-def bench_extract(n_docs: int) -> tuple[float, int, int]:
+def bench_extract(n_docs: int, num_cpus: int = NUM_CPUS) -> tuple[float, int, int]:
     """Headline: synthetic interleaved corpus → full extraction pipeline."""
     from deepseek_ocr_ray.pipelines.extract import extract_dataset
     from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
 
+    import pyarrow as pa
+
     t0 = time.perf_counter()
-    out = extract_dataset(synthetic_dataset(n_docs, seed=42))
-    n_rows = 0
-    n_spans = 0
-    for batch in out.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        n_rows += batch.num_rows
-        n_spans += sum(batch["n_spans"].to_pylist())
+    # 4 blocks per CPU: enough waves to smooth stragglers, few enough that
+    # per-task overhead stays negligible — and granularity scales with the
+    # cluster instead of Ray's input-size-based default
+    src = synthetic_dataset(n_docs, seed=42, parallelism=num_cpus * 4)
+    out = extract_dataset(src)
+
+    # consume with a distributed per-block reduce — pulling full rows
+    # (spans lists + markdown) through the driver serializes the pipeline
+    # behind single-threaded deserialization and hides real scalability
+    def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "rows": pa.array([batch.num_rows], pa.int64()),
+                "spans": pa.array(
+                    [pc.sum(batch["n_spans"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    stats = out.map_batches(summarize, batch_format="pyarrow").to_pandas()
     dt = time.perf_counter() - t0
-    return dt, n_rows, n_spans
+    return dt, int(stats["rows"].sum()), int(stats["spans"].sum())
 
 
 def run_queries() -> dict[str, float]:
@@ -118,7 +136,7 @@ def main_bench() -> None:
 def _scaling_child(num_cpus: int) -> dict:
     """Run the headline pipeline in THIS process (called as a subprocess)."""
     _init_ray(num_cpus)
-    dt, n_docs, n_spans = bench_extract(N_DOCS)
+    dt, n_docs, n_spans = bench_extract(N_DOCS, num_cpus=num_cpus)
     import ray
 
     ray.shutdown()

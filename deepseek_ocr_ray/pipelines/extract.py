@@ -34,8 +34,23 @@ def extract_dataset(
     ds: ray.data.Dataset,
     config: PipelineConfig | None = None,
     assembly_buckets: int = DEFAULT_ASSEMBLY_BUCKETS,
+    exchange: str = "none",
 ) -> ray.data.Dataset:
-    """Interleaved doc Dataset → extracted doc Dataset (OUT_SCHEMA rows)."""
+    """Interleaved doc Dataset → extracted doc Dataset (OUT_SCHEMA rows).
+
+    ``exchange`` controls the assembly step:
+
+    - ``"none"`` (default): assemble each block directly.  Valid because the
+      input is ONE ROW PER DOCUMENT (the input_hint schema): ``explode_docs``
+      fans a doc out *within* its block and every later stage is map-only
+      with order-preserving output, so a document's units never straddle a
+      block boundary.  The pipeline is then pure map stages — zero shuffle,
+      perfect horizontal scaling; skew is handled by input block sizing.
+    - ``"groupby"``: the general path for unit-level sources (rows already
+      exploded, e.g. resuming from a units table) where a document's units
+      MAY span blocks: stable-bucket the doc_id and run the one wide step
+      ``groupby(bucket).map_groups(assemble)``.
+    """
     cfg = config or PipelineConfig()
     # CPU stages run per-block (batch_size=None): a fixed batch_size here
     # would coalesce upstream blocks and cap stage parallelism at
@@ -51,7 +66,7 @@ def extract_dataset(
             total_cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             total_cpus = 8
-        concurrency = max(2, int(total_cpus * 0.75 / max(cfg.ocr_num_cpus, 0.25)))
+        concurrency = max(2, int(total_cpus * 0.75))
     ocr = units.map_batches(
         OcrStage,
         fn_constructor_kwargs={"config": cfg},
@@ -66,6 +81,20 @@ def extract_dataset(
         batch_format="pyarrow",
         batch_size=None,
     )
+    if exchange == "none":
+        # doc-per-row input ⇒ per-block assembly, no exchange (see docstring).
+        # assemble_bucket sorts by (doc_id, unit_id) inside the block, so
+        # within-block unit order need not be contiguous.
+        return parsed.map_batches(
+            functools.partial(assemble_bucket, config=cfg),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    if exchange != "groupby":
+        raise ValueError(f"exchange must be 'none' or 'groupby', got {exchange!r}")
+    # general path: a global sort-by-bucket exchange (the one wide step) —
+    # measured 31s of a 50s 24k-doc run, which is why doc-per-row sources
+    # should use exchange="none"
     bucketed = parsed.map_batches(
         functools.partial(add_bucket, n_buckets=assembly_buckets),
         batch_format="pyarrow",

@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5's invariants:
+
+1. span parse ∘ markup render = identity on generated span lists
+   (the grounded-markup grammar round-trips through the parser);
+2. assembly is invariant under input block shuffling (order comes from
+   keys, never from block order);
+3. MinHash signature similarity is symmetric and self-identical;
+4. the n-gram no-repeat constraint never bans whitelisted tokens.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from deepseek_ocr_ray.functions.grounding import page_spans
+from deepseek_ocr_ray.functions.ngram_norepeat import (
+    DEFAULT_WHITELIST,
+    NoRepeatNGramProcessor,
+)
+from deepseek_ocr_ray.stages.dedup import MinHasher, est_jaccard
+
+# --- 1. markup render → parse round-trip -----------------------------------
+
+# span content: printable text with no markup tokens, no backslash-latex, and
+# collapsed newlines (the cleaner normalizes those, so exclude from identity)
+_content = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=0x2000
+    ),
+    min_size=1,
+    max_size=60,
+).map(lambda s: " ".join(s.split())).filter(bool)
+
+_label = st.sampled_from(["text", "title", "table", "figure", "formula"])
+
+_box = st.tuples(
+    st.integers(0, 900), st.integers(0, 900), st.integers(0, 999), st.integers(0, 999)
+)
+
+
+def _render(spans: list[tuple[str, str, list]]) -> str:
+    out = []
+    for kind, text, boxes in spans:
+        coords = "[" + ", ".join(f"[{a}, {b}, {c}, {d}]" for a, b, c, d in boxes) + "]"
+        if kind == "image":
+            out.append(f"<|ref|>image<|/ref|><|det|>{coords}<|/det|>\n")
+        else:
+            out.append(f"<|ref|>{kind}<|/ref|><|det|>{coords}<|/det|>{text}\n")
+    return "".join(out)
+
+
+_span = st.one_of(
+    st.tuples(st.just("image"), st.just(""), st.lists(_box, min_size=1, max_size=3)),
+    st.tuples(_label, _content, st.lists(_box, min_size=1, max_size=3)),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_span, min_size=1, max_size=8))
+def test_render_parse_roundtrip(spans):
+    raw = _render(spans)
+    parsed = page_spans(raw, "crop://t/0")
+    assert len(parsed) == len(spans)
+    img_idx = 0
+    for (kind, text, _), got in zip(spans, parsed):
+        assert got.kind == kind
+        if kind == "image":
+            assert got.media_ref == f"crop://t/0/{img_idx}"
+            img_idx += 1
+        else:
+            assert got.text == text.strip()
+            assert got.media_ref == ""
+
+
+# --- 2. assembly invariant under block shuffling ---------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.randoms(use_true_random=False))
+def test_assembly_block_order_invariant(rnd):
+    import pyarrow as pa
+
+    from deepseek_ocr_ray.config import PipelineConfig
+    from deepseek_ocr_ray.schema import synthesize_interleaved
+    from deepseek_ocr_ray.stages.assemble import add_bucket, assemble_bucket
+    from deepseek_ocr_ray.stages.model_stub import OcrStage
+    from deepseek_ocr_ray.stages.transforms import explode_docs, parse_units
+
+    cfg = PipelineConfig()
+    tbl = synthesize_interleaved(6, seed=9)
+    units = parse_units(OcrStage(cfg)(explode_docs(tbl)), config=cfg)
+    units = add_bucket(units, n_buckets=4)
+
+    idx = list(range(units.num_rows))
+    rnd.shuffle(idx)
+    shuffled = units.take(idx)
+
+    a = assemble_bucket(units, config=cfg).to_pylist()
+    b = assemble_bucket(shuffled, config=cfg).to_pylist()
+    assert sorted(a, key=lambda r: r["doc_id"]) == sorted(
+        b, key=lambda r: r["doc_id"]
+    )
+
+
+# --- 3. MinHash properties -------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(_content, _content)
+def test_minhash_symmetry_and_identity(a, b):
+    h = MinHasher(64, 3, 1)
+    sa, sb = h.signature(a), h.signature(b)
+    assert est_jaccard(sa, sa) == 1.0
+    assert est_jaccard(sa, sb) == est_jaccard(sb, sa)
+    assert 0.0 <= est_jaccard(sa, sb) <= 1.0
+
+
+# --- 4. ngram whitelist ----------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(sorted(DEFAULT_WHITELIST) + [1, 2, 3]),
+                min_size=0, max_size=40))
+def test_ngram_never_bans_whitelist(seq):
+    p = NoRepeatNGramProcessor(ngram_size=2, window_size=20)
+    assert not (p.banned_tokens(seq) & DEFAULT_WHITELIST)
