@@ -33,7 +33,7 @@ from deepseek_ocr_ray.functions.text_stats import (
 from deepseek_ocr_ray.pipelines import analytics
 from deepseek_ocr_ray.pipelines.extract import extract_dataset
 from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
-from deepseek_ocr_ray.stages import dedup, multimodal, similarity
+from deepseek_ocr_ray.stages import dedup, multimodal, similarity, windows
 
 # corpus size for the synthetic interleaved extraction queries (the input
 # table of the north rule; sf-independent because the driver tables carry no
@@ -71,7 +71,7 @@ def _extract_summary(sf_dir: str) -> Any:
             }
         )
 
-    return out.map_batches(summarize, batch_format="pyarrow").sort("doc_id")
+    return out.map_batches(summarize, batch_format="pyarrow")
 
 
 def _extract_spans_flat(sf_dir: str) -> Any:
@@ -100,9 +100,7 @@ def _extract_spans_flat(sf_dir: str) -> Any:
             }
         )
 
-    return out.map_batches(flatten, batch_format="pyarrow").sort(
-        ["doc_id", "offset"]
-    )
+    return out.map_batches(flatten, batch_format="pyarrow")
 
 
 _HTML_TMPL = (
@@ -129,39 +127,37 @@ def _html_main_text(sf_dir: str) -> Any:
             main.append(" ".join(s.text for s in spans if s.kind == "text"))
         return pa.table({"doc_id": batch["doc_id"], "main_text": pa.array(main, pa.string())})
 
-    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _dedup_exact(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.exact_dedup(ds).sort("text_hash")
+    return dedup.exact_dedup(ds)
 
 
 def _dedup_minhash(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.minhash_dedup(ds, threshold=0.8).sort("doc_id")
+    return dedup.minhash_dedup(ds, threshold=0.8)
 
 
 def _dedup_simhash(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.simhash_dedup(ds, max_hamming=3).sort("doc_id")
+    return dedup.simhash_dedup(ds, max_hamming=3)
 
 
 def _dedup_ngram(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.ngram_jaccard_dedup(ds, ngram=3, threshold=0.8).sort("doc_id")
+    return dedup.ngram_jaccard_dedup(ds, ngram=3, threshold=0.8)
 
 
 def _dedup_embedding(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup.embedding_dedup(ds, threshold=0.3).sort("vec_id")
+    return dedup.embedding_dedup(ds, threshold=0.3)
 
 
 def _embedding_dup_pairs(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup.embedding_dup_pairs_brute(ds, threshold=0.3).sort(
-        ["id_a", "id_b"]
-    )
+    return dedup.embedding_dup_pairs_brute(ds, threshold=0.3)
 
 
 def _load_queries(sf_dir: str, n: int = 8) -> tuple[np.ndarray, np.ndarray]:
@@ -179,16 +175,14 @@ def _load_queries(sf_dir: str, n: int = 8) -> tuple[np.ndarray, np.ndarray]:
 def _ann_topk(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q, qids = _load_queries(sf_dir)
-    return similarity.brute_force_topk(
-        ds, q, qids, k=10, dtype=np.float64
-    ).sort(["query_id", "rank"])
+    return similarity.brute_force_topk(ds, q, qids, k=10, dtype=np.float64)
 
 
 def _ann_ivf(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q, qids = _load_queries(sf_dir)
     idx = similarity.IVFIndex(n_cells=16).build(ds)
-    return idx.search(q, qids, k=10, nprobe=4).sort(["query_id", "rank"])
+    return idx.search(q, qids, k=10, nprobe=4)
 
 
 def _multimodal_decode(sf_dir: str) -> Any:
@@ -206,7 +200,7 @@ def _multimodal_decode(sf_dir: str) -> Any:
     )
     return resized.select_columns(
         ["media_id", "width", "height", "resized_w", "resized_h"]
-    ).sort("media_id")
+    )
 
 
 def _frame_sample(sf_dir: str) -> Any:
@@ -221,7 +215,21 @@ def _frame_sample(sf_dir: str) -> Any:
         fn_constructor_kwargs={"stride": 10, "max_frames": 32},
         batch_format="pyarrow", concurrency=2,
     )
-    return frames.sort(["media_ref", "frame_no"])
+    return frames
+
+
+def _sessionize(sf_dir: str) -> Any:
+    ds = analytics.read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return windows.sessionize(ds, gap_sec=1800.0)
+
+
+def _events_topk(sf_dir: str) -> Any:
+    ds = analytics.read_table(
+        sf_dir, "events", columns=["event_type", "value", "event_id"]
+    )
+    return windows.grouped_topk(
+        ds, group_col="event_type", value_col="value", id_col="event_id", k=3
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -253,6 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": analytics.orders_by_segment,
         "q3_shipping": analytics.q3_shipping,
         "part_type_stats": analytics.part_type_stats,
+        # --- event-stream windows ---
+        "sessionize": _sessionize,
+        "events_topk": _events_topk,
         # --- multimodal plumbing (fake codecs, real dataflow) ---
         "multimodal_decode": _multimodal_decode,
         "frame_sample": _frame_sample,
@@ -323,8 +334,36 @@ ORDER BY 1, 2
 """
 
 
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+EVENTS_TOPK_SQL = """
+SELECT event_type, value, event_id,
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id) AS INTEGER) AS rank
+FROM events QUALIFY rank <= 3 ORDER BY event_type, rank
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "sessionize": SESSIONIZE_SQL,
+        "events_topk": EVENTS_TOPK_SQL,
         "html_main_text": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text "
             "FROM documents ORDER BY doc_id"

@@ -59,14 +59,14 @@ def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         text_stats.doc_stats_batch, batch_format="pyarrow"
-    ).sort("doc_id")
+    )
 
 
 def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         text_stats.fingerprint_batch, batch_format="pyarrow"
-    ).select_columns(["doc_id", "fingerprint_md5"]).sort("doc_id")
+    ).select_columns(["doc_id", "fingerprint_md5"])
 
 
 def doc_lang_quality(sf_dir: str) -> ray.data.Dataset:
@@ -81,7 +81,7 @@ def doc_lang_quality(sf_dir: str) -> ray.data.Dataset:
             "lang_declared", batch["lang"]
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def lang_source_stats(sf_dir: str) -> ray.data.Dataset:
@@ -90,7 +90,6 @@ def lang_source_stats(sf_dir: str) -> ray.data.Dataset:
     out = ds.groupby(["lang", "source"]).aggregate(Count(), Sum("n_chars"))
     return (
         out.rename_columns({"count()": "n_docs", "sum(n_chars)": "total_chars"})
-        .sort(["lang", "source"])
     )
 
 
@@ -145,7 +144,7 @@ def q1_pricing(sf_dir: str) -> ray.data.Dataset:
             "sum(disc_bp)": "sum_disc_bp",
             "count()": "n_rows",
         }
-    ).sort(["l_returnflag", "l_linestatus"])
+    )
 
 
 Q1_SQL = """
@@ -195,7 +194,7 @@ def events_daily(sf_dir: str) -> ray.data.Dataset:
     )
     return agg.rename_columns(
         {"count()": "n_events", "sum(value_cents)": "sum_value_cents"}
-    ).sort(["event_type", "day"])
+    )
 
 
 EVENTS_DAILY_SQL = """
@@ -246,7 +245,7 @@ def cust_nation_counts(sf_dir: str) -> ray.data.Dataset:
     )
     return agg.rename_columns(
         {"count()": "n_customers", "sum(acctbal_cents)": "sum_acctbal_cents"}
-    ).sort(["r_name", "n_name"])
+    )
 
 
 CUST_NATION_SQL = """
@@ -284,7 +283,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     agg = joined.groupby("c_mktsegment").aggregate(Count(), Sum("price_cents"))
     return agg.rename_columns(
         {"count()": "n_orders", "sum(price_cents)": "sum_price_cents"}
-    ).sort("c_mktsegment")
+    )
 
 
 ORDERS_BY_SEGMENT_SQL = """
@@ -404,7 +403,7 @@ def part_type_stats(sf_dir: str) -> ray.data.Dataset:
             "min(price_cents)": "min_price_cents",
             "max(price_cents)": "max_price_cents",
         }
-    ).sort("p_brand")
+    )
 
 
 PART_TYPE_SQL = """

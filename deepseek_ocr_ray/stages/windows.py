@@ -1,0 +1,157 @@
+"""Event-stream operators: sessionization and grouped top-k.
+
+Ray Data has no session-window operator (SURVEY.md §2.12 — the reference has
+no streaming semantics either), so these implement the two classic shapes a
+training-data/events pipeline needs as compositions of
+``map_batches`` + coarse-bucket ``groupby`` + vectorized in-group numpy:
+
+- **sessionize**: gap-based session windows per user (a session breaks when
+  the time since the previous event exceeds ``gap``).  Deterministic for
+  tied timestamps (gap 0 never breaks).  Partitioning assumption: all events
+  of one user fit in one group — guaranteed by grouping on a stable hash
+  bucket of ``user_id`` (64 buckets ⇒ ~N/64 users per group, vectorized
+  walk inside).
+- **grouped_topk**: top-k rows per group key by a measure (rank by value
+  desc, tie-break by id asc) — the per-key analog of `ds.sort().limit()`.
+
+Both have exact DuckDB-window-function oracles (see __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _bucket_i64(vals: np.ndarray, n_buckets: int) -> np.ndarray:
+    x = vals.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x % np.uint64(n_buckets)).astype(np.int64)
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: float = 1800.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Events → one row per (user, session): session_no (1-based per user),
+    n_events, session_start/end as ``YYYY-MM-DD HH:MM:SS`` strings."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False)
+        out = batch.select([user_col, ts_col])
+        return out.append_column(
+            "bucket", pa.array(_bucket_i64(users, n_buckets), pa.int64())
+        )
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
+        users = g[user_col].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "session_no": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.string()),
+                    "session_end": pa.array([], pa.string()),
+                }
+            )
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap_us = np.empty(n, dtype=np.int64)
+        gap_us[0] = 0
+        gap_us[1:] = ts_us[1:] - ts_us[:-1]
+        brk = new_user | (gap_us > int(gap_sec * 1e6))
+        # session_no restarts per user: global cumsum minus cumsum at the
+        # user's first row
+        global_no = np.cumsum(brk)
+        first_of_user = np.where(new_user)[0]
+        base = np.zeros(n, dtype=np.int64)
+        base[first_of_user] = global_no[first_of_user] - 1
+        base = np.maximum.accumulate(base)
+        session_no = global_no - base
+
+        starts = np.where(brk)[0]
+        ends = np.append(starts[1:], n) - 1
+        out_users = users[starts]
+        out_no = session_no[starts]
+        out_count = (ends - starts + 1).astype(np.int64)
+        # floor + cast to second resolution: Arrow's %S prints the
+        # fractional part whenever the timestamp unit is sub-second
+        fmt = pc.strftime(
+            pc.floor_temporal(
+                pa.array(ts, pa.timestamp("us")), unit="second"
+            ).cast(pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S",
+        ).to_pylist()
+        return pa.table(
+            {
+                user_col: pa.array(out_users, pa.int64()),
+                "session_no": pa.array(out_no, pa.int64()),
+                "n_events": pa.array(out_count, pa.int64()),
+                "session_start": pa.array([fmt[i] for i in starts], pa.string()),
+                "session_end": pa.array([fmt[i] for i in ends], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Top-k rows per group by value desc (ties → smaller id first), with a
+    1-based ``rank`` column.  Local per-block top-k first, then a final
+    per-group reduce — the shuffle carries ≤ k rows per group per block."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        keys = batch[group_col].to_pylist()
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_idx: list[int] = []
+        by_key: dict = {}
+        for i, key in enumerate(keys):
+            by_key.setdefault(key, []).append(i)
+        for key, idxs in by_key.items():
+            ia = np.asarray(idxs)
+            order = np.lexsort((ids[ia], -vals[ia]))[:k]
+            out_idx.extend(ia[order].tolist())
+        return batch.select([group_col, value_col, id_col]).take(
+            pa.array(sorted(out_idx))
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        vals = group[value_col].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -vals))[:k]
+        out = group.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1), pa.int32())
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1,0 +1,83 @@
+"""Unit tests for sessionization and grouped top-k (stages/windows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+
+from deepseek_ocr_ray.stages import windows
+
+
+def _events() -> pa.Table:
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap of 1h between event 2 and 3)
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=10)),
+        (1, t0 + dt.timedelta(minutes=80)),
+        # user 2: one session, includes a tied timestamp
+        (2, t0),
+        (2, t0),
+        (2, t0 + dt.timedelta(minutes=29)),
+    ]
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+
+
+def test_sessionize_basic(ray_session):
+    import ray.data
+
+    out = (
+        windows.sessionize(ray.data.from_arrow(_events()), gap_sec=1800.0)
+        .to_pandas()
+        .sort_values(["user_id", "session_no"])
+        .reset_index(drop=True)
+    )
+    assert out.user_id.tolist() == [1, 1, 2]
+    assert out.session_no.tolist() == [1, 2, 1]
+    assert out.n_events.tolist() == [2, 1, 3]
+    assert out.session_start.iloc[0] == "2024-01-01 00:00:00"
+    assert out.session_end.iloc[0] == "2024-01-01 00:10:00"
+
+
+def test_sessionize_block_order_invariant(ray_session):
+    import ray.data
+
+    tbl = _events()
+    a = (
+        windows.sessionize(ray.data.from_arrow(tbl).repartition(1))
+        .to_pandas().sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    )
+    b = (
+        windows.sessionize(ray.data.from_arrow(tbl.take(pa.array([5, 3, 1, 0, 4, 2]))).repartition(3))
+        .to_pandas().sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_grouped_topk(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "grp": pa.array(["a"] * 4 + ["b"] * 2),
+            "val": pa.array([5.0, 9.0, 9.0, 1.0, 3.0, 3.0]),
+            "id": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+        }
+    )
+    out = (
+        windows.grouped_topk(
+            ray.data.from_arrow(tbl).repartition(2),
+            group_col="grp", value_col="val", id_col="id", k=2,
+        )
+        .to_pandas().sort_values(["grp", "rank"]).reset_index(drop=True)
+    )
+    # group a: 9.0 tie → smaller id (11) first; group b: tie → 20 then 21
+    assert out[out.grp == "a"].id.tolist() == [11, 12]
+    assert out[out.grp == "b"].id.tolist() == [20, 21]
+    assert out["rank"].tolist() == [1, 2, 1, 2]
