@@ -1,0 +1,123 @@
+"""CLI driver — the ``ray job submit`` entry point.
+
+    python -m deepseek_ocr_ray extract   --input DIR --output DIR [--resume]
+    python -m deepseek_ocr_ray synth     --output DIR --docs N [--partitions P]
+    python -m deepseek_ocr_ray bench     [--docs N]
+
+``extract`` runs the checkpointed partition loop (state/checkpoint.py): each
+``part={pid}`` input directory is processed as one streaming pipeline, its
+output written atomically with a lineage manifest; a rerun (--resume is the
+default behavior) skips completed partitions — submit the same command again
+after a crash and it continues where it stopped.
+
+This script OWNS its Ray session (guarded — under ``ray job submit`` the
+cluster connection already exists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from .config import PipelineConfig
+    from .state.checkpoint import run_checkpointed
+
+    cfg = PipelineConfig(resolution=args.resolution, prompt_mode=args.prompt_mode)
+    summary = run_checkpointed(args.input, args.output, cfg)
+    print(json.dumps(summary, indent=1, default=str))
+    return 0
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    from .schema import write_interleaved
+
+    paths = write_interleaved(
+        args.output, args.docs, seed=args.seed, num_partitions=args.partitions
+    )
+    print(json.dumps({"partitions": len(paths), "docs": args.docs}))
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    import time
+
+    import pyarrow as pa
+
+    from .pipelines.extract import extract_dataset
+    from .sources.interleaved import synthetic_dataset
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    t0 = time.perf_counter()
+    stats = (
+        extract_dataset(synthetic_dataset(args.docs, seed=42))
+        .map_batches(summarize, batch_format="pyarrow")
+        .to_pandas()
+    )
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "docs": int(stats["rows"].sum()),
+                "sec": round(dt, 2),
+                "docs_per_sec": round(int(stats["rows"].sum()) / dt, 1),
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="deepseek_ocr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="checkpointed extraction over a partitioned corpus")
+    pe.add_argument("--input", required=True)
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--resolution", default="gundam")
+    pe.add_argument("--prompt-mode", default="markdown")
+    pe.add_argument("--num-cpus", type=int, default=None)
+    pe.set_defaults(fn=cmd_extract)
+
+    ps = sub.add_parser("synth", help="write a deterministic synthetic corpus")
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--docs", type=int, default=1000)
+    ps.add_argument("--seed", type=int, default=42)
+    ps.add_argument("--partitions", type=int, default=8)
+    ps.set_defaults(fn=cmd_synth)
+
+    pb = sub.add_parser("bench", help="headline throughput")
+    pb.add_argument("--docs", type=int, default=6000)
+    pb.add_argument("--num-cpus", type=int, default=None)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

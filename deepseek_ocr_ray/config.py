@@ -111,6 +111,9 @@ class PipelineConfig:
     cpu_batch_size: int = 256
     # hash-partitioning width for checkpointed runs
     num_partitions: int = 16
+    # units per salt chunk for exchange="salted" (skew defusal: no assembly
+    # group holds more than ~this many units of one document)
+    salt_span: int = 64
 
     # --- page assembly (reference DSV/run_dpsk_ocr_pdf.py:302-304) ---
     page_split: str = "\n<--- Page Split --->\n"

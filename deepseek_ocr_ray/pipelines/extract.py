@@ -50,6 +50,10 @@ def extract_dataset(
       exploded, e.g. resuming from a units table) where a document's units
       MAY span blocks: stable-bucket the doc_id and run the one wide step
       ``groupby(bucket).map_groups(assemble)``.
+    - ``"salted"``: the media-heavy-skew variant of ``"groupby"``: bucket by
+      ``(doc_id, unit_id // salt_span)`` so an oversized document's units
+      split across groups, then merge the per-salt partials in a second,
+      tiny keyed exchange.  All three paths produce identical output.
     """
     cfg = config or PipelineConfig()
     # CPU stages run per-block (batch_size=None): a fixed batch_size here
@@ -90,8 +94,44 @@ def extract_dataset(
             batch_format="pyarrow",
             batch_size=None,
         )
+    if exchange == "salted":
+        # media-heavy-skew path: bucket by (doc_id, salt=unit_id//span) so no
+        # assembly group exceeds ~salt_span units per doc; merge the per-salt
+        # partials in a second, MUCH smaller keyed exchange (one row per
+        # (doc, salt)).  Output is byte-identical to the other paths.
+        from ..stages.assemble import (
+            add_doc_bucket,
+            add_salted_bucket,
+            assemble_salted_partials,
+            merge_salted_partials,
+        )
+
+        salted = parsed.map_batches(
+            functools.partial(
+                add_salted_bucket,
+                n_buckets=assembly_buckets,
+                salt_span=cfg.salt_span,
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        partials = salted.groupby("assembly_bucket").map_groups(
+            functools.partial(assemble_salted_partials, config=cfg),
+            batch_format="pyarrow",
+        )
+        bucketed2 = partials.map_batches(
+            functools.partial(add_doc_bucket, n_buckets=assembly_buckets),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        return bucketed2.groupby("merge_bucket").map_groups(
+            functools.partial(merge_salted_partials, config=cfg),
+            batch_format="pyarrow",
+        )
     if exchange != "groupby":
-        raise ValueError(f"exchange must be 'none' or 'groupby', got {exchange!r}")
+        raise ValueError(
+            f"exchange must be 'none', 'groupby' or 'salted', got {exchange!r}"
+        )
     # general path: a global sort-by-bucket exchange (the one wide step) —
     # measured 31s of a 50s 24k-doc run, which is why doc-per-row sources
     # should use exchange="none"

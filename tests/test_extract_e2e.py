@@ -97,3 +97,32 @@ def test_corpus_exercises_grammar(oracle_docs):
     assert {"text", "title", "image", "table", "formula"} <= kinds
     assert any_error  # malformed media_ref quarantine path exercised
     assert any(e["truncated"] for e in oracle_docs.values())
+
+
+def test_salted_exchange_identical(ray_session):
+    """exchange='salted' (two-level skew-defusing assembly) must produce the
+    same rows as the zero-shuffle path — media-heavy docs (50-200 spans vs
+    salt_span=64) exercise multi-salt merging."""
+    import ray.data
+
+    from deepseek_ocr_ray.config import PipelineConfig
+    from deepseek_ocr_ray.pipelines.extract import extract_dataset
+    from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
+
+    cfg = PipelineConfig(ocr_concurrency=2, salt_span=64)
+    a = (
+        extract_dataset(synthetic_dataset(150, seed=42), cfg, exchange="none")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        extract_dataset(synthetic_dataset(150, seed=42), cfg, exchange="salted")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.markdown.tolist() == b.markdown.tolist()
+    assert a.n_spans.tolist() == b.n_spans.tolist()
+    assert a.error.fillna("").tolist() == b.error.fillna("").tolist()
+    # at least one doc actually split across salts
+    assert (a.n_spans > 64).any()
+    for sa, sb in zip(a.spans, b.spans):
+        assert list(map(dict, sa)) == list(map(dict, sb))
