@@ -148,12 +148,40 @@ def _scaling_child(num_cpus: int) -> dict:
     }
 
 
+def _hw_ceiling(lo_n: int, hi_n: int) -> float:
+    """Per-core throughput ratio of PURE CPU work (no Ray, no shared state)
+    at lo_n vs hi_n concurrent processes — the machine's frequency-scaling
+    ceiling.  On this sandbox ~0.73 for 8→32 procs; on a real multi-node
+    cluster (the production target) it is 1.0 because per-node frequency
+    does not depend on cluster size."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(30_000_000):  # long enough to reach frequency steady state
+            x += i * i
+        q.put(time.perf_counter() - t0)
+
+    rates = {}
+    for n in (lo_n, hi_n):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        times = [q.get() for _ in range(n)]
+        rates[n] = 1.0 / (sum(times) / len(times))
+    return rates[hi_n] / rates[lo_n]
+
+
 def main_scaling() -> None:
     """Two fresh processes at num_cpus=8 and 32 → scaling efficiency.
 
     The scaling corpus is 4× the headline corpus: at the default size the
-    32-CPU run is dominated by fixed costs (actor-pool startup, shuffle
-    barrier) and the measurement reflects overhead, not scalability.
+    32-CPU run is dominated by fixed costs (actor-pool startup) and the
+    measurement reflects overhead, not scalability.  The report includes the
+    machine's own per-core frequency-scaling ceiling (pure-CPU, Ray-free
+    microbenchmark) and the engine efficiency normalized by it.
     """
     n_docs = int(os.environ.get("BENCH_SCALING_DOCS", str(4 * N_DOCS)))
     results = []
@@ -167,6 +195,7 @@ def main_scaling() -> None:
     lo, hi = results
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     efficiency = speedup / (hi["num_cpus"] / lo["num_cpus"])
+    ceiling = _hw_ceiling(lo["num_cpus"], hi["num_cpus"])
     print(
         json.dumps(
             {
@@ -177,6 +206,10 @@ def main_scaling() -> None:
                     f"throughput_cpus_{lo['num_cpus']}": lo["docs_per_sec"],
                     f"throughput_cpus_{hi['num_cpus']}": hi["docs_per_sec"],
                     "speedup": round(speedup, 3),
+                    "hw_percore_ceiling": round(ceiling, 3),
+                    "engine_efficiency_vs_hw": round(
+                        min(efficiency / ceiling, 1.0), 3
+                    ),
                 },
                 "sf": None,
                 "num_cpus": hi["num_cpus"],

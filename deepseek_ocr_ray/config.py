@@ -138,5 +138,9 @@ class PipelineConfig:
     def prompt(self) -> str:
         return get_prompt(self.prompt_mode, self.prompt_text)[0]
 
+    @property
+    def has_grounding(self) -> bool:
+        return bool(get_prompt(self.prompt_mode, self.prompt_text)[1])
+
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -146,23 +146,62 @@ def generate_page_markdown(media_ref: str) -> str:
     return out
 
 
+def generate_page_plain(media_ref: str) -> str:
+    """Non-grounding-mode stub output (Free OCR / Describe / Parse Figure):
+    plain text, no ref/det markup (reference prompt table rows without
+    ``<|grounding|>``, app/config.py:40-71)."""
+    rng = _ref_rng(media_ref + "#plain")
+    paras = [
+        _sent(rng, int(rng.randint(15, 50)))
+        for _ in range(int(rng.randint(1, 4)))
+    ]
+    out = "\n\n".join(paras)
+    if rng.rand() >= 0.03:
+        out += EOS_MARKER
+    return out
+
+
+def generate_page_locate(media_ref: str, target: str) -> str:
+    """Locate-mode stub output: 0-2 grounded refs whose label is the target
+    text (reference prompt ``Locate <|ref|>{t}<|/ref|> ...``,
+    app/config.py:104-123)."""
+    rng = _ref_rng(media_ref + "#locate")
+    n = int(rng.randint(0, 3))
+    parts = [
+        f"<|ref|>{target}<|/ref|><|det|>{_det(rng, 1)}<|/det|>\n"
+        for _ in range(n)
+    ]
+    return "".join(parts) + EOS_MARKER
+
+
 class StubOcrModel:
     """Load-once "model" with the call shape of a vLLM engine wrapper.
 
     ``__init__`` is the once-per-actor setup (the reference builds the vLLM
     engine once per process and reuses it, app/engine.py:27-131, and warms it
     up, app/engine.py:150-249); ``generate`` is batch-in/batch-out like
-    ``llm.generate`` (DSV/run_dpsk_ocr_pdf.py:274-277).
+    ``llm.generate`` (DSV/run_dpsk_ocr_pdf.py:274-277).  Output grammar
+    follows the prompt mode (M1 dispatch): grounding modes emit ref/det
+    markup, non-grounding modes plain text, locate mode target-labeled refs.
     """
 
     def __init__(self, config: PipelineConfig):
         self.config = config
         self.prompt = config.prompt
+        self.has_grounding = config.has_grounding
+        self.mode = config.prompt_mode
         # warmup: one tiny deterministic generation (availability smoke)
         generate_page_markdown("warmup://0")
 
+    def _one(self, ref: str) -> str:
+        if self.mode == "locate":
+            return generate_page_locate(ref, self.config.prompt_text.strip())
+        if self.has_grounding:
+            return generate_page_markdown(ref)
+        return generate_page_plain(ref)
+
     def generate(self, media_refs: list[str]) -> list[str]:
-        return [generate_page_markdown(r) for r in media_refs]
+        return [self._one(r) for r in media_refs]
 
 
 class OcrStage:

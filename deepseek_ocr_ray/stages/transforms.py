@@ -84,7 +84,8 @@ def explode_docs(batch: pa.Table) -> pa.Table:
 
 
 def parse_media_unit(
-    raw_text: str, doc_id: str, unit_id: int, skip_repeat: bool
+    raw_text: str, doc_id: str, unit_id: int, skip_repeat: bool,
+    has_grounding: bool = True,
 ) -> tuple[list, str, bool, bool]:
     """One OCR'd page → (spans, markdown fragment, truncated, skipped).
 
@@ -100,6 +101,14 @@ def parse_media_unit(
     content, had_eos = strip_eos(raw_text)
     if not had_eos and skip_repeat:
         return [], "", True, True
+    if not has_grounding:
+        # non-grounding prompt modes (Free OCR / Describe / Parse Figure)
+        # emit plain text: the page is one text span, markdown is the text
+        text = content.strip()
+        from ..functions.grounding import Span
+
+        spans = [Span("text", text, "")] if text else []
+        return spans, text, not had_eos, False
     spans = page_spans(content, f"crop://{doc_id}/{unit_id}")
     fragment = render_page_markdown(content, str(unit_id))
     return spans, fragment, not had_eos, False
@@ -134,7 +143,8 @@ def parse_units(batch: pa.Table, *, config: PipelineConfig | None = None) -> pa.
             ks, ts, rs, frag = [], [], [], ""
         elif kind in MEDIA_KINDS:
             spans, frag, trunc, skipped = parse_media_unit(
-                raws[i] or "", doc_ids[i], unit_ids[i], cfg.skip_repeat
+                raws[i] or "", doc_ids[i], unit_ids[i], cfg.skip_repeat,
+                cfg.has_grounding,
             )
             page = not skipped
             ks = [s.kind for s in spans]

