@@ -39,7 +39,20 @@ def cmd_extract(args: argparse.Namespace) -> int:
     from .config import PipelineConfig
     from .state.checkpoint import run_checkpointed
 
-    cfg = PipelineConfig(resolution=args.resolution, prompt_mode=args.prompt_mode)
+    from .config import PROMPT_MODES
+
+    mode_cfg = PROMPT_MODES.get(args.prompt_mode, {})
+    if mode_cfg.get("requires_input") and not args.prompt_text:
+        print(
+            f"error: --prompt-mode {args.prompt_mode} requires --prompt-text",
+            file=sys.stderr,
+        )
+        return 2
+    cfg = PipelineConfig(
+        resolution=args.resolution,
+        prompt_mode=args.prompt_mode,
+        prompt_text=args.prompt_text,
+    )
     summary = run_checkpointed(args.input, args.output, cfg)
     print(json.dumps(summary, indent=1, default=str))
     return 0
@@ -93,8 +106,15 @@ def main(argv: list[str] | None = None) -> int:
     pe = sub.add_parser("extract", help="checkpointed extraction over a partitioned corpus")
     pe.add_argument("--input", required=True)
     pe.add_argument("--output", required=True)
-    pe.add_argument("--resolution", default="gundam")
-    pe.add_argument("--prompt-mode", default="markdown")
+    from .config import PROMPT_MODES, RESOLUTION_PRESETS
+
+    pe.add_argument(
+        "--resolution", default="gundam", choices=sorted(RESOLUTION_PRESETS)
+    )
+    pe.add_argument(
+        "--prompt-mode", default="markdown", choices=sorted(PROMPT_MODES)
+    )
+    pe.add_argument("--prompt-text", default="", help="for locate/custom modes")
     pe.add_argument("--num-cpus", type=int, default=None)
     pe.set_defaults(fn=cmd_extract)
 

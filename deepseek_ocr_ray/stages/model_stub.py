@@ -171,7 +171,10 @@ def generate_page_locate(media_ref: str, target: str) -> str:
         f"<|ref|>{target}<|/ref|><|det|>{_det(rng, 1)}<|/det|>\n"
         for _ in range(n)
     ]
-    return "".join(parts) + EOS_MARKER
+    out = "".join(parts)
+    if rng.rand() >= 0.03:  # same ~3% no-EOS tail as the other grammars
+        out += EOS_MARKER
+    return out
 
 
 class StubOcrModel:

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from ..config import PipelineConfig
 from ..functions import html_extract
-from ..functions.grounding import page_spans, render_page_markdown, strip_eos
+from ..functions.grounding import Span, page_spans, render_page_markdown, strip_eos
 
 MEDIA_KINDS = ("pdf_page", "image")
 TEXTUAL_MD = {"title": "## {t}", "text": "{t}", "table": "{t}", "figure": "{t}"}
@@ -105,8 +105,6 @@ def parse_media_unit(
         # non-grounding prompt modes (Free OCR / Describe / Parse Figure)
         # emit plain text: the page is one text span, markdown is the text
         text = content.strip()
-        from ..functions.grounding import Span
-
         spans = [Span("text", text, "")] if text else []
         return spans, text, not had_eos, False
     spans = page_spans(content, f"crop://{doc_id}/{unit_id}")
@@ -136,6 +134,8 @@ def parse_units(batch: pa.Table, *, config: PipelineConfig | None = None) -> pa.
     truncated: list[bool] = []
     is_page: list[bool] = []
 
+    skip_repeat = cfg.skip_repeat
+    has_grounding = cfg.has_grounding  # property: resolve once, not per row
     for i, kind in enumerate(kinds):
         trunc = False
         page = False
@@ -143,8 +143,8 @@ def parse_units(batch: pa.Table, *, config: PipelineConfig | None = None) -> pa.
             ks, ts, rs, frag = [], [], [], ""
         elif kind in MEDIA_KINDS:
             spans, frag, trunc, skipped = parse_media_unit(
-                raws[i] or "", doc_ids[i], unit_ids[i], cfg.skip_repeat,
-                cfg.has_grounding,
+                raws[i] or "", doc_ids[i], unit_ids[i], skip_repeat,
+                has_grounding,
             )
             page = not skipped
             ks = [s.kind for s in spans]

@@ -25,7 +25,20 @@ from deepseek_ocr_ray.functions.grounding import (
     render_page_markdown,
     strip_eos,
 )
-from deepseek_ocr_ray.stages.model_stub import generate_page_markdown
+from deepseek_ocr_ray.stages.model_stub import (
+    generate_page_locate,
+    generate_page_markdown,
+    generate_page_plain,
+)
+
+
+def _stub_generate(ref: str, cfg: PipelineConfig) -> str:
+    """Mirror of StubOcrModel._one's mode dispatch (kept independent here)."""
+    if cfg.prompt_mode == "locate":
+        return generate_page_locate(ref, cfg.prompt_text.strip())
+    if cfg.has_grounding:
+        return generate_page_markdown(ref)
+    return generate_page_plain(ref)
 
 
 def extract_doc_oracle(doc: dict, cfg: PipelineConfig | None = None) -> dict:
@@ -43,12 +56,18 @@ def extract_doc_oracle(doc: dict, cfg: PipelineConfig | None = None) -> dict:
             if not ref.startswith("blob://"):
                 errors.append(f"bad media_ref: {ref!r}")
                 continue
-            raw = generate_page_markdown(ref)
+            raw = _stub_generate(ref, cfg)
             content, had_eos = strip_eos(raw)
             if not had_eos:
                 truncated = True
                 if cfg.skip_repeat:
                     continue
+            if not cfg.has_grounding:
+                text = content.strip()
+                if text:
+                    spans_out.append({"kind": "text", "text": text, "media_ref": ""})
+                md += text + cfg.page_split
+                continue
             for s in page_spans(content, f"crop://{doc['doc_id']}/{span['offset']}"):
                 spans_out.append(
                     {"kind": s.kind, "text": s.text, "media_ref": s.media_ref}

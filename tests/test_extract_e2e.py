@@ -147,8 +147,10 @@ def test_prompt_modes_through_pipeline(ray_session):
     free = spans_by_mode("free_ocr")
     media_spans = [s for s in free if s["media_ref"].startswith("crop://")]
     assert media_spans == []  # no grounding → no crops
-    assert all(s["kind"] in ("text", "title", "table", "figure", "image", "html")
-               or True for s in free)
+    # no grounded-grammar labels may leak through (media pages are plain
+    # text; remaining kinds come from html/textual passthrough)
+    assert {s["kind"] for s in free} <= {"text", "title", "table", "figure", "image"}
+    assert "formula" not in {s["kind"] for s in free}
 
     loc = spans_by_mode("locate", "invoice number")
     located = [s for s in loc if s["kind"] == "invoice number"]
@@ -162,3 +164,31 @@ def test_prompt_modes_through_pipeline(ray_session):
     md = spans_by_mode("markdown")
     assert any(s["media_ref"].startswith("crop://") for s in md)  # image crops
     assert {"title", "table", "formula"} & {s["kind"] for s in md}
+
+
+def test_prompt_modes_oracle_equality(ray_session):
+    """Pipeline output equals the sequential oracle under non-default
+    prompt modes too (free_ocr: plain text pages; locate: target refs)."""
+    from deepseek_ocr_ray.config import PipelineConfig
+    from deepseek_ocr_ray.pipelines.extract import extract_dataset
+    from deepseek_ocr_ray.schema import gen_doc
+    from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
+    from tests.reference_oracle import extract_doc_oracle
+
+    for mode, text in (("free_ocr", ""), ("locate", "total amount")):
+        cfg = PipelineConfig(prompt_mode=mode, prompt_text=text, ocr_concurrency=2)
+        got = {
+            r["doc_id"]: r
+            for r in extract_dataset(synthetic_dataset(25, seed=3), cfg).take_all()
+        }
+        for i in range(25):
+            doc = gen_doc(i, seed=3)
+            want = extract_doc_oracle(doc, cfg)
+            g = got[doc["doc_id"]]
+            assert g["markdown"] == want["markdown"], (mode, doc["doc_id"])
+            assert [
+                (s["kind"], s["text"], s["media_ref"]) for s in g["spans"]
+            ] == [
+                (s["kind"], s["text"], s["media_ref"]) for s in want["spans"]
+            ], (mode, doc["doc_id"])
+            assert g["truncated"] == want["truncated"]
