@@ -282,8 +282,7 @@ DOC_TOKEN_STATS_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          length(text) AS n_chars,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
          len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe,
          len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
          len(list_filter(string_split_regex(lower(text), '\\s+'),

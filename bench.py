@@ -90,18 +90,19 @@ def run_queries() -> dict[str, float]:
     """Time every __ray_entry__ query at the bench SF."""
     import __ray_entry__ as e
 
+    import ray.data
+
     times: dict[str, float] = {}
     for name, fn in e.queries().items():
         t0 = time.perf_counter()
-        result = fn(SF_DIR)
         try:
-            import ray.data
-
+            result = fn(SF_DIR)
             if isinstance(result, ray.data.Dataset):
                 _consume(result)
-        except Exception:
-            pass
-        times[name] = round(time.perf_counter() - t0, 3)
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failed query must be VISIBLE, not fast
+            print(f"query {name} FAILED: {exc!r}", file=sys.stderr)
+            times[name] = -1.0
     return times
 
 

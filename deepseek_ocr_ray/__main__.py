@@ -115,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
         "--prompt-mode", default="markdown", choices=sorted(PROMPT_MODES)
     )
     pe.add_argument("--prompt-text", default="", help="for locate/custom modes")
+    pe.add_argument(
+        "--resume", action="store_true",
+        help="resume is the default behavior (completed partitions are "
+        "always skipped); flag accepted for explicitness",
+    )
     pe.add_argument("--num-cpus", type=int, default=None)
     pe.set_defaults(fn=cmd_extract)
 

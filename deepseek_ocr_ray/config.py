@@ -115,8 +115,10 @@ class PipelineConfig:
     # group holds more than ~this many units of one document)
     salt_span: int = 64
 
-    # --- page assembly (reference DSV/run_dpsk_ocr_pdf.py:302-304) ---
-    page_split: str = "\n<--- Page Split --->\n"
+    # --- page assembly (reference DSV/run_dpsk_ocr_pdf.py:302-304:
+    # ``contents += content + f'\n{page_num}\n'`` with page_num itself
+    # starting with a newline → TWO newlines before the marker) ---
+    page_split: str = "\n\n<--- Page Split --->\n"
 
     @property
     def preset(self) -> dict:

@@ -85,8 +85,10 @@ def _token_membership_count(
     """Per-row count of lowercase whitespace tokens that are in ``wordset``.
 
     Fully vectorized: split → flatten → is_in → segment-sum by parent index.
+    Split by the RE2 ``\\s+`` pattern — the same expression the DuckDB
+    oracle's ``string_split_regex`` uses, so edge-whitespace behavior agrees.
     """
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(toks)
     hit = pc.is_in(flat, value_set=pa.array(wordset)).to_numpy(
@@ -99,12 +101,13 @@ def _token_membership_count(
 
 
 def token_counts(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Whitespace token count per row (0 for empty/blank text)."""
-    texts = _as_array(texts)
-    trimmed = pc.utf8_trim_whitespace(texts)
-    raw = pc.list_value_length(pc.utf8_split_whitespace(trimmed))
-    # splitting "" yields [""] — blank text must count as zero tokens
-    return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, raw.type), raw)
+    """Whitespace token count per row (0 for empty/blank text).
+
+    Counted as ``\\S+`` runs so the semantics are EXACTLY the RE2 regex both
+    Arrow and DuckDB use — a trim()-based split diverges on non-space
+    whitespace (tabs/newlines at the edges).
+    """
+    return pc.count_substring_regex(_as_array(texts), r"\S+")
 
 
 def bpe_token_counts(texts: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -103,14 +103,18 @@ def num_image_tokens(
     max_crops: int = 6,
     patch_size: int = 16,
     downsample_ratio: int = 4,
+    tiles: tuple[int, int] | None = None,
 ) -> int:
     """Vision tokens a page costs — closed form of deepseek_ocr.py:61-106.
 
     global tokens = h*(w+1) with h=w=ceil((base_size/16)/4); local tokens
     (only when tiled) = (ht*h2)*(wt*w2+1) with h2=w2=ceil((image_size/16)/4);
-    plus 1 view-separator token.
+    plus 1 view-separator token.  Pass ``tiles=(wt, ht)`` when the grid is
+    already known to skip the enumeration (hot-path callers).
     """
-    if crop_mode:
+    if tiles is not None:
+        wt, ht = tiles
+    elif crop_mode:
         if image_width <= 640 and image_height <= 640:
             wt, ht = 1, 1
         else:
@@ -134,29 +138,6 @@ def normalize_pixels(img: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(x.transpose(2, 0, 1))
 
 
-def norepeat_banned_tokens(
-    input_ids: list[int],
-    ngram_size: int,
-    window_size: int,
-    whitelist: frozenset[int] = frozenset(),
-) -> set[int]:
-    """Tokens banned by the sliding-window no-repeat-ngram rule.
-
-    Same decision procedure as NoRepeatNGramLogitsProcessor
-    (/root/reference/DeepSeek-OCR-master/DeepSeek-OCR-vllm/process/ngram_norepeat.py:19-40):
-    any token that would complete an ngram already seen in the last
-    ``window_size`` tokens is banned, except whitelisted ids (``<td>``,
-    ``</td>`` = 128821/128822 in the reference).  Decoding-time state — used
-    by the stub generator to emulate "repetition runs to max_tokens ⇒ no EOS".
-    """
-    if len(input_ids) < ngram_size:
-        return set()
-    prefix = tuple(input_ids[-(ngram_size - 1):]) if ngram_size > 1 else ()
-    start = max(0, len(input_ids) - window_size)
-    end = len(input_ids) - ngram_size + 1
-    banned: set[int] = set()
-    for i in range(start, end):
-        ngram = tuple(input_ids[i: i + ngram_size])
-        if ngram[:-1] == prefix:
-            banned.add(ngram[-1])
-    return banned - set(whitelist)
+# The no-repeat-n-gram decode constraint lives in
+# ``functions/ngram_norepeat.py`` (NoRepeatNGramProcessor) — single source
+# of truth; a duplicate here was removed.

@@ -51,6 +51,9 @@ def assemble_bucket(group: pa.Table, *, config: PipelineConfig) -> pa.Table:
     """
     g = group.sort_by([("doc_id", "ascending"), ("unit_id", "ascending")])
     doc_ids = g["doc_id"].to_pylist()
+    n_units = (
+        g["n_units"].to_pylist() if "n_units" in g.column_names else None
+    )
     kinds = g["kind"].to_pylist()
     sub_kinds = g["sub_kinds"].to_pylist()
     sub_texts = g["sub_texts"].to_pylist()
@@ -88,6 +91,16 @@ def assemble_bucket(group: pa.Table, *, config: PipelineConfig) -> pa.Table:
                     md_parts.append(fragments[j] + "\n\n")
             truncated = truncated or truncs[j]
             j += 1
+        if n_units is not None and (j - i) != n_units[i]:
+            # a doc's units straddled a block boundary (possible only in
+            # exchange="none" when Ray splits an oversized output block) —
+            # fail loudly instead of silently emitting partial documents
+            raise ValueError(
+                f"assembly saw {j - i}/{n_units[i]} units of doc {doc!r}: "
+                "a document split across blocks; rerun with "
+                "exchange='salted' (or 'groupby'), or raise "
+                "DataContext.target_max_block_size / shrink input blocks"
+            )
         pid = (
             int.from_bytes(hashlib.md5(doc.encode()).digest()[:4], "little") % n_parts
         )

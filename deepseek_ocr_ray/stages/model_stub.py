@@ -33,6 +33,7 @@ import pyarrow as pa
 from ..config import PipelineConfig
 from ..functions.grounding import EOS_MARKER
 from ..functions.tiling import count_tiles, num_image_tokens
+from ..schema import MEDIA_KINDS
 
 # Page-size table spanning the tiling decision space (FIXTURES.md F4):
 # ≤640×640 → untiled; the rest hit distinct (w,h) grids.
@@ -218,8 +219,6 @@ class OcrStage:
     app/processors.py:345-358 — silent drops break resumability accounting).
     """
 
-    MEDIA_KINDS = ("pdf_page", "image")
-
     def __init__(self, config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
         self.model = StubOcrModel(self.config)
@@ -238,7 +237,7 @@ class OcrStage:
         todo_idx: list[int] = []
         todo_ref: list[str] = []
         for i, (k, ref) in enumerate(zip(kinds, refs)):
-            if k not in self.MEDIA_KINDS:
+            if k not in MEDIA_KINDS:
                 continue
             if not ref.startswith("blob://"):
                 err[i] = f"bad media_ref: {ref!r}"
@@ -252,7 +251,7 @@ class OcrStage:
             tiles[i] = wt * ht
             vtok[i] = num_image_tokens(
                 w, h, cfg.base_size, cfg.image_size, cfg.crop_mode,
-                cfg.min_crops, cfg.max_crops,
+                cfg.min_crops, cfg.max_crops, tiles=(wt, ht),
             )
             todo_idx.append(i)
             todo_ref.append(ref)

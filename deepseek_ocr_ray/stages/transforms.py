@@ -25,8 +25,7 @@ import pyarrow.compute as pc
 from ..config import PipelineConfig
 from ..functions import html_extract
 from ..functions.grounding import Span, page_spans, render_page_markdown, strip_eos
-
-MEDIA_KINDS = ("pdf_page", "image")
+from ..schema import MEDIA_KINDS  # single source of truth for media kinds
 TEXTUAL_MD = {"title": "## {t}", "text": "{t}", "table": "{t}", "figure": "{t}"}
 SENTINEL_KIND = "__empty__"
 
@@ -37,6 +36,10 @@ UNIT_SCHEMA = pa.schema(
         ("kind", pa.string()),
         ("text", pa.large_string()),
         ("media_ref", pa.string()),
+        # total units of this doc (sentinel counts as 1) — lets per-block
+        # assembly DETECT a document split across blocks instead of silently
+        # emitting partial rows (exchange="none" safety check)
+        ("n_units", pa.int32()),
     ]
 )
 
@@ -53,6 +56,7 @@ def explode_docs(batch: pa.Table) -> pa.Table:
     parent = pc.list_parent_indices(spans)
     flat = pc.list_flatten(spans)
     unit_doc = doc_ids.take(parent)
+    lengths = pc.fill_null(pc.list_value_length(spans), 0)
     out = pa.table(
         {
             "doc_id": unit_doc,
@@ -60,10 +64,10 @@ def explode_docs(batch: pa.Table) -> pa.Table:
             "kind": flat.field("kind"),
             "text": flat.field("text").cast(pa.large_string()),
             "media_ref": flat.field("media_ref"),
+            "n_units": lengths.take(parent),
         }
     )
 
-    lengths = pc.fill_null(pc.list_value_length(spans), 0)
     empty_mask = pc.equal(lengths, 0)
     if pc.any(empty_mask).as_py():
         empty_ids = pc.filter(doc_ids, empty_mask)
@@ -75,6 +79,7 @@ def explode_docs(batch: pa.Table) -> pa.Table:
                 "kind": pa.array([SENTINEL_KIND] * n),
                 "text": pa.array([""] * n, pa.large_string()),
                 "media_ref": pa.array([""] * n),
+                "n_units": pa.array([1] * n, pa.int32()),
             }
         )
         out = pa.concat_tables([out.cast(UNIT_SCHEMA), sentinel.cast(UNIT_SCHEMA)])
@@ -166,7 +171,7 @@ def parse_units(batch: pa.Table, *, config: PipelineConfig | None = None) -> pa.
         truncated.append(trunc)
         is_page.append(page)
 
-    keep = ["doc_id", "unit_id", "kind"]
+    keep = ["doc_id", "unit_id", "kind", "n_units"]
     if "vision_tokens" in batch.column_names:
         keep.append("vision_tokens")
     out = batch.select([c for c in keep if c in batch.column_names])

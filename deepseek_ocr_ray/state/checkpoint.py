@@ -97,6 +97,12 @@ def run_checkpointed(
     cfg_fp = config_fingerprint(cfg)
     os.makedirs(os.path.join(out_root, "_ckpt"), exist_ok=True)
 
+    # sweep orphaned temp dirs from crashed runs (crash between write and
+    # rename leaves a full-partition-sized .tmp-* behind)
+    for entry in os.listdir(out_root):
+        if entry.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(out_root, entry), ignore_errors=True)
+
     available = set(list_partitions(input_root))
     pids = partitions if partitions is not None else sorted(available)
     missing = [p for p in pids if p not in available]

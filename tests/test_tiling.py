@@ -8,7 +8,6 @@ import pytest
 from deepseek_ocr_ray.functions.tiling import (
     candidate_grids,
     count_tiles,
-    norepeat_banned_tokens,
     normalize_pixels,
     num_image_tokens,
     tile_boxes,
@@ -97,13 +96,9 @@ def test_normalize_pixels():
     assert np.allclose(out[0], 1.0) and np.allclose(out[1], -1.0)
 
 
-def test_norepeat_banned_tokens():
-    # sequence ...1,2,3...  then current prefix (1,2) → 3 banned (ngram=3)
-    ids = [9, 1, 2, 3, 7, 1, 2]
-    assert norepeat_banned_tokens(ids, 3, 100) == {3}
-    # whitelist exemption (reference: <td>/</td> ids)
-    assert norepeat_banned_tokens(ids, 3, 100, frozenset({3})) == set()
-    # window too small to see the earlier ngram
-    assert norepeat_banned_tokens(ids, 3, 3) == set()
-    # shorter than ngram → nothing
-    assert norepeat_banned_tokens([1, 2], 3, 100) == set()
+def test_norepeat_moved_to_ngram_norepeat():
+    # the decode constraint has one home now — see test_artifacts_ngram.py
+    from deepseek_ocr_ray.functions.ngram_norepeat import NoRepeatNGramProcessor
+
+    p = NoRepeatNGramProcessor(3, 100, frozenset())
+    assert p.banned_tokens([9, 1, 2, 3, 7, 1, 2]) == {3}
