@@ -218,6 +218,25 @@ def _frame_sample(sf_dir: str) -> Any:
     return frames
 
 
+def _extract_then_dedup(sf_dir: str) -> Any:
+    """Composition: extraction feeding curation — near-dedup the EXTRACTED
+    markdown of the interleaved corpus (the end-to-end training-data shape:
+    raw docs → extract → dedup)."""
+    # two actor pools share one pipeline here: cap both so their combined
+    # MINIMUM reservation leaves CPUs for the task stages — otherwise the
+    # streaming executor deadlocks on a small cluster (each pool holding
+    # actors, task operators starved of slots)
+    from deepseek_ocr_ray.config import PipelineConfig
+
+    cfg = PipelineConfig(ocr_concurrency=2)
+    out = extract_dataset(synthetic_dataset(N_EXTRACT_DOCS, seed=42), cfg)
+    docs = out.select_columns(["doc_id", "markdown"])
+    return dedup.minhash_dedup(
+        docs, text_col="markdown", id_col="doc_id", threshold=0.9,
+        concurrency=(1, 4),
+    )
+
+
 def _sessionize(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "events", columns=["user_id", "ts"])
     return windows.sessionize(ds, gap_sec=1800.0)
@@ -250,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _dedup_ngram,
         "dedup_embedding": _dedup_embedding,
         "embedding_dup_pairs": _embedding_dup_pairs,
+        "extract_then_dedup": _extract_then_dedup,
         # --- similarity search ---
         "ann_topk": _ann_topk,
         "ann_ivf": _ann_ivf,

@@ -38,6 +38,9 @@ def _init_ray(num_cpus: int) -> None:
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            # keep stdout to exactly one JSON line — worker log streaming
+            # otherwise interleaves Ray notices into the metric output
+            log_to_driver=False,
         )
     from ray.data import DataContext
 

@@ -346,8 +346,14 @@ def minhash_dedup(
     threshold: float = 0.8,
     seed: int = 42,
     n_buckets: int = 64,
+    concurrency=(2, 8),
 ) -> ray.data.Dataset:
-    """Kept doc ids after MinHash+LSH near-dedup (signature-verified)."""
+    """Kept doc ids after MinHash+LSH near-dedup (signature-verified).
+
+    ``concurrency``: the signature actor pool.  Use min=1 when composing
+    with another actor-pool stage on a small cluster — two pools whose
+    minimums exceed available CPUs deadlock the streaming executor.
+    """
 
     def verify(group: pa.Table) -> pa.Table:
         return _walk_buckets(
@@ -365,6 +371,7 @@ def minhash_dedup(
         verify,
         id_col=id_col,
         n_buckets=n_buckets,
+        concurrency=concurrency,
         stage_kwargs=dict(
             text_col=text_col,
             id_col=id_col,
