@@ -183,6 +183,102 @@ class IVFIndex:
         self.assigned = ds.map_batches(assign, batch_format="pyarrow")
         return self
 
+    def write(self, path: str) -> "IVFIndex":
+        """Persist the index: vectors partitioned by cell (one directory per
+        cell → probed-cell reads skip every other file at search time) plus
+        a centroids sidecar."""
+        import json
+        import os
+
+        assert self.assigned is not None and self.centroids is not None
+        self.assigned.write_parquet(path, partition_cols=["cell"])
+        with open(os.path.join(path, "_centroids.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "vec_col": self.vec_col,
+                    "id_col": self.id_col,
+                    "n_cells": self.n_cells,
+                },
+                f,
+            )
+        return self
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        """Reopen a persisted index WITHOUT reading the vectors — only the
+        centroids sidecar; ``search_persisted`` then reads just the probed
+        cell partitions."""
+        import json
+        import os
+
+        with open(os.path.join(path, "_centroids.json")) as f:
+            meta = json.load(f)
+        idx = cls(
+            meta["n_cells"], vec_col=meta["vec_col"], id_col=meta["id_col"]
+        )
+        idx.centroids = np.asarray(meta["centroids"], dtype=np.float32)
+        idx._path = path
+        return idx
+
+    def search_persisted(
+        self,
+        queries: np.ndarray,
+        query_ids: np.ndarray,
+        *,
+        k: int = 10,
+        nprobe: int = 4,
+        exclude_self: bool = True,
+    ) -> ray.data.Dataset:
+        """Search a persisted index reading ONLY the probed cells' files —
+        the partition pruning a 100 TB corpus needs (union of per-cell
+        scans; ~(1 - nprobe/n_cells) of the data never leaves storage)."""
+        import os
+
+        assert self.centroids is not None and getattr(self, "_path", None)
+        qn = _normalize(np.asarray(queries, dtype=np.float32))
+        probe_cells = sorted(
+            {
+                int(c)
+                for row in np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+                for c in row
+            }
+        )
+        import glob
+
+        # expand probed cell dirs to files (read_parquet treats list
+        # entries as files, not directories)
+        parts = [
+            f
+            for c in probe_cells
+            for f in glob.glob(
+                os.path.join(self._path, f"cell={c}", "*.parquet")
+            )
+        ]
+        ds = ray.data.read_parquet(parts)
+        self.assigned = ds.map_batches(
+            self._reassign_cells, batch_format="pyarrow"
+        )
+        return self.search(
+            queries, query_ids, k=k, nprobe=nprobe, exclude_self=exclude_self
+        )
+
+    def _reassign_cells(self, batch):
+        """Normalize the cell column: the hive-partition read restores it as
+        a STRING ('5'); downstream filters need int32."""
+        import pyarrow as pa
+
+        if "cell" in batch.column_names:
+            i = batch.column_names.index("cell")
+            return batch.set_column(
+                i, "cell", batch["cell"].cast(pa.int32())
+            )
+        vecs = _normalize(
+            np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float32)
+        )
+        cells = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cells, pa.int32()))
+
     def search(
         self,
         queries: np.ndarray,

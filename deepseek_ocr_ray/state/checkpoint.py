@@ -81,6 +81,7 @@ def run_checkpointed(
     config: PipelineConfig | None = None,
     partitions: list[int] | None = None,
     max_partitions: int | None = None,
+    exchange: str = "none",
 ) -> dict:
     """Process (or resume) a partitioned corpus; returns a run summary.
 
@@ -122,7 +123,7 @@ def run_checkpointed(
         in_fp = _fingerprint_dir(in_dir)
         t0 = time.monotonic()
         ds = read_partition(input_root, pid)
-        out = extract_dataset(ds, cfg)
+        out = extract_dataset(ds, cfg, exchange=exchange)
 
         tmp_dir = os.path.join(out_root, f".tmp-{pid}-{uuid.uuid4().hex[:8]}")
         out.write_parquet(tmp_dir)

@@ -192,3 +192,27 @@ def test_prompt_modes_oracle_equality(ray_session):
                 (s["kind"], s["text"], s["media_ref"]) for s in want["spans"]
             ], (mode, doc["doc_id"])
             assert g["truncated"] == want["truncated"]
+
+
+def test_assembly_detects_split_document():
+    """A document whose units are missing from the block (split across
+    blocks) must raise, not silently emit a partial row."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from deepseek_ocr_ray.config import PipelineConfig
+    from deepseek_ocr_ray.schema import synthesize_interleaved
+    from deepseek_ocr_ray.stages.assemble import assemble_bucket
+    from deepseek_ocr_ray.stages.model_stub import OcrStage
+    from deepseek_ocr_ray.stages.transforms import explode_docs, parse_units
+
+    cfg = PipelineConfig()
+    tbl = synthesize_interleaved(3, seed=11)
+    units = parse_units(OcrStage(cfg)(explode_docs(tbl)), config=cfg)
+    # complete block assembles fine
+    assert assemble_bucket(units, config=cfg).num_rows == 3
+    # drop one unit of a multi-unit doc → loud failure
+    if units.num_rows > 3:
+        partial = units.slice(0, units.num_rows - 1)
+        with _pytest.raises(ValueError, match="split across blocks"):
+            assemble_bucket(partial, config=cfg)

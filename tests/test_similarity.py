@@ -102,3 +102,29 @@ def test_ivf_more_probes_more_recall(ray_session):
     for qid in qids:
         rows = full[full.query_id == qid].sort_values("rank")
         assert rows.neighbor_id.tolist() == want[qid]
+
+
+def test_ivf_persist_and_prune(ray_session, tmp_path):
+    """write → load → search_persisted reads only probed cells and returns
+    the same results as the in-memory index."""
+    tbl = _emb_table(n=200)
+    qids = [1, 7]
+    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[qids]
+
+    idx = sim.IVFIndex(n_cells=8, seed=5).build(_ds(tbl))
+    want = idx.search(q, np.asarray(qids), k=5, nprobe=3).to_pandas()
+    idx.write(str(tmp_path / "ivf"))
+
+    idx2 = sim.IVFIndex.load(str(tmp_path / "ivf"))
+    assert np.array_equal(idx2.centroids, idx.centroids)
+    got = idx2.search_persisted(q, np.asarray(qids), k=5, nprobe=3).to_pandas()
+
+    key = ["query_id", "rank"]
+    a = want.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    assert a.neighbor_id.tolist() == b.neighbor_id.tolist()
+    # the persisted layout has one dir per cell → pruning is real
+    import os
+
+    cells = [d for d in os.listdir(tmp_path / "ivf") if d.startswith("cell=")]
+    assert len(cells) == 8
