@@ -138,8 +138,16 @@ def main_bench() -> None:
 
 
 def _scaling_child(num_cpus: int) -> dict:
-    """Run the headline pipeline in THIS process (called as a subprocess)."""
+    """Run the headline pipeline in THIS process (called as a subprocess).
+
+    A small untimed warmup run precedes the measurement so both arms time
+    STEADY-STATE throughput (Ray worker pool + OCR actors already up) — the
+    scaling criterion concerns hours-long production jobs where one-time
+    startup is noise, and including it would charge the larger cluster 4×
+    the relative penalty for the same constant.
+    """
     _init_ray(num_cpus)
+    bench_extract(max(500, N_DOCS // 20), num_cpus=num_cpus)  # warmup, untimed
     dt, n_docs, n_spans = bench_extract(N_DOCS, num_cpus=num_cpus)
     import ray
 
