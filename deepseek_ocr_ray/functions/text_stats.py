@@ -35,8 +35,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 # BPE-ish tokenizer pattern (GPT-2 style, simplified to avoid lookarounds so
-# RE2/DuckDB and Python re agree exactly).
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
+# RE2/DuckDB and Python re agree exactly).  The trailing |' catches stray
+# apostrophes so segmentation is LOSSLESS (segments concatenate back to the
+# input — the stub tokenizer's decode guarantee).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s|'"
 _BPE_RE = re.compile(BPE_PATTERN)
 
 PUNCT_PATTERN = r"[.,;:!?]"

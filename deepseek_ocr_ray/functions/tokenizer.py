@@ -1,0 +1,98 @@
+"""Deterministic stub tokenizer (reference M7: HF tokenizer wrappers).
+
+The reference loads a HuggingFace tokenizer at import time and wraps
+encode/decode (/root/reference/DeepSeek-OCR-master/DeepSeek-OCR-vllm/
+process/image_process.py:256-267, config.py:75-79).  No tokenizer weights
+ship in this sandbox, so this module provides the same *interface* with
+deterministic hash-derived ids over the engine's BPE-ish segmentation
+(functions/text_stats.BPE_PATTERN): encode → decode round-trips exactly,
+ids are stable across processes/machines, and the two table-cell special
+tokens keep the reference's published ids (128821 ``<td>``, 128822
+``</td>``) so the no-repeat-n-gram whitelist (T3) matches.
+
+Swap surface for a real deployment: replace ``StubTokenizer`` with the HF
+tokenizer; everything downstream (token ids into NoRepeatNGramProcessor,
+token counting, cost models) is id-agnostic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from .text_stats import _BPE_RE
+
+# reference special-token ids (ngram_norepeat whitelist, vllm config)
+SPECIAL_TOKENS: dict[str, int] = {
+    "<td>": 128821,
+    "</td>": 128822,
+    "<｜end▁of▁sentence｜>": 128820,
+}
+_SPECIAL_BY_ID = {v: k for k, v in SPECIAL_TOKENS.items()}
+# hash-ids live below this floor so they never collide with specials
+_HASH_ID_SPACE = 1 << 17  # 131072 > vocab ids we mimic; specials above 128819
+
+
+def token_id(token: str) -> int:
+    """Stable id for a token: special table first, else 32-bit-ish hash
+    folded under the special range."""
+    sid = SPECIAL_TOKENS.get(token)
+    if sid is not None:
+        return sid
+    h = int.from_bytes(hashlib.md5(token.encode()).digest()[:4], "little")
+    h %= 128000  # stay clear of the special ids
+    return h
+
+
+class StubTokenizer:
+    """encode/decode with the call shape of the reference's wrappers.
+
+    ``encode`` segments with the BPE-ish pattern (lossless: segments
+    concatenate back to the input) and maps each segment to a stable id;
+    the instance remembers id→token so ``decode`` reconstructs exactly.
+    BOS/EOS flags mirror the reference's encode(bos=..., eos=...).
+    """
+
+    BOS_ID = 0
+    EOS_ID = SPECIAL_TOKENS["<｜end▁of▁sentence｜>"]
+
+    def __init__(self) -> None:
+        self._id_to_token: dict[int, str] = dict(_SPECIAL_BY_ID)
+        self._special_split = re.compile(
+            "(" + "|".join(re.escape(t) for t in SPECIAL_TOKENS) + ")"
+        )
+
+    def tokenize(self, text: str) -> list[str]:
+        """Special tokens are atomic; everything between them segments with
+        the BPE-ish pattern (lossless either way)."""
+        out: list[str] = []
+        for part in self._special_split.split(text):
+            if not part:
+                continue
+            if part in SPECIAL_TOKENS:
+                out.append(part)
+            else:
+                out.extend(_BPE_RE.findall(part))
+        return out
+
+    def encode(self, text: str, bos: bool = False, eos: bool = False) -> list[int]:
+        ids: list[int] = [self.BOS_ID] if bos else []
+        for tok in self.tokenize(text):
+            tid = token_id(tok)
+            self._id_to_token[tid] = tok
+            ids.append(tid)
+        if eos:
+            ids.append(self.EOS_ID)
+        return ids
+
+    def decode(self, ids: list[int], skip_special_tokens: bool = True) -> str:
+        parts: list[str] = []
+        for tid in ids:
+            if tid == self.BOS_ID:
+                continue
+            if skip_special_tokens and tid in _SPECIAL_BY_ID:
+                continue
+            tok = self._id_to_token.get(tid)
+            if tok is not None:
+                parts.append(tok)
+        return "".join(parts)

@@ -98,3 +98,48 @@ def test_doc_stats_batch_shape():
     assert out.num_rows == 2
     assert "text" not in out.column_names
     assert out["n_tokens"].to_pylist() == [2, 0]
+
+
+def test_stub_tokenizer_roundtrip():
+    from deepseek_ocr_ray.functions.tokenizer import SPECIAL_TOKENS, StubTokenizer
+
+    tok = StubTokenizer()
+    for text in (
+        "hello, world it's 42 degrees",
+        "tabs\tand\nnewlines  double",
+        "don't ' stray 'apostrophe",
+        "",
+        "<td>cell</td>",
+    ):
+        ids = tok.encode(text)
+        assert tok.decode(ids, skip_special_tokens=False) == text, text
+    # ids deterministic across instances
+    assert StubTokenizer().encode("abc def") == StubTokenizer().encode("abc def")
+    # reference special ids preserved (ngram whitelist compatibility)
+    assert SPECIAL_TOKENS["<td>"] == 128821
+    assert SPECIAL_TOKENS["</td>"] == 128822
+
+
+def test_stub_tokenizer_bos_eos():
+    from deepseek_ocr_ray.functions.tokenizer import StubTokenizer
+
+    tok = StubTokenizer()
+    ids = tok.encode("hi", bos=True, eos=True)
+    assert ids[0] == tok.BOS_ID and ids[-1] == tok.EOS_ID
+    assert tok.decode(ids) == "hi"  # specials skipped by default
+
+
+def test_tokenizer_feeds_ngram_processor():
+    """Integration: tokenized text drives the T3 constraint; <td> ids from
+    table markup are never banned."""
+    from deepseek_ocr_ray.functions.ngram_norepeat import NoRepeatNGramProcessor
+    from deepseek_ocr_ray.functions.tokenizer import StubTokenizer
+
+    tok = StubTokenizer()
+    ids = tok.encode("<td>a</td><td>a</td><td>a</td>")
+    assert ids.count(128821) == 3 and ids.count(128822) == 3  # specials atomic
+    p = NoRepeatNGramProcessor(ngram_size=2, window_size=50)
+    assert not (p.banned_tokens(ids) & {128821, 128822})
+    # with the tail ending at <td>, the repeated CELL CONTENT is banned
+    # (only the td markup itself is exempt)
+    assert p.banned_tokens(ids[:-2]) == {ids[1]}
