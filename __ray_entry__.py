@@ -237,6 +237,39 @@ def _extract_then_dedup(sf_dir: str) -> Any:
     )
 
 
+def _events_asof_orders(sf_dir: str) -> Any:
+    """As-of join: each event picks the user's latest order at-or-before the
+    event time (right side pre-deduped per (custkey, date) by max orderkey,
+    so the as-of pick is well-defined in every engine)."""
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Max
+
+    from deepseek_ocr_ray.stages.joins import asof_join
+
+    events = analytics.read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts"]
+    )
+    orders = analytics.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    dedup_orders = (
+        orders.groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey"))
+        .rename_columns({"max(o_orderkey)": "o_orderkey"})
+    )
+    joined = asof_join(
+        events,
+        dedup_orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id", "user_id"],
+        right_cols=["o_orderkey"],
+    )
+    return joined
+
+
 def _sessionize(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "events", columns=["user_id", "ts"])
     return windows.sessionize(ds, gap_sec=1800.0)
@@ -281,9 +314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": analytics.orders_by_segment,
         "q3_shipping": analytics.q3_shipping,
         "part_type_stats": analytics.part_type_stats,
-        # --- event-stream windows ---
+        # --- event-stream windows / temporal joins ---
         "sessionize": _sessionize,
         "events_topk": _events_topk,
+        "events_asof_orders": _events_asof_orders,
         # --- multimodal plumbing (fake codecs, real dataflow) ---
         "multimodal_decode": _multimodal_decode,
         "frame_sample": _frame_sample,
@@ -379,10 +413,23 @@ FROM events QUALIFY rank <= 3 ORDER BY event_type, rank
 """
 
 
+EVENTS_ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.o_orderkey
+FROM events e ASOF JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+ORDER BY e.event_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "sessionize": SESSIONIZE_SQL,
         "events_topk": EVENTS_TOPK_SQL,
+        "events_asof_orders": EVENTS_ASOF_SQL,
         "html_main_text": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text "
             "FROM documents ORDER BY doc_id"

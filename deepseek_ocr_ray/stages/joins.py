@@ -1,0 +1,145 @@
+"""Distributed as-of join — a custom operator Ray Data lacks.
+
+Semantics (matching DuckDB's ``ASOF JOIN ... ON l.key = r.key AND l.ts >=
+r.ts``): for every left row, attach the right row with the same key and the
+GREATEST right timestamp ≤ the left timestamp; left rows with no eligible
+right row are dropped (inner as-of).  The right side must be unique per
+(key, ts) — pre-aggregate it if not, or ties make any engine's pick
+arbitrary.
+
+Ray-Data-first construction (composition (a) of the custom-operator
+guidance: map_batches + groupby + in-group vectorized merge):
+
+    left  → tag side=0, bucket = hash(key) ┐
+    right → tag side=1, bucket = hash(key) ┴ union
+          → groupby(bucket)                 # ONE keyed exchange
+          → map_groups: per key, sort right ts, np.searchsorted the left
+            ts against it (vectorized binary search), emit matches
+
+Partitioning assumption: all rows of one key land in one bucket group
+(guaranteed by the hash bucket).  Cost: shuffle O(|L|+|R|), in-group work
+O((|L_k|+|R_k|) log |R_k|) per key — no per-row Python in the match step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _bucket_i64(vals: np.ndarray, n_buckets: int) -> np.ndarray:
+    x = vals.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x % np.uint64(n_buckets)).astype(np.int64)
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Inner as-of join; output columns = left_cols + right_cols.
+
+    Timestamps may be Arrow timestamps or numerics; they are compared as
+    int64 (microseconds for timestamps).
+    """
+
+    def _ts_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if pa.types.is_timestamp(col.type if isinstance(col, pa.Array) else col.type):
+            col = col.cast(pa.timestamp("us"))
+            return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def prep(side: int, key: str, ts: str, cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = {
+                "side": pa.array(np.full(len(keys), side, np.int8)),
+                "jkey": pa.array(keys, pa.int64()),
+                "jts": pa.array(_ts_i64(batch[ts]), pa.int64()),
+                "bucket": pa.array(_bucket_i64(keys, n_buckets), pa.int64()),
+            }
+            # side-specific payload columns ride along, null on the other side
+            for c in left_cols:
+                out[f"l_{c}"] = (
+                    batch[c] if side == 0 else pa.nulls(len(keys), left_schema[c])
+                )
+            for c in right_cols:
+                out[f"r_{c}"] = (
+                    batch[c] if side == 1 else pa.nulls(len(keys), right_schema[c])
+                )
+            return pa.table(out)
+
+        return fn
+
+    left_schema = {c: left.schema().base_schema.field(c).type for c in left_cols}
+    right_schema = {c: right.schema().base_schema.field(c).type for c in right_cols}
+
+    lt = left.map_batches(
+        prep(0, left_key, left_ts, left_cols), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        prep(1, right_key, right_ts, right_cols), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+
+    def merge(group: pa.Table) -> pa.Table:
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        keys = group["jkey"].to_numpy(zero_copy_only=False)
+        ts = group["jts"].to_numpy(zero_copy_only=False)
+        is_r = sides == 1
+        # per-key right index: sorted ts arrays + row positions
+        r_keys = keys[is_r]
+        r_ts = ts[is_r]
+        r_rows = np.nonzero(is_r)[0]
+        order = np.lexsort((r_ts, r_keys))
+        r_keys, r_ts, r_rows = r_keys[order], r_ts[order], r_rows[order]
+        # key → slice into the sorted right arrays
+        bounds: dict[int, tuple[int, int]] = {}
+        if len(r_keys):
+            starts = np.nonzero(np.diff(r_keys, prepend=r_keys[0] - 1))[0]
+            ends = np.append(starts[1:], len(r_keys))
+            bounds = {int(r_keys[s]): (int(s), int(e)) for s, e in zip(starts, ends)}
+
+        l_rows = np.nonzero(~is_r)[0]
+        l_keys = keys[l_rows]
+        l_sort = np.argsort(l_keys, kind="stable")
+        l_rows = l_rows[l_sort]
+        l_keys = l_keys[l_sort]
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        i = 0
+        n_l = len(l_rows)
+        while i < n_l:  # one iteration per DISTINCT left key, vectorized inside
+            j = i
+            while j < n_l and l_keys[j] == l_keys[i]:
+                j += 1
+            b = bounds.get(int(l_keys[i]))
+            if b is not None:
+                s, e = b
+                run = l_rows[i:j]
+                pos = np.searchsorted(r_ts[s:e], ts[run], side="right")
+                valid = pos > 0  # no match when no right ts <= left ts
+                out_l.append(run[valid])
+                out_r.append(r_rows[s + pos[valid] - 1])
+            i = j
+        out_l = np.concatenate(out_l) if out_l else np.array([], np.int64)
+        out_r = np.concatenate(out_r) if out_r else np.array([], np.int64)
+        cols = {}
+        for c in left_cols:
+            cols[c] = group[f"l_{c}"].take(pa.array(out_l, pa.int64()))
+        for c in right_cols:
+            cols[c] = group[f"r_{c}"].take(pa.array(out_r, pa.int64()))
+        return pa.table(cols)
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")

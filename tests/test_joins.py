@@ -1,0 +1,97 @@
+"""As-of join operator tests (stages/joins)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from deepseek_ocr_ray.stages.joins import asof_join
+
+
+def _ds(tbl, blocks=2):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+LEFT = pa.table(
+    {
+        "lid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "key": pa.array([10, 10, 10, 20, 30], pa.int64()),
+        "lts": pa.array([100, 205, 50, 500, 7], pa.int64()),
+    }
+)
+RIGHT = pa.table(
+    {
+        "rid": pa.array([101, 102, 103, 104], pa.int64()),
+        "rkey": pa.array([10, 10, 20, 40], pa.int64()),
+        "rts": pa.array([100, 200, 450, 1], pa.int64()),
+    }
+)
+
+
+def test_asof_join_semantics(ray_session):
+    out = (
+        asof_join(
+            _ds(LEFT), _ds(RIGHT),
+            left_key="key", right_key="rkey",
+            left_ts="lts", right_ts="rts",
+            left_cols=["lid", "key"], right_cols=["rid"],
+        )
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    # lid=1 ts=100 → rts=100 (equality matches); lid=2 ts=205 → rts=200;
+    # lid=3 ts=50 → no rts<=50 for key 10 → dropped;
+    # lid=4 ts=500 → rts=450; lid=5 key 30 has no right rows → dropped
+    assert out.lid.tolist() == [1, 2, 4]
+    assert out.rid.tolist() == [101, 102, 103]
+
+
+def test_asof_join_block_invariant(ray_session):
+    a = (
+        asof_join(
+            _ds(LEFT, 1), _ds(RIGHT, 1),
+            left_key="key", right_key="rkey",
+            left_ts="lts", right_ts="rts",
+            left_cols=["lid"], right_cols=["rid"],
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    b = (
+        asof_join(
+            _ds(LEFT.take(pa.array([4, 2, 0, 1, 3])), 3), _ds(RIGHT, 2),
+            left_key="key", right_key="rkey",
+            left_ts="lts", right_ts="rts",
+            left_cols=["lid"], right_cols=["rid"],
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_asof_join_timestamps(ray_session):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = pa.table(
+        {
+            "lid": pa.array([1, 2], pa.int64()),
+            "k": pa.array([5, 5], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(days=3), t0], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([9, 8], pa.int64()),
+            "k": pa.array([5, 5], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(days=2), t0 - dt.timedelta(days=1)],
+                           pa.timestamp("us")),
+        }
+    )
+    out = (
+        asof_join(
+            _ds(left), _ds(right),
+            left_key="k", right_key="k", left_ts="ts", right_ts="ts",
+            left_cols=["lid"], right_cols=["rid"],
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert out.lid.tolist() == [1, 2]
+    assert out.rid.tolist() == [9, 8]
