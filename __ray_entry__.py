@@ -270,6 +270,44 @@ def _events_asof_orders(sf_dir: str) -> Any:
     return joined
 
 
+def _events_value_bands(sf_dir: str) -> Any:
+    """Range join: events (value × 20) against per-brand retail-price bands
+    [min, max] — one-to-many interval matching via band-partitioning."""
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Max as RMax, Min as RMin
+
+    from deepseek_ocr_ray.stages.joins import range_join
+
+    events = analytics.read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False) * 20.0
+        return pa.table(
+            {"event_id": batch["event_id"], "value20": pa.array(v, pa.float64())}
+        )
+
+    left = events.map_batches(scale, batch_format="pyarrow")
+    bands = (
+        analytics.read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+        .groupby("p_brand")
+        .aggregate(RMin("p_retailprice"), RMax("p_retailprice"))
+        .rename_columns(
+            {"min(p_retailprice)": "lo", "max(p_retailprice)": "hi"}
+        )
+    )
+    # domain of the scaled left values: events.value ∈ (0, 500] → ×20
+    return range_join(
+        left,
+        bands,
+        left_val="value20",
+        right_lo="lo",
+        right_hi="hi",
+        left_cols=["event_id"],
+        right_cols=["p_brand"],
+        domain=(0.0, 10000.0),
+    )
+
+
 def _sessionize(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "events", columns=["user_id", "ts"])
     return windows.sessionize(ds, gap_sec=1800.0)
@@ -318,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _sessionize,
         "events_topk": _events_topk,
         "events_asof_orders": _events_asof_orders,
+        "events_value_bands": _events_value_bands,
         # --- multimodal plumbing (fake codecs, real dataflow) ---
         "multimodal_decode": _multimodal_decode,
         "frame_sample": _frame_sample,
@@ -430,6 +469,12 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SESSIONIZE_SQL,
         "events_topk": EVENTS_TOPK_SQL,
         "events_asof_orders": EVENTS_ASOF_SQL,
+        "events_value_bands": (
+            "WITH bands AS (SELECT p_brand, min(p_retailprice) AS lo, "
+            "max(p_retailprice) AS hi FROM part GROUP BY 1) "
+            "SELECT e.event_id, b.p_brand FROM events e JOIN bands b "
+            "ON e.value*20 BETWEEN b.lo AND b.hi ORDER BY 1, 2"
+        ),
         "html_main_text": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text "
             "FROM documents ORDER BY doc_id"

@@ -143,3 +143,118 @@ def asof_join(
         return pa.table(cols)
 
     return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    domain: tuple[float, float],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Interval (range) join: every (l, r) pair with
+    ``r.lo <= l.val <= r.hi`` — one-to-many, no equality key.
+
+    Partitioning strategy (the classic band-join plan): the value domain is
+    split into ``n_buckets`` equal bands; left rows route to the single band
+    containing their value, right INTERVALS replicate to every band they
+    overlap (replication factor = interval width / band width).  One keyed
+    exchange; in-group the left values are sorted once and every interval
+    finds its matches with two binary searches — no pairwise scan.
+
+    ``domain`` is the (min, max) of the left value column — compute it with
+    a cheap aggregate pass or supply known bounds; values outside are
+    clamped into the edge bands.
+    """
+    lo_d, hi_d = float(domain[0]), float(domain[1])
+    width = max((hi_d - lo_d) / n_buckets, 1e-12)
+
+    def _band(v: np.ndarray) -> np.ndarray:
+        b = np.floor((v - lo_d) / width).astype(np.int64)
+        return np.clip(b, 0, n_buckets - 1)
+
+    left_schema = {c: left.schema().base_schema.field(c).type for c in left_cols}
+    right_schema = {c: right.schema().base_schema.field(c).type for c in right_cols}
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        vals = batch[left_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = {
+            "side": pa.array(np.zeros(len(vals), np.int8)),
+            "lo": pa.array(vals, pa.float64()),
+            "hi": pa.array(vals, pa.float64()),
+            "bucket": pa.array(_band(vals), pa.int64()),
+        }
+        for c in left_cols:
+            out[f"l_{c}"] = batch[c]
+        for c in right_cols:
+            out[f"r_{c}"] = pa.nulls(len(vals), right_schema[c])
+        return pa.table(out)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        lo = batch[right_lo].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch[right_hi].to_numpy(zero_copy_only=False).astype(np.float64)
+        b_lo = _band(lo)
+        b_hi = _band(hi)
+        # replicate each interval to every band it overlaps
+        reps = (b_hi - b_lo + 1).clip(min=1)
+        idx = np.repeat(np.arange(len(lo)), reps)
+        buckets = np.concatenate(
+            [np.arange(s, e + 1) for s, e in zip(b_lo, b_hi)]
+        ) if len(lo) else np.array([], np.int64)
+        out = {
+            "side": pa.array(np.ones(len(idx), np.int8)),
+            "lo": pa.array(lo[idx], pa.float64()),
+            "hi": pa.array(hi[idx], pa.float64()),
+            "bucket": pa.array(buckets, pa.int64()),
+        }
+        take = pa.array(idx, pa.int64())
+        for c in left_cols:
+            out[f"l_{c}"] = pa.nulls(len(idx), left_schema[c])
+        for c in right_cols:
+            out[f"r_{c}"] = batch[c].take(take)
+        return pa.table(out)
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow")
+    rt = right.map_batches(prep_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def merge(group: pa.Table) -> pa.Table:
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        lo = group["lo"].to_numpy(zero_copy_only=False)
+        hi = group["hi"].to_numpy(zero_copy_only=False)
+        bucket = group["bucket"].to_numpy(zero_copy_only=False)
+        is_l = sides == 0
+        l_rows = np.nonzero(is_l)[0]
+        l_vals = lo[is_l]
+        l_bucket = bucket[is_l]
+        order = np.argsort(l_vals, kind="stable")
+        l_rows, l_vals, l_bucket = l_rows[order], l_vals[order], l_bucket[order]
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        for ri in np.nonzero(~is_l)[0]:
+            s = np.searchsorted(l_vals, lo[ri], side="left")
+            e = np.searchsorted(l_vals, hi[ri], side="right")
+            if e <= s:
+                continue
+            # a left row matches in exactly ONE band (its own); the interval
+            # copy in this group only claims left rows banded here, so the
+            # pair is emitted exactly once across all groups
+            sel = np.nonzero(l_bucket[s:e] == bucket[ri])[0]
+            if len(sel):
+                out_l.append(l_rows[s + sel])
+                out_r.append(np.full(len(sel), ri, np.int64))
+        li = np.concatenate(out_l) if out_l else np.array([], np.int64)
+        ri_ = np.concatenate(out_r) if out_r else np.array([], np.int64)
+        cols = {}
+        for c in left_cols:
+            cols[c] = group[f"l_{c}"].take(pa.array(li, pa.int64()))
+        for c in right_cols:
+            cols[c] = group[f"r_{c}"].take(pa.array(ri_, pa.int64()))
+        return pa.table(cols)
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")

@@ -95,3 +95,55 @@ def test_asof_join_timestamps(ray_session):
     )
     assert out.lid.tolist() == [1, 2]
     assert out.rid.tolist() == [9, 8]
+
+
+def test_range_join_semantics(ray_session):
+    from deepseek_ocr_ray.stages.joins import range_join
+
+    left = pa.table(
+        {
+            "lid": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([5.0, 15.0, 25.0, 100.0]),
+        }
+    )
+    right = pa.table(
+        {
+            "band": pa.array(["a", "b", "c"]),
+            "lo": pa.array([0.0, 10.0, 20.0]),
+            "hi": pa.array([20.0, 30.0, 25.0]),
+        }
+    )
+    out = (
+        range_join(
+            _ds(left), _ds(right),
+            left_val="v", right_lo="lo", right_hi="hi",
+            left_cols=["lid"], right_cols=["band"],
+            domain=(0.0, 110.0), n_buckets=8,
+        )
+        .to_pandas().sort_values(["lid", "band"]).reset_index(drop=True)
+    )
+    got = list(zip(out.lid, out.band))
+    # v=5 → a; v=15 → a,b; v=25 → b,c (boundary inclusive); v=100 → none
+    assert got == [(1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "c")]
+
+
+def test_range_join_no_duplicates_across_bands(ray_session):
+    """An interval spanning many bands must emit each pair exactly once."""
+    from deepseek_ocr_ray.stages.joins import range_join
+
+    left = pa.table(
+        {"lid": pa.array(list(range(20)), pa.int64()),
+         "v": pa.array([float(i) for i in range(20)])}
+    )
+    right = pa.table(
+        {"band": pa.array(["wide"]), "lo": pa.array([2.0]), "hi": pa.array([17.0])}
+    )
+    out = (
+        range_join(
+            _ds(left, 3), _ds(right, 1),
+            left_val="v", right_lo="lo", right_hi="hi",
+            left_cols=["lid"], right_cols=["band"],
+            domain=(0.0, 20.0), n_buckets=16,
+        ).to_pandas()
+    )
+    assert sorted(out.lid.tolist()) == list(range(2, 18))  # each exactly once
