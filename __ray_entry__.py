@@ -313,6 +313,13 @@ def _sessionize(sf_dir: str) -> Any:
     return windows.sessionize(ds, gap_sec=1800.0)
 
 
+def _events_rolling7(sf_dir: str) -> Any:
+    """Sliding-window aggregate: trailing-7-day event count + value sum per
+    (event_type, day)."""
+    ds = analytics.read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return windows.sliding_window_daily(ds, window_days=7)
+
+
 def _events_topk(sf_dir: str) -> Any:
     ds = analytics.read_table(
         sf_dir, "events", columns=["event_type", "value", "event_id"]
@@ -355,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream windows / temporal joins ---
         "sessionize": _sessionize,
         "events_topk": _events_topk,
+        "events_rolling7": _events_rolling7,
         "events_asof_orders": _events_asof_orders,
         "events_value_bands": _events_value_bands,
         # --- multimodal plumbing (fake codecs, real dataflow) ---
@@ -468,6 +476,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sessionize": SESSIONIZE_SQL,
         "events_topk": EVENTS_TOPK_SQL,
+        "events_rolling7": """
+WITH d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+         sum(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       sum(n) OVER w AS w_events,
+       sum(cents) OVER w AS w_value_cents
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY CAST(day AS DATE)
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+ORDER BY 1, 2
+""",
         "events_asof_orders": EVENTS_ASOF_SQL,
         "events_value_bands": (
             "WITH bands AS (SELECT p_brand, min(p_retailprice) AS lo, "

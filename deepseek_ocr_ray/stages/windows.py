@@ -155,3 +155,100 @@ def grouped_topk(
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def sliding_window_daily(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+) -> ray.data.Dataset:
+    """Sliding (rolling) window aggregate: for every (group, day), the event
+    count and integer-cent value sum over the trailing ``window_days`` days
+    (current day inclusive).
+
+    Two-phase plan: a distributed daily pre-aggregate (hash groupby with
+    map-side combine — the heavy reduction), then the rolling pass runs
+    per-group over the now-tiny daily series (groups × days rows) with a
+    vectorized prefix-sum difference.  DAYS WITHOUT EVENTS contribute zero
+    but still appear inside another day's window — handled by evaluating
+    windows on the observed days only and widening with searchsorted over
+    day ordinals, which is exactly SQL's ``RANGE BETWEEN INTERVAL ...
+    PRECEDING`` frame semantics.
+    """
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch[ts_col], format="%Y-%m-%d")
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "day": day,
+                "value_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby([group_col, "day"])
+        .aggregate(Count(), Sum("value_cents"))
+        .rename_columns({"count()": "n", "sum(value_cents)": "cents"})
+    )
+
+    def add_group_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch[group_col].to_pylist()
+        import hashlib as _h
+
+        b = [
+            int.from_bytes(_h.md5(str(k).encode()).digest()[:4], "little") % 16
+            for k in keys
+        ]
+        return batch.append_column("gbucket", pa.array(b, pa.int64()))
+
+    def roll(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(group_col, "ascending"), ("day", "ascending")])
+        keys = g[group_col].to_pylist()
+        days = g["day"].to_pylist()
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # day ordinal for RANGE-frame arithmetic
+        ords = np.array(
+            [np.datetime64(d).astype("datetime64[D]").astype(np.int64) for d in days]
+        )
+        out_rows = {k: [] for k in (group_col, "day", "w_events", "w_value_cents")}
+        i = 0
+        total = len(keys)
+        while i < total:
+            j = i
+            while j < total and keys[j] == keys[i]:
+                j += 1
+            o = ords[i:j]
+            cn = np.concatenate([[0], np.cumsum(n[i:j])])
+            cc = np.concatenate([[0], np.cumsum(cents[i:j])])
+            # window start index per day: first observed day > d - window
+            starts = np.searchsorted(o, o - (window_days - 1), side="left")
+            idx = np.arange(j - i)
+            out_rows[group_col].extend(keys[i:j])
+            out_rows["day"].extend(days[i:j])
+            out_rows["w_events"].extend((cn[idx + 1] - cn[starts]).tolist())
+            out_rows["w_value_cents"].extend((cc[idx + 1] - cc[starts]).tolist())
+            i = j
+        return pa.table(
+            {
+                group_col: pa.array(out_rows[group_col], pa.string()),
+                "day": pa.array(out_rows["day"], pa.string()),
+                "w_events": pa.array(out_rows["w_events"], pa.int64()),
+                "w_value_cents": pa.array(out_rows["w_value_cents"], pa.int64()),
+            }
+        )
+
+    return (
+        daily.map_batches(add_group_bucket, batch_format="pyarrow")
+        .groupby("gbucket")
+        .map_groups(roll, batch_format="pyarrow")
+    )
