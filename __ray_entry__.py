@@ -25,11 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from deepseek_ocr_ray.functions.html_extract import extract_main_content
-from deepseek_ocr_ray.functions.text_stats import (
-    BPE_PATTERN,
-    STOPWORDS,
-    stopword_sql_list,
-)
+from deepseek_ocr_ray.functions.text_stats import BPE_PATTERN, stopword_sql_list
 from deepseek_ocr_ray.pipelines import analytics
 from deepseek_ocr_ray.pipelines.extract import extract_dataset
 from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
@@ -241,7 +237,6 @@ def _events_asof_orders(sf_dir: str) -> Any:
     """As-of join: each event picks the user's latest order at-or-before the
     event time (right side pre-deduped per (custkey, date) by max orderkey,
     so the as-of pick is well-defined in every engine)."""
-    import pyarrow.compute as pc_
     from ray.data.aggregate import Max
 
     from deepseek_ocr_ray.stages.joins import asof_join
@@ -273,7 +268,6 @@ def _events_asof_orders(sf_dir: str) -> Any:
 def _events_value_bands(sf_dir: str) -> Any:
     """Range join: events (value × 20) against per-brand retail-price bands
     [min, max] — one-to-many interval matching via band-partitioning."""
-    import pyarrow.compute as pc_
     from ray.data.aggregate import Max as RMax, Min as RMin
 
     from deepseek_ocr_ray.stages.joins import range_join

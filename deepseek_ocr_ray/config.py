@@ -12,7 +12,7 @@ Nothing here imports Ray; this module is pure data.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 # Resolution presets — vision-token cost per page depends on these.
