@@ -29,18 +29,21 @@ SPECIAL_TOKENS: dict[str, int] = {
     "<｜end▁of▁sentence｜>": 128820,
 }
 _SPECIAL_BY_ID = {v: k for k, v in SPECIAL_TOKENS.items()}
-# hash-ids live below this floor so they never collide with specials
-_HASH_ID_SPACE = 1 << 17  # 131072 > vocab ids we mimic; specials above 128819
+# ids reserved by the interface: BOS (0) and the specials
+_RESERVED_IDS = frozenset({0}) | frozenset(_SPECIAL_BY_ID)
 
 
 def token_id(token: str) -> int:
-    """Stable id for a token: special table first, else 32-bit-ish hash
-    folded under the special range."""
+    """Stable id for a token: special table first, else a 63-bit md5 hash
+    (collision probability ~n²/2^64 — negligible even for huge vocabs,
+    unlike a 17-bit fold which collides after a few hundred tokens).
+    Hash ids landing on a reserved id are deterministically nudged."""
     sid = SPECIAL_TOKENS.get(token)
     if sid is not None:
         return sid
-    h = int.from_bytes(hashlib.md5(token.encode()).digest()[:4], "little")
-    h %= 128000  # stay clear of the special ids
+    h = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "little") >> 1
+    while h in _RESERVED_IDS:
+        h += 3
     return h
 
 

@@ -46,6 +46,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..functions.text_stats import md5_fingerprints
+from ..hashing import id_bucket_array, splitmix_bucket
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -158,31 +159,10 @@ _DEC_SCHEMA_DROPPED = "dropped"
 
 
 def _stable_group(band: np.ndarray, key: np.ndarray, n_buckets: int) -> np.ndarray:
-    """Coarse shuffle group for (band, band_key) — md5-free: mix the two
-    64-bit values with splitmix-style constants (stable across processes)."""
+    """Coarse shuffle group for (band, band_key): mix band into the key,
+    then the shared splitmix bucket (stable across processes)."""
     x = key.astype(np.uint64) ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    return (x % np.uint64(n_buckets)).astype(np.int64)
-
-
-def _id_bucket_array(ids: pa.Array, n_buckets: int) -> pa.Array:
-    """Stable bucket of an id column (int or string) for the final reduce."""
-    if pa.types.is_integer(ids.type):
-        x = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(33)
-        return pa.array((x % np.uint64(n_buckets)).astype(np.int64), pa.int64())
-    return pa.array(
-        [
-            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:4], "little")
-            % n_buckets
-            for v in ids.to_pylist()
-        ],
-        pa.int64(),
-    )
+    return splitmix_bucket(x, n_buckets)
 
 
 def _lsh_dedup(
@@ -222,7 +202,7 @@ def _lsh_dedup(
         ids = g[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        return g.append_column("id_bucket", _id_bucket_array(ids, n_buckets))
+        return g.append_column("id_bucket", id_bucket_array(ids, n_buckets))
 
     def final_keep(group: pa.Table) -> pa.Table:
         g = group.group_by(id_col).aggregate([(_DEC_SCHEMA_DROPPED, "max")])

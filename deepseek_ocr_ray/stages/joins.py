@@ -27,13 +27,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-
-def _bucket_i64(vals: np.ndarray, n_buckets: int) -> np.ndarray:
-    x = vals.astype(np.uint64)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    return (x % np.uint64(n_buckets)).astype(np.int64)
+from ..hashing import splitmix_bucket as _bucket_i64
 
 
 def asof_join(
@@ -54,11 +48,34 @@ def asof_join(
     int64 (microseconds for timestamps).
     """
 
-    def _ts_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-        if pa.types.is_timestamp(col.type if isinstance(col, pa.Array) else col.type):
+    def _ts_i64(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, str]:
+        """Normalize a time column to (int64 microseconds, kind).  Mixed
+        temporal/numeric sides are a user error and raise — a silent
+        unit mismatch (e.g. date32 DAYS vs timestamp MICROSECONDS) would
+        make every comparison wrong."""
+        t = col.type
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
             col = col.cast(pa.timestamp("us"))
-            return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+            arr = col.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            return arr, "temporal"
+        return col.to_numpy(zero_copy_only=False).astype(np.int64), "numeric"
+
+
+    def _kind(t: pa.DataType) -> str:
+        return (
+            "temporal"
+            if pa.types.is_timestamp(t) or pa.types.is_date(t)
+            else "numeric"
+        )
+
+    lk = _kind(left.schema().base_schema.field(left_ts).type)
+    rk = _kind(right.schema().base_schema.field(right_ts).type)
+    if lk != rk:
+        raise TypeError(
+            f"asof_join: left ts column is {lk} but right ts column is {rk} "
+            "— a silent unit mismatch would corrupt every match; cast one "
+            "side first"
+        )
 
     def prep(side: int, key: str, ts: str, cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -66,7 +83,7 @@ def asof_join(
             out = {
                 "side": pa.array(np.full(len(keys), side, np.int8)),
                 "jkey": pa.array(keys, pa.int64()),
-                "jts": pa.array(_ts_i64(batch[ts]), pa.int64()),
+                "jts": pa.array(_ts_i64(batch[ts])[0], pa.int64()),
                 "bucket": pa.array(_bucket_i64(keys, n_buckets), pa.int64()),
             }
             # side-specific payload columns ride along, null on the other side
@@ -198,6 +215,10 @@ def range_join(
     def prep_right(batch: pa.Table) -> pa.Table:
         lo = batch[right_lo].to_numpy(zero_copy_only=False).astype(np.float64)
         hi = batch[right_hi].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = hi >= lo  # inverted intervals match nothing (SQL BETWEEN)
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            lo, hi = lo[ok], hi[ok]
         b_lo = _band(lo)
         b_hi = _band(hi)
         # replicate each interval to every band it overlaps
@@ -227,13 +248,11 @@ def range_join(
         sides = group["side"].to_numpy(zero_copy_only=False)
         lo = group["lo"].to_numpy(zero_copy_only=False)
         hi = group["hi"].to_numpy(zero_copy_only=False)
-        bucket = group["bucket"].to_numpy(zero_copy_only=False)
         is_l = sides == 0
         l_rows = np.nonzero(is_l)[0]
         l_vals = lo[is_l]
-        l_bucket = bucket[is_l]
         order = np.argsort(l_vals, kind="stable")
-        l_rows, l_vals, l_bucket = l_rows[order], l_vals[order], l_bucket[order]
+        l_rows, l_vals = l_rows[order], l_vals[order]
         out_l: list[np.ndarray] = []
         out_r: list[np.ndarray] = []
         for ri in np.nonzero(~is_l)[0]:
@@ -241,13 +260,11 @@ def range_join(
             e = np.searchsorted(l_vals, hi[ri], side="right")
             if e <= s:
                 continue
-            # a left row matches in exactly ONE band (its own); the interval
-            # copy in this group only claims left rows banded here, so the
-            # pair is emitted exactly once across all groups
-            sel = np.nonzero(l_bucket[s:e] == bucket[ri])[0]
-            if len(sel):
-                out_l.append(l_rows[s + sel])
-                out_r.append(np.full(len(sel), ri, np.int64))
+            # no cross-band duplicates are possible: a left row lives in
+            # exactly one band group, and this interval copy was routed to
+            # this group — every row in [s, e) is a match
+            out_l.append(l_rows[s:e])
+            out_r.append(np.full(e - s, ri, np.int64))
         li = np.concatenate(out_l) if out_l else np.array([], np.int64)
         ri_ = np.concatenate(out_r) if out_r else np.array([], np.int64)
         cols = {}

@@ -256,12 +256,19 @@ class IVFIndex:
             )
         ]
         ds = ray.data.read_parquet(parts)
-        self.assigned = ds.map_batches(
-            self._reassign_cells, batch_format="pyarrow"
-        )
-        return self.search(
-            queries, query_ids, k=k, nprobe=nprobe, exclude_self=exclude_self
-        )
+        pruned = ds.map_batches(self._reassign_cells, batch_format="pyarrow")
+        # build the search plan against the pruned scan, then RESTORE the
+        # previous assignment — otherwise a later search() on this index
+        # would silently scan only the cells this call probed
+        prev = self.assigned
+        self.assigned = pruned
+        try:
+            return self.search(
+                queries, query_ids, k=k, nprobe=nprobe,
+                exclude_self=exclude_self,
+            )
+        finally:
+            self.assigned = prev
 
     def _reassign_cells(self, batch):
         """Normalize the cell column: the hive-partition read restores it as

@@ -25,12 +25,7 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def _bucket_i64(vals: np.ndarray, n_buckets: int) -> np.ndarray:
-    x = vals.astype(np.uint64)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    return (x % np.uint64(n_buckets)).astype(np.int64)
+from ..hashing import splitmix_bucket as _bucket_i64
 
 
 def sessionize(
@@ -201,14 +196,11 @@ def sliding_window_daily(
     )
 
     def add_group_bucket(batch: pa.Table) -> pa.Table:
-        keys = batch[group_col].to_pylist()
-        import hashlib as _h
+        from ..hashing import id_bucket_array
 
-        b = [
-            int.from_bytes(_h.md5(str(k).encode()).digest()[:4], "little") % 16
-            for k in keys
-        ]
-        return batch.append_column("gbucket", pa.array(b, pa.int64()))
+        return batch.append_column(
+            "gbucket", id_bucket_array(batch[group_col], 16)
+        )
 
     def roll(group: pa.Table) -> pa.Table:
         g = group.sort_by([(group_col, "ascending"), ("day", "ascending")])

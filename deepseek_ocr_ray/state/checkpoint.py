@@ -51,6 +51,14 @@ def config_fingerprint(config: PipelineConfig) -> str:
     return hashlib.md5(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()
 
 
+def run_fingerprint(config: PipelineConfig, exchange: str = "none") -> str:
+    """Lineage fingerprint of a run: config + assembly exchange mode (the
+    mode affects execution and must invalidate resume skips)."""
+    return hashlib.md5(
+        (config_fingerprint(config) + ":" + exchange).encode()
+    ).hexdigest()
+
+
 def manifest_path(out_root: str, pid: int) -> str:
     return os.path.join(out_root, "_ckpt", f"partition={pid}.json")
 
@@ -95,7 +103,9 @@ def run_checkpointed(
     from ..sources.interleaved import list_partitions, read_partition
 
     cfg = config or PipelineConfig()
-    cfg_fp = config_fingerprint(cfg)
+    # the exchange mode is execution lineage too: resuming a run under a
+    # different mode must recompute, not skip
+    cfg_fp = run_fingerprint(cfg, exchange)
     os.makedirs(os.path.join(out_root, "_ckpt"), exist_ok=True)
 
     # sweep orphaned temp dirs from crashed runs (crash between write and

@@ -10,9 +10,9 @@ import pytest
 from deepseek_ocr_ray import PipelineConfig
 from deepseek_ocr_ray.schema import write_interleaved
 from deepseek_ocr_ray.state.checkpoint import (
-    config_fingerprint,
     load_manifest,
     run_checkpointed,
+    run_fingerprint,
 )
 
 N_DOCS = 64
@@ -65,7 +65,7 @@ def test_resume_after_partial_run(ray_session, corpus, tmp_path):
 
     # manifests carry lineage + metrics
     assert m0["docs"] > 0 and m0["wall_sec"] > 0 and m0["input_fingerprint"]
-    assert m0["config_fingerprint"] == config_fingerprint(cfg)
+    assert m0["config_fingerprint"] == run_fingerprint(cfg)
 
 
 def test_config_change_invalidates(ray_session, corpus, tmp_path):

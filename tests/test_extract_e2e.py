@@ -212,7 +212,7 @@ def test_assembly_detects_split_document():
     # complete block assembles fine
     assert assemble_bucket(units, config=cfg).num_rows == 3
     # drop one unit of a multi-unit doc → loud failure
-    if units.num_rows > 3:
-        partial = units.slice(0, units.num_rows - 1)
-        with _pytest.raises(ValueError, match="split across blocks"):
-            assemble_bucket(partial, config=cfg)
+    assert units.num_rows > 3, "corpus must contain a multi-unit doc"
+    partial = units.slice(0, units.num_rows - 1)
+    with _pytest.raises(ValueError, match="split across blocks"):
+        assemble_bucket(partial, config=cfg)
