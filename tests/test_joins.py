@@ -147,3 +147,92 @@ def test_range_join_no_duplicates_across_bands(ray_session):
         ).to_pandas()
     )
     assert sorted(out.lid.tolist()) == list(range(2, 18))  # each exactly once
+
+
+def _naive_asof(left_rows, right_rows):
+    """O(n²) reference: per left row, right row with max ts <= left ts."""
+    out = []
+    for lid, lk, lt in left_rows:
+        best = None
+        for rid, rk, rt in right_rows:
+            if rk == lk and rt <= lt and (best is None or rt > best[1]):
+                best = (rid, rt)
+        if best is not None:
+            out.append((lid, best[0]))
+    return sorted(out)
+
+
+def _naive_range(left_rows, right_rows):
+    out = []
+    for lid, v in left_rows:
+        for rid, lo, hi in right_rows:
+            if lo <= v <= hi:
+                out.append((lid, rid))
+    return sorted(out)
+
+
+def test_asof_join_random_vs_naive(ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    for trial in range(3):
+        n_l, n_r = 60, 40
+        lk = rng.randint(0, 6, n_l)
+        lt = rng.randint(0, 1000, n_l)
+        rk = rng.randint(0, 6, n_r)
+        # unique (key, ts) on the right (asof precondition)
+        seen = set()
+        rt = []
+        for k in rk:
+            t = int(rng.randint(0, 1000))
+            while (k, t) in seen:
+                t = int(rng.randint(0, 1000))
+            seen.add((k, t))
+            rt.append(t)
+        left = pa.table({"lid": pa.array(range(n_l), pa.int64()),
+                         "k": pa.array(lk, pa.int64()),
+                         "ts": pa.array(lt, pa.int64())})
+        right = pa.table({"rid": pa.array(range(100, 100 + n_r), pa.int64()),
+                          "k": pa.array(rk, pa.int64()),
+                          "ts": pa.array(rt, pa.int64())})
+        got = (
+            asof_join(_ds(left, 3), _ds(right, 2),
+                      left_key="k", right_key="k", left_ts="ts", right_ts="ts",
+                      left_cols=["lid"], right_cols=["rid"])
+            .to_pandas()
+        )
+        want = _naive_asof(
+            list(zip(range(n_l), lk, lt)),
+            list(zip(range(100, 100 + n_r), rk, rt)),
+        )
+        assert sorted(zip(got.lid, got.rid)) == want, f"trial {trial}"
+
+
+def test_range_join_random_vs_naive(ray_session):
+    import numpy as np
+
+    from deepseek_ocr_ray.stages.joins import range_join
+
+    rng = np.random.RandomState(23)
+    n_l, n_r = 80, 25
+    lv = rng.uniform(0, 100, n_l)
+    lo = rng.uniform(0, 100, n_r)
+    width = rng.uniform(0, 40, n_r)
+    hi = lo + width - 10  # some inverted intervals included
+    left = pa.table({"lid": pa.array(range(n_l), pa.int64()),
+                     "v": pa.array(lv, pa.float64())})
+    right = pa.table({"rid": pa.array(range(500, 500 + n_r), pa.int64()),
+                      "lo": pa.array(lo, pa.float64()),
+                      "hi": pa.array(hi, pa.float64())})
+    got = (
+        range_join(_ds(left, 3), _ds(right, 2),
+                   left_val="v", right_lo="lo", right_hi="hi",
+                   left_cols=["lid"], right_cols=["rid"],
+                   domain=(0.0, 100.0), n_buckets=16)
+        .to_pandas()
+    )
+    want = _naive_range(
+        list(zip(range(n_l), lv)),
+        list(zip(range(500, 500 + n_r), lo, hi)),
+    )
+    assert sorted(zip(got.lid, got.rid)) == want
