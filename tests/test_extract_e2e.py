@@ -216,3 +216,39 @@ def test_assembly_detects_split_document():
     partial = units.slice(0, units.num_rows - 1)
     with _pytest.raises(ValueError, match="split across blocks"):
         assemble_bucket(partial, config=cfg)
+
+
+def test_salted_handles_extreme_doc(ray_session):
+    """A single 500-unit document (≫ salt_span) splits into ~8 salt partials
+    and must reassemble identically to the groupby path."""
+    import ray.data
+
+    from deepseek_ocr_ray.config import PipelineConfig
+    from deepseek_ocr_ray.pipelines.extract import extract_dataset
+    from deepseek_ocr_ray.schema import IN_SCHEMA
+
+    spans = []
+    for off in range(500):
+        if off % 3 == 0:
+            spans.append({"kind": "pdf_page", "text": "",
+                          "media_ref": f"blob://big/{off}", "offset": off})
+        else:
+            spans.append({"kind": "text", "text": f"chunk {off}",
+                          "media_ref": "", "offset": off})
+    tbl = pa.Table.from_pylist(
+        [{"doc_id": "doc-big", "spans": spans}], schema=IN_SCHEMA
+    )
+
+    cfg = PipelineConfig(ocr_concurrency=2, salt_span=64)
+    rows = {}
+    for ex in ("groupby", "salted"):
+        ds = ray.data.from_arrow(tbl)
+        out = extract_dataset(ds, cfg, exchange=ex).take_all()
+        assert len(out) == 1
+        rows[ex] = out[0]
+    a, b = rows["groupby"], rows["salted"]
+    assert a["markdown"] == b["markdown"]
+    assert a["n_spans"] == b["n_spans"] > 300
+    assert [tuple(s.values()) for s in a["spans"]] == [
+        tuple(s.values()) for s in b["spans"]
+    ]
