@@ -353,6 +353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": analytics.orders_by_segment,
         "q3_shipping": analytics.q3_shipping,
         "part_type_stats": analytics.part_type_stats,
+        "customers_without_orders": analytics.customers_without_orders,
+        "suppliers_with_lineitems": analytics.suppliers_with_lineitems,
+        "priority_price_quantiles": analytics.priority_price_quantiles,
         # --- event-stream windows / temporal joins ---
         "sessionize": _sessionize,
         "events_topk": _events_topk,
@@ -516,4 +519,7 @@ ORDER BY 1, 2
         "orders_by_segment": analytics.ORDERS_BY_SEGMENT_SQL,
         "q3_shipping": analytics.Q3_SQL,
         "part_type_stats": analytics.PART_TYPE_SQL,
+        "customers_without_orders": analytics.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "suppliers_with_lineitems": analytics.SUPPLIERS_WITH_LINEITEMS_SQL,
+        "priority_price_quantiles": analytics.PRIORITY_QUANTILES_SQL,
     }

@@ -412,3 +412,138 @@ SELECT p_brand, count(*) AS n_parts,
        max(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT)) AS max_price_cents
 FROM part GROUP BY 1 ORDER BY 1
 """
+
+
+def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """ANTI-join: customers with no order placed in 1995 (NOT EXISTS over a
+    filtered subquery — the unfiltered variant is empty on this corpus).
+
+    Implemented as a broadcast anti-join: the distinct matching custkey set
+    is collected once (bounded by |customers|, far smaller than |orders|)
+    and broadcast via ``ray.put``; the customer scan filters against it.  At
+    larger-than-memory key cardinality the same shape becomes a
+    ``Dataset.join(left_outer)`` + null filter.
+    """
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def in_1995(batch: pa.Table) -> pa.Table:
+        yr = pc.strftime(batch["o_orderdate"], format="%Y")
+        return pa.table(
+            {"o_custkey": batch["o_custkey"].combine_chunks().filter(
+                pc.equal(yr, "1995").combine_chunks()
+                if isinstance(yr, pa.ChunkedArray) else pc.equal(yr, "1995")
+            )}
+        )
+
+    keys = set(
+        r["o_custkey"]
+        for r in orders.map_batches(in_1995, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .take_all()
+    )
+    kref = ray.put(keys)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        k = ray.get(kref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(x) not in k for x in ck), bool, count=len(ck))
+        return batch.filter(pa.array(mask))
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND strftime(o_orderdate, '%Y') = '1995'
+)
+ORDER BY c_custkey
+"""
+
+
+def suppliers_with_lineitems(sf_dir: str) -> ray.data.Dataset:
+    """SEMI-join: suppliers that appear in lineitem (EXISTS) — the distinct
+    suppkey set is pre-aggregated (map-side combined groupby) then broadcast."""
+    keys = set(
+        r["l_suppkey"]
+        for r in read_table(sf_dir, "lineitem", columns=["l_suppkey"])
+        .groupby("l_suppkey")
+        .count()
+        .take_all()
+    )
+    kref = ray.put(keys)
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        k = ray.get(kref)
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(x) in k for x in sk), bool, count=len(sk))
+        return batch.filter(pa.array(mask))
+
+    return sup.map_batches(semi, batch_format="pyarrow")
+
+
+SUPPLIERS_WITH_LINEITEMS_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+ORDER BY s_suppkey
+"""
+
+
+def priority_price_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-group discrete quantiles: p25/p50/p95 of order price cents per
+    order priority (DuckDB ``quantile_disc`` semantics: the element at
+    ``ceil(q*n) - 1`` of the sorted values — verified empirically, both
+    engines doing the index arithmetic in the same IEEE doubles).
+
+    Exact per-group quantiles need the group's values together — a true
+    all-to-all, but only ONE int64 column moves, pre-projected at the scan.
+    With millions of groups the same ``map_groups`` body runs inside the
+    coarse-bucket pattern used everywhere else in this engine.
+    """
+    import math
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        vals = np.sort(group["cents"].to_numpy(zero_copy_only=False))
+        n = len(vals)
+        pick = lambda q: int(vals[max(math.ceil(q * n) - 1, 0)])  # noqa: E731
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    [group["o_orderpriority"][0].as_py()], pa.string()
+                ),
+                "n_orders": pa.array([n], pa.int64()),
+                "p25_cents": pa.array([pick(0.25)], pa.int64()),
+                "p50_cents": pa.array([pick(0.50)], pa.int64()),
+                "p95_cents": pa.array([pick(0.95)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(quantiles, batch_format="pyarrow")
+    )
+
+
+PRIORITY_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.25) AS p25_cents,
+       quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.50) AS p50_cents,
+       quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.95) AS p95_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""
