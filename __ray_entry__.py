@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": analytics.customers_without_orders,
         "suppliers_with_lineitems": analytics.suppliers_with_lineitems,
         "priority_price_quantiles": analytics.priority_price_quantiles,
+        "documents_sample": analytics.documents_sample,
         # --- event-stream windows / temporal joins ---
         "sessionize": _sessionize,
         "events_topk": _events_topk,
@@ -522,4 +523,5 @@ ORDER BY 1, 2
         "customers_without_orders": analytics.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "suppliers_with_lineitems": analytics.SUPPLIERS_WITH_LINEITEMS_SQL,
         "priority_price_quantiles": analytics.PRIORITY_QUANTILES_SQL,
+        "documents_sample": analytics.DOCUMENTS_SAMPLE_SQL,
     }

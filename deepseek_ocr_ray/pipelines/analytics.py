@@ -547,3 +547,52 @@ SELECT o_orderpriority,
        quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.95) AS p95_cents
 FROM orders GROUP BY 1 ORDER BY 1
 """
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    fraction: float,
+    salt: str = "s42",
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Deterministic hash-based sampling: a row survives iff
+    ``md5(salt:id) % 10000 < fraction*10000``.
+
+    Unlike ``Dataset.random_sample`` this is reproducible at any parallelism
+    level, resumable (same rows on rerun), and composable (disjoint salts ⇒
+    independent samples; same salt ⇒ nested samples for growing fractions) —
+    the properties corpus-curation sampling actually needs.  SQL-replicable:
+    DuckDB parses the same md5 prefix.
+    """
+    import hashlib as _h
+
+    threshold = int(fraction * 10000)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        mask = pa.array(
+            [
+                int(_h.md5(f"{salt}:{v}".encode()).hexdigest()[:8], 16) % 10000
+                < threshold
+                for v in ids
+            ]
+        )
+        out = batch.filter(mask)
+        return out.select(keep_cols) if keep_cols else out
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def documents_sample(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return deterministic_sample(ds, id_col="doc_id", fraction=0.2)
+
+
+DOCUMENTS_SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      % 10000 < 2000
+ORDER BY doc_id
+"""
