@@ -81,3 +81,26 @@ def test_grouped_topk(ray_session):
     assert out[out.grp == "a"].id.tolist() == [11, 12]
     assert out[out.grp == "b"].id.tolist() == [20, 21]
     assert out["rank"].tolist() == [1, 2, 1, 2]
+
+
+def test_deterministic_sample_properties(ray_session):
+    """Sampling is reproducible, parallelism-invariant, and NESTED across
+    growing fractions with the same salt."""
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.analytics import deterministic_sample
+
+    tbl = pa.table({"id": pa.array(range(2000), pa.int64())})
+
+    def ids(fraction, blocks, salt="s42"):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = deterministic_sample(ds, id_col="id", fraction=fraction, salt=salt)
+        return set(out.to_pandas()["id"])
+
+    a = ids(0.2, 2)
+    assert a == ids(0.2, 7)          # parallelism-invariant
+    assert a == ids(0.2, 2)          # reproducible
+    assert a <= ids(0.5, 2)          # nested: 20% ⊂ 50% (same salt)
+    assert 0.15 < len(a) / 2000 < 0.25  # near the requested fraction
+    b = ids(0.2, 2, salt="other")
+    assert a != b                    # different salt → different sample
