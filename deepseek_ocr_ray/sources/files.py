@@ -43,6 +43,16 @@ def read_image_dir(
     file-order semantics survive any parallel read order.
     """
     paths = list_images_in_dir(dir_path, extensions)
+    if not paths:  # read_binary_files([]) raises; empty dir → empty Dataset
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    "payload": pa.array([], pa.binary()),
+                }
+            )
+        )
     ds = ray.data.read_binary_files(paths, include_paths=True)
 
     order = {p: i for i, p in enumerate(paths)}

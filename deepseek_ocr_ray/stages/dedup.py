@@ -373,6 +373,7 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     seed: int = 42,
     n_buckets: int = 64,
+    concurrency=(2, 8),
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidates + EXACT word n-gram Jaccard verification.
@@ -395,6 +396,7 @@ def ngram_jaccard_dedup(
         verify,
         id_col=id_col,
         n_buckets=n_buckets,
+        concurrency=concurrency,
         stage_kwargs=dict(
             text_col=text_col,
             id_col=id_col,
@@ -500,6 +502,7 @@ def simhash_dedup(
     bands: int = 4,
     max_hamming: int = 3,
     n_buckets: int = 64,
+    concurrency=(2, 8),
 ) -> ray.data.Dataset:
     """Kept doc ids after SimHash near-dedup (Hamming ≤ max_hamming)."""
 
@@ -514,6 +517,7 @@ def simhash_dedup(
         verify,
         id_col=id_col,
         n_buckets=n_buckets,
+        concurrency=concurrency,
         stage_kwargs=dict(
             text_col=text_col, id_col=id_col, bands=bands, n_buckets=n_buckets
         ),
@@ -596,6 +600,7 @@ def embedding_dedup(
     band_bits: int = 16,
     seed: int = 42,
     n_buckets: int = 64,
+    concurrency=(2, 8),
 ) -> ray.data.Dataset:
     """Kept vec ids after cosine near-dedup via SRP-LSH + exact verify."""
 
@@ -615,6 +620,7 @@ def embedding_dedup(
         verify,
         id_col=id_col,
         n_buckets=n_buckets,
+        concurrency=concurrency,
         stage_kwargs=dict(
             vec_col=vec_col,
             id_col=id_col,
