@@ -444,7 +444,7 @@ WITH o AS (
                         ROWS UNBOUNDED PRECEDING) AS session_no
   FROM o
 )
-SELECT user_id, session_no, count(*) AS n_events,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
@@ -481,8 +481,8 @@ WITH d AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, day,
-       sum(n) OVER w AS w_events,
-       sum(cents) OVER w AS w_value_cents
+       CAST(sum(n) OVER w AS BIGINT) AS w_events,
+       CAST(sum(cents) OVER w AS BIGINT) AS w_value_cents
 FROM d
 WINDOW w AS (PARTITION BY event_type ORDER BY CAST(day AS DATE)
              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
@@ -504,7 +504,7 @@ ORDER BY 1, 2
             "SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents ORDER BY doc_id"
         ),
         "lang_source_stats": (
-            "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "dedup_exact": (

@@ -149,10 +149,10 @@ def q1_pricing(sf_dir: str) -> ray.data.Dataset:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_price_cents,
-       sum(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_price_cents,
-       sum(CAST(FLOOR(l_discount*10000 + 0.5) AS BIGINT)) AS sum_disc_bp,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(sum(CAST(FLOOR(l_discount*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
        count(*) AS n_rows
 FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -200,7 +200,7 @@ def events_daily(sf_dir: str) -> ray.data.Dataset:
 EVENTS_DAILY_SQL = """
 SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
        count(*) AS n_events,
-       sum(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -250,7 +250,7 @@ def cust_nation_counts(sf_dir: str) -> ray.data.Dataset:
 
 CUST_NATION_SQL = """
 SELECT r_name, n_name, count(*) AS n_customers,
-       sum(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS sum_acctbal_cents
+       CAST(sum(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -288,7 +288,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
 
 ORDERS_BY_SEGMENT_SQL = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1
 """
@@ -369,7 +369,7 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
 Q3_SQL = """
 SELECT l_orderkey AS o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       sum(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
