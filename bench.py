@@ -113,7 +113,10 @@ def main_bench() -> None:
     _init_ray(NUM_CPUS)
     dt, n_docs, n_spans = bench_extract(N_DOCS)
     qtimes = run_queries()
-    total = dt + sum(qtimes.values())
+    # failures are marked -1.0; exclude them from the headline total so a
+    # failed query can never IMPROVE the metric, and surface the count
+    failed = sorted(n for n, t in qtimes.items() if t < 0)
+    total = dt + sum(t for t in qtimes.values() if t >= 0)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -129,6 +132,7 @@ def main_bench() -> None:
                 },
                 "sf": float(sf) if sf else None,
                 "num_cpus": NUM_CPUS,
+                "failed_queries": failed,
             }
         )
     )

@@ -27,6 +27,7 @@ import ast
 import base64
 import io
 import zipfile
+from xml.sax.saxutils import escape as _xml_escape
 
 import numpy as np
 
@@ -64,7 +65,7 @@ def render_layout_svg(raw_text: str, width: int, height: int) -> str:
                 f'fill="{color}" fill-opacity="0.2" stroke="{color}" '
                 f'stroke-width="2"/>'
                 f'<text x="{x1}" y="{max(y1 - 4, 10)}" font-size="12" '
-                f'fill="{color}">{label}</text>'
+                f'fill="{color}">{_xml_escape(label)}</text>'
             )
     parts.append("</svg>")
     return "".join(parts)

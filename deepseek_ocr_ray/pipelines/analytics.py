@@ -49,6 +49,22 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(np.floor(x * 100.0 + 0.5).astype(np.int64), pa.int64())
 
 
+def _join_partitions(cap: int = 16) -> int:
+    """Hash-join partition count sized to the cluster.
+
+    Each ``Dataset.join`` spawns ``num_partitions`` HashShuffleAggregator
+    actors that reserve a slice of the CPU budget; a fixed 16 deadlocks the
+    streaming executor on small clusters when a pipeline contains two joins
+    (measured: 2×16 aggregators on 4 CPUs → stall).  On a real multi-node
+    cluster CPU count is large, so this caps at ``cap`` — raise the cap for
+    very large clusters where output parallelism should exceed 16."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus // 2))
+
+
 # ---------------------------------------------------------------------------
 # document text analytics
 # ---------------------------------------------------------------------------
@@ -223,17 +239,28 @@ def cust_nation_counts(sf_dir: str) -> ray.data.Dataset:
         r["n_nationkey"]: reg[r["n_regionkey"]]
         for r in read_table(sf_dir, "nation").take_all()
     }
-    lookup_ref = ray.put((nat, n2r))
+    # nation keys are dense small ints (0..24 at any SF): build dense numpy
+    # lookup arrays ONCE on the driver and broadcast those, so each batch
+    # does a single vectorized fancy-index gather instead of per-row dict
+    # probes.
+    size = max(nat) + 1
+    nat_arr = np.empty(size, dtype=object)
+    reg_arr = np.empty(size, dtype=object)
+    for k, v in nat.items():
+        nat_arr[k] = v
+    for k, v in n2r.items():
+        reg_arr[k] = v
+    lookup_ref = ray.put((nat_arr, reg_arr))
 
     ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
 
     def join(batch: pa.Table) -> pa.Table:
-        nat_l, n2r_l = ray.get(lookup_ref)
-        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        nat_l, reg_l = ray.get(lookup_ref)
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "r_name": pa.array([n2r_l[int(k)] for k in keys], pa.string()),
-                "n_name": pa.array([nat_l[int(k)] for k in keys], pa.string()),
+                "r_name": pa.array(reg_l[keys], pa.string()),
+                "n_name": pa.array(nat_l[keys], pa.string()),
                 "acctbal_cents": _cents(batch["c_acctbal"]),
             }
         )
@@ -276,7 +303,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_join_partitions(),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -296,40 +323,48 @@ GROUP BY 1 ORDER BY 1
 
 def q3_shipping(sf_dir: str, segment: str = "BUILDING",
                 cutoff: str = "1995-03-15", k: int = 10) -> ray.data.Dataset:
-    """TPC-H Q3 shape: selective filters → broadcast semi-join chain →
-    revenue aggregate → top-k.  The filtered small sides (customer keys,
-    order→date map) are broadcast once; lineitem streams."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_keys = set(
-        r["c_custkey"]
-        for r in cust.filter(expr=f"c_mktsegment == '{segment}'").take_all()
+    """TPC-H Q3 shape: selective vectorized filters at the scan → shuffle
+    hash joins (``Dataset.join``) → map-side partial revenue combine →
+    final aggregate → top-k.
+
+    Scale notes: nothing is materialized on the driver — customer and
+    orders are filtered as Datasets and joined distributedly (both sides
+    scale with SF); lineitem's date filter and revenue kernel are pure
+    pyarrow/numpy, and revenue is pre-combined per order inside each batch
+    (``pa.Table.group_by``) so the join and final groupby move one row per
+    (order, block) instead of one per lineitem."""
+    cust = (
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .filter(expr=f"c_mktsegment == '{segment}'")
+        .select_columns(["c_custkey"])
     )
-    ckref = ray.put(cust_keys)
 
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
     def sel_orders(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ckref)
         date = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
-        custkeys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            (int(ck) in keys for ck in custkeys), bool, count=len(custkeys)
-        )
-        mask &= np.asarray(
-            [d < cutoff for d in date.to_pylist()], dtype=bool
-        )
+        mask = pc.less(date, pa.scalar(cutoff))
         return pa.table(
             {
-                "o_orderkey": batch["o_orderkey"].combine_chunks().filter(pa.array(mask)),
-                "o_orderdate": date.filter(pa.array(mask)),
+                "o_orderkey": pc.filter(batch["o_orderkey"], mask),
+                "o_custkey": pc.filter(batch["o_custkey"], mask),
+                "o_orderdate": pc.filter(date, mask),
             }
         )
 
-    sel = orders.map_batches(sel_orders, batch_format="pyarrow").take_all()
-    odate = {r["o_orderkey"]: r["o_orderdate"] for r in sel}
-    odref = ray.put(odate)
+    sel = (
+        orders.map_batches(sel_orders, batch_format="pyarrow")
+        .join(
+            cust,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        .select_columns(["o_orderkey", "o_orderdate"])
+    )
 
     li = read_table(
         sf_dir, "lineitem",
@@ -337,29 +372,40 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
     )
 
     def revenue(batch: pa.Table) -> pa.Table:
-        om = ray.get(odref)
-        ship = pc.strftime(batch["l_shipdate"], format="%Y-%m-%d").to_pylist()
-        okeys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        ship = pc.strftime(batch["l_shipdate"], format="%Y-%m-%d")
+        mask = pc.greater(ship, pa.scalar(cutoff)).to_numpy(zero_copy_only=False)
+        okeys = batch["l_orderkey"].to_numpy(zero_copy_only=False)[mask]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[mask]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[mask]
         rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
-        keep = [
-            i for i in range(len(okeys))
-            if ship[i] > cutoff and int(okeys[i]) in om
-        ]
+        part = pa.table(
+            {
+                "l_orderkey": pa.array(okeys.astype(np.int64), pa.int64()),
+                "rev_cents": pa.array(rev, pa.int64()),
+            }
+        )
+        combined = part.group_by("l_orderkey").aggregate([("rev_cents", "sum")])
         return pa.table(
             {
-                "o_orderkey": pa.array([int(okeys[i]) for i in keep], pa.int64()),
-                "o_orderdate": pa.array([om[int(okeys[i])] for i in keep], pa.string()),
-                "rev_cents": pa.array(rev[keep], pa.int64()),
+                "l_orderkey": combined["l_orderkey"],
+                "rev_cents": combined["rev_cents_sum"],
             }
         )
 
+    rev = li.map_batches(revenue, batch_format="pyarrow")
+    joined = rev.join(
+        sel,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
     agg = (
-        li.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["o_orderkey", "o_orderdate"])
+        joined.groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("rev_cents"))
-        .rename_columns({"sum(rev_cents)": "revenue_cents"})
+        .rename_columns(
+            {"l_orderkey": "o_orderkey", "sum(rev_cents)": "revenue_cents"}
+        )
     )
     return agg.sort(
         ["revenue_cents", "o_orderkey"], descending=[True, False]
@@ -414,44 +460,68 @@ FROM part GROUP BY 1 ORDER BY 1
 """
 
 
-def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+def customers_without_orders(
+    sf_dir: str, broadcast_threshold: int = 500_000
+) -> ray.data.Dataset:
     """ANTI-join: customers with no order placed in 1995 (NOT EXISTS over a
     filtered subquery — the unfiltered variant is empty on this corpus).
 
-    Implemented as a broadcast anti-join: the distinct matching custkey set
-    is collected once (bounded by |customers|, far smaller than |orders|)
-    and broadcast via ``ray.put``; the customer scan filters against it.  At
-    larger-than-memory key cardinality the same shape becomes a
-    ``Dataset.join(left_outer)`` + null filter.
+    Two physical plans, auto-selected on the bound of the matched-key set
+    (|customer|, known from parquet metadata without a scan):
+
+    - small side (≤ ``broadcast_threshold`` customers): broadcast anti-join —
+      the distinct matching custkey set is collected once, ``ray.put`` once,
+      and each customer batch filters against it with ``np.isin``;
+    - large side: distributed ``Dataset.join(left_outer)`` against the
+      distinct matched keys, keeping rows whose right side is null.  Nothing
+      touches the driver; both sides shuffle by key.  This is the only valid
+      plan at corpus scale (15 M customers at SF100).
     """
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
     def in_1995(batch: pa.Table) -> pa.Table:
         yr = pc.strftime(batch["o_orderdate"], format="%Y")
-        return pa.table(
-            {"o_custkey": batch["o_custkey"].combine_chunks().filter(
-                pc.equal(yr, "1995").combine_chunks()
-                if isinstance(yr, pa.ChunkedArray) else pc.equal(yr, "1995")
-            )}
-        )
+        mask = pc.equal(yr, pa.scalar("1995"))
+        return pa.table({"o_custkey": pc.filter(batch["o_custkey"], mask)})
 
-    keys = set(
-        r["o_custkey"]
-        for r in orders.map_batches(in_1995, batch_format="pyarrow")
+    distinct = (
+        orders.map_batches(in_1995, batch_format="pyarrow")
         .groupby("o_custkey")
         .count()
-        .take_all()
     )
-    kref = ray.put(keys)
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
-    def anti(batch: pa.Table) -> pa.Table:
-        k = ray.get(kref)
-        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(x) not in k for x in ck), bool, count=len(ck))
-        return batch.filter(pa.array(mask))
+    if cust.count() <= broadcast_threshold:
+        keys = np.array(
+            [r["o_custkey"] for r in distinct.take_all()], dtype=np.int64
+        )
+        kref = ray.put(keys)
 
-    return cust.map_batches(anti, batch_format="pyarrow")
+        def anti(batch: pa.Table) -> pa.Table:
+            k = ray.get(kref)
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(ck, k)))
+
+        return cust.map_batches(anti, batch_format="pyarrow")
+
+    joined = cust.join(
+        distinct.rename_columns({"count()": "match_n"}),
+        join_type="left_outer",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch["match_n"])
+        return pa.table(
+            {
+                "c_custkey": pc.filter(batch["c_custkey"], mask),
+                "c_mktsegment": pc.filter(batch["c_mktsegment"], mask),
+            }
+        )
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
@@ -568,14 +638,22 @@ def deterministic_sample(
     """
     import hashlib as _h
 
-    threshold = int(fraction * 10000)
+    # round, not truncate: int(0.29*10000) == 2899 from float error, which
+    # silently shifts the boundary off the SQL oracle's round literal.
+    threshold = int(round(fraction * 10000))
 
     def keep(batch: pa.Table) -> pa.Table:
+        # md5-per-id is required for SQL (DuckDB md5()) parity and has no
+        # vectorized kernel; the loop is tightened to one hash + one 4-byte
+        # int per row (no hex formatting, salt pre-encoded).  For non-SQL
+        # consumers the engine's splitmix_bucket is the fast path.
         ids = batch[id_col].to_pylist()
+        sp = f"{salt}:".encode()
+        md5 = _h.md5
         mask = pa.array(
             [
-                int(_h.md5(f"{salt}:{v}".encode()).hexdigest()[:8], 16) % 10000
-                < threshold
+                int.from_bytes(md5(sp + str(v).encode()).digest()[:4], "big")
+                % 10000 < threshold
                 for v in ids
             ]
         )

@@ -36,12 +36,14 @@ from ..config import PipelineConfig
 
 
 def _fingerprint_dir(path: str) -> str:
-    """Cheap deterministic input fingerprint: relative names + sizes."""
+    """Cheap deterministic input fingerprint: relative names + sizes +
+    mtime_ns, so a same-size in-place overwrite still invalidates resume."""
     entries = []
     for root, _, files in os.walk(path):
         for f in sorted(files):
             p = os.path.join(root, f)
-            entries.append((os.path.relpath(p, path), os.path.getsize(p)))
+            st = os.stat(p)
+            entries.append((os.path.relpath(p, path), st.st_size, st.st_mtime_ns))
     entries.sort()
     return hashlib.md5(json.dumps(entries).encode()).hexdigest()
 
@@ -108,14 +110,18 @@ def run_checkpointed(
     cfg_fp = run_fingerprint(cfg, exchange)
     os.makedirs(os.path.join(out_root, "_ckpt"), exist_ok=True)
 
-    # sweep orphaned temp dirs from crashed runs (crash between write and
-    # rename leaves a full-partition-sized .tmp-* behind)
-    for entry in os.listdir(out_root):
-        if entry.startswith(".tmp-"):
-            shutil.rmtree(os.path.join(out_root, entry), ignore_errors=True)
-
     available = set(list_partitions(input_root))
     pids = partitions if partitions is not None else sorted(available)
+
+    # sweep orphaned temp dirs from crashed runs (crash between write and
+    # rename leaves a full-partition-sized .tmp-{pid}-* behind) — but ONLY
+    # for partitions this run will process, so two concurrent runs sharing
+    # an output root over disjoint partition sets can't delete each other's
+    # in-flight writes.  Overlapping concurrent runs remain single-writer.
+    sweep = {str(p) for p in pids}
+    for entry in os.listdir(out_root):
+        if entry.startswith(".tmp-") and entry.split("-")[1] in sweep:
+            shutil.rmtree(os.path.join(out_root, entry), ignore_errors=True)
     missing = [p for p in pids if p not in available]
     if missing:
         raise ValueError(

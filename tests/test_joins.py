@@ -236,3 +236,19 @@ def test_range_join_random_vs_naive(ray_session):
         list(zip(range(500, 500 + n_r), lo, hi)),
     )
     assert sorted(zip(got.lid, got.rid)) == want
+
+
+def test_customers_without_orders_join_path_equals_broadcast(ray_session):
+    """Forcing broadcast_threshold=0 routes through the distributed
+    left_outer anti-join; it must produce the same rows as the broadcast
+    path (the default at this SF)."""
+    from deepseek_ocr_ray.pipelines.analytics import customers_without_orders
+
+    sf = "/root/testdata/sf0.001"
+    bc = customers_without_orders(sf).to_pandas()
+    jn = customers_without_orders(sf, broadcast_threshold=0).to_pandas()
+    key = ["c_custkey", "c_mktsegment"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    jn = jn.sort_values(key).reset_index(drop=True)
+    assert len(bc) > 0
+    assert bc[key].equals(jn[key])
