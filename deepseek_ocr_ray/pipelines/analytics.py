@@ -31,6 +31,12 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..cluster import (
+    JOIN_SENTINEL_L,
+    JOIN_SENTINEL_R,
+    anchor_join_input,
+    join_partitions,
+)
 from ..functions import text_stats
 
 
@@ -49,20 +55,7 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(np.floor(x * 100.0 + 0.5).astype(np.int64), pa.int64())
 
 
-def _join_partitions(cap: int = 16) -> int:
-    """Hash-join partition count sized to the cluster.
-
-    Each ``Dataset.join`` spawns ``num_partitions`` HashShuffleAggregator
-    actors that reserve a slice of the CPU budget; a fixed 16 deadlocks the
-    streaming executor on small clusters when a pipeline contains two joins
-    (measured: 2×16 aggregators on 4 CPUs → stall).  On a real multi-node
-    cluster CPU count is large, so this caps at ``cap`` — raise the cap for
-    very large clusters where output parallelism should exceed 16."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(2, min(cap, cpus // 2))
+_join_partitions = join_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -298,8 +291,24 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    orders = orders.map_batches(prep_orders, batch_format="pyarrow")
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = anchor_join_input(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        pa.table(
+            {
+                "o_custkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
+                "price_cents": pa.array([0], pa.int64()),
+            }
+        ),
+    )
+    cust = anchor_join_input(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        pa.table(
+            {
+                "c_custkey": pa.array([JOIN_SENTINEL_R], pa.int64()),
+                "c_mktsegment": pa.array([""], pa.string()),
+            }
+        ),
+    )
     joined = orders.join(
         cust,
         join_type="inner",
@@ -333,10 +342,14 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
     pyarrow/numpy, and revenue is pre-combined per order inside each batch
     (``pa.Table.group_by``) so the join and final groupby move one row per
     (order, block) instead of one per lineitem."""
-    cust = (
+    # join-input anchors: schema-bearing one-row blocks with impossible keys
+    # (see cluster.anchor_join_input) — the L/R sentinels never match, so
+    # they fall out of the inner joins without output filtering
+    cust = anchor_join_input(
         read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
         .filter(expr=f"c_mktsegment == '{segment}'")
-        .select_columns(["c_custkey"])
+        .select_columns(["c_custkey"]),
+        pa.table({"c_custkey": pa.array([JOIN_SENTINEL_R], pa.int64())}),
     )
 
     orders = read_table(
@@ -354,8 +367,17 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
             }
         )
 
-    sel = (
-        orders.map_batches(sel_orders, batch_format="pyarrow")
+    sel = anchor_join_input(
+        anchor_join_input(
+            orders.map_batches(sel_orders, batch_format="pyarrow"),
+            pa.table(
+                {
+                    "o_orderkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
+                    "o_custkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
+                    "o_orderdate": pa.array([""], pa.string()),
+                }
+            ),
+        )
         .join(
             cust,
             join_type="inner",
@@ -363,7 +385,13 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
             on=("o_custkey",),
             right_on=("c_custkey",),
         )
-        .select_columns(["o_orderkey", "o_orderdate"])
+        .select_columns(["o_orderkey", "o_orderdate"]),
+        pa.table(
+            {
+                "o_orderkey": pa.array([JOIN_SENTINEL_R], pa.int64()),
+                "o_orderdate": pa.array([""], pa.string()),
+            }
+        ),
     )
 
     li = read_table(
@@ -392,7 +420,15 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
             }
         )
 
-    rev = li.map_batches(revenue, batch_format="pyarrow")
+    rev = anchor_join_input(
+        li.map_batches(revenue, batch_format="pyarrow"),
+        pa.table(
+            {
+                "l_orderkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
+                "rev_cents": pa.array([0], pa.int64()),
+            }
+        ),
+    )
     joined = rev.join(
         sel,
         join_type="inner",
@@ -504,8 +540,24 @@ def customers_without_orders(
 
         return cust.map_batches(anti, batch_format="pyarrow")
 
-    joined = cust.join(
-        distinct.rename_columns({"count()": "match_n"}),
+    joined = anchor_join_input(
+        cust,
+        pa.table(
+            {
+                "c_custkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
+                "c_mktsegment": pa.array([""], pa.string()),
+            }
+        ),
+    ).join(
+        anchor_join_input(
+            distinct.rename_columns({"count()": "match_n"}),
+            pa.table(
+                {
+                    "o_custkey": pa.array([JOIN_SENTINEL_R], pa.int64()),
+                    "match_n": pa.array([1], pa.int64()),
+                }
+            ),
+        ),
         join_type="left_outer",
         num_partitions=_join_partitions(),
         on=("c_custkey",),
@@ -513,7 +565,11 @@ def customers_without_orders(
     )
 
     def keep_unmatched(batch: pa.Table) -> pa.Table:
-        mask = pc.is_null(batch["match_n"])
+        # the left anchor survives a left-outer join unmatched — filter it
+        mask = pc.and_(
+            pc.is_null(batch["match_n"]),
+            pc.not_equal(batch["c_custkey"], pa.scalar(JOIN_SENTINEL_L)),
+        )
         return pa.table(
             {
                 "c_custkey": pc.filter(batch["c_custkey"], mask),

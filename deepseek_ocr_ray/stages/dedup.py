@@ -45,6 +45,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from ..cluster import anchor_join_input, join_partitions
 from ..functions.text_stats import md5_fingerprints
 from ..hashing import id_bucket_array, splitmix_bucket
 
@@ -251,6 +252,35 @@ def _walk_buckets(group: pa.Table, id_col: str, verify_pair) -> pa.Table:
     )
 
 
+def _bucket_pairs(group: pa.Table, id_col: str) -> pa.Table:
+    """Same bucket walk as ``_walk_buckets`` but emits UNVERIFIED candidate
+    pairs ``(a_id=keeper, b_id=candidate)`` instead of decisions — the
+    verify-by-join plans fetch payloads for exactly these pairs later."""
+    g = group.sort_by(
+        [("band", "ascending"), ("band_key", "ascending"), (id_col, "ascending")]
+    )
+    bands = g["band"].to_numpy(zero_copy_only=False)
+    keys = g["band_key"].to_numpy(zero_copy_only=False)
+    ids = g[id_col].to_numpy(zero_copy_only=False)
+    a_out: list = []
+    b_out: list = []
+    i, n = 0, len(ids)
+    while i < n:
+        j = i
+        while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
+            j += 1
+        if j - i > 1:
+            a_out.extend([ids[i]] * (j - i - 1))
+            b_out.extend(ids[i + 1 : j])
+        i = j
+    return pa.table(
+        {
+            "a_id": pa.array(np.asarray(a_out, dtype=np.int64), pa.int64()),
+            "b_id": pa.array(np.asarray(b_out, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash LSH dedup
 # ---------------------------------------------------------------------------
@@ -273,6 +303,7 @@ class MinHashBandStage:
         seed: int = 42,
         n_buckets: int = 64,
         carry_text: bool = False,
+        carry_payload: bool = True,
     ):
         assert num_perm % bands == 0
         self.hasher = MinHasher(num_perm, shingle_k, seed)
@@ -282,6 +313,9 @@ class MinHashBandStage:
         self.rows_per_band = num_perm // bands
         self.n_buckets = n_buckets
         self.carry_text = carry_text
+        # the verify-by-join plan needs only bucket keys, no payload —
+        # skip the per-band signature bytes to shrink shuffle #1
+        self.carry_payload = carry_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -293,7 +327,12 @@ class MinHashBandStage:
             # payload rides as raw signature bytes (fixed width), not a
             # list<uint32> — Arrow-encoding 10^5 Python int lists per block
             # dominated runtime before this change
-            payload = text if self.carry_text else sig.tobytes()
+            if self.carry_text:
+                payload = text
+            elif self.carry_payload:
+                payload = sig.tobytes()
+            else:
+                payload = b""
             for b in range(self.bands):
                 out_id.append(did)
                 out_band.append(b)
@@ -374,16 +413,37 @@ def ngram_jaccard_dedup(
     seed: int = 42,
     n_buckets: int = 64,
     concurrency=(2, 8),
+    verify: str = "carry",
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidates + EXACT word n-gram Jaccard verification.
 
-    Texts ride along in the bucket rows (``carry_text=True``) — fine at
-    benchmark scale; the 10^12-row deployment would verify by signature
-    (``minhash_dedup``) or join texts back by id.
-    """
+    Two physical plans, identical results (tested equal):
 
-    def verify(group: pa.Table) -> pa.Table:
+    - ``verify="carry"`` — texts ride along in the bucket rows
+      (``carry_text=True``).  One fewer exchange, but every document's full
+      text is replicated ×bands through shuffle #1 (32× byte amplification)
+      — the small-corpus plan.
+    - ``verify="join"`` — bucket rows carry NO payload; buckets emit
+      distinct candidate pairs, texts are joined back by id
+      (``Dataset.join``), pairs verify vectorized, and kept ids come from a
+      left-anti join.  Text moves once per candidate pair instead of once
+      per band row — the 10^12-row plan.
+    """
+    if verify == "join":
+        return _ngram_dedup_verify_join(
+            ds,
+            text_col=text_col,
+            id_col=id_col,
+            ngram=ngram,
+            threshold=threshold,
+            seed=seed,
+            n_buckets=n_buckets,
+            concurrency=concurrency,
+            **minhash_kwargs,
+        )
+
+    def verify_fn(group: pa.Table) -> pa.Table:
         return _walk_buckets(
             group,
             id_col,
@@ -393,7 +453,7 @@ def ngram_jaccard_dedup(
     return _lsh_dedup(
         ds,
         MinHashBandStage,
-        verify,
+        verify_fn,
         id_col=id_col,
         n_buckets=n_buckets,
         concurrency=concurrency,
@@ -406,6 +466,228 @@ def ngram_jaccard_dedup(
             **minhash_kwargs,
         ),
     )
+
+
+def _ngram_dedup_verify_join(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    ngram: int,
+    threshold: float,
+    seed: int,
+    n_buckets: int,
+    concurrency=(2, 8),
+    **minhash_kwargs,
+) -> ray.data.Dataset:
+    """Scale-safe ngram dedup: candidate pairs → text join → verify → anti-join.
+
+    Dataflow (integer ids assumed, as in the documents table):
+
+        ds → map_batches(MinHash bands, NO payload)        # map-only
+           → groupby(lsh_group) → pairs (a=keeper, b=cand) # shuffle 1
+           → distinct pairs (block combine + coarse bucket)# shuffle 2
+           → join texts for b, then a (Dataset.join)       # shuffles 3-4
+           → verify exact n-gram Jaccard per pair          # map-only
+           → distinct dropped b ids                        # small agg
+        kept = ids ⟕ dropped, keep where unmatched         # shuffle 5
+
+    Every exchange moves ids or candidate pairs — document text moves
+    exactly once per (pair, side) instead of ×bands per document.
+
+    Empty-block hardening: Ray 2.49's hash-shuffle join broadcasts each
+    side's schema to all aggregator partitions only when shuffling the
+    FIRST block of that side — and consumes the flag even if that block has
+    zero rows, after which schema-less partitions crash at finalize
+    (ArrowInvalid "no match for key field").  Selective filters and
+    no-collision corpora routinely produce empty blocks, so every join
+    input here is normalized through a map that replaces an empty/
+    schema-less block with a one-row SENTINEL block (id
+    ``_JOIN_SENTINEL``) — every block then carries schema regardless of
+    arrival order.  The sentinel pair matches the sentinel text row,
+    verifies trivially ("" vs ""), lands in the dropped set, and is
+    filtered from the final output.
+    """
+    jp = join_partitions()
+    band_rows = ds.map_batches(
+        MinHashBandStage,
+        fn_constructor_kwargs=dict(
+            text_col=text_col,
+            id_col=id_col,
+            seed=seed,
+            n_buckets=n_buckets,
+            carry_payload=False,
+            **minhash_kwargs,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pairs = band_rows.groupby("lsh_group").map_groups(
+        lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow"
+    )
+
+    _EMPTY_PAIRS = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+    )
+    _JOIN_SENTINEL = -(1 << 62)
+
+    # distinct pairs: C++ group_by per block (bands→1 per pair per block),
+    # then one coarse-bucket exchange with another group_by inside.
+    # Empty groupby partitions reach these maps as schema-less zero-row
+    # blocks — normalize them to the typed empty table or the downstream
+    # Dataset.join fails with "no match for key field".
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        if "a_id" not in batch.column_names:
+            return _EMPTY_PAIRS.append_column(
+                "pair_bucket", pa.array([], pa.int64())
+            )
+        g = batch.group_by(["a_id", "b_id"]).aggregate([])
+        a = g["a_id"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        return g.append_column("pair_bucket", id_bucket_array(a, n_buckets))
+
+    def final_distinct(group: pa.Table) -> pa.Table:
+        if "a_id" not in group.column_names:
+            return _EMPTY_PAIRS
+        return group.group_by(["a_id", "b_id"]).aggregate([]).select(
+            ["a_id", "b_id"]
+        )
+
+    _SENT_PAIR = pa.table(
+        {
+            "a_id": pa.array([_JOIN_SENTINEL], pa.int64()),
+            "b_id": pa.array([_JOIN_SENTINEL], pa.int64()),
+        }
+    )
+
+    def norm_pairs(batch: pa.Table) -> pa.Table:
+        # typed-empty normalization for non-empty blocks with odd schemas;
+        # empty blocks skip the UDF entirely — the join anchor handles those
+        if "a_id" not in batch.column_names or batch.num_rows == 0:
+            return _SENT_PAIR
+        return batch.select(["a_id", "b_id"])
+
+    distinct_pairs = anchor_join_input(
+        pairs.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(final_distinct, batch_format="pyarrow")
+        .map_batches(norm_pairs, batch_format="pyarrow"),
+        _SENT_PAIR,
+    )
+
+    _SENT_TEXT = pa.table(
+        {
+            id_col: pa.array([_JOIN_SENTINEL], pa.int64()),
+            text_col: pa.array([""], pa.string()),
+        }
+    )
+
+    def norm_texts(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names or batch.num_rows == 0:
+            return _SENT_TEXT
+        return pa.table({id_col: batch[id_col], text_col: batch[text_col]})
+
+    texts = anchor_join_input(
+        ds.select_columns([id_col, text_col]).map_batches(
+            norm_texts, batch_format="pyarrow"
+        ),
+        _SENT_TEXT,
+    )
+    with_b = distinct_pairs.join(
+        texts,
+        join_type="inner",
+        num_partitions=jp,
+        on=("b_id",),
+        right_on=(id_col,),
+    )
+
+    def pick_b(batch: pa.Table) -> pa.Table:
+        if "a_id" not in batch.column_names or batch.num_rows == 0:
+            return _SENT_PAIR.append_column("b_text", pa.array([""], pa.string()))
+        return pa.table(
+            {
+                "a_id": batch["a_id"],
+                "b_id": batch["b_id"],
+                "b_text": batch[text_col],
+            }
+        )
+
+    with_both = anchor_join_input(
+        with_b.map_batches(pick_b, batch_format="pyarrow"),
+        _SENT_PAIR.append_column("b_text", pa.array([""], pa.string())),
+    ).join(
+        texts,
+        join_type="inner",
+        num_partitions=jp,
+        on=("a_id",),
+        right_on=(id_col,),
+    )
+
+    def verify_pairs(batch: pa.Table) -> pa.Table:
+        if "b_id" not in batch.column_names:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        a_texts = batch[text_col].to_pylist()
+        b_texts = batch["b_text"].to_pylist()
+        mask = pa.array(
+            [
+                a is not None
+                and b is not None
+                and exact_word_ngram_jaccard(a, b, ngram) >= threshold
+                for a, b in zip(a_texts, b_texts)
+            ],
+            pa.bool_(),
+        )
+        return pa.table({id_col: pc.filter(batch["b_id"], mask)})
+
+    def norm_dropped(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names or batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([_JOIN_SENTINEL], pa.int64()),
+                    "__drop_n": pa.array([1], pa.int64()),
+                }
+            )
+        return pa.table({id_col: batch[id_col], "__drop_n": batch["count()"]})
+
+    dropped = anchor_join_input(
+        with_both.map_batches(verify_pairs, batch_format="pyarrow")
+        .groupby(id_col)
+        .count()
+        .map_batches(norm_dropped, batch_format="pyarrow"),
+        pa.table(
+            {
+                id_col: pa.array([_JOIN_SENTINEL], pa.int64()),
+                "__drop_n": pa.array([1], pa.int64()),
+            }
+        ),
+    )
+
+    ids = anchor_join_input(
+        ds.select_columns([id_col]),
+        pa.table({id_col: pa.array([_JOIN_SENTINEL], pa.int64())}),
+    )
+    kept = ids.join(
+        dropped,
+        join_type="left_outer",
+        num_partitions=jp,
+        on=(id_col,),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        if "__drop_n" not in batch.column_names:
+            if id_col in batch.column_names:
+                ids_arr = batch[id_col]
+                mask = pc.not_equal(ids_arr, pa.scalar(_JOIN_SENTINEL))
+                return pa.table({id_col: pc.filter(ids_arr, mask)})
+            return pa.table({id_col: pa.array([], pa.int64())})
+        mask = pc.and_(
+            pc.is_null(batch["__drop_n"]),
+            pc.not_equal(batch[id_col], pa.scalar(_JOIN_SENTINEL)),
+        )
+        return pa.table({id_col: pc.filter(batch[id_col], mask)})
+
+    return kept.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -127,3 +127,44 @@ def test_dedup_deterministic_across_parallelism(ray_session, blocks):
         dedup.minhash_dedup(_ds(_corpus(), 2), threshold=0.7)
         .to_pandas()["doc_id"].tolist()
     )
+
+
+def test_ngram_dedup_join_path_equals_carry(ray_session):
+    """verify="join" (the 10^12-row plan: pairs → text join → anti-join)
+    must keep exactly the same ids as the carry-text plan."""
+    carry = sorted(
+        dedup.ngram_jaccard_dedup(
+            _ds(_corpus()), ngram=3, threshold=0.6
+        ).to_pandas()["doc_id"]
+    )
+    join = sorted(
+        dedup.ngram_jaccard_dedup(
+            _ds(_corpus()), ngram=3, threshold=0.6, verify="join"
+        ).to_pandas()["doc_id"]
+    )
+    assert carry == join
+    assert 1 not in join and 0 in join
+
+
+def test_ngram_dedup_join_path_parallelism_invariant(ray_session):
+    """The join plan's kept set must not depend on block layout."""
+    outs = [
+        sorted(
+            dedup.ngram_jaccard_dedup(
+                _ds(_corpus(), blocks=b), ngram=3, threshold=0.6, verify="join"
+            ).to_pandas()["doc_id"]
+        )
+        for b in (1, 3, 7)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_ngram_dedup_join_path_no_candidates(ray_session):
+    """A corpus with no LSH collisions exercises the empty-pairs joins."""
+    tbl = _corpus().slice(3, 7)  # mutually dissimilar docs only
+    kept = sorted(
+        dedup.ngram_jaccard_dedup(
+            _ds(tbl), ngram=3, threshold=0.6, verify="join"
+        ).to_pandas()["doc_id"]
+    )
+    assert kept == list(range(3, 10))
