@@ -408,6 +408,67 @@ SELECT doc_id, n_chars, n_tokens, n_tokens_bpe, n_punct, n_stopwords,
 FROM t ORDER BY doc_id
 """
 
+# ---------------------------------------------------------------------------
+# fixture oracles (regression pins)
+#
+# The LSH dedup family, IVF search, and language-ID are deterministic
+# functions of (corpus, seed) but have no ANSI-SQL equivalent.  Their
+# expected outputs are generated by fixtures/generate_expected.py, committed
+# as parquet keyed by a corpus tag computable in SQL (sum(n_chars) of the
+# documents table uniquely identifies the SF dir), and read back by the
+# oracle.  These pin exact outputs so regressions surface in the driver's
+# hash gate; SEMANTIC correctness of the operators is established in the
+# pytest suites (hand-built dup corpora, brute-force Jaccard/cosine oracles,
+# parallelism invariance, recall bounds).
+# ---------------------------------------------------------------------------
+
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+_CORPUS_TAG_SQL = "(SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)"
+
+
+def _kept_fixture_sql(name: str, out_col: str) -> str:
+    return f"""
+SELECT k.id AS {out_col}
+FROM read_parquet('{_FIXTURES}/expected_dedup_kept.parquet') k
+WHERE k.query = '{name}' AND k.corpus_tag = {_CORPUS_TAG_SQL}
+ORDER BY {out_col}
+"""
+
+
+ANN_IVF_FIXTURE_SQL = f"""
+SELECT query_id, neighbor_id, "rank", cosine
+FROM read_parquet('{_FIXTURES}/expected_ann_ivf.parquet')
+WHERE corpus_tag = {_CORPUS_TAG_SQL}
+ORDER BY query_id, "rank"
+"""
+
+DOC_LANG_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> list_contains({_SW}, w))) AS n_stopwords
+  FROM documents
+)
+SELECT t.doc_id, k.lang_pred,
+  (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+   + CASE WHEN n_tokens > 0
+            AND (n_chars - GREATEST(n_tokens - 1, 0))::DOUBLE / GREATEST(n_tokens, 1)
+                BETWEEN 2.0 AND 12.0
+          THEN 1 ELSE 0 END
+   + CASE WHEN n_chars > 0 AND n_punct::DOUBLE / n_chars <= 0.2
+          THEN 1 ELSE 0 END
+   + CASE WHEN n_stopwords >= 1 THEN 1 ELSE 0 END) AS quality_passes,
+  t.lang AS lang_declared
+FROM t
+JOIN read_parquet('{_FIXTURES}/expected_doc_lang.parquet') k
+  ON t.doc_id = k.doc_id AND k.corpus_tag = {_CORPUS_TAG_SQL}
+ORDER BY t.doc_id
+"""
+
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
@@ -489,6 +550,12 @@ WINDOW w AS (PARTITION BY event_type ORDER BY CAST(day AS DATE)
 ORDER BY 1, 2
 """,
         "events_asof_orders": EVENTS_ASOF_SQL,
+        "dedup_minhash": _kept_fixture_sql("dedup_minhash", "doc_id"),
+        "dedup_simhash": _kept_fixture_sql("dedup_simhash", "doc_id"),
+        "dedup_ngram": _kept_fixture_sql("dedup_ngram", "doc_id"),
+        "dedup_embedding": _kept_fixture_sql("dedup_embedding", "vec_id"),
+        "ann_ivf": ANN_IVF_FIXTURE_SQL,
+        "doc_lang_quality": DOC_LANG_QUALITY_SQL,
         "events_value_bands": (
             "WITH bands AS (SELECT p_brand, min(p_retailprice) AS lo, "
             "max(p_retailprice) AS hi FROM part GROUP BY 1) "

@@ -163,11 +163,17 @@ class IVFIndex:
         self.assigned: ray.data.Dataset | None = None
 
     def build(self, ds: ray.data.Dataset) -> "IVFIndex":
-        sample = np.asarray(
-            [r[self.vec_col] for r in
-             ds.select_columns([self.vec_col]).limit(self.sample_size).take_all()],
-            dtype=np.float32,
+        # sort the sample by id before k-means: take_all row order follows
+        # block ARRIVAL order, which varies run to run — k-means init is
+        # permutation-sensitive, so an unsorted sample makes the whole
+        # index (and every search through it) nondeterministic
+        rows = (
+            ds.select_columns([self.id_col, self.vec_col])
+            .limit(self.sample_size)
+            .take_all()
         )
+        rows.sort(key=lambda r: r[self.id_col])
+        sample = np.asarray([r[self.vec_col] for r in rows], dtype=np.float32)
         self.centroids = deterministic_kmeans(sample, self.n_cells, seed=self.seed)
         cref = ray.put(self.centroids)
         vec_col, id_col = self.vec_col, self.id_col

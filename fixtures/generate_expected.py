@@ -1,0 +1,118 @@
+"""Regenerate the committed expected-output fixtures for the driver oracles.
+
+The LSH dedup family, IVF ANN search, and language-ID have no reasonable
+ANSI-SQL equivalent, but they ARE deterministic functions of (corpus, seed):
+signatures are seeded, bucket walks sort by id, k-means samples are sorted by
+id before init, and kept-set invariance across parallelism levels is tested
+in tests/test_dedup.py.  This script runs each such query over the benchmark
+SF dirs and commits the results as parquet that the driver's DuckDB oracle
+reads back (keyed by a corpus tag computable in SQL: ``sum(n_chars)`` of the
+documents table, which uniquely identifies the SF dir).
+
+These fixtures are REGRESSION PINS, not independent derivations: semantic
+correctness of the operators is established in the pytest suites against
+hand-built corpora (known dup structures, brute-force Jaccard/cosine
+oracles, recall bounds); the fixtures extend the driver's hash-equality gate
+to the operators whose semantics SQL cannot express.
+
+Run:  python fixtures/generate_expected.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def corpus_tag(sf_dir: str) -> int:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+    import pyarrow.compute as pc
+
+    return int(pc.sum(t["n_chars"]).as_py())
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(OUT_DIR))
+    import __ray_entry__ as e
+
+    q = e.queries()
+
+    kept_rows = {"query": [], "corpus_tag": [], "id": []}
+    lang_rows = {"corpus_tag": [], "doc_id": [], "lang_pred": []}
+    ivf_rows = []
+
+    for sf_dir in SF_DIRS:
+        tag = corpus_tag(sf_dir)
+
+        for name, id_col in [
+            ("dedup_minhash", "doc_id"),
+            ("dedup_simhash", "doc_id"),
+            ("dedup_ngram", "doc_id"),
+            ("dedup_embedding", "vec_id"),
+        ]:
+            ids = sorted(r[id_col] for r in q[name](sf_dir).take_all())
+            kept_rows["query"].extend([name] * len(ids))
+            kept_rows["corpus_tag"].extend([tag] * len(ids))
+            kept_rows["id"].extend(int(i) for i in ids)
+            print(f"{sf_dir} {name}: {len(ids)} kept")
+
+        for r in sorted(
+            q["doc_lang_quality"](sf_dir).take_all(), key=lambda r: r["doc_id"]
+        ):
+            lang_rows["corpus_tag"].append(tag)
+            lang_rows["doc_id"].append(int(r["doc_id"]))
+            lang_rows["lang_pred"].append(r["lang_pred"])
+        print(f"{sf_dir} doc_lang: {len(lang_rows['doc_id'])} total rows")
+
+        ivf = q["ann_ivf"](sf_dir).to_pandas().sort_values(
+            ["query_id", "rank"]
+        ).reset_index(drop=True)
+        ivf.insert(0, "corpus_tag", tag)
+        ivf_rows.append(pa.Table.from_pandas(ivf, preserve_index=False))
+        print(f"{sf_dir} ann_ivf: {len(ivf)} rows")
+
+    pq.write_table(
+        pa.table(
+            {
+                "query": pa.array(kept_rows["query"], pa.string()),
+                "corpus_tag": pa.array(kept_rows["corpus_tag"], pa.int64()),
+                "id": pa.array(kept_rows["id"], pa.int64()),
+            }
+        ),
+        os.path.join(OUT_DIR, "expected_dedup_kept.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "corpus_tag": pa.array(lang_rows["corpus_tag"], pa.int64()),
+                "doc_id": pa.array(lang_rows["doc_id"], pa.int64()),
+                "lang_pred": pa.array(lang_rows["lang_pred"], pa.string()),
+            }
+        ),
+        os.path.join(OUT_DIR, "expected_doc_lang.parquet"),
+    )
+    pq.write_table(
+        pa.concat_tables(ivf_rows),
+        os.path.join(OUT_DIR, "expected_ann_ivf.parquet"),
+    )
+    print("fixtures written to", OUT_DIR)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
