@@ -99,3 +99,54 @@ class StubTokenizer:
             if tok is not None:
                 parts.append(tok)
         return "".join(parts)
+
+
+try:  # pragma: no cover - transformers not installed in this sandbox
+    import transformers  # noqa: F401
+
+    HAVE_TRANSFORMERS = True
+except ImportError:
+    HAVE_TRANSFORMERS = False
+
+
+class HFTokenizer:
+    """Real-tokenizer adapter with the StubTokenizer call shape.
+
+    The reference builds its processor around a HuggingFace tokenizer
+    (DSV/process/image_process.py:256-267, config.py:75-79); this wraps one
+    behind the same ``encode(text, bos, eos)`` / ``decode(ids)`` /
+    ``BOS_ID`` / ``EOS_ID`` surface the rest of the engine consumes, so the
+    production swap is constructing ``HFTokenizer(path)`` instead of
+    ``StubTokenizer()``.  Import-gated: raises ImportError without
+    ``transformers``; exercised by ``pytest.importorskip`` tests.
+    """
+
+    def __init__(self, name_or_path: str, *, trust_remote_code: bool = True):
+        if not HAVE_TRANSFORMERS:
+            raise ImportError(
+                "HFTokenizer requires the transformers package; use "
+                "StubTokenizer in environments without it"
+            )
+        from transformers import AutoTokenizer  # pragma: no cover
+
+        self._tok = AutoTokenizer.from_pretrained(  # pragma: no cover
+            name_or_path, trust_remote_code=trust_remote_code
+        )
+        self.BOS_ID = self._tok.bos_token_id  # pragma: no cover
+        self.EOS_ID = self._tok.eos_token_id  # pragma: no cover
+
+    def tokenize(self, text: str) -> list[str]:  # pragma: no cover
+        return self._tok.tokenize(text)
+
+    def encode(self, text: str, bos: bool = False, eos: bool = False) -> list[int]:  # pragma: no cover
+        # reference encode semantics (image_process.py:256-263): raw ids,
+        # bos/eos appended by flag, never injected by the tokenizer itself
+        ids = self._tok.encode(text, add_special_tokens=False)
+        if bos:
+            ids = [self.BOS_ID] + ids
+        if eos:
+            ids = ids + [self.EOS_ID]
+        return ids
+
+    def decode(self, ids: list[int], skip_special_tokens: bool = True) -> str:  # pragma: no cover
+        return self._tok.decode(ids, skip_special_tokens=skip_special_tokens)

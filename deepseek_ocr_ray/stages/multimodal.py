@@ -66,11 +66,30 @@ class DecodeImageStage:
 
     def _decode(self, payload: bytes) -> tuple[int, int, str, np.ndarray]:
         if self.use_real_codec:  # pragma: no cover - no PIL in sandbox
-            raise NotImplementedError("wire PIL decode here")
+            return self._decode_pil(payload)
         w, h, mode = fake_image_meta(payload)
         rng = _payload_rng(payload + b"#px")
         means = rng.randint(0, 256, size=3).astype(np.float64)
         return w, h, mode, means
+
+    @staticmethod
+    def _decode_pil(payload: bytes) -> tuple[int, int, str, np.ndarray]:
+        """Real decode: PIL open + EXIF orientation transpose + RGB convert
+        — the reference's load_image (run_dpsk_ocr_image.py:40-54), which
+        falls back to the untransposed image when EXIF handling fails."""
+        import io
+
+        from PIL import Image, ImageOps
+
+        img = Image.open(io.BytesIO(payload))
+        try:
+            img = ImageOps.exif_transpose(img)
+        except Exception:
+            img = Image.open(io.BytesIO(payload))
+        rgb = img.convert("RGB")
+        arr = np.asarray(rgb, dtype=np.float64)
+        means = arr.reshape(-1, 3).mean(axis=0)
+        return rgb.width, rgb.height, rgb.mode, means
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
@@ -177,6 +196,38 @@ class AudioFeatureStage:
             .append_column("sample_rate", pa.array(sr, pa.int32()))
             .append_column("rms", pa.array(rms, pa.float64()))
         )
+
+
+try:  # pragma: no cover - not installed in this sandbox
+    import fitz  # noqa: F401  (PyMuPDF)
+
+    HAVE_FITZ = True
+except ImportError:
+    HAVE_FITZ = False
+
+
+def rasterize_pdf_pages(payload: bytes, *, dpi: int = 144) -> list[bytes]:
+    """Real PDF → per-page PNG bytes (PyMuPDF), mirroring the reference's
+    pdf_to_images_high_quality (run_dpsk_ocr_pdf.py:65-92): zoom matrix
+    dpi/72, alpha=False, PNG bytes per page.  Import-gated: raises
+    ImportError without PyMuPDF — production wiring, tested with
+    ``pytest.importorskip`` so the swap surface is exercised wherever the
+    lib exists."""
+    if not HAVE_FITZ:
+        raise ImportError(
+            "rasterize_pdf_pages requires PyMuPDF (fitz); the sandbox stub "
+            "path is stages/model_stub.fake_decode_dims"
+        )
+    doc = fitz.open(stream=payload, filetype="pdf")  # pragma: no cover
+    try:  # pragma: no cover
+        zoom = dpi / 72.0
+        matrix = fitz.Matrix(zoom, zoom)
+        return [
+            doc[i].get_pixmap(matrix=matrix, alpha=False).tobytes("png")
+            for i in range(doc.page_count)
+        ]
+    finally:  # pragma: no cover
+        doc.close()
 
 
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:

@@ -208,6 +208,8 @@ class IVFIndex:
                 },
                 f,
             )
+        # a written index defaults to pruned (probed-cells-only) search
+        self._path = path
         return self
 
     @classmethod
@@ -269,7 +271,7 @@ class IVFIndex:
         prev = self.assigned
         self.assigned = pruned
         try:
-            return self.search(
+            return self._search_assigned(
                 queries, query_ids, k=k, nprobe=nprobe,
                 exclude_self=exclude_self,
             )
@@ -293,6 +295,29 @@ class IVFIndex:
         return batch.append_column("cell", pa.array(cells, pa.int32()))
 
     def search(
+        self,
+        queries: np.ndarray,
+        query_ids: np.ndarray,
+        *,
+        k: int = 10,
+        nprobe: int = 4,
+        exclude_self: bool = True,
+    ) -> ray.data.Dataset:
+        """Top-k search.  On a persisted index (``write()`` or ``load()``)
+        this DEFAULTS to the pruned path — only the probed cells' parquet
+        files are read.  The in-memory full-scan path (compute-side cell
+        filter, every block read) is a small-corpus/test convenience only;
+        at 100 TB the persisted path is the only valid plan."""
+        if getattr(self, "_path", None):
+            return self.search_persisted(
+                queries, query_ids, k=k, nprobe=nprobe,
+                exclude_self=exclude_self,
+            )
+        return self._search_assigned(
+            queries, query_ids, k=k, nprobe=nprobe, exclude_self=exclude_self
+        )
+
+    def _search_assigned(
         self,
         queries: np.ndarray,
         query_ids: np.ndarray,

@@ -1,0 +1,136 @@
+"""Import-gated real-kernel paths (PIL decode, PyMuPDF rasterize, HF
+tokenizer).
+
+These SKIP in the sandbox (the libs aren't installed) but run wherever a
+production environment has them — so the swap surface is tested code, not a
+comment.  Each test drives the same entry point the engine's stages call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _png_bytes(w: int, h: int, color=(200, 10, 10)) -> bytes:
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (w, h), color).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_pil_decode_real_path():
+    pytest.importorskip("PIL")
+    from deepseek_ocr_ray.stages.multimodal import DecodeImageStage
+
+    import pyarrow as pa
+
+    stage = DecodeImageStage(use_real_codec=True)
+    payload = _png_bytes(320, 200)
+    batch = pa.table(
+        {"media_id": pa.array([0], pa.int64()), "payload": pa.array([payload], pa.binary())}
+    )
+    out = stage(batch)
+    assert out["width"][0].as_py() == 320
+    assert out["height"][0].as_py() == 200
+    assert out["mode"][0].as_py() == "RGB"
+    mean = out["mean_rgb"][0].as_py()
+    assert abs(mean[0] - 200) < 1 and abs(mean[1] - 10) < 1
+    assert out["decode_error"][0].as_py() is None
+
+
+def test_pil_decode_exif_transpose():
+    pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    from deepseek_ocr_ray.stages.multimodal import DecodeImageStage
+
+    # orientation=6 (rotate 270 CW to display): decoded dims must swap
+    img = Image.new("RGB", (320, 200), (1, 2, 3))
+    exif = img.getexif()
+    exif[0x0112] = 6
+    buf = BytesIO()
+    img.save(buf, format="JPEG", exif=exif)
+    w, h, mode, _ = DecodeImageStage._decode_pil(buf.getvalue())
+    assert (w, h) == (200, 320)
+    assert mode == "RGB"
+
+
+def test_pil_decode_corrupt_payload_quarantined():
+    pytest.importorskip("PIL")
+    import pyarrow as pa
+
+    from deepseek_ocr_ray.stages.multimodal import DecodeImageStage
+
+    stage = DecodeImageStage(use_real_codec=True)
+    batch = pa.table(
+        {"media_id": pa.array([0], pa.int64()), "payload": pa.array([b"not an image"], pa.binary())}
+    )
+    out = stage(batch)
+    assert out["decode_error"][0].as_py() is not None  # quarantined, not raised
+
+
+def test_fitz_rasterize_real_path():
+    fitz = pytest.importorskip("fitz")
+    from deepseek_ocr_ray.stages.multimodal import rasterize_pdf_pages
+
+    doc = fitz.open()
+    doc.new_page(width=200, height=100)
+    doc.new_page(width=200, height=100)
+    payload = doc.tobytes()
+    pages = rasterize_pdf_pages(payload, dpi=144)
+    assert len(pages) == 2
+    assert pages[0][:8] == b"\x89PNG\r\n\x1a\n"  # PNG magic
+    # dpi/72 zoom doubles the 200x100 point page
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(pages[0]))
+    assert img.size == (400, 200)
+
+
+def test_hf_tokenizer_adapter_roundtrip():
+    pytest.importorskip("transformers")
+    from deepseek_ocr_ray.functions.tokenizer import HFTokenizer
+
+    tok = HFTokenizer("gpt2", trust_remote_code=False)
+    ids = tok.encode("hello world", bos=False, eos=False)
+    assert isinstance(ids, list) and all(isinstance(i, int) for i in ids)
+    assert tok.decode(ids) == "hello world"
+
+
+def test_hf_tokenizer_feeds_preprocess_assembly():
+    pytest.importorskip("transformers")
+    from deepseek_ocr_ray.functions import preprocess as pp
+    from deepseek_ocr_ray.functions.tokenizer import HFTokenizer
+
+    tok = HFTokenizer("gpt2", trust_remote_code=False)
+    if tok.BOS_ID is None or tok.EOS_ID is None:  # gpt2: both map to eot
+        tok.BOS_ID = tok.EOS_ID = 50256
+    out = pp.tokenize_with_images([(600, 400)], tokenizer=tok)
+    assert int(out.images_seq_mask.sum()) == 273
+    assert (out.input_ids[0][out.images_seq_mask] == pp.IMAGE_TOKEN_ID).all()
+
+
+def test_gates_raise_without_libs():
+    """In environments WITHOUT the libs, the gated constructors raise
+    ImportError/NotImplementedError (never silently fake)."""
+    from deepseek_ocr_ray.functions import tokenizer as tkm
+    from deepseek_ocr_ray.stages import multimodal as mm
+
+    if not mm.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            mm.DecodeImageStage(use_real_codec=True)
+    if not mm.HAVE_FITZ:
+        with pytest.raises(ImportError):
+            mm.rasterize_pdf_pages(b"%PDF-1.4")
+    if not tkm.HAVE_TRANSFORMERS:
+        with pytest.raises(ImportError):
+            tkm.HFTokenizer("any")

@@ -128,3 +128,35 @@ def test_ivf_persist_and_prune(ray_session, tmp_path):
 
     cells = [d for d in os.listdir(tmp_path / "ivf") if d.startswith("cell=")]
     assert len(cells) == 8
+
+
+def test_ivf_default_search_prunes_after_write(ray_session, tmp_path, monkeypatch):
+    """After write() (or load()), plain search() must take the pruned path:
+    only the probed cells' parquet files are handed to read_parquet."""
+    tbl = _emb_table(n=200)
+    qids = [1, 7]
+    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[qids]
+
+    idx = sim.IVFIndex(n_cells=8, seed=5).build(_ds(tbl))
+    want = idx._search_assigned(q, np.asarray(qids), k=5, nprobe=3).to_pandas()
+    idx.write(str(tmp_path / "ivf"))
+
+    import ray.data as rd
+
+    captured = {}
+    real_read = rd.read_parquet
+
+    def spy(paths, *a, **kw):
+        captured["paths"] = paths
+        return real_read(paths, *a, **kw)
+
+    monkeypatch.setattr(rd, "read_parquet", spy)
+    got = idx.search(q, np.asarray(qids), k=5, nprobe=3).to_pandas()
+
+    assert "paths" in captured, "default search() did not take the file-pruned path"
+    probed_cells = {p.split("cell=")[1].split("/")[0] for p in captured["paths"]}
+    assert 0 < len(probed_cells) < 8  # strictly fewer than all cells read
+    key = ["query_id", "rank"]
+    a = want.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    assert a.neighbor_id.tolist() == b.neighbor_id.tolist()
