@@ -146,6 +146,14 @@ def _dedup_ngram(sf_dir: str) -> Any:
     return dedup.ngram_jaccard_dedup(ds, ngram=3, threshold=0.8)
 
 
+def _dedup_ngram_join(sf_dir: str) -> Any:
+    """The 10^12-row plan (candidate pairs → text join → anti-join); must
+    keep exactly the same ids as the carry-text plan, so it shares the
+    dedup_ngram fixture oracle."""
+    ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.ngram_jaccard_dedup(ds, ngram=3, threshold=0.8, verify="join")
+
+
 def _dedup_embedding(sf_dir: str) -> Any:
     ds = analytics.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return dedup.embedding_dedup(ds, threshold=0.3)
@@ -333,12 +341,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": analytics.doc_token_stats,
         "doc_fingerprint": analytics.doc_fingerprints,
         "doc_lang_quality": analytics.doc_lang_quality,
+        "chunk_documents": analytics.chunk_documents,
+        "token_vocab": analytics.token_vocab,
         "lang_source_stats": analytics.lang_source_stats,
         # --- dedup family ---
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram": _dedup_ngram,
+        "dedup_ngram_join": _dedup_ngram_join,
         "dedup_embedding": _dedup_embedding,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "extract_then_dedup": _extract_then_dedup,
@@ -553,9 +564,12 @@ ORDER BY 1, 2
         "dedup_minhash": _kept_fixture_sql("dedup_minhash", "doc_id"),
         "dedup_simhash": _kept_fixture_sql("dedup_simhash", "doc_id"),
         "dedup_ngram": _kept_fixture_sql("dedup_ngram", "doc_id"),
+        "dedup_ngram_join": _kept_fixture_sql("dedup_ngram", "doc_id"),
         "dedup_embedding": _kept_fixture_sql("dedup_embedding", "vec_id"),
         "ann_ivf": ANN_IVF_FIXTURE_SQL,
         "doc_lang_quality": DOC_LANG_QUALITY_SQL,
+        "chunk_documents": analytics.CHUNK_DOCUMENTS_SQL,
+        "token_vocab": analytics.TOKEN_VOCAB_SQL,
         "events_value_bands": (
             "WITH bands AS (SELECT p_brand, min(p_retailprice) AS lo, "
             "max(p_retailprice) AS hi FROM part GROUP BY 1) "

@@ -150,3 +150,97 @@ def bundle_zip(entries: dict[str, bytes | str]) -> bytes:
             info.compress_type = zipfile.ZIP_DEFLATED
             zf.writestr(info, data)
     return buf.getvalue()
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _hex_rgb(color: str) -> tuple[float, float, float]:
+    return tuple(int(color[i : i + 2], 16) / 255.0 for i in (1, 3, 5))
+
+
+def render_layouts_pdf(
+    pages: list[tuple[str, int, int]],
+) -> bytes:
+    """W3: the annotated-layouts PDF — one page per document page with its
+    grounding boxes drawn as labeled, color-coded rectangles.
+
+    The reference rasterizes annotated page images and bundles them with
+    img2pdf (DSV/run_dpsk_ocr_pdf.py:103-125); without PIL this emits the
+    same artifact as a VECTOR PDF written directly (pure stdlib): each page
+    gets a MediaBox of the page's pixel size and a content stream of
+    ``re``/``S`` rects + Helvetica labels, colored with the same seed-42
+    palette as the SVG/raster paths.  Deterministic bytes for identical
+    input (fixed object order, no timestamps).
+
+    ``pages``: (raw_model_text, width, height) per page, reading order.
+    """
+    objects: list[bytes] = []  # 1-indexed PDF objects, in id order
+
+    n_pages = len(pages)
+    # object layout: 1=catalog, 2=pages, 3=font, then per page i:
+    # 4+2i = page dict, 5+2i = content stream
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+
+    for raw_text, width, height in pages:
+        refs = extract_grounding_references(raw_text)
+        palette = label_palette([lab for _, lab, _ in refs])
+        ops: list[str] = ["1 w"]
+        for _, label, coords_str in refs:
+            boxes = parse_coords(coords_str)
+            if boxes is None:
+                continue
+            r, g, b = _hex_rgb(palette[label])
+            for box in boxes:
+                x1, y1, x2, y2 = scale_box(box, width, height)
+                # PDF origin is bottom-left; image coords are top-left
+                yb = height - y2
+                ops.append(
+                    f"{r:.3f} {g:.3f} {b:.3f} RG "
+                    f"{x1} {yb} {x2 - x1} {y2 - y1} re S"
+                )
+                ops.append(
+                    f"BT /F1 10 Tf {r:.3f} {g:.3f} {b:.3f} rg "
+                    f"{x1} {max(height - y1 + 2, 2)} Td "
+                    f"({_pdf_escape(label)}) Tj ET"
+                )
+        stream = "\n".join(ops).encode()
+        pid = len(objects) + 1  # about to append the page dict
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {width} {height}] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {pid + 1} 0 R >>"
+            ).encode()
+        )
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xref_at = out.tell()
+    out.write(b"xref\n0 %d\n" % (len(objects) + 1))
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets:
+        out.write(b"%010d 00000 n \n" % off)
+    out.write(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    return out.getvalue()

@@ -93,6 +93,102 @@ def doc_lang_quality(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def chunk_documents(
+    sf_dir: str, *, window: int = 200, stride: int = 150
+) -> ray.data.Dataset:
+    """Training-data chunking: split each document into overlapping
+    character windows (start = 0, stride, 2·stride, … while start < len;
+    chunk = text[start : start+window]).
+
+    A flat-map: each input row fans out to ceil(len/stride) chunk rows with
+    stable (doc_id, chunk_no) identity, so downstream tokenize/embed stages
+    shard evenly regardless of document length skew.  Fully SQL-replicable
+    (generate_series + substr)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id: list[int] = []
+        out_no: list[int] = []
+        out_text: list[str] = []
+        for did, t in zip(ids, texts):
+            n = len(t)
+            for no, start in enumerate(range(0, max(n, 1), stride)):
+                if start >= n:
+                    break
+                out_id.append(did)
+                out_no.append(no)
+                out_text.append(t[start : start + window])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_no": pa.array(out_no, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+                "chunk_chars": pa.array(
+                    [len(c) for c in out_text], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((length(text)-1)/150.0) AS BIGINT) + 1)) AS s
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(s AS BIGINT) AS chunk_no,
+       substr(text, CAST(s*150 + 1 AS BIGINT), 200) AS chunk_text,
+       CAST(length(substr(text, CAST(s*150 + 1 AS BIGINT), 200)) AS BIGINT)
+         AS chunk_chars
+FROM e
+ORDER BY doc_id, chunk_no
+"""
+
+
+def token_vocab(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Corpus vocabulary: global top-k most frequent whitespace tokens.
+
+    Map-side combine (``pa.Table.group_by`` per block — the shuffle carries
+    one row per distinct token per block, not one per token occurrence),
+    then a hash aggregate over tokens and a global sort+limit.  The classic
+    wide-aggregation shape for corpus statistics at scale."""
+    import re as _re
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    ws = _re.compile(r"\s+")
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(w for w in ws.split(t.lower()) if w)
+        part = pa.table({"token": pa.array(toks, pa.string())})
+        g = part.group_by("token").aggregate([([], "count_all")])
+        return pa.table(
+            {"token": g["token"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(local_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "n"})
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+TOKEN_VOCAB_SQL = """
+SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+WHERE t.tok <> ''
+GROUP BY 1 ORDER BY n DESC, token LIMIT 100
+"""
+
+
 def lang_source_stats(sf_dir: str) -> ray.data.Dataset:
     """documents grouped by (lang, source): doc count + total chars."""
     ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])

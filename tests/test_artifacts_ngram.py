@@ -135,3 +135,47 @@ def test_select_page_range(ray_session):
     )
     assert got == [1, 2, 3, 4]  # 1-based [2,5] → 0-based [1,4]
     assert select_page_range(ds, 8, 3, n_pages=10).count() == 0
+
+
+RAW_GROUNDED = (
+    "head<|ref|>title<|/ref|><|det|>[[100, 100, 500, 300]]<|/det|>"
+    "<|ref|>fig(1)<|/ref|><|det|>[[50, 400, 900, 800]]<|/det|>tail"
+)
+
+
+def test_layouts_pdf_structure():
+    from deepseek_ocr_ray.functions.artifacts import render_layouts_pdf
+
+    pdf = render_layouts_pdf([(RAW_GROUNDED, 1024, 768), (RAW_GROUNDED, 800, 600)])
+    assert pdf.startswith(b"%PDF-1.4")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    assert pdf.count(b"/Type /Page ") == 2
+    assert b"/MediaBox [0 0 1024 768]" in pdf
+    assert b"/MediaBox [0 0 800 600]" in pdf
+    # every xref offset must point at its "N 0 obj" header
+    tail = pdf[pdf.rindex(b"\nxref\n") + 1 :].decode()
+    lines = tail.splitlines()
+    n_objs = int(lines[1].split()[1]) - 1
+    for i in range(1, n_objs + 1):
+        off = int(lines[2 + i].split()[0])
+        assert pdf[off:].startswith(f"{i} 0 obj".encode()), f"bad xref for obj {i}"
+
+
+def test_layouts_pdf_deterministic_and_escaped():
+    from deepseek_ocr_ray.functions.artifacts import render_layouts_pdf
+
+    raw = "x<|ref|>we(ird) \\label<|/ref|><|det|>[[0, 0, 100, 100]]<|/det|>"
+    a = render_layouts_pdf([(raw, 640, 480)])
+    b = render_layouts_pdf([(raw, 640, 480)])
+    assert a == b
+    assert rb"(we\(ird\) \\label)" in a  # parens/backslash escaped in text op
+
+
+def test_layouts_pdf_empty_and_malformed():
+    from deepseek_ocr_ray.functions.artifacts import render_layouts_pdf
+
+    pdf = render_layouts_pdf([])
+    assert pdf.startswith(b"%PDF-1.4") and b"/Count 0" in pdf
+    bad = "x<|ref|>l<|/ref|><|det|>not coords<|/det|>"
+    pdf2 = render_layouts_pdf([(bad, 100, 100)])
+    assert pdf2.count(b"/Type /Page ") == 1  # malformed boxes skipped, page kept
