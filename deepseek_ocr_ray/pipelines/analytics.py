@@ -686,26 +686,64 @@ ORDER BY c_custkey
 """
 
 
-def suppliers_with_lineitems(sf_dir: str) -> ray.data.Dataset:
-    """SEMI-join: suppliers that appear in lineitem (EXISTS) — the distinct
-    suppkey set is pre-aggregated (map-side combined groupby) then broadcast."""
-    keys = set(
-        r["l_suppkey"]
-        for r in read_table(sf_dir, "lineitem", columns=["l_suppkey"])
+def suppliers_with_lineitems(
+    sf_dir: str, broadcast_threshold: int = 500_000
+) -> ray.data.Dataset:
+    """SEMI-join: suppliers that appear in lineitem (EXISTS).
+
+    The distinct suppkey set is pre-aggregated either way (map-side
+    combined groupby — the shuffle carries one row per distinct key per
+    block, never one per lineitem).  Plan auto-selects on |supplier|:
+
+    - small: collect + ``ray.put`` the key set once, filter with np.isin;
+    - large: distributed ``Dataset.join(left_semi)`` — nothing on the
+      driver, the only valid plan at corpus scale.
+    """
+    distinct = (
+        read_table(sf_dir, "lineitem", columns=["l_suppkey"])
         .groupby("l_suppkey")
         .count()
-        .take_all()
     )
-    kref = ray.put(keys)
     sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
 
-    def semi(batch: pa.Table) -> pa.Table:
-        k = ray.get(kref)
-        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(x) in k for x in sk), bool, count=len(sk))
-        return batch.filter(pa.array(mask))
+    if sup.count() <= broadcast_threshold:
+        keys = np.array(
+            [r["l_suppkey"] for r in distinct.take_all()], dtype=np.int64
+        )
+        kref = ray.put(keys)
 
-    return sup.map_batches(semi, batch_format="pyarrow")
+        def semi(batch: pa.Table) -> pa.Table:
+            k = ray.get(kref)
+            sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(sk, k)))
+
+        return sup.map_batches(semi, batch_format="pyarrow")
+
+    # left-semi keeps only matched LEFT rows, so the unmatched anchor
+    # sentinels drop out on their own — no output filtering needed
+    return anchor_join_input(
+        sup,
+        pa.table(
+            {
+                "s_suppkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
+                "s_name": pa.array([""], pa.string()),
+            }
+        ),
+    ).join(
+        anchor_join_input(
+            distinct.rename_columns({"count()": "n"}),
+            pa.table(
+                {
+                    "l_suppkey": pa.array([JOIN_SENTINEL_R], pa.int64()),
+                    "n": pa.array([1], pa.int64()),
+                }
+            ),
+        ),
+        join_type="left_semi",
+        num_partitions=_join_partitions(),
+        on=("s_suppkey",),
+        right_on=("l_suppkey",),
+    )
 
 
 SUPPLIERS_WITH_LINEITEMS_SQL = """

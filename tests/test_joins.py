@@ -252,3 +252,16 @@ def test_customers_without_orders_join_path_equals_broadcast(ray_session):
     jn = jn.sort_values(key).reset_index(drop=True)
     assert len(bc) > 0
     assert bc[key].equals(jn[key])
+
+
+def test_suppliers_semi_join_path_equals_broadcast(ray_session):
+    from deepseek_ocr_ray.pipelines.analytics import suppliers_with_lineitems
+
+    sf = "/root/testdata/sf0.001"
+    bc = suppliers_with_lineitems(sf).to_pandas()
+    jn = suppliers_with_lineitems(sf, broadcast_threshold=0).to_pandas()
+    key = ["s_suppkey", "s_name"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    jn = jn.sort_values(key).reset_index(drop=True)
+    assert len(bc) > 0
+    assert bc[key].equals(jn[key])
