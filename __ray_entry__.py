@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": analytics.doc_fingerprints,
         "doc_lang_quality": analytics.doc_lang_quality,
         "chunk_documents": analytics.chunk_documents,
+        "pack_documents": analytics.pack_documents,
         "token_vocab": analytics.token_vocab,
         "lang_source_stats": analytics.lang_source_stats,
         # --- dedup family ---
@@ -569,6 +570,7 @@ ORDER BY 1, 2
         "ann_ivf": ANN_IVF_FIXTURE_SQL,
         "doc_lang_quality": DOC_LANG_QUALITY_SQL,
         "chunk_documents": analytics.CHUNK_DOCUMENTS_SQL,
+        "pack_documents": analytics.PACK_DOCUMENTS_SQL,
         "token_vocab": analytics.TOKEN_VOCAB_SQL,
         "events_value_bands": (
             "WITH bands AS (SELECT p_brand, min(p_retailprice) AS lo, "

@@ -150,6 +150,104 @@ ORDER BY doc_id, chunk_no
 """
 
 
+def pack_documents(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
+    """Sequence packing: assign each document (in doc_id order) a pack id
+    by cumulative size — ``pack_id = floor(prefix_sum_before_doc / budget)``
+    — the standard "pack by cumulative token budget" used to build training
+    sequences.
+
+    Distributed prefix-sum, two passes over a PRE-PROJECTED two-int-column
+    dataset (doc_id, n_chars):
+
+    1. global sort by doc_id → range-partitioned blocks (materialized once:
+       the sort output is consumed by both passes, and only the two int
+       columns ride through it — the corpus text never moves);
+    2. per-block summaries (min id, total) → the driver sees ONE ROW PER
+       BLOCK (bounded by block count, not corpus size) and computes each
+       block's exclusive offset;
+    3. per-block pass: look up the block offset by its min doc_id,
+       ``np.cumsum`` inside the block.
+
+    SQL-replicable with a window function (sum OVER rows unbounded
+    preceding)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return pack_dataset(ds, budget=budget)
+
+
+def pack_dataset(
+    ds: ray.data.Dataset,
+    *,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Core of :func:`pack_documents` over an arbitrary (id, size) Dataset —
+    see that docstring for the distributed prefix-sum plan."""
+    sorted_ds = ds.sort(id_col).materialize()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"blk_min": pa.array([], pa.int64()), "blk_sum": pa.array([], pa.int64())}
+            )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        nc = batch[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "blk_min": pa.array([int(ids.min())], pa.int64()),
+                "blk_sum": pa.array([int(nc.sum())], pa.int64()),
+            }
+        )
+
+    summaries = sorted(
+        (r["blk_min"], r["blk_sum"])
+        for r in sorted_ds.map_batches(
+            block_summary, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    for blk_min, blk_sum in summaries:
+        offsets[blk_min] = running
+        running += blk_sum
+    oref = ray.put(offsets)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                    size_col: pa.array([], pa.int64()),
+                }
+            )
+        offs = ray.get(oref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        nc = batch[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offs[int(ids.min())]
+        before = base + np.concatenate([[0], np.cumsum(nc)[:-1]])
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "pack_id": pa.array(before // budget, pa.int64()),
+                size_col: pa.array(nc, pa.int64()),
+            }
+        )
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+PACK_DOCUMENTS_SQL = """
+SELECT doc_id,
+       CAST(floor(
+         (sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_chars) / 2048.0
+       ) AS BIGINT) AS pack_id,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 def token_vocab(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     """Corpus vocabulary: global top-k most frequent whitespace tokens.
 

@@ -104,3 +104,33 @@ def test_deterministic_sample_properties(ray_session):
     assert 0.15 < len(a) / 2000 < 0.25  # near the requested fraction
     b = ids(0.2, 2, salt="other")
     assert a != b                    # different salt → different sample
+
+
+def test_pack_dataset_parallelism_invariant(ray_session):
+    """Distributed prefix-sum packing must not depend on block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.analytics import pack_dataset
+
+    rng = np.random.RandomState(11)
+    n = 200
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(n).tolist(), pa.int64()),
+            "n_chars": pa.array(rng.randint(1, 500, n).tolist(), pa.int64()),
+        }
+    )
+    outs = []
+    for blocks in (1, 4, 9):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        df = pack_dataset(ds, budget=777).to_pandas().sort_values("doc_id")
+        outs.append(df.reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    # oracle: serial prefix sum in doc_id order
+    order = np.argsort(tbl["doc_id"].to_numpy())
+    sizes = tbl["n_chars"].to_numpy()[order]
+    before = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    want = (before // 777).tolist()
+    assert outs[0]["pack_id"].tolist() == want
