@@ -243,10 +243,9 @@ def _extract_then_dedup(sf_dir: str) -> Any:
 
 def _events_asof_orders(sf_dir: str) -> Any:
     """As-of join: each event picks the user's latest order at-or-before the
-    event time (right side pre-deduped per (custkey, date) by max orderkey,
-    so the as-of pick is well-defined in every engine)."""
-    from ray.data.aggregate import Max
-
+    event time; ties within a (custkey, date) resolve to max orderkey via
+    the join's ``right_tiebreak`` (same semantics as pre-deduping the right
+    side with groupby+Max, without that aggregate's extra all-to-all)."""
     from deepseek_ocr_ray.stages.joins import asof_join
 
     events = analytics.read_table(
@@ -255,20 +254,16 @@ def _events_asof_orders(sf_dir: str) -> Any:
     orders = analytics.read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    dedup_orders = (
-        orders.groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_orderkey"))
-        .rename_columns({"max(o_orderkey)": "o_orderkey"})
-    )
     joined = asof_join(
         events,
-        dedup_orders,
+        orders,
         left_key="user_id",
         right_key="o_custkey",
         left_ts="ts",
         right_ts="o_orderdate",
         left_cols=["event_id", "user_id"],
         right_cols=["o_orderkey"],
+        right_tiebreak="o_orderkey",
     )
     return joined
 

@@ -41,11 +41,20 @@ def asof_join(
     left_cols: list[str],
     right_cols: list[str],
     n_buckets: int = 64,
+    right_tiebreak: str | None = None,
 ) -> ray.data.Dataset:
     """Inner as-of join; output columns = left_cols + right_cols.
 
     Timestamps may be Arrow timestamps or numerics; they are compared as
     int64 (microseconds for timestamps).
+
+    ``right_tiebreak``: name of an int right payload column used to break
+    ties when several right rows share (key, ts) — the match picks the row
+    with the MAX value.  Equivalent to (but much cheaper than) pre-deduping
+    the right side with ``groupby(key, ts).aggregate(Max(col))`` before the
+    join: the dedup rides the join's own exchange instead of adding an
+    all-to-all aggregate (Ray's built-in aggregate runs a Python
+    accumulator per key — measured 3.7 s of a 7.6 s query at sf0.1).
     """
 
     def _ts_i64(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, str]:
@@ -119,7 +128,18 @@ def asof_join(
         r_keys = keys[is_r]
         r_ts = ts[is_r]
         r_rows = np.nonzero(is_r)[0]
-        order = np.lexsort((r_ts, r_keys))
+        if right_tiebreak is not None:
+            # sort ties ascending by the tiebreak column so the row picked
+            # for an equal-ts match (the LAST in sort order) carries max
+            tb = (
+                group[f"r_{right_tiebreak}"]
+                .take(pa.array(r_rows, pa.int64()))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            order = np.lexsort((tb, r_ts, r_keys))
+        else:
+            order = np.lexsort((r_ts, r_keys))
         r_keys, r_ts, r_rows = r_keys[order], r_ts[order], r_rows[order]
         # key → slice into the sorted right arrays
         bounds: dict[int, tuple[int, int]] = {}

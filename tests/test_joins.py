@@ -265,3 +265,36 @@ def test_suppliers_semi_join_path_equals_broadcast(ray_session):
     jn = jn.sort_values(key).reset_index(drop=True)
     assert len(bc) > 0
     assert bc[key].equals(jn[key])
+
+
+def test_asof_right_tiebreak_picks_max(ray_session):
+    """Several right rows sharing (key, ts): the match must carry the MAX
+    tiebreak value — equivalent to pre-deduping with groupby+Max."""
+    import ray.data
+
+    left = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "t": pa.array([10, 4], pa.int64()),
+        "eid": pa.array([100, 101], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "rt": pa.array([5, 5, 5, 2], pa.int64()),
+        "oid": pa.array([7, 9, 3, 1], pa.int64()),
+    })
+    from deepseek_ocr_ray.stages.joins import asof_join
+
+    got = (
+        asof_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(3),
+            left_key="k", right_key="k", left_ts="t", right_ts="rt",
+            left_cols=["eid"], right_cols=["oid"],
+            right_tiebreak="oid",
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    # eid 100 (t=10) matches ts 5 → max oid 9; eid 101 (t=4) matches ts 2 → oid 1
+    assert got.oid.tolist() == [9, 1]
