@@ -90,3 +90,19 @@ def test_input_change_invalidates(ray_session, corpus, tmp_path):
     finally:
         # restore the corpus deterministically for any later tests
         write_interleaved(corpus, N_DOCS, seed=42, num_partitions=N_PARTS)
+
+
+def test_tmp_sweep_scoped_to_this_runs_partitions(ray_session, corpus, tmp_path):
+    """Orphan .tmp-{pid}-* dirs are swept only for partitions THIS run
+    processes — a concurrent run over a disjoint partition set must not
+    lose its in-flight writes."""
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    mine = os.path.join(out, ".tmp-0-deadbeef")       # partition 0: this run's
+    theirs = os.path.join(out, ".tmp-1-cafebabe")     # partition 1: other run's
+    os.makedirs(mine)
+    os.makedirs(theirs)
+
+    run_checkpointed(corpus, out, PipelineConfig(), partitions=[0])
+    assert not os.path.exists(mine), "this run's orphan tmp must be swept"
+    assert os.path.exists(theirs), "another run's in-flight tmp must survive"
