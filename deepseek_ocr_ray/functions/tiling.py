@@ -141,3 +141,30 @@ def normalize_pixels(img: np.ndarray) -> np.ndarray:
 # The no-repeat-n-gram decode constraint lives in
 # ``functions/ngram_norepeat.py`` (NoRepeatNGramProcessor) — single source
 # of truth; a duplicate here was removed.
+
+
+def dynamic_preprocess_pil(
+    image,
+    *,
+    min_num: int = 2,
+    max_num: int = 6,
+    image_size: int = 640,
+    use_thumbnail: bool = False,
+):
+    """M4 real pixel path: resize to the chosen grid and crop the tiles —
+    the reference's ``dynamic_preprocess``
+    (DSV/process/image_process.py:45-83) over a PIL image, reusing this
+    module's grid/box math (``count_tiles`` / ``tile_boxes``).
+
+    Returns ``(tiles, (w_tiles, h_tiles))``.  Import-gated on Pillow
+    (exercised by ``pytest.importorskip`` tests; the sandbox ships only the
+    geometry half above)."""
+    w, h = image.size
+    wt, ht = count_tiles(w, h, min_num, max_num, image_size)
+    resized = image.resize((image_size * wt, image_size * ht))
+    boxes = tile_boxes(image_size * wt, image_size * ht, (wt, ht), image_size)
+    tiles = [resized.crop(box) for box in boxes]
+    assert len(tiles) == wt * ht
+    if use_thumbnail and len(tiles) != 1:
+        tiles.append(image.resize((image_size, image_size)))
+    return tiles, (wt, ht)

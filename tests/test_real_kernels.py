@@ -134,3 +134,19 @@ def test_gates_raise_without_libs():
     if not tkm.HAVE_TRANSFORMERS:
         with pytest.raises(ImportError):
             tkm.HFTokenizer("any")
+
+
+def test_dynamic_preprocess_pil_real_path():
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from deepseek_ocr_ray.functions.tiling import count_tiles, dynamic_preprocess_pil
+
+    img = Image.new("RGB", (1300, 800), (9, 9, 9))
+    tiles, (wt, ht) = dynamic_preprocess_pil(img)
+    assert (wt, ht) == count_tiles(1300, 800, 2, 6, 640)
+    assert len(tiles) == wt * ht
+    assert all(t.size == (640, 640) for t in tiles)
+    with_thumb, _ = dynamic_preprocess_pil(img, use_thumbnail=True)
+    assert len(with_thumb) == wt * ht + 1
+    assert with_thumb[-1].size == (640, 640)

@@ -102,3 +102,42 @@ def test_norepeat_moved_to_ngram_norepeat():
 
     p = NoRepeatNGramProcessor(3, 100, frozenset())
     assert p.banned_tokens([9, 1, 2, 3, 7, 1, 2]) == {3}
+
+
+def test_estimate_max_concurrency():
+    from deepseek_ocr_ray.config import estimate_max_concurrency
+
+    # 40 GB A100 at 8192 tokens: ~51 sequences (reference rule: 800 MB each)
+    assert estimate_max_concurrency(40.0) == 51
+    # doubling max_tokens halves the estimate
+    assert estimate_max_concurrency(40.0, max_tokens=16384) == 25
+    # shorter generations do NOT raise the per-seq floor (max(1, ...))
+    assert estimate_max_concurrency(8.0, max_tokens=1024) == 10
+    # never below 1
+    assert estimate_max_concurrency(0.1) == 1
+
+
+def test_dynamic_preprocess_geometry_with_fake_image():
+    """Exercise dynamic_preprocess_pil's call path WITHOUT Pillow via a
+    duck-typed image (size/resize/crop) — catches signature drift that the
+    importorskip test can't see in this sandbox."""
+    from deepseek_ocr_ray.functions.tiling import count_tiles, dynamic_preprocess_pil
+
+    class FakeImage:
+        def __init__(self, w, h):
+            self.size = (w, h)
+
+        def resize(self, wh):
+            return FakeImage(*wh)
+
+        def crop(self, box):
+            x1, y1, x2, y2 = box
+            return FakeImage(x2 - x1, y2 - y1)
+
+    img = FakeImage(1300, 800)
+    tiles, (wt, ht) = dynamic_preprocess_pil(img)
+    assert (wt, ht) == count_tiles(1300, 800, 2, 6, 640)
+    assert len(tiles) == wt * ht
+    assert all(t.size == (640, 640) for t in tiles)
+    with_thumb, _ = dynamic_preprocess_pil(img, use_thumbnail=True)
+    assert len(with_thumb) == wt * ht + 1
