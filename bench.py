@@ -113,10 +113,11 @@ def main_bench() -> None:
     _init_ray(NUM_CPUS)
     dt, n_docs, n_spans = bench_extract(N_DOCS)
     qtimes = run_queries()
-    # failures are marked -1.0; exclude them from the headline total so a
-    # failed query can never IMPROVE the metric, and surface the count
+    # any failure invalidates the headline metric entirely (value -1.0):
+    # excluding a failed query's time would make a broken run read FASTER
+    # than a passing one when comparing totals across commits
     failed = sorted(n for n, t in qtimes.items() if t < 0)
-    total = dt + sum(t for t in qtimes.values() if t >= 0)
+    total = -1.0 if failed else dt + sum(qtimes.values())
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
         json.dumps(

@@ -32,6 +32,14 @@ def anchor_join_input(ds: "ray.data.Dataset", sentinel: pa.Table) -> "ray.data.D
     block can arrive.  Callers pick sentinel key values outside the real key
     domain (e.g. ``-(1 << 62)`` for non-negative ids) and filter them from
     the join output.
+
+    NOTE this is a probabilistic mitigation, not an ordering guarantee —
+    Ray does not promise cross-operator bundle arrival order.  In practice
+    the input buffer wins by the milliseconds the computed branch needs for
+    its first task, and a loss fails FAST (ArrowInvalid at finalize, no
+    wrong results) on a resumable job.  If Ray ever changes scheduling such
+    that this fires, the fallback is the engine's groupby+map_groups join
+    skeleton (stages/joins.py), which has no such sensitivity.
     """
     return ray.data.from_arrow(sentinel).union(ds)
 

@@ -148,15 +148,13 @@ class PipelineConfig:
 DEFAULT_CONFIG = PipelineConfig()
 
 
-def estimate_max_concurrency(
-    effective_gb: float, max_tokens: int = 8192, configured_max: int = 16
-) -> int:
+def estimate_max_concurrency(effective_gb: float, max_tokens: int = 8192) -> int:
     """A3: concurrency estimate from available memory and generation length
     — the reference's empirical rule (~800 MB per concurrent sequence at
     8192 max_tokens, linear in max_tokens; gradio_vllm_demo.py:1754-1762).
     The caller supplies effective memory (the reference uses
-    ``min(total*gmu, free) - 1 GB``); clamp mirrors its
-    ``min(est, max(16, configured_max, est))``."""
+    ``min(total*gmu, free) - 1 GB``) and applies any engine-level cap
+    itself — the reference's own clamp ``min(est, max(16, cfg, est))`` is
+    vacuous (the inner max includes est), so it is not reproduced here."""
     per_seq_mb = 800.0 * max(1.0, float(max_tokens) / 8192.0)
-    est = int(max(1, (effective_gb * 1024.0) / per_seq_mb))
-    return min(est, max(16, configured_max, est))
+    return int(max(1, (effective_gb * 1024.0) / per_seq_mb))

@@ -208,9 +208,12 @@ def render_layouts_pdf(
                     f"{r:.3f} {g:.3f} {b:.3f} RG "
                     f"{x1} {yb} {x2 - x1} {y2 - y1} re S"
                 )
+                # clamp the label inside the MediaBox at BOTH edges (the
+                # SVG path clamps the top with max(y1-4, 10) likewise)
+                label_y = max(min(height - y1 + 2, height - 10), 2)
                 ops.append(
                     f"BT /F1 10 Tf {r:.3f} {g:.3f} {b:.3f} rg "
-                    f"{x1} {max(height - y1 + 2, 2)} Td "
+                    f"{x1} {label_y} Td "
                     f"({_pdf_escape(label)}) Tj ET"
                 )
         stream = "\n".join(ops).encode()

@@ -49,7 +49,10 @@ class PreprocessedInput:
     input_ids: np.ndarray          # int64, shape (1, L) — batched like the ref
     target_ids: np.ndarray         # int64, shape (L,); image/neg ids → IGNORE_ID
     images_seq_mask: np.ndarray    # bool, shape (L,) — True at vision tokens
-    images_spatial_crop: np.ndarray  # int64, shape (n_images, 2) = (wt, ht)
+    # int64, shape (n_images, 2) = (wt, ht) per image; with ZERO images the
+    # shape is (1, 1) zeros — the reference's placeholder tensor
+    # (image_process.py:518), kept for swap parity
+    images_spatial_crop: np.ndarray
     num_image_tokens: list[int] = field(default_factory=list)
     image_shapes: list[tuple[int, int]] = field(default_factory=list)
 

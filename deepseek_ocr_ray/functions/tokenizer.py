@@ -132,8 +132,18 @@ class HFTokenizer:
         self._tok = AutoTokenizer.from_pretrained(  # pragma: no cover
             name_or_path, trust_remote_code=trust_remote_code
         )
-        self.BOS_ID = self._tok.bos_token_id  # pragma: no cover
-        self.EOS_ID = self._tok.eos_token_id  # pragma: no cover
+        # some HF tokenizers define only one of bos/eos (GPT-2 family);
+        # substitute the other so encode(bos=True)/EOS strip never emit a
+        # None id that breaks int64 array assembly downstream
+        bos = self._tok.bos_token_id  # pragma: no cover
+        eos = self._tok.eos_token_id  # pragma: no cover
+        if bos is None and eos is None:  # pragma: no cover
+            raise ValueError(
+                f"tokenizer {name_or_path!r} defines neither bos nor eos "
+                "token ids; set them on the HF tokenizer first"
+            )
+        self.BOS_ID = bos if bos is not None else eos  # pragma: no cover
+        self.EOS_ID = eos if eos is not None else bos  # pragma: no cover
 
     def tokenize(self, text: str) -> list[str]:  # pragma: no cover
         return self._tok.tokenize(text)

@@ -208,6 +208,15 @@ def pack_dataset(
     offsets: dict[int, int] = {}
     running = 0
     for blk_min, blk_sum in summaries:
+        if blk_min in offsets:
+            # two sorted blocks sharing a min id ⇒ duplicate ids span a
+            # block boundary — the offset lookup would silently assign both
+            # blocks the later offset.  (Duplicate ids also make the pack
+            # order itself tie-ambiguous, so they are rejected outright.)
+            raise ValueError(
+                f"pack_dataset requires unique ids; duplicate id {blk_min} "
+                "spans a block boundary"
+            )
         offsets[blk_min] = running
         running += blk_sum
     oref = ray.put(offsets)

@@ -134,3 +134,29 @@ def test_pack_dataset_parallelism_invariant(ray_session):
     before = np.concatenate([[0], np.cumsum(sizes)[:-1]])
     want = (before // 777).tolist()
     assert outs[0]["pack_id"].tolist() == want
+
+
+def test_pack_dataset_duplicate_ids_reject_or_correct(ray_session):
+    """Duplicate ids must never SILENTLY corrupt pack assignment: if the
+    sorted layout puts equal ids across a block boundary the guard raises;
+    otherwise (equal keys coalesce into one block, the usual sort outcome)
+    the serial prefix-sum result must hold."""
+    import pyarrow as pa
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.analytics import pack_dataset
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([5] * 40, pa.int64()),
+            "n_chars": pa.array([10] * 40, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    try:
+        df = pack_dataset(ds, budget=100).to_pandas()
+    except Exception as ei:
+        assert "unique ids" in str(ei)
+        return
+    want = sorted(i * 10 // 100 for i in range(40))
+    assert sorted(df.pack_id.tolist()) == want
