@@ -268,6 +268,24 @@ def _events_asof_orders(sf_dir: str) -> Any:
     return joined
 
 
+def _distinct_users_exact(sf_dir: str) -> Any:
+    from deepseek_ocr_ray.stages.sketches import exact_distinct
+
+    ds = analytics.read_table(sf_dir, "events", columns=["user_id"])
+    return exact_distinct(ds, "user_id")
+
+
+def _distinct_users_hll(sf_dir: str) -> Any:
+    """HyperLogLog approximate distinct (rows-only check: the estimate is
+    deterministic and parallelism-invariant — register merges are exact —
+    but approximate by construction; error bound tested in
+    tests/test_sketches.py)."""
+    from deepseek_ocr_ray.stages.sketches import hll_distinct
+
+    ds = analytics.read_table(sf_dir, "events", columns=["user_id"])
+    return hll_distinct(ds, "user_id")
+
+
 def _events_value_bands(sf_dir: str) -> Any:
     """Range join: events (value × 20) against per-brand retail-price bands
     [min, max] — one-to-many interval matching via band-partitioning."""
@@ -337,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": analytics.doc_fingerprints,
         "doc_lang_quality": analytics.doc_lang_quality,
         "chunk_documents": analytics.chunk_documents,
+        "documents_sample_by_lang": analytics.documents_sample_by_lang,
         "pack_documents": analytics.pack_documents,
         "token_vocab": analytics.token_vocab,
         "lang_source_stats": analytics.lang_source_stats,
@@ -370,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling7": _events_rolling7,
         "events_asof_orders": _events_asof_orders,
         "events_value_bands": _events_value_bands,
+        "distinct_users_exact": _distinct_users_exact,
+        "distinct_users_hll": _distinct_users_hll,
         # --- multimodal plumbing (fake codecs, real dataflow) ---
         "multimodal_decode": _multimodal_decode,
         "frame_sample": _frame_sample,
@@ -557,6 +578,10 @@ WINDOW w AS (PARTITION BY event_type ORDER BY CAST(day AS DATE)
 ORDER BY 1, 2
 """,
         "events_asof_orders": EVENTS_ASOF_SQL,
+        "distinct_users_exact": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events"
+        ),
         "dedup_minhash": _kept_fixture_sql("dedup_minhash", "doc_id"),
         "dedup_simhash": _kept_fixture_sql("dedup_simhash", "doc_id"),
         "dedup_ngram": _kept_fixture_sql("dedup_ngram", "doc_id"),
@@ -565,6 +590,7 @@ ORDER BY 1, 2
         "ann_ivf": ANN_IVF_FIXTURE_SQL,
         "doc_lang_quality": DOC_LANG_QUALITY_SQL,
         "chunk_documents": analytics.CHUNK_DOCUMENTS_SQL,
+        "documents_sample_by_lang": analytics.DOCUMENTS_SAMPLE_BY_LANG_SQL,
         "pack_documents": analytics.PACK_DOCUMENTS_SQL,
         "token_vocab": analytics.TOKEN_VOCAB_SQL,
         "events_value_bands": (

@@ -971,3 +971,65 @@ WHERE CAST(('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBI
       % 10000 < 2000
 ORDER BY doc_id
 """
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "s42",
+) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling: each group keeps its own
+    fraction (the standard corpus rebalancing move — e.g. downsample the
+    head language, keep the tail whole).  Survival rule per row:
+    ``md5(salt:group:id) % 10000 < round(fraction(group)*10000)`` — same
+    reproducibility / resumability / nesting properties as
+    :func:`deterministic_sample`, independent streams per stratum (the
+    group value is folded into the hash).  SQL-replicable."""
+    import hashlib as _h
+
+    thresholds = {
+        g: int(round(f * 10000)) for g, f in fractions.items()
+    }
+    default_thr = int(round(default_fraction * 10000))
+    tref = ray.put((thresholds, default_thr))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        thr, dthr = ray.get(tref)
+        ids = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        sp = f"{salt}:".encode()
+        md5 = _h.md5
+        mask = pa.array(
+            [
+                int.from_bytes(
+                    md5(sp + f"{g}:{v}".encode()).digest()[:4], "big"
+                )
+                % 10000
+                < thr.get(g, dthr)
+                for g, v in zip(groups, ids)
+            ]
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def documents_sample_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Rebalance: keep 10% of English docs, 50% of everything else."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample(
+        ds, id_col="doc_id", group_col="lang",
+        fractions={"en": 0.1}, default_fraction=0.5,
+    )
+
+
+DOCUMENTS_SAMPLE_BY_LANG_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5('s42:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      % 10000 < CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END
+ORDER BY doc_id
+"""

@@ -478,6 +478,7 @@ def _ngram_dedup_verify_join(
     seed: int,
     n_buckets: int,
     concurrency=(2, 8),
+    drop_broadcast_threshold: int = 1_000_000,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """Scale-safe ngram dedup: candidate pairs → text join → verify → anti-join.
@@ -494,6 +495,8 @@ def _ngram_dedup_verify_join(
 
     Every exchange moves ids or candidate pairs — document text moves
     exactly once per (pair, side) instead of ×bands per document.
+    Join partitions cap at 8 (two concurrent joins + an actor pool; see
+    ``ngram_jaccard_dedup``).
 
     Empty-block hardening: Ray 2.49's hash-shuffle join broadcasts each
     side's schema to all aggregator partitions only when shuffling the
@@ -508,7 +511,7 @@ def _ngram_dedup_verify_join(
     verifies trivially ("" vs ""), lands in the dropped set, and is
     filtered from the final output.
     """
-    jp = join_partitions()
+    jp = join_partitions(cap=8)
     band_rows = ds.map_batches(
         MinHashBandStage,
         fn_constructor_kwargs=dict(
@@ -663,12 +666,36 @@ def _ngram_dedup_verify_join(
         ),
     )
 
+    # The dropped set is O(duplicates) — typically far smaller than the
+    # corpus.  Materialize it (it is already aggregated to one row per
+    # dropped id; the object store spills if a pathological corpus makes it
+    # big) and pick the anti plan by its actual size: a broadcast np.isin
+    # filter below the threshold (saves a whole join operator + its
+    # aggregator pool), the distributed left-outer anti-join above it.
+    dropped_mat = dropped.materialize()
+    if dropped_mat.count() <= drop_broadcast_threshold:
+        drop_ids = np.array(
+            [r[id_col] for r in dropped_mat.take_all()], dtype=np.int64
+        )
+        dref = ray.put(drop_ids)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            d = ray.get(dref)
+            ids_arr = batch[id_col].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {id_col: pa.array(ids_arr[~np.isin(ids_arr, d)], pa.int64())}
+            )
+
+        return ds.select_columns([id_col]).map_batches(
+            anti, batch_format="pyarrow"
+        )
+
     ids = anchor_join_input(
         ds.select_columns([id_col]),
         pa.table({id_col: pa.array([_JOIN_SENTINEL], pa.int64())}),
     )
     kept = ids.join(
-        dropped,
+        dropped_mat,
         join_type="left_outer",
         num_partitions=jp,
         on=(id_col,),
