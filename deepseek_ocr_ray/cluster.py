@@ -60,3 +60,14 @@ def join_partitions(cap: int = 16) -> int:
     except Exception:
         cpus = 8
     return max(2, min(cap, cpus // 2))
+
+
+# partition_size_hint for Dataset.join: without a hint Ray reserves
+# ~0.88 GiB of memory budget PER AGGREGATOR (shuffle+joining+output
+# defaults), which the streaming executor cannot admit late in a long
+# shared session on a small machine — joins then sit "backpressured:tasks"
+# forever with zero running tasks.  The repo's join partitions are sized to
+# cluster CPUs, so per-partition volumes are modest; 64 MiB keeps the
+# reservation honest.  Callers moving truly large partitions should pass
+# their own estimate.
+JOIN_PARTITION_SIZE_HINT = 64 << 20

@@ -32,6 +32,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..cluster import (
+    JOIN_PARTITION_SIZE_HINT,
     JOIN_SENTINEL_L,
     JOIN_SENTINEL_R,
     anchor_join_input,
@@ -516,6 +517,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
         cust,
         join_type="inner",
         num_partitions=_join_partitions(),
+        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -585,6 +587,7 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
             cust,
             join_type="inner",
             num_partitions=_join_partitions(),
+        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
             on=("o_custkey",),
             right_on=("c_custkey",),
         )
@@ -636,6 +639,7 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
         sel,
         join_type="inner",
         num_partitions=_join_partitions(),
+        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -763,6 +767,7 @@ def customers_without_orders(
         ),
         join_type="left_outer",
         num_partitions=_join_partitions(),
+        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -848,6 +853,7 @@ def suppliers_with_lineitems(
         ),
         join_type="left_semi",
         num_partitions=_join_partitions(),
+        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
         on=("s_suppkey",),
         right_on=("l_suppkey",),
     )

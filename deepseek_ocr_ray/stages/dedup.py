@@ -45,7 +45,11 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from ..cluster import anchor_join_input, join_partitions
+from ..cluster import (
+    JOIN_PARTITION_SIZE_HINT,
+    anchor_join_input,
+    join_partitions,
+)
 from ..functions.text_stats import md5_fingerprints
 from ..hashing import id_bucket_array, splitmix_bucket
 
@@ -431,6 +435,11 @@ def ngram_jaccard_dedup(
       per band row — the 10^12-row plan.
     """
     if verify == "join":
+        # the join plan holds the signature pool AND two aggregator pools
+        # concurrently — drop the signature pool's minimum to 1 so small
+        # clusters (4 CPUs) keep a free slot for task stages (a min-2 pool
+        # plus two joins deadlocked the streaming executor there)
+        _, hi = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
         return _ngram_dedup_verify_join(
             ds,
             text_col=text_col,
@@ -439,7 +448,7 @@ def ngram_jaccard_dedup(
             threshold=threshold,
             seed=seed,
             n_buckets=n_buckets,
-            concurrency=concurrency,
+            concurrency=(1, hi),
             **minhash_kwargs,
         )
 
@@ -601,6 +610,7 @@ def _ngram_dedup_verify_join(
         texts,
         join_type="inner",
         num_partitions=jp,
+        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
         on=("b_id",),
         right_on=(id_col,),
     )
@@ -623,6 +633,7 @@ def _ngram_dedup_verify_join(
         texts,
         join_type="inner",
         num_partitions=jp,
+        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
         on=("a_id",),
         right_on=(id_col,),
     )
@@ -698,6 +709,7 @@ def _ngram_dedup_verify_join(
         dropped_mat,
         join_type="left_outer",
         num_partitions=jp,
+        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
         on=(id_col,),
     )
 
