@@ -124,3 +124,76 @@ def test_minhash_symmetry_and_identity(a, b):
 def test_ngram_never_bans_whitelist(seq):
     p = NoRepeatNGramProcessor(ngram_size=2, window_size=20)
     assert not (p.banned_tokens(seq) & DEFAULT_WHITELIST)
+
+
+# --- 5. chunking reconstructs the document ---------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(min_size=0, max_size=800),
+    st.integers(10, 100),
+)
+def test_chunking_covers_and_reconstructs(text, stride):
+    """Chunks with window ≥ stride cover every character; stitching the
+    first `stride` chars of each chunk (plus the final tail) reconstructs
+    the document exactly."""
+    window = stride + 37
+    chunks = []
+    n = len(text)
+    for start in range(0, max(n, 1), stride):
+        if start >= n:
+            break
+        chunks.append(text[start : start + window])
+    if n == 0:
+        assert chunks == []
+        return
+    rebuilt = "".join(c[:stride] for c in chunks[:-1]) + chunks[-1]
+    assert rebuilt == text
+    assert sum(1 for _ in chunks) == (n + stride - 1) // stride
+
+
+# --- 6. pack ids are monotone, bounded, and budget-respecting --------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=80),
+    st.integers(100, 5000),
+)
+def test_pack_rule_monotone_and_bounded(sizes, budget):
+    """The serial pack rule (what pack_dataset distributes): pack ids are
+    non-decreasing in id order, start at 0, and every pack's PRECEDING
+    boundary is below (pack_id+1)*budget."""
+    import numpy as np
+
+    before = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    pid = before // budget
+    assert pid[0] == 0
+    assert (np.diff(pid) >= 0).all()
+    assert ((before - pid * budget) < budget).all()
+
+
+# --- 7. HLL merge is commutative, associative, idempotent ------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.text(min_size=1, max_size=8), max_size=60),
+    st.lists(st.text(min_size=1, max_size=8), max_size=60),
+    st.lists(st.text(min_size=1, max_size=8), max_size=60),
+)
+def test_hll_merge_semilattice(a, b, c):
+    import numpy as np
+
+    from deepseek_ocr_ray.stages.sketches import hll_merge, hll_partial
+
+    p = 8
+    ra, rb, rc = (hll_partial(x, p) for x in (a, b, c))
+    assert np.array_equal(hll_merge(ra, rb), hll_merge(rb, ra))
+    assert np.array_equal(
+        hll_merge(hll_merge(ra, rb), rc), hll_merge(ra, hll_merge(rb, rc))
+    )
+    assert np.array_equal(hll_merge(ra, ra), ra)
+    # sketch-of-union law: merge(sk(a), sk(b)) == sk(a + b)
+    assert np.array_equal(hll_merge(ra, rb), hll_partial(a + b, p))
