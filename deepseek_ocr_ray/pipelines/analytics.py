@@ -192,6 +192,14 @@ def pack_dataset(
                 {"blk_min": pa.array([], pa.int64()), "blk_sum": pa.array([], pa.int64())}
             )
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(np.unique(ids)) != len(ids):
+            # duplicates WITHIN a block make pack order tie-ambiguous (sort
+            # order among equal keys is unspecified) — reject here so the
+            # cross-boundary guard below isn't the only line of defense
+            raise ValueError(
+                "pack_dataset requires unique ids; duplicates found within "
+                "a sorted block"
+            )
         nc = batch[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
@@ -440,6 +448,8 @@ def cust_nation_counts(sf_dir: str) -> ray.data.Dataset:
     # lookup arrays ONCE on the driver and broadcast those, so each batch
     # does a single vectorized fancy-index gather instead of per-row dict
     # probes.
+    if not nat:
+        raise ValueError("nation table is empty — cannot build the lookup")
     size = max(nat) + 1
     nat_arr = np.empty(size, dtype=object)
     reg_arr = np.empty(size, dtype=object)
@@ -454,10 +464,18 @@ def cust_nation_counts(sf_dir: str) -> ray.data.Dataset:
     def join(batch: pa.Table) -> pa.Table:
         nat_l, reg_l = ray.get(lookup_ref)
         keys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # a dangling FK must fail loudly, not flow through as null names
+        if keys.size and (keys.min() < 0 or keys.max() >= len(nat_l)):
+            bad = keys[(keys < 0) | (keys >= len(nat_l))][0]
+            raise KeyError(f"c_nationkey {bad} not present in nation")
+        names = nat_l[keys]
+        if any(v is None for v in names):
+            bad = keys[np.asarray([v is None for v in names])][0]
+            raise KeyError(f"c_nationkey {bad} not present in nation")
         return pa.table(
             {
                 "r_name": pa.array(reg_l[keys], pa.string()),
-                "n_name": pa.array(nat_l[keys], pa.string()),
+                "n_name": pa.array(names, pa.string()),
                 "acctbal_cents": _cents(batch["c_acctbal"]),
             }
         )
@@ -1009,9 +1027,13 @@ def stratified_sample(
         groups = batch[group_col].to_pylist()
         sp = f"{salt}:".encode()
         md5 = _h.md5
+        # null group values are EXCLUDED, matching SQL semantics (the
+        # oracle's 'salt' || lang || ':' || id concatenation is NULL for a
+        # null lang, so the predicate never passes)
         mask = pa.array(
             [
-                int.from_bytes(
+                g is not None
+                and int.from_bytes(
                     md5(sp + f"{g}:{v}".encode()).digest()[:4], "big"
                 )
                 % 10000

@@ -541,7 +541,11 @@ def _ngram_dedup_verify_join(
     _EMPTY_PAIRS = pa.table(
         {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
     )
-    _JOIN_SENTINEL = -(1 << 62)
+    # same numeric value as cluster.JOIN_SENTINEL_L, but used here on BOTH
+    # sides DELIBERATELY: the sentinel pair must match the sentinel text
+    # row so it survives the inner joins and keeps their inputs non-empty
+    # (cluster.py's L/R anchors have the opposite never-match convention)
+    from ..cluster import JOIN_SENTINEL_L as _JOIN_SENTINEL
 
     # distinct pairs: C++ group_by per block (bands→1 per pair per block),
     # then one coarse-bucket exchange with another group_by inside.
@@ -715,11 +719,17 @@ def _ngram_dedup_verify_join(
 
     def keep_unmatched(batch: pa.Table) -> pa.Table:
         if "__drop_n" not in batch.column_names:
-            if id_col in batch.column_names:
-                ids_arr = batch[id_col]
-                mask = pc.not_equal(ids_arr, pa.scalar(_JOIN_SENTINEL))
-                return pa.table({id_col: pc.filter(ids_arr, mask)})
-            return pa.table({id_col: pa.array([], pa.int64())})
+            if batch.num_rows == 0:
+                # ray's own schema-less empty blocks are benign
+                return pa.table({id_col: pa.array([], pa.int64())})
+            # a NON-empty block without the join column means the join
+            # misbehaved — failing open here would silently keep dropped
+            # duplicates, so fail loudly instead
+            raise RuntimeError(
+                "ngram dedup anti-join emitted a non-empty block without "
+                f"__drop_n (columns: {batch.column_names}); refusing to "
+                "fail open"
+            )
         mask = pc.and_(
             pc.is_null(batch["__drop_n"]),
             pc.not_equal(batch[id_col], pa.scalar(_JOIN_SENTINEL)),

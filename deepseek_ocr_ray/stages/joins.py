@@ -77,6 +77,12 @@ def asof_join(
             else "numeric"
         )
 
+    if right_tiebreak is not None and right_tiebreak not in right_cols:
+        raise ValueError(
+            f"right_tiebreak {right_tiebreak!r} must be one of right_cols "
+            f"{right_cols} — only those columns ride the exchange"
+        )
+
     lk = _kind(left.schema().base_schema.field(left_ts).type)
     rk = _kind(right.schema().base_schema.field(right_ts).type)
     if lk != rk:

@@ -163,16 +163,38 @@ class IVFIndex:
         self.assigned: ray.data.Dataset | None = None
 
     def build(self, ds: ray.data.Dataset) -> "IVFIndex":
-        # sort the sample by id before k-means: take_all row order follows
-        # block ARRIVAL order, which varies run to run — k-means init is
-        # permutation-sensitive, so an unsorted sample makes the whole
-        # index (and every search through it) nondeterministic
-        rows = (
-            ds.select_columns([self.id_col, self.vec_col])
-            .limit(self.sample_size)
-            .take_all()
-        )
+        # The k-means sample must be a DETERMINISTIC function of the corpus:
+        # k-means init is permutation-sensitive, and both `limit()` row
+        # MEMBERSHIP (which rows survive) and `take_all()` row ORDER follow
+        # block arrival order, which varies run to run.  Small corpora take
+        # everything; larger ones hash-filter by id (a deterministic set),
+        # then sort by id and truncate — membership and order both fixed.
+        proj = ds.select_columns([self.id_col, self.vec_col])
+        n_total = proj.count()
+        if n_total <= self.sample_size:
+            rows = proj.take_all()
+        else:
+            from ..hashing import splitmix_bucket
+
+            # target ~2× the sample size so the truncation almost never
+            # discards more than half; still deterministic either way
+            buckets = max(1, n_total // (2 * self.sample_size))
+            id_col = self.id_col
+
+            def hash_filter(batch):
+                import pyarrow as _pa
+
+                ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+                    np.uint64
+                )
+                mask = splitmix_bucket(ids, buckets) == 0
+                return batch.filter(_pa.array(mask))
+
+            rows = proj.map_batches(
+                hash_filter, batch_format="pyarrow"
+            ).take_all()
         rows.sort(key=lambda r: r[self.id_col])
+        rows = rows[: self.sample_size]
         sample = np.asarray([r[self.vec_col] for r in rows], dtype=np.float32)
         self.centroids = deterministic_kmeans(sample, self.n_cells, seed=self.seed)
         cref = ray.put(self.centroids)

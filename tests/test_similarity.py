@@ -160,3 +160,17 @@ def test_ivf_default_search_prunes_after_write(ray_session, tmp_path, monkeypatc
     a = want.sort_values(key).reset_index(drop=True)
     b = got.sort_values(key).reset_index(drop=True)
     assert a.neighbor_id.tolist() == b.neighbor_id.tolist()
+
+
+def test_ivf_sample_membership_deterministic_above_cap(ray_session):
+    """With more rows than sample_size, the k-means sample must be a
+    deterministic function of the corpus (hash-selected membership + id
+    order), not of block arrival order."""
+    tbl = _emb_table(n=200)
+    cents = []
+    for blocks in (2, 7):
+        idx = sim.IVFIndex(n_cells=4, seed=5, sample_size=50).build(
+            _ds(tbl, blocks)
+        )
+        cents.append(idx.centroids.copy())
+    assert np.array_equal(cents[0], cents[1])
