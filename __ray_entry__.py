@@ -463,6 +463,22 @@ ORDER BY {out_col}
 """
 
 
+def _static_fixture_sql(name: str) -> str:
+    """sf-independent deterministic queries (synthetic corpus / seeded fake
+    codecs): the oracle reads the committed expected table verbatim.  For
+    extract_summary / extract_spans_flat this puts the FLAGSHIP extraction
+    output — the north rule's span-sequence-equality surface — under the
+    driver's hash gate."""
+    return f"SELECT * FROM read_parquet('{_FIXTURES}/expected_q/{name}.parquet')"
+
+
+DISTINCT_HLL_FIXTURE_SQL = f"""
+SELECT CAST(approx_distinct AS BIGINT) AS approx_distinct
+FROM read_parquet('{_FIXTURES}/expected_distinct_hll.parquet')
+WHERE corpus_tag = {_CORPUS_TAG_SQL}
+"""
+
+
 ANN_IVF_FIXTURE_SQL = f"""
 SELECT query_id, neighbor_id, "rank", cosine
 FROM read_parquet('{_FIXTURES}/expected_ann_ivf.parquet')
@@ -582,6 +598,12 @@ ORDER BY 1, 2
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
             "FROM events"
         ),
+        "extract_summary": _static_fixture_sql("extract_summary"),
+        "extract_spans_flat": _static_fixture_sql("extract_spans_flat"),
+        "extract_then_dedup": _static_fixture_sql("extract_then_dedup"),
+        "multimodal_decode": _static_fixture_sql("multimodal_decode"),
+        "frame_sample": _static_fixture_sql("frame_sample"),
+        "distinct_users_hll": DISTINCT_HLL_FIXTURE_SQL,
         "dedup_minhash": _kept_fixture_sql("dedup_minhash", "doc_id"),
         "dedup_simhash": _kept_fixture_sql("dedup_simhash", "doc_id"),
         "dedup_ngram": _kept_fixture_sql("dedup_ngram", "doc_id"),

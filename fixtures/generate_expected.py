@@ -110,6 +110,59 @@ def main() -> None:
         pa.concat_tables(ivf_rows),
         os.path.join(OUT_DIR, "expected_ann_ivf.parquet"),
     )
+
+    # sf-INDEPENDENT deterministic queries (synthetic interleaved corpus /
+    # seeded fake codecs): one parquet each, consumed verbatim by the
+    # oracle.  extract_summary and extract_spans_flat pin the FLAGSHIP
+    # extraction output — the north rule's span-sequence-equality surface —
+    # into the driver's hash gate.
+    import pandas as pd
+
+    def _to_df(res):
+        if hasattr(res, "to_arrow_refs"):
+            tables = ray.get(res.to_arrow_refs())
+            return pa.concat_tables(tables, promote_options="default")
+        if isinstance(res, pa.Table):
+            return res
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    static_dir = os.path.join(OUT_DIR, "expected_q")
+    os.makedirs(static_dir, exist_ok=True)
+    for name in [
+        "extract_summary",
+        "extract_spans_flat",
+        "extract_then_dedup",
+        "multimodal_decode",
+        "frame_sample",
+    ]:
+        tbl = _to_df(q[name]("/root/testdata/sf0.001"))
+        df = tbl.to_pandas()
+        df = df.sort_values(sorted(df.columns)).reset_index(drop=True)
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False).cast(tbl.schema),
+            os.path.join(static_dir, f"{name}.parquet"),
+        )
+        print(f"static {name}: {len(df)} rows")
+
+    # sf-DEPENDENT deterministic query with no SQL equivalent
+    hll_rows = []
+    for sf_dir in SF_DIRS:
+        tag = corpus_tag(sf_dir)
+        t = _to_df(q["distinct_users_hll"](sf_dir))
+        hll_rows.append(
+            pa.table(
+                {
+                    "corpus_tag": pa.array([tag] * t.num_rows, pa.int64()),
+                    "approx_distinct": t["approx_distinct"],
+                }
+            )
+        )
+        print(f"{sf_dir} distinct_users_hll: {t.to_pydict()}")
+    pq.write_table(
+        pa.concat_tables(hll_rows),
+        os.path.join(OUT_DIR, "expected_distinct_hll.parquet"),
+    )
+
     print("fixtures written to", OUT_DIR)
     ray.shutdown()
 
