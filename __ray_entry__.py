@@ -146,6 +146,31 @@ def _dedup_ngram(sf_dir: str) -> Any:
     return dedup.ngram_jaccard_dedup(ds, ngram=3, threshold=0.8)
 
 
+def _dedup_incremental(sf_dir: str) -> Any:
+    """Incremental ingest filter: split documents at the id midpoint —
+    the lower half is the 'existing' corpus, the upper half the 'new'
+    crawl — and keep only new docs whose exact text is unseen."""
+    ds = analytics.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cut = (ds.max("doc_id") + 1) // 2
+    existing = ds.filter(expr=f"doc_id < {cut}")
+    new = ds.filter(expr=f"doc_id >= {cut}")
+    return dedup.incremental_exact_dedup(new, existing)
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH cut AS (
+  SELECT CAST(floor((max(doc_id)+1)/2.0) AS BIGINT) AS c FROM documents
+)
+SELECT d.doc_id
+FROM documents d, cut
+WHERE d.doc_id >= cut.c
+  AND NOT EXISTS (
+    SELECT 1 FROM documents e, cut WHERE e.doc_id < cut.c AND e.text = d.text
+  )
+ORDER BY doc_id
+"""
+
+
 def _dedup_ngram_join(sf_dir: str) -> Any:
     """The 10^12-row plan (candidate pairs → text join → anti-join); must
     keep exactly the same ids as the carry-text plan, so it shares the
@@ -365,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram": _dedup_ngram,
         "dedup_ngram_join": _dedup_ngram_join,
+        "dedup_incremental": _dedup_incremental,
         "dedup_embedding": _dedup_embedding,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "extract_then_dedup": _extract_then_dedup,
@@ -608,6 +634,7 @@ ORDER BY 1, 2
         "dedup_simhash": _kept_fixture_sql("dedup_simhash", "doc_id"),
         "dedup_ngram": _kept_fixture_sql("dedup_ngram", "doc_id"),
         "dedup_ngram_join": _kept_fixture_sql("dedup_ngram", "doc_id"),
+        "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "dedup_embedding": _kept_fixture_sql("dedup_embedding", "vec_id"),
         "ann_ivf": ANN_IVF_FIXTURE_SQL,
         "doc_lang_quality": DOC_LANG_QUALITY_SQL,

@@ -81,6 +81,94 @@ def exact_dedup(
     ).select_columns(["text_hash", id_col, "dup_count"])
 
 
+def incremental_exact_dedup(
+    new_ds: ray.data.Dataset,
+    existing_ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Incremental corpus growth: keep only NEW documents whose exact text
+    does not already exist in the existing corpus — the filter every
+    recurring crawl/ingest runs before appending to a training corpus.
+
+    Both sides reduce to md5 text hashes first (map-side), so only 16-byte
+    hashes move.  Plan auto-selects on the existing corpus's distinct-hash
+    count: broadcast ``np.isin`` below the threshold, distributed
+    ``Dataset.join(left_anti)`` above it (nothing on the driver; the anti
+    join keeps exactly the unmatched left rows, and the schema-anchor
+    sentinels never match so no output filtering is needed).
+    """
+    from ..cluster import (
+        JOIN_PARTITION_SIZE_HINT,
+        JOIN_SENTINEL_L,
+        JOIN_SENTINEL_R,
+        anchor_join_input,
+        join_partitions,
+    )
+
+    new_hashed = new_ds.map_batches(
+        add_text_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
+    )
+    existing_hashes = (
+        existing_ds.map_batches(
+            add_text_hash, fn_kwargs={"text_col": text_col},
+            batch_format="pyarrow",
+        )
+        .select_columns(["text_hash"])
+        .groupby("text_hash")
+        .count()
+    )
+
+    n_existing = existing_ds.count()
+    if n_existing <= broadcast_threshold:
+        seen = set(
+            r["text_hash"] for r in existing_hashes.take_all()
+        )
+        sref = ray.put(seen)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            s = ray.get(sref)
+            hashes = batch["text_hash"].to_pylist()
+            mask = pa.array([h not in s for h in hashes])
+            return pa.table({id_col: pc.filter(batch[id_col], mask)})
+
+        return new_hashed.map_batches(anti, batch_format="pyarrow")
+
+    left = anchor_join_input(
+        new_hashed.select_columns([id_col, "text_hash"]),
+        pa.table(
+            {
+                id_col: pa.array([JOIN_SENTINEL_L], pa.int64()),
+                "text_hash": pa.array(["\x00anchor-l"], pa.string()),
+            }
+        ),
+    )
+    right = anchor_join_input(
+        existing_hashes.rename_columns({"count()": "n"}),
+        pa.table(
+            {
+                "text_hash": pa.array(["\x00anchor-r"], pa.string()),
+                "n": pa.array([1], pa.int64()),
+            }
+        ),
+    )
+    kept = left.join(
+        right,
+        join_type="left_anti",
+        num_partitions=join_partitions(),
+        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
+        on=("text_hash",),
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch[id_col], pa.scalar(JOIN_SENTINEL_L))
+        return pa.table({id_col: pc.filter(batch[id_col], mask)})
+
+    return kept.map_batches(strip, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # vectorized MinHash
 # ---------------------------------------------------------------------------

@@ -168,3 +168,36 @@ def test_ngram_dedup_join_path_no_candidates(ray_session):
         ).to_pandas()["doc_id"]
     )
     assert kept == list(range(3, 10))
+
+
+def test_incremental_exact_dedup_both_plans(ray_session):
+    """New docs already present in the existing corpus are filtered; the
+    broadcast and left_anti join plans keep identical ids."""
+    import ray.data
+
+    existing = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["alpha", "beta", "gamma"]),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(["beta", "delta", "alpha", "epsilon"]),
+        }
+    )
+    e = ray.data.from_arrow(existing).repartition(2)
+    n = ray.data.from_arrow(new).repartition(2)
+    bc = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_exact_dedup(n, e).take_all()
+    )
+    jn = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_exact_dedup(
+            n, e, broadcast_threshold=0
+        ).take_all()
+    )
+    assert bc == [11, 13]  # beta/alpha already exist
+    assert jn == bc
