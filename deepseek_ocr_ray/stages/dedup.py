@@ -47,6 +47,7 @@ from ray.data.aggregate import Count, Min
 
 from ..cluster import (
     JOIN_PARTITION_SIZE_HINT,
+    JOIN_SENTINEL_L,
     anchor_join_input,
     join_partitions,
 )
@@ -100,14 +101,6 @@ def incremental_exact_dedup(
     join keeps exactly the unmatched left rows, and the schema-anchor
     sentinels never match so no output filtering is needed).
     """
-    from ..cluster import (
-        JOIN_PARTITION_SIZE_HINT,
-        JOIN_SENTINEL_L,
-        JOIN_SENTINEL_R,
-        anchor_join_input,
-        join_partitions,
-    )
-
     new_hashed = new_ds.map_batches(
         add_text_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
     )
@@ -121,8 +114,11 @@ def incremental_exact_dedup(
         .count()
     )
 
-    n_existing = existing_ds.count()
-    if n_existing <= broadcast_threshold:
+    # materialize the distinct-hash set once: the threshold then measures
+    # the actual broadcast size (distinct hashes), and the broadcast path
+    # reuses the same execution instead of re-running hash+groupby
+    existing_hashes = existing_hashes.materialize()
+    if existing_hashes.count() <= broadcast_threshold:
         seen = set(
             r["text_hash"] for r in existing_hashes.take_all()
         )
@@ -633,7 +629,7 @@ def _ngram_dedup_verify_join(
     # sides DELIBERATELY: the sentinel pair must match the sentinel text
     # row so it survives the inner joins and keeps their inputs non-empty
     # (cluster.py's L/R anchors have the opposite never-match convention)
-    from ..cluster import JOIN_SENTINEL_L as _JOIN_SENTINEL
+    _JOIN_SENTINEL = JOIN_SENTINEL_L
 
     # distinct pairs: C++ group_by per block (bands→1 per pair per block),
     # then one coarse-bucket exchange with another group_by inside.

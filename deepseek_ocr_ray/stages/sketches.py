@@ -97,18 +97,24 @@ def hll_distinct(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
-    def combine(batch: pa.Table) -> pa.Table:
+    def _merge_blobs(batch: pa.Table) -> np.ndarray:
         merged = np.zeros(1 << p, dtype=np.uint8)
         for blob in batch["regs"].to_pylist():
             merged = hll_merge(merged, np.frombuffer(blob, dtype=np.uint8))
-        return pa.table({"regs": pa.array([merged.tobytes()], pa.binary())})
+        return merged
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"regs": pa.array([_merge_blobs(batch).tobytes()], pa.binary())}
+        )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        merged = np.zeros(1 << p, dtype=np.uint8)
-        for blob in batch["regs"].to_pylist():
-            merged = hll_merge(merged, np.frombuffer(blob, dtype=np.uint8))
         return pa.table(
-            {"approx_distinct": pa.array([hll_estimate(merged)], pa.int64())}
+            {
+                "approx_distinct": pa.array(
+                    [hll_estimate(_merge_blobs(batch))], pa.int64()
+                )
+            }
         )
 
     # tree combine: per-task partial merge, then one final task
