@@ -250,3 +250,37 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
             "payload": pa.array(rows_payload, pa.binary()),
         }
     )
+
+
+def crop_region_jpegs(
+    image_bytes: bytes, boxes: list[tuple[int, int, int, int]], *, quality: int = 90
+) -> list[bytes | None]:
+    """W4 real pixel path: crop denormalized image-label boxes out of a
+    page image and encode each as JPEG bytes — the reference's per-region
+    ``image.crop(...).save('images/{page}_{idx}.jpg')``
+    (run_dpsk_ocr_pdf.py:189-196), with its swallow-and-continue error
+    handling per region (a bad box yields None, the rest still crop).
+
+    Pairs with the engine's deterministic ``crop://doc/unit/i`` refs
+    (stages/transforms.py): the refs name the regions; this materializes
+    their bytes wherever Pillow exists.  Import-gated; exercised by
+    ``pytest.importorskip`` tests."""
+    if not HAVE_PIL:
+        raise ImportError(
+            "crop_region_jpegs requires Pillow; the engine's crop:// refs "
+            "remain valid without it — only byte materialization is gated"
+        )
+    import io  # pragma: no cover
+
+    from PIL import Image  # pragma: no cover
+
+    img = Image.open(io.BytesIO(image_bytes)).convert("RGB")  # pragma: no cover
+    out: list[bytes | None] = []  # pragma: no cover
+    for box in boxes:  # pragma: no cover
+        try:
+            buf = io.BytesIO()
+            img.crop(box).save(buf, format="JPEG", quality=quality)
+            out.append(buf.getvalue())
+        except Exception:
+            out.append(None)  # reference-style: a bad box never aborts
+    return out  # pragma: no cover

@@ -150,3 +150,34 @@ def test_dynamic_preprocess_pil_real_path():
     with_thumb, _ = dynamic_preprocess_pil(img, use_thumbnail=True)
     assert len(with_thumb) == wt * ht + 1
     assert with_thumb[-1].size == (640, 640)
+
+
+def test_crop_region_jpegs_real_path():
+    pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    from deepseek_ocr_ray.stages.multimodal import crop_region_jpegs
+
+    img = Image.new("RGB", (400, 300), (50, 100, 150))
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    crops = crop_region_jpegs(
+        buf.getvalue(), [(10, 10, 110, 60), (0, 0, 400, 300), (-5, -5, 0, 0)]
+    )
+    assert len(crops) == 3
+    a = Image.open(BytesIO(crops[0]))
+    assert a.size == (100, 50)
+    b = Image.open(BytesIO(crops[1]))
+    assert b.size == (400, 300)
+    # the degenerate box either crops to something or yields None — never raises
+    assert crops[2] is None or isinstance(crops[2], bytes)
+
+
+def test_crop_region_jpegs_gate_without_pil():
+    from deepseek_ocr_ray.stages import multimodal as mm
+
+    if not mm.HAVE_PIL:
+        with pytest.raises(ImportError):
+            mm.crop_region_jpegs(b"x", [(0, 0, 1, 1)])
