@@ -109,7 +109,21 @@ def run_queries() -> dict[str, float]:
     return times
 
 
+def _burn_probe() -> float:
+    """Single-process pure-CPU seconds for a fixed loop (~1.4 s on this
+    host when healthy).  Emitted with every bench run because the host's
+    hypervisor throttles unpredictably (measured up to ~2.4× — see
+    BASELINE.md): without this, a throttled-window run reads as a code
+    regression."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(30_000_000):
+        x += i * i
+    return time.perf_counter() - t0
+
+
 def main_bench() -> None:
+    hw_burn = _burn_probe()
     _init_ray(NUM_CPUS)
     dt, n_docs, n_spans = bench_extract(N_DOCS)
     qtimes = run_queries()
@@ -134,6 +148,7 @@ def main_bench() -> None:
                 "sf": float(sf) if sf else None,
                 "num_cpus": NUM_CPUS,
                 "failed_queries": failed,
+                "hw_burn_sec": round(hw_burn, 2),
             }
         )
     )
