@@ -301,3 +301,158 @@ def range_join(
         return pa.table(cols)
 
     return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# bucketed equi-join (the engine-owned fallback to Dataset.join)
+# ---------------------------------------------------------------------------
+
+
+def _key_buckets(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
+    """Stable bucket per key value: splitmix for integer keys, md5 for
+    strings (Python's builtin hash() is per-process-seeded — workers would
+    route the same key to different buckets)."""
+    t = col.type
+    if pa.types.is_integer(t):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return _bucket_i64(vals, n_buckets)
+    import hashlib
+
+    md5 = hashlib.md5
+    return np.fromiter(
+        (
+            int.from_bytes(md5(str(v).encode()).digest()[:8], "little")
+            % n_buckets
+            for v in col.to_pylist()
+        ),
+        dtype=np.int64,
+        count=len(col),
+    )
+
+
+def bucket_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed equi-join built ONLY on groupby + per-group pyarrow
+    acero joins — the engine-owned alternative to ``Dataset.join``.
+
+    Why it exists: Ray 2.49's hash-shuffle JoinOperator loses its one-shot
+    schema broadcast to an empty first block (crash) and reserves large
+    per-aggregator memory budgets (admission deadlock on small sessions).
+    The repo's default joins mitigate both (``cluster.anchor_join_input``,
+    ``JOIN_PARTITION_SIZE_HINT``), but the anchor is a scheduling-order
+    mitigation, not a guarantee — this operator has NEITHER failure mode:
+    groupby handles empty blocks, and the per-group C++ ``pa.Table.join``
+    needs no standing aggregator actors.
+
+    Plan: tag sides, bucket by a stable key hash (splitmix for ints, md5
+    for strings), union, ONE keyed exchange (groupby bucket), then one
+    local acero join per coarse bucket.  Cost vs Dataset.join: the
+    exchange is Ray's sort-based shuffle (slower than the hash shuffle at
+    equal scale) — use this when robustness beats peak throughput.
+
+    ``how``: inner | left_outer | left_semi | left_anti.
+    Output columns: left_cols + right_cols (key columns included only if
+    listed).  Right key values must be unique for left_outer (acero
+    replicates matches otherwise, same as SQL).
+    """
+    assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
+    lcols = left_cols if left_cols is not None else [
+        c for c in left.schema().base_schema.names
+    ]
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.schema().base_schema.names if c != right_on
+    ]
+
+    l_schema = {c: left.schema().base_schema.field(c).type for c in set(lcols) | {left_on}}
+    r_schema = {c: right.schema().base_schema.field(c).type for c in set(rcols) | {right_on}}
+
+    def prep(side: int, key: str, cols: list[str], schema: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = {
+                "side": pa.array(
+                    np.full(batch.num_rows, side, np.int8), pa.int8()
+                ),
+                "bucket": pa.array(
+                    _key_buckets(batch[key], n_buckets), pa.int64()
+                ),
+            }
+            out["__lkey" if side == 0 else "__rkey"] = batch[key].cast(
+                l_schema[left_on] if side == 0 else r_schema[right_on]
+            )
+            out["__rkey" if side == 0 else "__lkey"] = pa.nulls(
+                batch.num_rows,
+                r_schema[right_on] if side == 0 else l_schema[left_on],
+            )
+            for c in lcols:
+                out[f"l_{c}"] = (
+                    batch[c] if side == 0 else pa.nulls(batch.num_rows, l_schema[c])
+                )
+            for c in rcols:
+                out[f"r_{c}"] = (
+                    batch[c] if side == 1 else pa.nulls(batch.num_rows, r_schema[c])
+                )
+            return pa.table(out)
+
+        return fn
+
+    lt = left.map_batches(
+        prep(0, left_on, lcols, l_schema), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        prep(1, right_on, rcols, r_schema), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+
+    out_fields = [(c, l_schema[c]) for c in lcols] + [
+        (c, r_schema[c]) for c in rcols
+    ]
+
+    def merge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {name: pa.array([], typ) for name, typ in out_fields}
+        )
+        if "side" not in group.column_names or group.num_rows == 0:
+            return empty
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        l_mask = pa.array(sides == 0)
+        r_mask = pa.array(sides == 1)
+        ltab = pa.table(
+            {left_on + "__k": group["__lkey"].filter(l_mask)}
+            | {f"l_{c}": group[f"l_{c}"].filter(l_mask) for c in lcols}
+        )
+        rtab = pa.table(
+            {right_on + "__k": group["__rkey"].filter(r_mask)}
+            | {f"r_{c}": group[f"r_{c}"].filter(r_mask) for c in rcols}
+        )
+        how_arrow = {
+            "inner": "inner",
+            "left_outer": "left outer",
+            "left_semi": "left semi",
+            "left_anti": "left anti",
+        }[how]
+        joined = ltab.join(
+            rtab,
+            keys=[left_on + "__k"],
+            right_keys=[right_on + "__k"],
+            join_type=how_arrow,
+        )
+        cols = {}
+        for c in lcols:
+            cols[c] = joined[f"l_{c}"]
+        for c in rcols:
+            if f"r_{c}" in joined.column_names:
+                cols[c] = joined[f"r_{c}"]
+            else:  # semi/anti joins keep only left columns
+                cols[c] = pa.nulls(joined.num_rows, r_schema[c])
+        return pa.table(cols).cast(pa.schema(out_fields))
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from deepseek_ocr_ray.stages.joins import asof_join
 
@@ -298,3 +299,132 @@ def test_asof_right_tiebreak_picks_max(ray_session):
     )
     # eid 100 (t=10) matches ts 5 → max oid 9; eid 101 (t=4) matches ts 2 → oid 1
     assert got.oid.tolist() == [9, 1]
+
+
+def _naive_join(lrows, rrows, lk, rk, how):
+    from collections import defaultdict
+
+    rindex = defaultdict(list)
+    for r in rrows:
+        rindex[r[rk]].append(r)
+    out = []
+    for l in lrows:
+        matches = rindex.get(l[lk], [])
+        if how == "inner":
+            out.extend({**l, **m} for m in matches)
+        elif how == "left_outer":
+            if matches:
+                out.extend({**l, **m} for m in matches)
+            else:
+                out.append({**l})
+        elif how == "left_semi":
+            if matches:
+                out.append(l)
+        elif how == "left_anti":
+            if not matches:
+                out.append(l)
+    return out
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer", "left_semi", "left_anti"])
+def test_bucket_join_vs_naive(ray_session, how):
+    import numpy as np
+    import ray.data
+
+    from deepseek_ocr_ray.stages.joins import bucket_join
+
+    rng = np.random.RandomState(5)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 30, 120).tolist(), pa.int64()),
+        "lv": pa.array(range(120), pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array(rng.randint(0, 40, 35).tolist(), pa.int64()),
+        "rv": pa.array(range(1000, 1035), pa.int64()),
+    })
+    got = (
+        bucket_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(3),
+            left_on="k", right_on="rk", how=how,
+            left_cols=["k", "lv"], right_cols=["rv"],
+            n_buckets=8,
+        )
+        .to_pandas()
+    )
+    lrows = left.to_pylist()
+    rrows = right.to_pylist()
+    want = _naive_join(lrows, rrows, "k", "rk", how)
+    if how in ("left_semi", "left_anti"):
+        assert sorted(got.lv.tolist()) == sorted(w["lv"] for w in want)
+        assert got.rv.isna().all()
+    else:
+        gset = sorted(
+            (r.lv, None if (r.rv != r.rv) else int(r.rv))  # NaN-safe
+            for r in got.itertuples()
+        )
+        wset = sorted((w["lv"], w.get("rv")) for w in want)
+        assert gset == wset
+
+
+def test_bucket_join_string_keys_and_empty_side(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.joins import bucket_join
+
+    left = pa.table({
+        "h": pa.array(["aa", "bb", "cc", "bb"], pa.string()),
+        "lv": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    right = pa.table({
+        "h2": pa.array(["bb", "zz"], pa.string()),
+        "rv": pa.array([10, 20], pa.int64()),
+    })
+    got = bucket_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right),
+        left_on="h", right_on="h2", how="left_anti",
+        left_cols=["lv"], right_cols=[],
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(got.lv.tolist()) == [1, 3]
+
+    # fully EMPTY right side — the exact shape that crashes Dataset.join
+    empty_r = ray.data.from_arrow(
+        pa.table({"h2": pa.array([], pa.string()), "rv": pa.array([], pa.int64())})
+    )
+    got2 = bucket_join(
+        ray.data.from_arrow(left).repartition(3),
+        empty_r,
+        left_on="h", right_on="h2", how="left_anti",
+        left_cols=["lv"], right_cols=[],
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(got2.lv.tolist()) == [1, 2, 3, 4]
+
+
+def test_bucket_join_parallelism_invariant(ray_session):
+    import numpy as np
+    import ray.data
+
+    from deepseek_ocr_ray.stages.joins import bucket_join
+
+    rng = np.random.RandomState(9)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 20, 60).tolist(), pa.int64()),
+        "lv": pa.array(range(60), pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array(rng.randint(0, 20, 25).tolist(), pa.int64()),
+        "rv": pa.array(range(25), pa.int64()),
+    })
+    outs = []
+    for lb, rb in ((1, 1), (5, 3)):
+        df = bucket_join(
+            ray.data.from_arrow(left).repartition(lb),
+            ray.data.from_arrow(right).repartition(rb),
+            left_on="k", right_on="rk", how="inner",
+            left_cols=["lv"], right_cols=["rv"],
+        ).to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])
