@@ -662,9 +662,20 @@ def _ngram_dedup_verify_join(
     )
 
     def norm_pairs(batch: pa.Table) -> pa.Table:
-        # typed-empty normalization for non-empty blocks with odd schemas;
-        # empty blocks skip the UDF entirely — the join anchor handles those
-        if "a_id" not in batch.column_names or batch.num_rows == 0:
+        if "a_id" not in batch.column_names:
+            if batch.num_rows == 0:
+                # schema-less zero-row blocks are benign — substitute the
+                # matching sentinel so the downstream join input stays typed
+                return _SENT_PAIR
+            # a NON-empty block without the pair columns means an upstream
+            # operator misbehaved; swallowing it would silently DROP those
+            # candidate pairs (fail open) — mirror keep_unmatched and raise
+            raise RuntimeError(
+                "ngram dedup pair normalization saw a non-empty block "
+                f"without a_id (columns: {batch.column_names}); refusing "
+                "to discard candidate pairs"
+            )
+        if batch.num_rows == 0:
             return _SENT_PAIR
         return batch.select(["a_id", "b_id"])
 
@@ -684,7 +695,15 @@ def _ngram_dedup_verify_join(
     )
 
     def norm_texts(batch: pa.Table) -> pa.Table:
-        if id_col not in batch.column_names or batch.num_rows == 0:
+        if id_col not in batch.column_names:
+            if batch.num_rows == 0:
+                return _SENT_TEXT
+            raise RuntimeError(
+                "ngram dedup text normalization saw a non-empty block "
+                f"without {id_col!r} (columns: {batch.column_names}); "
+                "refusing to discard corpus rows"
+            )
+        if batch.num_rows == 0:
             return _SENT_TEXT
         return pa.table({id_col: batch[id_col], text_col: batch[text_col]})
 
@@ -704,8 +723,20 @@ def _ngram_dedup_verify_join(
     )
 
     def pick_b(batch: pa.Table) -> pa.Table:
-        if "a_id" not in batch.column_names or batch.num_rows == 0:
-            return _SENT_PAIR.append_column("b_text", pa.array([""], pa.string()))
+        if "a_id" not in batch.column_names:
+            if batch.num_rows == 0:
+                return _SENT_PAIR.append_column(
+                    "b_text", pa.array([""], pa.string())
+                )
+            raise RuntimeError(
+                "ngram dedup join-1 output block is non-empty but lacks "
+                f"a_id (columns: {batch.column_names}); refusing to "
+                "discard matched pairs"
+            )
+        if batch.num_rows == 0:
+            return _SENT_PAIR.append_column(
+                "b_text", pa.array([""], pa.string())
+            )
         return pa.table(
             {
                 "a_id": batch["a_id"],

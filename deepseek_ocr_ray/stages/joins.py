@@ -371,6 +371,14 @@ def bucket_join(
     rcols = right_cols if right_cols is not None else [
         c for c in right.schema().base_schema.names if c != right_on
     ]
+    clash = sorted(set(lcols) & set(rcols))
+    if clash:
+        # output columns are keyed by bare name — a collision would
+        # silently overwrite the left value with the right one
+        raise ValueError(
+            "bucket_join: left_cols and right_cols must be disjoint; "
+            f"colliding column(s): {clash} — rename one side first"
+        )
 
     l_schema = {c: left.schema().base_schema.field(c).type for c in set(lcols) | {left_on}}
     r_schema = {c: right.schema().base_schema.field(c).type for c in set(rcols) | {right_on}}

@@ -214,7 +214,12 @@ class IVFIndex:
     def write(self, path: str) -> "IVFIndex":
         """Persist the index: vectors partitioned by cell (one directory per
         cell → probed-cell reads skip every other file at search time) plus
-        a centroids sidecar."""
+        a centroids sidecar.
+
+        Writing FREEZES the index: subsequent ``search()`` calls default to
+        the persisted files (see ``search``'s ``prefer_persisted``), so
+        mutate-after-write on ``self.assigned`` is not served — pass
+        ``prefer_persisted=False`` to search the live assignment."""
         import json
         import os
 
@@ -324,13 +329,30 @@ class IVFIndex:
         k: int = 10,
         nprobe: int = 4,
         exclude_self: bool = True,
+        prefer_persisted: bool | None = None,
     ) -> ray.data.Dataset:
         """Top-k search.  On a persisted index (``write()`` or ``load()``)
         this DEFAULTS to the pruned path — only the probed cells' parquet
         files are read.  The in-memory full-scan path (compute-side cell
         filter, every block read) is a small-corpus/test convenience only;
-        at 100 TB the persisted path is the only valid plan."""
-        if getattr(self, "_path", None):
+        at 100 TB the persisted path is the only valid plan.
+
+        ``prefer_persisted`` makes the plan choice explicit: ``write()``
+        FREEZES the index — after it, searches read the written files, so
+        mutations to ``self.assigned`` made after ``write()`` are NOT
+        visible unless you pass ``prefer_persisted=False`` (which serves
+        the live in-memory assignment instead)."""
+        use_persisted = (
+            prefer_persisted
+            if prefer_persisted is not None
+            else bool(getattr(self, "_path", None))
+        )
+        if use_persisted:
+            if not getattr(self, "_path", None):
+                raise ValueError(
+                    "prefer_persisted=True but the index was never written/"
+                    "loaded — call write(path) or load(path) first"
+                )
             return self.search_persisted(
                 queries, query_ids, k=k, nprobe=nprobe,
                 exclude_self=exclude_self,

@@ -9,7 +9,9 @@ levels (merges are element-wise max — order-independent).
 
 - **HyperLogLog** distinct-count (Flajolet et al. 2007): 2^p byte registers,
   standard bias-corrected estimator with the small-range (linear counting)
-  and large-range corrections.  p=12 → 4 KiB state, ~1.6% typical error.
+  correction; the 32-bit large-range correction is deliberately omitted —
+  it is wrong for 64-bit hashes (see ``hll_estimate``).  p=12 → 4 KiB
+  state, ~1.6% typical error.
 - **exact_distinct** — the oracled exact companion (map-side distinct per
   block, then a distinct-count aggregate; shuffle carries one row per
   distinct value per block).
@@ -77,8 +79,12 @@ def hll_estimate(regs: np.ndarray) -> int:
     zeros = int(np.sum(regs == 0))
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)  # linear counting, small range
-    elif est > (1 << 32) / 30.0:
-        est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    # NOTE: no large-range correction.  The classic -2^32*ln(1-est/2^32)
+    # branch belongs to the 32-bit-hash formulation; with 64-bit hashes the
+    # collision regime it corrects for starts near 2^64, unreachable in
+    # practice — applying it at ~143M distinct would inflate estimates and
+    # NaN past 2^32 (it was exactly the 10^12-row regime this module
+    # targets that would have hit it).
     return int(round(est))
 
 

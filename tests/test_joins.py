@@ -428,3 +428,21 @@ def test_bucket_join_parallelism_invariant(ray_session):
         ).to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
         outs.append(df)
     assert outs[0].equals(outs[1])
+
+
+def test_bucket_join_rejects_colliding_output_columns(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.joins import bucket_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([2], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1], pa.int64()), "v": pa.array([3], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="colliding column"):
+        bucket_join(
+            left, right, left_on="k", right_on="rk",
+            left_cols=["k", "v"], right_cols=["v"],
+        )

@@ -174,3 +174,28 @@ def test_ivf_sample_membership_deterministic_above_cap(ray_session):
         )
         cents.append(idx.centroids.copy())
     assert np.array_equal(cents[0], cents[1])
+
+
+def test_ivf_prefer_persisted_false_serves_live_assignment(
+    ray_session, tmp_path
+):
+    """write() freezes the index; prefer_persisted=False must opt back into
+    the live in-memory assignment (and True without a path must raise)."""
+    tbl = _emb_table(n=120)
+    qids = [3]
+    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[qids]
+
+    idx = sim.IVFIndex(n_cells=4, seed=5).build(_ds(tbl))
+    with pytest.raises(ValueError, match="never written"):
+        idx.search(q, np.asarray(qids), k=5, prefer_persisted=True)
+
+    live = idx.search(q, np.asarray(qids), k=5, nprobe=2).to_pandas()
+    idx.write(str(tmp_path / "ivf"))
+    # frozen default reads the files; the explicit flag serves the live plan
+    explicit = idx.search(
+        q, np.asarray(qids), k=5, nprobe=2, prefer_persisted=False
+    ).to_pandas()
+    assert (
+        live.sort_values(["query_id", "rank"]).neighbor_id.tolist()
+        == explicit.sort_values(["query_id", "rank"]).neighbor_id.tolist()
+    )

@@ -57,3 +57,28 @@ def test_exact_distinct(ray_session):
     values = [f"doc-{i % 700}" for i in range(5000)]
     out = sketches.exact_distinct(_ds(values), "v").take_all()
     assert out[0]["n_distinct"] == 700
+
+
+def test_hll_estimate_no_large_range_distortion():
+    # Registers saturated high enough that the raw estimate sits in the
+    # regime where the (removed) 32-bit large-range correction used to fire:
+    # est ≈ alpha*m*2^24 ≈ 5e10 > 2^32 — the old branch took log of a
+    # negative number (NaN → int() raised).  With 64-bit hashes the raw
+    # estimator is correct here and must come back finite and positive.
+    regs = np.full(1 << 12, 24, dtype=np.uint8)
+    est = sketches.hll_estimate(regs)
+    m = float(1 << 12)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    expected = alpha * m * m / (m * 2.0 ** -24.0)
+    assert est > (1 << 32)  # genuinely in the old broken regime
+    assert abs(est - expected) / expected < 1e-9
+
+
+def test_hll_estimate_mid_range_monotone():
+    # across the old correction boundary (~2^32/30) estimates must be
+    # monotone in register mass — the removed branch bent them upward
+    ests = [
+        sketches.hll_estimate(np.full(1 << 12, r, dtype=np.uint8))
+        for r in (14, 16, 18, 20, 22)
+    ]
+    assert all(b > a for a, b in zip(ests, ests[1:]))
