@@ -1,10 +1,24 @@
-"""Cluster-shape helpers shared by pipelines and stages."""
+"""Cluster-shape helpers shared by pipelines and stages.
+
+The centerpiece is :func:`equi_join` — the engine's join PLANNER.  Every
+equi-join in the repo routes through it so the Ray 2.49 ``Dataset.join``
+fragilities (one-shot schema broadcast lost to an empty first block;
+per-aggregator memory admission) are handled in exactly one place, with a
+tested fallback to the engine-owned ``bucket_join`` instead of a
+probabilistic mitigation replicated per call site."""
 
 from __future__ import annotations
 
+import logging
+import math
+import os
+
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
+
+logger = logging.getLogger(__name__)
 
 
 # impossible key values for join anchors over non-negative id domains; use
@@ -71,3 +85,242 @@ def join_partitions(cap: int = 16) -> int:
 # reservation honest.  Callers moving truly large partitions should pass
 # their own estimate.
 JOIN_PARTITION_SIZE_HINT = 64 << 20
+
+# target bytes of join input per hash partition when the caller supplies a
+# volume estimate — one aggregator comfortably handles this much
+JOIN_TARGET_PARTITION_BYTES = 128 << 20
+
+
+def join_partitions_for_bytes(
+    approx_bytes: int | None = None, cap: int = 16
+) -> int:
+    """Hash-join partition count sized to BOTH the cluster and the input.
+
+    Each partition is a standing HashShuffleAggregator actor with a fixed
+    startup + memory-reservation cost; at sf0.1 that fixed cost dominates a
+    16-way join (measured: q3_shipping 10.6 s, mostly aggregator startup).
+    With a volume estimate the count grows with the data —
+    ``ceil(bytes / 128 MiB)`` — and is clamped to the CPU-derived cap, so
+    tiny inputs get 2 aggregators and large inputs saturate the cluster.
+    Without an estimate this falls back to the CPU-only sizing
+    (:func:`join_partitions`).
+    """
+    cpu_cap = join_partitions(cap)
+    if approx_bytes is None:
+        return cpu_cap
+    need = max(2, math.ceil(approx_bytes / JOIN_TARGET_PARTITION_BYTES))
+    return min(cpu_cap, need)
+
+
+def table_file_bytes(sf_dir: str, *names: str) -> int:
+    """On-disk bytes of benchmark parquet tables — the cheap (metadata-only)
+    volume estimate call sites feed to :func:`join_partitions_for_bytes`."""
+    total = 0
+    for name in names:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+            else:
+                total += os.path.getsize(p)
+        except OSError:
+            pass
+    return total
+
+
+# --------------------------------------------------------------------------
+# the join planner
+# --------------------------------------------------------------------------
+
+# string-key sentinels: NUL-prefixed so no natural key collides; the int
+# sentinels reuse JOIN_SENTINEL_L/R
+_STR_SENTINEL_L = "\x00\x00dsor-anchor-l"
+_STR_SENTINEL_R = "\x00\x00dsor-anchor-r"
+
+_SCHEMA_RACE_MARKERS = (
+    "No match or multiple matches for key field",
+    "no match for key field",
+)
+
+
+def _is_schema_race_error(err: BaseException) -> bool:
+    return any(m in str(err) for m in _SCHEMA_RACE_MARKERS)
+
+
+def _sentinel_value(t: pa.DataType, side: str):
+    if pa.types.is_integer(t):
+        return JOIN_SENTINEL_L if side == "l" else JOIN_SENTINEL_R
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return _STR_SENTINEL_L if side == "l" else _STR_SENTINEL_R
+    raise TypeError(
+        f"equi_join: unsupported key type {t} — int and string keys only"
+    )
+
+
+def _sentinel_table(schema: dict[str, pa.DataType], key: str, side: str) -> pa.Table:
+    cols = {}
+    for name, t in schema.items():
+        if name == key:
+            cols[name] = pa.array([_sentinel_value(t, side)], t)
+        else:
+            cols[name] = pa.nulls(1, t)
+    return pa.table(cols)
+
+
+def equi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    approx_bytes: int | None = None,
+    strategy: str | None = None,
+    n_buckets: int = 64,
+    _drop_anchor: bool = False,
+) -> "ray.data.Dataset":
+    """Engine-owned equi-join planner — ALL repo equi-joins go through here.
+
+    Output columns are exactly ``left_cols + right_cols`` in that order
+    (defaults: all left columns; all right columns except the key).  For
+    ``left_semi`` / ``left_anti`` only ``left_cols`` are returned.  For
+    ``left_outer`` unmatched left rows carry nulls in ``right_cols``.
+    Right-side key uniqueness follows SQL semantics (matches replicate).
+
+    Strategies (``strategy`` arg > ``DSOR_JOIN_STRATEGY`` env > ``auto``):
+
+    - ``hash``  — Ray's hash-shuffle ``Dataset.join`` with schema-anchor
+      sentinel rows prepended to both inputs (see ``anchor_join_input``) and
+      sentinels filtered from the output.  Fastest exchange; fully lazy; the
+      anchor is a probabilistic race mitigation, not a guarantee.
+    - ``bucket`` — the engine-owned ``stages.joins.bucket_join`` (groupby +
+      per-bucket C++ acero joins).  No schema-broadcast race, no standing
+      aggregator actors; lazy; sort-based exchange (slower at equal scale).
+      The right choice when robustness beats peak throughput or the join
+      output is too large to materialize.
+    - ``auto`` (default) — run the ``hash`` plan EAGERLY (materialized so a
+      schema-broadcast loss surfaces here, not in the consumer) and fall
+      back to the ``bucket`` plan transparently if Ray's join dies with the
+      ArrowInvalid schema-race signature.  Robust by construction: the race
+      is retried through an operator that cannot lose it.  The eager
+      materialization holds the JOIN OUTPUT (post-exchange, usually reduced/
+      projected) in the object store; callers whose join output is corpus-
+      sized should pass ``strategy='bucket'`` to stay lazy AND robust.
+
+    ``approx_bytes``: optional estimate of total join input volume (e.g.
+    ``table_file_bytes(...)``) used to size the hash plan's partition count
+    (``join_partitions_for_bytes``) so tiny inputs don't pay 16 aggregator
+    startups and large inputs don't underpartition.
+
+    ``_drop_anchor`` is a fault-injection hook for tests: it omits the
+    schema anchors so an empty-first-block arrival is guaranteed, proving
+    the ``auto`` fallback end-to-end.
+    """
+    assert join_type in ("inner", "left_outer", "left_semi", "left_anti"), join_type
+    r_on = right_on if right_on is not None else on
+    strategy = strategy or os.environ.get("DSOR_JOIN_STRATEGY", "auto")
+    assert strategy in ("auto", "hash", "bucket"), strategy
+
+    l_names = list(left.schema().base_schema.names)
+    r_names = list(right.schema().base_schema.names)
+    l_schema = {c: left.schema().base_schema.field(c).type for c in l_names}
+    r_schema = {c: right.schema().base_schema.field(c).type for c in r_names}
+    lcols = left_cols if left_cols is not None else l_names
+    rcols = (
+        right_cols
+        if right_cols is not None
+        else [c for c in r_names if c != r_on]
+    )
+    if join_type in ("left_semi", "left_anti"):
+        rcols = []
+    clash = sorted(set(lcols) & set(rcols))
+    if clash:
+        raise ValueError(
+            f"equi_join: output column collision {clash} between left_cols "
+            "and right_cols — rename one side first"
+        )
+
+    def bucket_plan() -> "ray.data.Dataset":
+        from .stages.joins import bucket_join
+
+        return bucket_join(
+            left,
+            right,
+            left_on=on,
+            right_on=r_on,
+            how=join_type,
+            left_cols=lcols,
+            right_cols=rcols,
+            n_buckets=n_buckets,
+        )
+
+    if strategy == "bucket":
+        return bucket_plan()
+
+    def hash_plan() -> "ray.data.Dataset":
+        nparts = (
+            num_partitions
+            if num_partitions is not None
+            else join_partitions_for_bytes(approx_bytes)
+        )
+        if approx_bytes is not None:
+            hint = min(max(approx_bytes // nparts, 16 << 20), 1 << 30)
+        else:
+            hint = JOIN_PARTITION_SIZE_HINT
+        l_in, r_in = left, right
+        if not _drop_anchor:
+            l_in = anchor_join_input(l_in, _sentinel_table(l_schema, on, "l"))
+            r_in = anchor_join_input(r_in, _sentinel_table(r_schema, r_on, "r"))
+        joined = l_in.join(
+            r_in,
+            join_type=join_type,
+            num_partitions=nparts,
+            partition_size_hint=hint,
+            on=(on,),
+            right_on=(r_on,) if r_on != on else None,
+        )
+        # sentinel post-filter: inner joins drop the never-matching anchors
+        # on their own and left_semi keeps only matched left rows — only
+        # plans where an UNMATCHED left row survives need the filter
+        out_fields = [(c, l_schema[c]) for c in lcols] + [
+            (c, r_schema[c]) for c in rcols
+        ]
+        out_cols = lcols + rcols
+        key_t = l_schema[on]
+        sent_l = _sentinel_value(key_t, "l")
+        needs_filter = join_type in ("left_outer", "left_anti")
+
+        def strip(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or on not in batch.column_names:
+                return pa.table(
+                    {name: pa.array([], t) for name, t in out_fields}
+                )
+            if needs_filter:
+                batch = batch.filter(
+                    pc.not_equal(batch[on], pa.scalar(sent_l, key_t))
+                )
+            return batch.select(out_cols)
+
+        return joined.map_batches(strip, batch_format="pyarrow")
+
+    if strategy == "hash":
+        return hash_plan()
+
+    # auto: eager hash with tested bucket fallback
+    try:
+        return hash_plan().materialize()
+    except Exception as err:  # noqa: BLE001 — filtered to the race signature
+        if not _is_schema_race_error(err):
+            raise
+        logger.warning(
+            "equi_join: Dataset.join lost its schema broadcast (%s); "
+            "re-planning through bucket_join",
+            type(err).__name__,
+        )
+        return bucket_plan()

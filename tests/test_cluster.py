@@ -63,3 +63,148 @@ def test_anchored_join_survives_fully_empty_computed_side(ray_session):
         right_on=("k2",),
     )
     assert out.count() == 0  # L/R sentinels never match; no crash
+
+
+# ---------------------------------------------------------------------------
+# equi_join planner
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pytest
+
+
+def _planner_inputs():
+    import ray.data
+
+    rng = np.random.RandomState(9)
+    left = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 25, 90).tolist(), pa.int64()),
+            "lv": pa.array(range(90), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(rng.randint(0, 35, 30).tolist(), pa.int64()),
+            "rv": pa.array(range(500, 530), pa.int64()),
+        }
+    )
+    return (
+        left,
+        right,
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+    )
+
+
+def _naive(lrows, rrows, how):
+    out = []
+    for l in lrows:
+        matches = [r for r in rrows if r["rk"] == l["k"]]
+        if how == "inner":
+            out += [(l["lv"], r["rv"]) for r in matches]
+        elif how == "left_outer":
+            out += (
+                [(l["lv"], r["rv"]) for r in matches]
+                if matches
+                else [(l["lv"], None)]
+            )
+        elif how == "left_semi" and matches:
+            out.append((l["lv"],))
+        elif how == "left_anti" and not matches:
+            out.append((l["lv"],))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer", "left_semi", "left_anti"])
+@pytest.mark.parametrize("strategy", ["hash", "bucket", "auto"])
+def test_equi_join_all_strategies_vs_naive(ray_session, how, strategy):
+    ltab, rtab, l, r = _planner_inputs()
+    got = cluster.equi_join(
+        l, r, on="k", right_on="rk", join_type=how,
+        left_cols=["k", "lv"],
+        right_cols=["rv"] if how in ("inner", "left_outer") else None,
+        strategy=strategy, n_buckets=8, num_partitions=2,
+    ).to_pandas()
+    want = _naive(ltab.to_pylist(), rtab.to_pylist(), how)
+    if how in ("left_semi", "left_anti"):
+        assert list(got.columns) == ["k", "lv"]
+        assert sorted((v,) for v in got.lv.tolist()) == want
+    else:
+        assert list(got.columns) == ["k", "lv", "rv"]
+        gset = sorted(
+            (int(t.lv), None if t.rv != t.rv else int(t.rv))
+            for t in got.itertuples()
+        )
+        assert gset == want
+
+
+def test_equi_join_auto_falls_back_on_forced_schema_race(ray_session, caplog):
+    """Deterministic fault injection: with anchors dropped and one side's
+    blocks ALL empty, Ray's hash join loses its one-shot schema broadcast
+    every time (ArrowInvalid at finalize).  The auto planner must catch it
+    and complete through bucket_join with the correct answer."""
+    import logging
+
+    import ray.data
+
+    ltab, _rtab, l, _r = _planner_inputs()
+    empty_right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+    )
+
+    # the hash plan on these inputs genuinely dies without the fallback
+    with pytest.raises(Exception, match="No match|no match"):
+        cluster.equi_join(
+            l, empty_right, on="k", right_on="rk", join_type="left_anti",
+            strategy="hash", num_partitions=2, _drop_anchor=True,
+        ).materialize()
+
+    with caplog.at_level(logging.WARNING, logger="deepseek_ocr_ray.cluster"):
+        got = cluster.equi_join(
+            l, empty_right, on="k", right_on="rk", join_type="left_anti",
+            strategy="auto", num_partitions=2, _drop_anchor=True,
+        ).to_pandas()
+    # anti vs an empty right side keeps every left row
+    assert sorted(got.lv.tolist()) == list(range(90))
+    assert any("re-planning through bucket_join" in r.message for r in caplog.records)
+
+
+def test_equi_join_string_keys(ray_session):
+    import ray.data
+
+    l = ray.data.from_arrow(
+        pa.table(
+            {
+                "name": pa.array(["a", "b", "c", "a"], pa.string()),
+                "lv": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    r = ray.data.from_arrow(
+        pa.table(
+            {
+                "name": pa.array(["a", "z"], pa.string()),
+                "rv": pa.array([10, 20], pa.int64()),
+            }
+        )
+    )
+    for strategy in ("hash", "bucket"):
+        got = cluster.equi_join(
+            l, r, on="name", join_type="left_outer",
+            strategy=strategy, num_partitions=2, n_buckets=4,
+        ).to_pandas()
+        got = got.sort_values("lv")
+        assert got.lv.tolist() == [1, 2, 3, 4]
+        assert [None if v != v else int(v) for v in got.rv] == [10, None, None, 10]
+
+
+def test_join_partitions_for_bytes_grows_with_volume(ray_session):
+    small = cluster.join_partitions_for_bytes(1 << 20)
+    big = cluster.join_partitions_for_bytes(100 << 30)
+    assert small == 2
+    assert big >= small
+    # clamped to the CPU cap (4-CPU fixture → 2), never exceeds it
+    assert big <= cluster.join_partitions()
+    # no estimate → CPU sizing
+    assert cluster.join_partitions_for_bytes(None) == cluster.join_partitions()
