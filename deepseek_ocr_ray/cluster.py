@@ -183,6 +183,8 @@ def equi_join(
     approx_bytes: int | None = None,
     strategy: str | None = None,
     n_buckets: int = 64,
+    left_types: dict[str, pa.DataType] | None = None,
+    right_types: dict[str, pa.DataType] | None = None,
     _drop_anchor: bool = False,
 ) -> "ray.data.Dataset":
     """Engine-owned equi-join planner — ALL repo equi-joins go through here.
@@ -227,10 +229,28 @@ def equi_join(
     strategy = strategy or os.environ.get("DSOR_JOIN_STRATEGY", "auto")
     assert strategy in ("auto", "hash", "bucket"), strategy
 
-    l_names = list(left.schema().base_schema.names)
-    r_names = list(right.schema().base_schema.names)
-    l_schema = {c: left.schema().base_schema.field(c).type for c in l_names}
-    r_schema = {c: right.schema().base_schema.field(c).type for c in r_names}
+    def _side_schema(
+        ds: "ray.data.Dataset", override: dict | None, side: str
+    ) -> dict[str, pa.DataType]:
+        """Column→type map for one input.  ``Dataset.schema()`` is None for
+        a computed dataset that turns out empty (e.g. a no-duplicates
+        candidate stream) — callers joining such inputs pass the types
+        explicitly via ``left_types`` / ``right_types``."""
+        if override is not None:
+            return dict(override)
+        sch = ds.schema()
+        if sch is None:
+            raise ValueError(
+                f"equi_join: {side} input has no derivable schema (empty "
+                f"computed dataset?) — pass {side}_types={{col: pa.DataType}}"
+            )
+        base = sch.base_schema
+        return {c: base.field(c).type for c in base.names}
+
+    l_schema = _side_schema(left, left_types, "left")
+    r_schema = _side_schema(right, right_types, "right")
+    l_names = list(l_schema)
+    r_names = list(r_schema)
     lcols = left_cols if left_cols is not None else l_names
     rcols = (
         right_cols
@@ -258,6 +278,8 @@ def equi_join(
             left_cols=lcols,
             right_cols=rcols,
             n_buckets=n_buckets,
+            left_types=l_schema,
+            right_types=r_schema,
         )
 
     if strategy == "bucket":

@@ -32,11 +32,9 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..cluster import (
-    JOIN_PARTITION_SIZE_HINT,
-    JOIN_SENTINEL_L,
-    JOIN_SENTINEL_R,
-    anchor_join_input,
+    equi_join,
     join_partitions,
+    table_file_bytes,
 )
 from ..functions import text_stats
 
@@ -501,8 +499,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
-    """orders ⋈ customer via the SHUFFLE hash join (``Dataset.join``) —
-    both sides scale with SF, so this is the large-large join path."""
+    """orders ⋈ customer via the planner's SHUFFLE hash join path — both
+    sides scale with SF, so this is the large-large join path (with the
+    planner's tested bucket_join fallback behind it)."""
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def prep_orders(batch: pa.Table) -> pa.Table:
@@ -513,31 +512,14 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    orders = anchor_join_input(
+    joined = equi_join(
         orders.map_batches(prep_orders, batch_format="pyarrow"),
-        pa.table(
-            {
-                "o_custkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
-                "price_cents": pa.array([0], pa.int64()),
-            }
-        ),
-    )
-    cust = anchor_join_input(
         read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
-        pa.table(
-            {
-                "c_custkey": pa.array([JOIN_SENTINEL_R], pa.int64()),
-                "c_mktsegment": pa.array([""], pa.string()),
-            }
-        ),
-    )
-    joined = orders.join(
-        cust,
+        on="o_custkey",
+        right_on="c_custkey",
         join_type="inner",
-        num_partitions=_join_partitions(),
-        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+        right_cols=["c_mktsegment"],
+        approx_bytes=table_file_bytes(sf_dir, "orders", "customer"),
     )
     agg = joined.groupby("c_mktsegment").aggregate(Count(), Sum("price_cents"))
     return agg.rename_columns(
@@ -565,14 +547,10 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
     pyarrow/numpy, and revenue is pre-combined per order inside each batch
     (``pa.Table.group_by``) so the join and final groupby move one row per
     (order, block) instead of one per lineitem."""
-    # join-input anchors: schema-bearing one-row blocks with impossible keys
-    # (see cluster.anchor_join_input) — the L/R sentinels never match, so
-    # they fall out of the inner joins without output filtering
-    cust = anchor_join_input(
+    cust = (
         read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
         .filter(expr=f"c_mktsegment == '{segment}'")
-        .select_columns(["c_custkey"]),
-        pa.table({"c_custkey": pa.array([JOIN_SENTINEL_R], pa.int64())}),
+        .select_columns(["c_custkey"])
     )
 
     orders = read_table(
@@ -590,32 +568,15 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
             }
         )
 
-    sel = anchor_join_input(
-        anchor_join_input(
-            orders.map_batches(sel_orders, batch_format="pyarrow"),
-            pa.table(
-                {
-                    "o_orderkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
-                    "o_custkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
-                    "o_orderdate": pa.array([""], pa.string()),
-                }
-            ),
-        )
-        .join(
-            cust,
-            join_type="inner",
-            num_partitions=_join_partitions(),
-        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
-            on=("o_custkey",),
-            right_on=("c_custkey",),
-        )
-        .select_columns(["o_orderkey", "o_orderdate"]),
-        pa.table(
-            {
-                "o_orderkey": pa.array([JOIN_SENTINEL_R], pa.int64()),
-                "o_orderdate": pa.array([""], pa.string()),
-            }
-        ),
+    sel = equi_join(
+        orders.map_batches(sel_orders, batch_format="pyarrow"),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        join_type="inner",
+        left_cols=["o_orderkey", "o_orderdate"],
+        right_cols=[],
+        approx_bytes=table_file_bytes(sf_dir, "orders", "customer"),
     )
 
     li = read_table(
@@ -644,22 +605,14 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
             }
         )
 
-    rev = anchor_join_input(
+    joined = equi_join(
         li.map_batches(revenue, batch_format="pyarrow"),
-        pa.table(
-            {
-                "l_orderkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
-                "rev_cents": pa.array([0], pa.int64()),
-            }
-        ),
-    )
-    joined = rev.join(
         sel,
+        on="l_orderkey",
+        right_on="o_orderkey",
         join_type="inner",
-        num_partitions=_join_partitions(),
-        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+        right_cols=["o_orderdate"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem"),
     )
     agg = (
         joined.groupby(["l_orderkey", "o_orderdate"])
@@ -733,10 +686,10 @@ def customers_without_orders(
     - small side (≤ ``broadcast_threshold`` customers): broadcast anti-join —
       the distinct matching custkey set is collected once, ``ray.put`` once,
       and each customer batch filters against it with ``np.isin``;
-    - large side: distributed ``Dataset.join(left_outer)`` against the
-      distinct matched keys, keeping rows whose right side is null.  Nothing
-      touches the driver; both sides shuffle by key.  This is the only valid
-      plan at corpus scale (15 M customers at SF100).
+    - large side: the planner's distributed ``left_anti`` join against the
+      distinct matched keys.  Nothing touches the driver; both sides
+      shuffle by key.  This is the only valid plan at corpus scale (15 M
+      customers at SF100).
     """
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
@@ -765,45 +718,14 @@ def customers_without_orders(
 
         return cust.map_batches(anti, batch_format="pyarrow")
 
-    joined = anchor_join_input(
+    return equi_join(
         cust,
-        pa.table(
-            {
-                "c_custkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
-                "c_mktsegment": pa.array([""], pa.string()),
-            }
-        ),
-    ).join(
-        anchor_join_input(
-            distinct.rename_columns({"count()": "match_n"}),
-            pa.table(
-                {
-                    "o_custkey": pa.array([JOIN_SENTINEL_R], pa.int64()),
-                    "match_n": pa.array([1], pa.int64()),
-                }
-            ),
-        ),
-        join_type="left_outer",
-        num_partitions=_join_partitions(),
-        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
-        on=("c_custkey",),
-        right_on=("o_custkey",),
+        distinct.rename_columns({"count()": "match_n"}),
+        on="c_custkey",
+        right_on="o_custkey",
+        join_type="left_anti",
+        approx_bytes=table_file_bytes(sf_dir, "customer", "orders"),
     )
-
-    def keep_unmatched(batch: pa.Table) -> pa.Table:
-        # the left anchor survives a left-outer join unmatched — filter it
-        mask = pc.and_(
-            pc.is_null(batch["match_n"]),
-            pc.not_equal(batch["c_custkey"], pa.scalar(JOIN_SENTINEL_L)),
-        )
-        return pa.table(
-            {
-                "c_custkey": pc.filter(batch["c_custkey"], mask),
-                "c_mktsegment": pc.filter(batch["c_mktsegment"], mask),
-            }
-        )
-
-    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
@@ -826,7 +748,7 @@ def suppliers_with_lineitems(
     block, never one per lineitem).  Plan auto-selects on |supplier|:
 
     - small: collect + ``ray.put`` the key set once, filter with np.isin;
-    - large: distributed ``Dataset.join(left_semi)`` — nothing on the
+    - large: the planner's distributed ``left_semi`` join — nothing on the
       driver, the only valid plan at corpus scale.
     """
     distinct = (
@@ -849,31 +771,13 @@ def suppliers_with_lineitems(
 
         return sup.map_batches(semi, batch_format="pyarrow")
 
-    # left-semi keeps only matched LEFT rows, so the unmatched anchor
-    # sentinels drop out on their own — no output filtering needed
-    return anchor_join_input(
+    return equi_join(
         sup,
-        pa.table(
-            {
-                "s_suppkey": pa.array([JOIN_SENTINEL_L], pa.int64()),
-                "s_name": pa.array([""], pa.string()),
-            }
-        ),
-    ).join(
-        anchor_join_input(
-            distinct.rename_columns({"count()": "n"}),
-            pa.table(
-                {
-                    "l_suppkey": pa.array([JOIN_SENTINEL_R], pa.int64()),
-                    "n": pa.array([1], pa.int64()),
-                }
-            ),
-        ),
+        distinct.rename_columns({"count()": "n"}),
+        on="s_suppkey",
+        right_on="l_suppkey",
         join_type="left_semi",
-        num_partitions=_join_partitions(),
-        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
-        on=("s_suppkey",),
-        right_on=("l_suppkey",),
+        approx_bytes=table_file_bytes(sf_dir, "supplier", "lineitem"),
     )
 
 

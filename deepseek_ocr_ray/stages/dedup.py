@@ -45,12 +45,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from ..cluster import (
-    JOIN_PARTITION_SIZE_HINT,
-    JOIN_SENTINEL_L,
-    anchor_join_input,
-    join_partitions,
-)
+from ..cluster import equi_join, join_partitions
 from ..functions.text_stats import md5_fingerprints
 from ..hashing import id_bucket_array, splitmix_bucket
 
@@ -96,10 +91,9 @@ def incremental_exact_dedup(
 
     Both sides reduce to md5 text hashes first (map-side), so only 16-byte
     hashes move.  Plan auto-selects on the existing corpus's distinct-hash
-    count: broadcast ``np.isin`` below the threshold, distributed
-    ``Dataset.join(left_anti)`` above it (nothing on the driver; the anti
-    join keeps exactly the unmatched left rows, and the schema-anchor
-    sentinels never match so no output filtering is needed).
+    count: broadcast ``np.isin`` below the threshold, the planner's
+    distributed ``left_anti`` join above it (nothing on the driver; the
+    anti join keeps exactly the unmatched left rows).
     """
     new_hashed = new_ds.map_batches(
         add_text_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
@@ -132,37 +126,13 @@ def incremental_exact_dedup(
 
         return new_hashed.map_batches(anti, batch_format="pyarrow")
 
-    left = anchor_join_input(
+    return equi_join(
         new_hashed.select_columns([id_col, "text_hash"]),
-        pa.table(
-            {
-                id_col: pa.array([JOIN_SENTINEL_L], pa.int64()),
-                "text_hash": pa.array(["\x00anchor-l"], pa.string()),
-            }
-        ),
-    )
-    right = anchor_join_input(
         existing_hashes.rename_columns({"count()": "n"}),
-        pa.table(
-            {
-                "text_hash": pa.array(["\x00anchor-r"], pa.string()),
-                "n": pa.array([1], pa.int64()),
-            }
-        ),
-    )
-    kept = left.join(
-        right,
+        on="text_hash",
         join_type="left_anti",
-        num_partitions=join_partitions(),
-        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
-        on=("text_hash",),
+        left_cols=[id_col],
     )
-
-    def strip(batch: pa.Table) -> pa.Table:
-        mask = pc.not_equal(batch[id_col], pa.scalar(JOIN_SENTINEL_L))
-        return pa.table({id_col: pc.filter(batch[id_col], mask)})
-
-    return kept.map_batches(strip, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -581,28 +551,22 @@ def _ngram_dedup_verify_join(
         ds → map_batches(MinHash bands, NO payload)        # map-only
            → groupby(lsh_group) → pairs (a=keeper, b=cand) # shuffle 1
            → distinct pairs (block combine + coarse bucket)# shuffle 2
-           → join texts for b, then a (Dataset.join)       # shuffles 3-4
+           → join texts for b, then a (equi_join)          # shuffles 3-4
            → verify exact n-gram Jaccard per pair          # map-only
            → distinct dropped b ids                        # small agg
-        kept = ids ⟕ dropped, keep where unmatched         # shuffle 5
+        kept = ids anti-join dropped (equi_join)           # shuffle 5
 
     Every exchange moves ids or candidate pairs — document text moves
     exactly once per (pair, side) instead of ×bands per document.
     Join partitions cap at 8 (two concurrent joins + an actor pool; see
     ``ngram_jaccard_dedup``).
 
-    Empty-block hardening: Ray 2.49's hash-shuffle join broadcasts each
-    side's schema to all aggregator partitions only when shuffling the
-    FIRST block of that side — and consumes the flag even if that block has
-    zero rows, after which schema-less partitions crash at finalize
-    (ArrowInvalid "no match for key field").  Selective filters and
-    no-collision corpora routinely produce empty blocks, so every join
-    input here is normalized through a map that replaces an empty/
-    schema-less block with a one-row SENTINEL block (id
-    ``_JOIN_SENTINEL``) — every block then carries schema regardless of
-    arrival order.  The sentinel pair matches the sentinel text row,
-    verifies trivially ("" vs ""), lands in the dropped set, and is
-    filtered from the final output.
+    All three joins ride ``cluster.equi_join``, which owns the Ray 2.49
+    empty-first-block schema-broadcast hardening (anchor sentinels on the
+    hash path, a tested ``bucket_join`` fallback if the broadcast is lost
+    anyway).  The only normalization left in this plan is typing the
+    schema-less zero-row blocks that empty groupby partitions emit, plus
+    fail-closed guards on malformed non-empty blocks.
     """
     jp = join_partitions(cap=8)
     band_rows = ds.map_batches(
@@ -625,19 +589,20 @@ def _ngram_dedup_verify_join(
     _EMPTY_PAIRS = pa.table(
         {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
     )
-    # same numeric value as cluster.JOIN_SENTINEL_L, but used here on BOTH
-    # sides DELIBERATELY: the sentinel pair must match the sentinel text
-    # row so it survives the inner joins and keeps their inputs non-empty
-    # (cluster.py's L/R anchors have the opposite never-match convention)
-    _JOIN_SENTINEL = JOIN_SENTINEL_L
 
     # distinct pairs: C++ group_by per block (bands→1 per pair per block),
-    # then one coarse-bucket exchange with another group_by inside.
-    # Empty groupby partitions reach these maps as schema-less zero-row
-    # blocks — normalize them to the typed empty table or the downstream
-    # Dataset.join fails with "no match for key field".
+    # then one coarse-bucket exchange with another group_by inside.  Empty
+    # groupby partitions reach these maps as schema-less zero-row blocks —
+    # normalize them to the typed empty table so every block downstream of
+    # this point carries schema.
     def local_distinct(batch: pa.Table) -> pa.Table:
         if "a_id" not in batch.column_names:
+            if batch.num_rows:
+                raise RuntimeError(
+                    "ngram dedup pair stream produced a non-empty block "
+                    f"without a_id (columns: {batch.column_names}); "
+                    "refusing to discard candidate pairs"
+                )
             return _EMPTY_PAIRS.append_column(
                 "pair_bucket", pa.array([], pa.int64())
             )
@@ -654,111 +619,54 @@ def _ngram_dedup_verify_join(
             ["a_id", "b_id"]
         )
 
-    _SENT_PAIR = pa.table(
-        {
-            "a_id": pa.array([_JOIN_SENTINEL], pa.int64()),
-            "b_id": pa.array([_JOIN_SENTINEL], pa.int64()),
-        }
-    )
-
-    def norm_pairs(batch: pa.Table) -> pa.Table:
-        if "a_id" not in batch.column_names:
-            if batch.num_rows == 0:
-                # schema-less zero-row blocks are benign — substitute the
-                # matching sentinel so the downstream join input stays typed
-                return _SENT_PAIR
-            # a NON-empty block without the pair columns means an upstream
-            # operator misbehaved; swallowing it would silently DROP those
-            # candidate pairs (fail open) — mirror keep_unmatched and raise
-            raise RuntimeError(
-                "ngram dedup pair normalization saw a non-empty block "
-                f"without a_id (columns: {batch.column_names}); refusing "
-                "to discard candidate pairs"
-            )
-        if batch.num_rows == 0:
-            return _SENT_PAIR
-        return batch.select(["a_id", "b_id"])
-
-    distinct_pairs = anchor_join_input(
+    distinct_pairs = (
         pairs.map_batches(local_distinct, batch_format="pyarrow")
         .groupby("pair_bucket")
         .map_groups(final_distinct, batch_format="pyarrow")
-        .map_batches(norm_pairs, batch_format="pyarrow"),
-        _SENT_PAIR,
     )
 
-    _SENT_TEXT = pa.table(
-        {
-            id_col: pa.array([_JOIN_SENTINEL], pa.int64()),
-            text_col: pa.array([""], pa.string()),
-        }
-    )
+    texts = ds.select_columns([id_col, text_col])
 
-    def norm_texts(batch: pa.Table) -> pa.Table:
-        if id_col not in batch.column_names:
-            if batch.num_rows == 0:
-                return _SENT_TEXT
-            raise RuntimeError(
-                "ngram dedup text normalization saw a non-empty block "
-                f"without {id_col!r} (columns: {batch.column_names}); "
-                "refusing to discard corpus rows"
-            )
-        if batch.num_rows == 0:
-            return _SENT_TEXT
-        return pa.table({id_col: batch[id_col], text_col: batch[text_col]})
-
-    texts = anchor_join_input(
-        ds.select_columns([id_col, text_col]).map_batches(
-            norm_texts, batch_format="pyarrow"
-        ),
-        _SENT_TEXT,
-    )
-    with_b = distinct_pairs.join(
+    # joins 3-4 ride the engine planner: schema anchoring, sentinel
+    # filtering and the bucket_join fallback on a lost schema broadcast are
+    # equi_join's problem now, not this plan's (the old matching-sentinel
+    # machinery that threaded a fake pair through both joins is gone)
+    # the candidate stream can be legitimately EMPTY (no-collision
+    # corpus) — Dataset.schema() is None then, so the pair-side types are
+    # declared explicitly
+    _pair_types = {"a_id": pa.int64(), "b_id": pa.int64()}
+    _text_t = texts.schema().base_schema.field(text_col).type
+    with_b = equi_join(
+        distinct_pairs,
         texts,
+        on="b_id",
+        right_on=id_col,
         join_type="inner",
+        left_cols=["a_id", "b_id"],
+        right_cols=[text_col],
         num_partitions=jp,
-        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
-        on=("b_id",),
-        right_on=(id_col,),
-    )
+        left_types=_pair_types,
+    ).rename_columns({text_col: "b_text"})
 
-    def pick_b(batch: pa.Table) -> pa.Table:
-        if "a_id" not in batch.column_names:
-            if batch.num_rows == 0:
-                return _SENT_PAIR.append_column(
-                    "b_text", pa.array([""], pa.string())
-                )
-            raise RuntimeError(
-                "ngram dedup join-1 output block is non-empty but lacks "
-                f"a_id (columns: {batch.column_names}); refusing to "
-                "discard matched pairs"
-            )
-        if batch.num_rows == 0:
-            return _SENT_PAIR.append_column(
-                "b_text", pa.array([""], pa.string())
-            )
-        return pa.table(
-            {
-                "a_id": batch["a_id"],
-                "b_id": batch["b_id"],
-                "b_text": batch[text_col],
-            }
-        )
-
-    with_both = anchor_join_input(
-        with_b.map_batches(pick_b, batch_format="pyarrow"),
-        _SENT_PAIR.append_column("b_text", pa.array([""], pa.string())),
-    ).join(
+    with_both = equi_join(
+        with_b,
         texts,
+        on="a_id",
+        right_on=id_col,
         join_type="inner",
+        left_cols=["a_id", "b_id", "b_text"],
+        right_cols=[text_col],
         num_partitions=jp,
-        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
-        on=("a_id",),
-        right_on=(id_col,),
+        left_types={**_pair_types, "b_text": _text_t},
     )
 
     def verify_pairs(batch: pa.Table) -> pa.Table:
         if "b_id" not in batch.column_names:
+            if batch.num_rows:
+                raise RuntimeError(
+                    "ngram dedup verify input block is non-empty but lacks "
+                    f"b_id (columns: {batch.column_names})"
+                )
             return pa.table({id_col: pa.array([], pa.int64())})
         a_texts = batch[text_col].to_pylist()
         b_texts = batch["b_text"].to_pylist()
@@ -774,26 +682,26 @@ def _ngram_dedup_verify_join(
         return pa.table({id_col: pc.filter(batch["b_id"], mask)})
 
     def norm_dropped(batch: pa.Table) -> pa.Table:
-        if id_col not in batch.column_names or batch.num_rows == 0:
+        if id_col not in batch.column_names:
+            if batch.num_rows:
+                raise RuntimeError(
+                    "ngram dedup dropped-id aggregate emitted a non-empty "
+                    f"block without {id_col!r} (columns: "
+                    f"{batch.column_names})"
+                )
             return pa.table(
                 {
-                    id_col: pa.array([_JOIN_SENTINEL], pa.int64()),
-                    "__drop_n": pa.array([1], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "__drop_n": pa.array([], pa.int64()),
                 }
             )
         return pa.table({id_col: batch[id_col], "__drop_n": batch["count()"]})
 
-    dropped = anchor_join_input(
+    dropped = (
         with_both.map_batches(verify_pairs, batch_format="pyarrow")
         .groupby(id_col)
         .count()
-        .map_batches(norm_dropped, batch_format="pyarrow"),
-        pa.table(
-            {
-                id_col: pa.array([_JOIN_SENTINEL], pa.int64()),
-                "__drop_n": pa.array([1], pa.int64()),
-            }
-        ),
+        .map_batches(norm_dropped, batch_format="pyarrow")
     )
 
     # The dropped set is O(duplicates) — typically far smaller than the
@@ -801,7 +709,7 @@ def _ngram_dedup_verify_join(
     # dropped id; the object store spills if a pathological corpus makes it
     # big) and pick the anti plan by its actual size: a broadcast np.isin
     # filter below the threshold (saves a whole join operator + its
-    # aggregator pool), the distributed left-outer anti-join above it.
+    # aggregator pool), the planner's distributed anti-join above it.
     dropped_mat = dropped.materialize()
     if dropped_mat.count() <= drop_broadcast_threshold:
         drop_ids = np.array(
@@ -820,38 +728,15 @@ def _ngram_dedup_verify_join(
             anti, batch_format="pyarrow"
         )
 
-    ids = anchor_join_input(
+    return equi_join(
         ds.select_columns([id_col]),
-        pa.table({id_col: pa.array([_JOIN_SENTINEL], pa.int64())}),
-    )
-    kept = ids.join(
         dropped_mat,
-        join_type="left_outer",
+        on=id_col,
+        join_type="left_anti",
+        left_cols=[id_col],
         num_partitions=jp,
-        partition_size_hint=JOIN_PARTITION_SIZE_HINT,
-        on=(id_col,),
+        right_types={id_col: pa.int64(), "__drop_n": pa.int64()},
     )
-
-    def keep_unmatched(batch: pa.Table) -> pa.Table:
-        if "__drop_n" not in batch.column_names:
-            if batch.num_rows == 0:
-                # ray's own schema-less empty blocks are benign
-                return pa.table({id_col: pa.array([], pa.int64())})
-            # a NON-empty block without the join column means the join
-            # misbehaved — failing open here would silently keep dropped
-            # duplicates, so fail loudly instead
-            raise RuntimeError(
-                "ngram dedup anti-join emitted a non-empty block without "
-                f"__drop_n (columns: {batch.column_names}); refusing to "
-                "fail open"
-            )
-        mask = pc.and_(
-            pc.is_null(batch["__drop_n"]),
-            pc.not_equal(batch[id_col], pa.scalar(_JOIN_SENTINEL)),
-        )
-        return pa.table({id_col: pc.filter(batch[id_col], mask)})
-
-    return kept.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

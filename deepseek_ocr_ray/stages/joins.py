@@ -340,6 +340,8 @@ def bucket_join(
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     n_buckets: int = 64,
+    left_types: dict | None = None,
+    right_types: dict | None = None,
 ) -> ray.data.Dataset:
     """Distributed equi-join built ONLY on groupby + per-group pyarrow
     acero joins — the engine-owned alternative to ``Dataset.join``.
@@ -365,11 +367,26 @@ def bucket_join(
     replicates matches otherwise, same as SQL).
     """
     assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
-    lcols = left_cols if left_cols is not None else [
-        c for c in left.schema().base_schema.names
-    ]
+
+    def _types(ds, override, side):
+        # Dataset.schema() is None for a computed dataset that turns out
+        # empty — callers joining such inputs pass the types explicitly
+        if override is not None:
+            return dict(override)
+        sch = ds.schema()
+        if sch is None:
+            raise ValueError(
+                f"bucket_join: {side} input has no derivable schema — pass "
+                f"{side}_types"
+            )
+        base = sch.base_schema
+        return {c: base.field(c).type for c in base.names}
+
+    l_types = _types(left, left_types, "left")
+    r_types = _types(right, right_types, "right")
+    lcols = left_cols if left_cols is not None else list(l_types)
     rcols = right_cols if right_cols is not None else [
-        c for c in right.schema().base_schema.names if c != right_on
+        c for c in r_types if c != right_on
     ]
     clash = sorted(set(lcols) & set(rcols))
     if clash:
@@ -380,8 +397,8 @@ def bucket_join(
             f"colliding column(s): {clash} — rename one side first"
         )
 
-    l_schema = {c: left.schema().base_schema.field(c).type for c in set(lcols) | {left_on}}
-    r_schema = {c: right.schema().base_schema.field(c).type for c in set(rcols) | {right_on}}
+    l_schema = {c: l_types[c] for c in set(lcols) | {left_on}}
+    r_schema = {c: r_types[c] for c in set(rcols) | {right_on}}
 
     def prep(side: int, key: str, cols: list[str], schema: dict):
         def fn(batch: pa.Table) -> pa.Table:
