@@ -270,17 +270,19 @@ def token_vocab(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     Map-side combine (``pa.Table.group_by`` per block — the shuffle carries
     one row per distinct token per block, not one per token occurrence),
     then a hash aggregate over tokens and a global sort+limit.  The classic
-    wide-aggregation shape for corpus statistics at scale."""
-    import re as _re
+    wide-aggregation shape for corpus statistics at scale.
 
+    The tokenize itself never leaves Arrow C++: ``utf8_lower`` →
+    ``split_pattern_regex`` → ``list_flatten`` → empty-token filter — no
+    per-document Python loop on this full-corpus scan."""
     ds = read_table(sf_dir, "documents", columns=["text"])
-    ws = _re.compile(r"\s+")
 
     def local_counts(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch["text"].to_pylist():
-            toks.extend(w for w in ws.split(t.lower()) if w)
-        part = pa.table({"token": pa.array(toks, pa.string())})
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        part = pa.table({"token": toks})
         g = part.group_by("token").aggregate([([], "count_all")])
         return pa.table(
             {"token": g["token"], "n": g["count_all"].cast(pa.int64())}

@@ -121,19 +121,32 @@ def grouped_topk(
     per-group reduce — the shuffle carries ≤ k rows per group per block."""
 
     def local(batch: pa.Table) -> pa.Table:
-        keys = batch[group_col].to_pylist()
+        # vectorized per-block top-k: dictionary-encode the group, lexsort
+        # by (group, -value, id), then keep each row whose rank within its
+        # group run is < k — no per-key Python loop
+        keys = batch[group_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = keys.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
         vals = batch[value_col].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out_idx: list[int] = []
-        by_key: dict = {}
-        for i, key in enumerate(keys):
-            by_key.setdefault(key, []).append(i)
-        for key, idxs in by_key.items():
-            ia = np.asarray(idxs)
-            order = np.lexsort((ids[ia], -vals[ia]))[:k]
-            out_idx.extend(ia[order].tolist())
+        order = np.lexsort((ids, -vals, codes))
+        sorted_codes = codes[order]
+        n = len(order)
+        if n == 0:
+            return batch.select([group_col, value_col, id_col])
+        # rank within each equal-code run (runs are contiguous after sort)
+        is_start = np.ones(n, bool)
+        is_start[1:] = sorted_codes[1:] != sorted_codes[:-1]
+        starts = np.nonzero(is_start)[0]
+        run_id = np.cumsum(is_start) - 1
+        rank = np.arange(n) - starts[run_id]
+        keep = order[rank < k]
+        keep.sort()
         return batch.select([group_col, value_col, id_col]).take(
-            pa.array(sorted(out_idx))
+            pa.array(keep, pa.int64())
         )
 
     def final(group: pa.Table) -> pa.Table:
