@@ -846,6 +846,12 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def _salt_hash(salt: str) -> np.uint64:
+    from ..hashing import string_hash64
+
+    return string_hash64(pa.array([salt], pa.string()))[0]
+
+
 def deterministic_sample(
     ds: ray.data.Dataset,
     *,
@@ -853,37 +859,51 @@ def deterministic_sample(
     fraction: float,
     salt: str = "s42",
     keep_cols: list[str] | None = None,
+    method: str = "fast",
 ) -> ray.data.Dataset:
     """Deterministic hash-based sampling: a row survives iff
-    ``md5(salt:id) % 10000 < fraction*10000``.
+    ``hash(salt, id) % 10000 < fraction*10000``.
 
     Unlike ``Dataset.random_sample`` this is reproducible at any parallelism
     level, resumable (same rows on rerun), and composable (disjoint salts ⇒
     independent samples; same salt ⇒ nested samples for growing fractions) —
-    the properties corpus-curation sampling actually needs.  SQL-replicable:
-    DuckDB parses the same md5 prefix.
+    the properties corpus-curation sampling actually needs.
+
+    ``method="fast"`` (default): the engine's vectorized 64-bit hash
+    (``hashing.hash64_array`` — integer mix / polynomial string hash,
+    no per-row Python on this full-corpus scan).  ``method="md5"``: the
+    SQL-parity rule ``md5(salt:id)`` whose survivors DuckDB can replicate
+    exactly (one C-speed hash per row — keep it for oracle-checked runs,
+    not for 10^12-row corpora).
     """
     import hashlib as _h
 
+    from ..hashing import hash64_array, mix64
+
+    if method not in ("fast", "md5"):
+        raise ValueError(f"unknown sample method {method!r}")
     # round, not truncate: int(0.29*10000) == 2899 from float error, which
     # silently shifts the boundary off the SQL oracle's round literal.
     threshold = int(round(fraction * 10000))
+    salt_h = _salt_hash(salt)
 
     def keep(batch: pa.Table) -> pa.Table:
-        # md5-per-id is required for SQL (DuckDB md5()) parity and has no
-        # vectorized kernel; the loop is tightened to one hash + one 4-byte
-        # int per row (no hex formatting, salt pre-encoded).  For non-SQL
-        # consumers the engine's splitmix_bucket is the fast path.
-        ids = batch[id_col].to_pylist()
-        sp = f"{salt}:".encode()
-        md5 = _h.md5
-        mask = pa.array(
-            [
-                int.from_bytes(md5(sp + str(v).encode()).digest()[:4], "big")
-                % 10000 < threshold
-                for v in ids
-            ]
-        )
+        if method == "fast":
+            h = mix64(hash64_array(batch[id_col]) ^ salt_h)
+            mask = pa.array(h % np.uint64(10000) < np.uint64(threshold))
+        else:
+            ids = batch[id_col].to_pylist()
+            sp = f"{salt}:".encode()
+            md5 = _h.md5
+            mask = pa.array(
+                [
+                    int.from_bytes(
+                        md5(sp + str(v).encode()).digest()[:4], "big"
+                    )
+                    % 10000 < threshold
+                    for v in ids
+                ]
+            )
         out = batch.filter(mask)
         return out.select(keep_cols) if keep_cols else out
 
@@ -891,6 +911,13 @@ def deterministic_sample(
 
 
 def documents_sample(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return deterministic_sample(ds, id_col="doc_id", fraction=0.2, method="md5")
+
+
+def documents_sample_fast(sf_dir: str) -> ray.data.Dataset:
+    """The production sampling path (vectorized engine hash); fixture-oracled
+    because the hash is not SQL-expressible."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return deterministic_sample(ds, id_col="doc_id", fraction=0.2)
 
@@ -911,42 +938,77 @@ def stratified_sample(
     fractions: dict[str, float],
     default_fraction: float = 0.0,
     salt: str = "s42",
+    method: str = "fast",
 ) -> ray.data.Dataset:
     """Per-stratum deterministic sampling: each group keeps its own
     fraction (the standard corpus rebalancing move — e.g. downsample the
     head language, keep the tail whole).  Survival rule per row:
-    ``md5(salt:group:id) % 10000 < round(fraction(group)*10000)`` — same
+    ``hash(salt, group, id) % 10000 < round(fraction(group)*10000)`` — same
     reproducibility / resumability / nesting properties as
     :func:`deterministic_sample`, independent streams per stratum (the
-    group value is folded into the hash).  SQL-replicable."""
+    group value is folded into the hash).  ``method="fast"`` is the
+    vectorized engine hash; ``method="md5"`` is the SQL-replicable
+    ``md5(salt:group:id)`` parity rule."""
     import hashlib as _h
 
+    from ..hashing import hash64_array, mix64
+
+    if method not in ("fast", "md5"):
+        raise ValueError(f"unknown sample method {method!r}")
     thresholds = {
         g: int(round(f * 10000)) for g, f in fractions.items()
     }
     default_thr = int(round(default_fraction * 10000))
     tref = ray.put((thresholds, default_thr))
+    salt_h = _salt_hash(salt)
 
     def keep(batch: pa.Table) -> pa.Table:
         thr, dthr = ray.get(tref)
-        ids = batch[id_col].to_pylist()
-        groups = batch[group_col].to_pylist()
-        sp = f"{salt}:".encode()
-        md5 = _h.md5
+        groups_arr = batch[group_col]
+        if isinstance(groups_arr, pa.ChunkedArray):
+            groups_arr = groups_arr.combine_chunks()
         # null group values are EXCLUDED, matching SQL semantics (the
         # oracle's 'salt' || lang || ':' || id concatenation is NULL for a
         # null lang, so the predicate never passes)
-        mask = pa.array(
-            [
-                g is not None
-                and int.from_bytes(
-                    md5(sp + f"{g}:{v}".encode()).digest()[:4], "big"
-                )
-                % 10000
-                < thr.get(g, dthr)
-                for g, v in zip(groups, ids)
+        if method == "fast":
+            h = mix64(
+                hash64_array(batch[id_col]) ^ hash64_array(groups_arr) ^ salt_h
+            )
+            # per-row threshold via dictionary-encode: one Python lookup
+            # per DISTINCT group value, not per row
+            d = groups_arr.dictionary_encode()
+            codes = (
+                d.indices.fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            thr_by_code = np.array(
+                [thr.get(g, dthr) for g in d.dictionary.to_pylist()]
+                or [0],
+                np.uint64,
+            )
+            valid = np.asarray(groups_arr.is_valid())
+            surv = np.zeros(len(h), bool)
+            surv[valid] = (h % np.uint64(10000))[valid] < thr_by_code[
+                codes[valid]
             ]
-        )
+            mask = pa.array(surv)
+        else:
+            ids = batch[id_col].to_pylist()
+            groups = groups_arr.to_pylist()
+            sp = f"{salt}:".encode()
+            md5 = _h.md5
+            mask = pa.array(
+                [
+                    g is not None
+                    and int.from_bytes(
+                        md5(sp + f"{g}:{v}".encode()).digest()[:4], "big"
+                    )
+                    % 10000
+                    < thr.get(g, dthr)
+                    for g, v in zip(groups, ids)
+                ]
+            )
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -954,6 +1016,16 @@ def stratified_sample(
 
 def documents_sample_by_lang(sf_dir: str) -> ray.data.Dataset:
     """Rebalance: keep 10% of English docs, 50% of everything else."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample(
+        ds, id_col="doc_id", group_col="lang",
+        fractions={"en": 0.1}, default_fraction=0.5, method="md5",
+    )
+
+
+def documents_sample_by_lang_fast(sf_dir: str) -> ray.data.Dataset:
+    """Production stratified sampling (vectorized engine hash);
+    fixture-oracled — the hash is not SQL-expressible."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     return stratified_sample(
         ds, id_col="doc_id", group_col="lang",

@@ -3,9 +3,11 @@
 The pattern every sketch here follows: each ``map_batches`` task reduces its
 block to a tiny fixed-size partial state (registers, counters), the partials
 ride one narrow exchange, and a single associative merge produces the
-answer — no row-level shuffle ever happens.  All hashing is md5-derived so
-results are deterministic across processes, machines, and parallelism
-levels (merges are element-wise max — order-independent).
+answer — no row-level shuffle ever happens.  Hashing is the engine's
+vectorized ``hash64_array`` (integer mix / polynomial string hash, pure
+integer arithmetic — no per-row Python), deterministic across processes,
+machines, and parallelism levels (merges are element-wise max —
+order-independent).
 
 - **HyperLogLog** distinct-count (Flajolet et al. 2007): 2^p byte registers,
   standard bias-corrected estimator with the small-range (linear counting)
@@ -19,28 +21,26 @@ levels (merges are element-wise max — order-independent).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-
-def _hash64(values: list) -> np.ndarray:
-    """Deterministic 64-bit hashes (md5 low 8 bytes) of stringified values."""
-    out = np.empty(len(values), dtype=np.uint64)
-    md5 = hashlib.md5
-    for i, v in enumerate(values):
-        out[i] = int.from_bytes(md5(str(v).encode()).digest()[:8], "little")
-    return out
+from ..hashing import hash64_array
 
 
-def hll_partial(values: list, p: int = 12) -> np.ndarray:
-    """Block → HLL registers (uint8[2^p])."""
+def _hash64(values) -> np.ndarray:
+    """Deterministic vectorized 64-bit hashes of a column or Python list."""
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(values)
+    return hash64_array(values)
+
+
+def hll_partial(values, p: int = 12) -> np.ndarray:
+    """Block → HLL registers (uint8[2^p]).  ``values``: column or list."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
-    if not values:
+    if len(values) == 0:
         return regs
     h = _hash64(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
@@ -98,7 +98,7 @@ def hll_distinct(
     order-independent, so the estimate is identical at any parallelism."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        regs = hll_partial(batch[col].to_pylist(), p)
+        regs = hll_partial(batch[col], p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)

@@ -64,6 +64,10 @@ def main() -> None:
             ("dedup_simhash", "doc_id"),
             ("dedup_ngram", "doc_id"),
             ("dedup_embedding", "vec_id"),
+            # vectorized-hash sampling paths: kept-id pins for the
+            # non-SQL-expressible engine hash
+            ("documents_sample_fast", "doc_id"),
+            ("documents_sample_by_lang_fast", "doc_id"),
         ]:
             ids = sorted(r[id_col] for r in q[name](sf_dir).take_all())
             kept_rows["query"].extend([name] * len(ids))
