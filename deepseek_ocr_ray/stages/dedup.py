@@ -204,10 +204,34 @@ def exact_word_ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def band_key(payload_bytes: bytes) -> np.uint64:
-    """Stable 64-bit band-bucket key from raw band bytes."""
-    return np.uint64(
-        int.from_bytes(hashlib.md5(payload_bytes).digest()[:8], "little")
-    )
+    """Stable 64-bit band-bucket key from raw band bytes (scalar reference
+    of the vectorized fold in :func:`band_keys_matrix`)."""
+    vals = np.frombuffer(payload_bytes, np.uint32).astype(np.uint64)
+    h = np.uint64(0)
+    p = np.uint64(0x100000001B3)
+    for v in vals:
+        h = h * p + v + np.uint64(1)
+    from ..hashing import mix64
+
+    return mix64(h.reshape(1))[0]
+
+
+def band_keys_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(D, num_perm) uint32 signatures → (D, bands) uint64 band keys.
+
+    Polynomial fold of each band's lanes + avalanche — vectorized over the
+    whole block (the per-(doc, band) md5 this replaces was the measured hot
+    spot of minhash_dedup)."""
+    from ..hashing import mix64
+
+    d, num_perm = sigs.shape
+    r = num_perm // bands
+    v = sigs.reshape(d, bands, r).astype(np.uint64)
+    h = np.zeros((d, bands), np.uint64)
+    p = np.uint64(0x100000001B3)
+    for t in range(r):  # r is tiny (num_perm/bands, typically 4)
+        h = h * p + v[:, :, t] + np.uint64(1)
+    return mix64(h)
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +246,55 @@ def _stable_group(band: np.ndarray, key: np.ndarray, n_buckets: int) -> np.ndarr
     then the shared splitmix bucket (stable across processes)."""
     x = key.astype(np.uint64) ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
     return splitmix_bucket(x, n_buckets)
+
+
+def _band_rows(
+    id_col: str,
+    ids: pa.Array | pa.ChunkedArray,
+    keys: np.ndarray,
+    payload: pa.Array | pa.ChunkedArray,
+    n_buckets: int,
+) -> pa.Table:
+    """Assemble the (doc × band) LSH rows without per-row Python.
+
+    ``ids``/``payload`` are per-DOC arrays (D rows); ``keys`` is the
+    (D, bands) uint64 band-key matrix.  The fan-out to D×bands rows happens
+    in C++ (``Array.take`` on a repeat-index vector) and numpy
+    (``np.tile``/``reshape``) — this assembly loop was the measured hot spot
+    of the LSH family when it appended Python lists per (doc, band)."""
+    D, bands = keys.shape
+    rep = pa.array(np.repeat(np.arange(D, dtype=np.int64), bands), pa.int64())
+    band_arr = np.tile(np.arange(bands, dtype=np.uint64), D)
+    key_arr = np.ascontiguousarray(keys).reshape(-1)  # doc-major, matches rep
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    return pa.table(
+        {
+            id_col: ids.take(rep),
+            "band": pa.array(band_arr, pa.uint64()),
+            "band_key": pa.array(key_arr, pa.uint64()),
+            "payload": payload.take(rep),
+            "lsh_group": pa.array(
+                _stable_group(band_arr, key_arr, n_buckets), pa.int64()
+            ),
+        }
+    )
+
+
+def _binary_from_matrix(rows: np.ndarray) -> pa.Array:
+    """Zero-copy-ish binary column: row i of a 2-D numpy matrix becomes the
+    bytes value of row i (fixed stride offsets over one contiguous buffer)."""
+    d = len(rows)
+    width = rows.dtype.itemsize * (rows.shape[1] if rows.ndim > 1 else 1)
+    offsets = np.arange(d + 1, dtype=np.int32) * width
+    return pa.Array.from_buffers(
+        pa.binary(),
+        d,
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(rows).tobytes())],
+    )
 
 
 def _lsh_dedup(
@@ -377,38 +450,27 @@ class MinHashBandStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        r = self.rows_per_band
-        out_id, out_band, out_key, out_payload = [], [], [], []
-        for did, text in zip(ids, texts):
-            sig = self.hasher.signature(text)
+        d = len(texts)
+        # per-doc signature (vectorized over shingles×permutations inside);
+        # everything after this loop is numpy/Arrow C++
+        sigs = np.empty((d, self.hasher.num_perm), np.uint32)
+        for i, text in enumerate(texts):
+            sigs[i] = self.hasher.signature(text)
+        keys = band_keys_matrix(sigs, self.bands)
+        if self.carry_text:
+            payload = batch[self.text_col]
+            if isinstance(payload, pa.ChunkedArray):
+                payload = payload.combine_chunks()
+            payload = payload.cast(pa.large_string())
+        elif self.carry_payload:
             # payload rides as raw signature bytes (fixed width), not a
             # list<uint32> — Arrow-encoding 10^5 Python int lists per block
             # dominated runtime before this change
-            if self.carry_text:
-                payload = text
-            elif self.carry_payload:
-                payload = sig.tobytes()
-            else:
-                payload = b""
-            for b in range(self.bands):
-                out_id.append(did)
-                out_band.append(b)
-                out_key.append(band_key(sig[b * r : (b + 1) * r].tobytes()))
-                out_payload.append(payload)
-        band_arr = np.asarray(out_band, dtype=np.uint64)
-        key_arr = np.asarray(out_key, dtype=np.uint64)
-        payload_type = pa.large_string() if self.carry_text else pa.binary()
-        return pa.table(
-            {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(band_arr, pa.uint64()),
-                "band_key": pa.array(key_arr, pa.uint64()),
-                "payload": pa.array(out_payload, payload_type),
-                "lsh_group": pa.array(
-                    _stable_group(band_arr, key_arr, self.n_buckets), pa.int64()
-                ),
-            }
+            payload = _binary_from_matrix(sigs)
+        else:
+            payload = _binary_from_matrix(np.empty((d, 0), np.uint8))
+        return _band_rows(
+            self.id_col, batch[self.id_col], keys, payload, self.n_buckets
         )
 
 
@@ -796,28 +858,21 @@ class SimHashBandStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        out_id, out_band, out_key, out_payload = [], [], [], []
-        mask = (1 << self.band_bits) - 1
-        for did, text in zip(ids, texts):
-            sh = self.simhash(text)
-            for b in range(self.bands):
-                out_id.append(did)
-                out_band.append(b)
-                out_key.append((sh >> (b * self.band_bits)) & mask)
-                out_payload.append(sh)
-        band_arr = np.asarray(out_band, dtype=np.uint64)
-        key_arr = np.asarray(out_key, dtype=np.uint64)
-        return pa.table(
-            {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(band_arr, pa.uint64()),
-                "band_key": pa.array(key_arr, pa.uint64()),
-                "payload": pa.array(out_payload, pa.uint64()),
-                "lsh_group": pa.array(
-                    _stable_group(band_arr, key_arr, self.n_buckets), pa.int64()
-                ),
-            }
+        d = len(texts)
+        shs = np.fromiter(
+            (self.simhash(t) for t in texts), dtype=np.uint64, count=d
+        )
+        mask = np.uint64((1 << self.band_bits) - 1)
+        shifts = (
+            np.arange(self.bands, dtype=np.uint64) * np.uint64(self.band_bits)
+        )
+        keys = (shs[:, None] >> shifts[None, :]) & mask  # (d, bands)
+        return _band_rows(
+            self.id_col,
+            batch[self.id_col],
+            keys,
+            pa.array(shs, pa.uint64()),
+            self.n_buckets,
         )
 
 
@@ -889,34 +944,21 @@ class SRPBandStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float32)
-        ids = batch[self.id_col].to_pylist()
-        n = len(ids)
+        n = len(vecs)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        normed = vecs / np.maximum(norms, 1e-12)
+        normed = np.ascontiguousarray(vecs / np.maximum(norms, 1e-12))
         bits = (normed @ self.planes) > 0  # (n, bands*band_bits)
-        weights = (1 << np.arange(self.band_bits, dtype=np.uint64))
-        payloads = [v.tobytes() for v in normed]  # raw float32 — cheap Arrow
-        out_id, out_band, out_key, out_payload = [], [], [], []
-        for b in range(self.bands):
-            seg = bits[:, b * self.band_bits : (b + 1) * self.band_bits]
-            keys = (seg.astype(np.uint64) * weights).sum(axis=1)
-            for i in range(n):
-                out_id.append(ids[i])
-                out_band.append(b)
-                out_key.append(keys[i])
-                out_payload.append(payloads[i])
-        band_arr = np.asarray(out_band, dtype=np.uint64)
-        key_arr = np.asarray(out_key, dtype=np.uint64)
-        return pa.table(
-            {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(band_arr, pa.uint64()),
-                "band_key": pa.array(key_arr, pa.uint64()),
-                "payload": pa.array(out_payload, pa.binary()),
-                "lsh_group": pa.array(
-                    _stable_group(band_arr, key_arr, self.n_buckets), pa.int64()
-                ),
-            }
+        weights = 1 << np.arange(self.band_bits, dtype=np.uint64)
+        keys = (
+            bits.reshape(n, self.bands, self.band_bits).astype(np.uint64)
+            * weights
+        ).sum(axis=2)  # (n, bands)
+        return _band_rows(
+            self.id_col,
+            batch[self.id_col],
+            keys,
+            _binary_from_matrix(normed),  # raw float32 rows
+            self.n_buckets,
         )
 
 

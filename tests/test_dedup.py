@@ -201,3 +201,50 @@ def test_incremental_exact_dedup_both_plans(ray_session):
     )
     assert bc == [11, 13]  # beta/alpha already exist
     assert jn == bc
+
+
+def test_band_key_scalar_matches_matrix():
+    """The scalar band_key reference and the vectorized band_keys_matrix
+    must agree — buckets are defined by this value."""
+    import numpy as np
+
+    from deepseek_ocr_ray.stages.dedup import band_key, band_keys_matrix
+
+    rng = np.random.RandomState(0)
+    sigs = rng.randint(0, 1 << 32, size=(7, 16)).astype(np.uint32)
+    keys = band_keys_matrix(sigs, bands=4)
+    r = 4
+    for i in range(7):
+        for b in range(4):
+            assert keys[i, b] == band_key(sigs[i, b * r : (b + 1) * r].tobytes())
+
+
+def test_band_stages_emit_doc_major_rows(ray_session):
+    """Vectorized assembly: one row per (doc, band), ids/payloads fanned out
+    via Arrow take — check the row multiset for a small batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deepseek_ocr_ray.stages.dedup import MinHashBandStage, SimHashBandStage
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(["alpha beta gamma", "alpha beta gamma", "zzz"]),
+        }
+    )
+    for stage in (
+        MinHashBandStage(num_perm=16, bands=4),
+        SimHashBandStage(bands=4),
+    ):
+        out = stage(batch)
+        assert out.num_rows == 12
+        assert sorted(out["doc_id"].to_pylist()) == [10] * 4 + [11] * 4 + [12] * 4
+        assert sorted(set(out["band"].to_pylist())) == [0, 1, 2, 3]
+        # identical docs collide in every band; the distinct doc in none
+        k = out.to_pandas()
+        a = k[k.doc_id == 10].sort_values("band")["band_key"].tolist()
+        b = k[k.doc_id == 11].sort_values("band")["band_key"].tolist()
+        c = k[k.doc_id == 12].sort_values("band")["band_key"].tolist()
+        assert a == b
+        assert not any(x == y for x, y in zip(a, c))
