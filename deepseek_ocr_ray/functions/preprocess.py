@@ -196,3 +196,78 @@ def tokenize_with_images(
         num_image_tokens=n_img_tokens,
         image_shapes=shapes,
     )
+
+
+# ImageTransform mean is 0.5 per channel (image_process.py:120); the
+# reference pads the global view with ``int(mean * 255)`` per channel.
+PAD_COLOR = (127, 127, 127)
+
+
+def pixel_preprocess_pil(
+    image,
+    *,
+    prompt: str = DEFAULT_PROMPT,
+    tokenizer: StubTokenizer | None = None,
+    base_size: int = 1024,
+    image_size: int = 640,
+    cropping: bool = True,
+    min_crops: int = 2,
+    max_crops: int = 6,
+    **tokenize_kwargs,
+) -> tuple[PreprocessedInput, np.ndarray, np.ndarray]:
+    """The PIXEL half of the reference preprocess, composed with the
+    geometry half above — the full decode→tile→pad→normalize→tokenize
+    path for ONE image (image_process.py:390-449):
+
+    - local views: ``dynamic_preprocess`` tiles (resize to the chosen grid,
+      crop ``image_size`` squares) when the tiling decision crops;
+    - global view: aspect-preserving ``ImageOps.pad`` to
+      ``(base_size, base_size)`` with the mean color;
+    - small-image fast path: when ``image_size <= 640 and not cropping``
+      the source is resized square before padding, like the reference;
+    - every view through ImageTransform (mean=std=0.5 → ``normalize_pixels``).
+
+    Returns ``(meta, pixel_values, images_crop)`` with ``pixel_values``
+    float32 (1, 3, base, base) and ``images_crop`` float32
+    (n_crops, 3, image_size, image_size).  Import-gated on Pillow — the
+    sandbox exercises it via ``pytest.importorskip``.
+    """
+    from PIL import ImageOps  # the codec gate
+
+    from .tiling import dynamic_preprocess_pil, normalize_pixels
+
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+    w, h = image.size
+    wt, ht = crop_ratio_for(
+        w, h, image_size=image_size, cropping=cropping,
+        min_crops=min_crops, max_crops=max_crops,
+    )
+
+    crops: list[np.ndarray] = []
+    if wt > 1 or ht > 1:
+        tiles, grid = dynamic_preprocess_pil(
+            image, min_num=min_crops, max_num=max_crops,
+            image_size=image_size,
+        )
+        assert grid == (wt, ht), "pixel tiling disagrees with token geometry"
+        crops = [normalize_pixels(np.asarray(t)) for t in tiles]
+
+    gsrc = image
+    if image_size <= 640 and not cropping:
+        gsrc = image.resize((image_size, image_size))
+    global_view = ImageOps.pad(gsrc, (base_size, base_size), color=PAD_COLOR)
+    pixel_values = normalize_pixels(np.asarray(global_view))[None]
+    images_crop = (
+        np.stack(crops)
+        if crops
+        else np.zeros((0, 3, image_size, image_size), np.float32)
+    )
+
+    meta = tokenize_with_images(
+        [(w, h)], prompt=prompt, tokenizer=tokenizer,
+        base_size=base_size, image_size=image_size, cropping=cropping,
+        min_crops=min_crops, max_crops=max_crops, **tokenize_kwargs,
+    )
+    assert meta.images_spatial_crop.tolist() == [[wt, ht]]
+    return meta, pixel_values, images_crop

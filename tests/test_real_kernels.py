@@ -181,3 +181,52 @@ def test_crop_region_jpegs_gate_without_pil():
     if not mm.HAVE_PIL:
         with pytest.raises(ImportError):
             mm.crop_region_jpegs(b"x", [(0, 0, 1, 1)])
+
+
+def test_pixel_preprocess_pil_e2e():
+    """decode → tile → pad → normalize → tokenize as ONE gated pipeline:
+    the pixel tensors must agree with the token geometry (M4 interior +
+    M6 composition)."""
+    pytest.importorskip("PIL")
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    from deepseek_ocr_ray.functions.preprocess import (
+        IMAGE_TOKEN_ID,
+        pixel_preprocess_pil,
+        vision_token_block,
+    )
+    from deepseek_ocr_ray.functions.tiling import count_tiles
+
+    # round-trip through real JPEG decode like an ingest path would
+    src = Image.new("RGB", (1300, 800), (40, 80, 120))
+    buf = BytesIO()
+    src.save(buf, format="JPEG")
+    img = Image.open(BytesIO(buf.getvalue()))
+
+    meta, pixel_values, images_crop = pixel_preprocess_pil(img)
+    wt, ht = count_tiles(1300, 800, 2, 6, 640)
+    assert meta.images_spatial_crop.tolist() == [[wt, ht]]
+    assert pixel_values.shape == (1, 3, 1024, 1024)
+    assert images_crop.shape == (wt * ht, 3, 640, 640)
+    assert pixel_values.dtype == np.float32
+    # normalized range: (x/255 - .5)/.5 ∈ [-1, 1]
+    assert float(pixel_values.min()) >= -1.0
+    assert float(pixel_values.max()) <= 1.0
+    # the 1300x800 source pads vertically inside 1024² → mean-color rows
+    # at top/bottom normalize to ~(127/255-.5)/.5 ≈ 0
+    assert abs(float(pixel_values[0, :, 0, :].mean())) < 0.01
+    # token geometry matches the pixel geometry
+    n_vision = int(meta.images_seq_mask.sum())
+    assert n_vision == len(vision_token_block(wt, ht))
+    assert meta.num_image_tokens == [n_vision]
+    assert (meta.input_ids[0][meta.images_seq_mask] == IMAGE_TOKEN_ID).all()
+
+    # small image, cropping off: square-resize fast path, no crops
+    small = Image.new("RGB", (300, 200), (10, 20, 30))
+    meta2, pv2, crops2 = pixel_preprocess_pil(small, cropping=False)
+    assert meta2.images_spatial_crop.tolist() == [[1, 1]]
+    assert pv2.shape == (1, 3, 1024, 1024)
+    assert crops2.shape == (0, 3, 640, 640)
