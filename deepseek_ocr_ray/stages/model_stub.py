@@ -178,6 +178,42 @@ def generate_page_locate(media_ref: str, target: str) -> str:
     return out
 
 
+class DeltaStreamPrinter:
+    """W6: incremental text streaming with printed-length delta semantics.
+
+    Mirrors the reference's async-generation progress loop
+    (DSV/run_dpsk_ocr_image.py:194-216): each ``feed(full_text)`` receives
+    the generation-so-far and writes only the unseen suffix
+    (``full_text[printed_length:]``), then records the new length —
+    including the reference's behavior when the text shrinks (the slice is
+    empty and the printed length follows the text down).  ``finish()``
+    writes the terminal blank line (the reference's ``print('\\n')`` emits
+    two newlines) and resets for the next request.
+
+    Actor-side: each OCR actor owns one printer, so progress interleaves
+    per actor process exactly like per-request engine output would.
+    """
+
+    def __init__(self, stream=None):
+        import sys
+
+        self._stream = stream if stream is not None else sys.stdout
+        self._printed = 0
+
+    def feed(self, full_text: str) -> str:
+        new_text = full_text[self._printed :]
+        if new_text:
+            self._stream.write(new_text)
+            self._stream.flush()
+        self._printed = len(full_text)
+        return new_text
+
+    def finish(self) -> None:
+        self._stream.write("\n\n")
+        self._stream.flush()
+        self._printed = 0
+
+
 class StubOcrModel:
     """Load-once "model" with the call shape of a vLLM engine wrapper.
 
@@ -219,9 +255,22 @@ class OcrStage:
     app/processors.py:345-358 — silent drops break resumability accounting).
     """
 
-    def __init__(self, config: PipelineConfig | None = None):
+    def __init__(
+        self,
+        config: PipelineConfig | None = None,
+        *,
+        stream_progress: bool = False,
+        progress_stream=None,
+    ):
         self.config = config or PipelineConfig()
         self.model = StubOcrModel(self.config)
+        # W6 sink: opt-in actor-side streaming of each unit's text as it is
+        # produced (the stub generates whole pages, so each unit arrives as
+        # one delta; a token-streaming model feeds the same printer
+        # incrementally)
+        self.printer = (
+            DeltaStreamPrinter(progress_stream) if stream_progress else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
@@ -257,6 +306,9 @@ class OcrStage:
             todo_ref.append(ref)
         for i, text in zip(todo_idx, self.model.generate(todo_ref)):
             raw[i] = text
+            if self.printer is not None:
+                self.printer.feed(text)
+                self.printer.finish()
         return (
             batch.append_column("raw_text", pa.array(raw, pa.large_string()))
             .append_column("page_w", pa.array(pw, pa.int32()))

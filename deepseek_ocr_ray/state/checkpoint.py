@@ -53,12 +53,63 @@ def config_fingerprint(config: PipelineConfig) -> str:
     return hashlib.md5(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()
 
 
-def run_fingerprint(config: PipelineConfig, exchange: str = "none") -> str:
-    """Lineage fingerprint of a run: config + assembly exchange mode (the
-    mode affects execution and must invalidate resume skips)."""
+def run_fingerprint(
+    config: PipelineConfig,
+    exchange: str = "none",
+    output_format: str = "parquet",
+) -> str:
+    """Lineage fingerprint of a run: config + assembly exchange mode +
+    output format (all three affect the bytes on disk and must invalidate
+    resume skips)."""
     return hashlib.md5(
-        (config_fingerprint(config) + ":" + exchange).encode()
+        (config_fingerprint(config) + ":" + exchange + ":" + output_format)
+        .encode()
     ).hexdigest()
+
+
+def _write_output(ds, path: str, output_format: str) -> None:
+    """Write one partition's output.  ``parquet`` is the default;
+    ``lance`` (the production system of record per the north rule) is
+    import-gated — the sandbox lacks the library, so the path is exercised
+    by ``pytest.importorskip`` round-trip/resume tests."""
+    if output_format == "parquet":
+        ds.write_parquet(path)
+    elif output_format == "lance":
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "output_format='lance' requires the 'pylance' package "
+                "(pip install pylance)"
+            ) from e
+        ds.write_lance(path)
+    else:
+        raise ValueError(f"unknown output_format {output_format!r}")
+
+
+def _partition_stats(final_dir: str, output_format: str) -> tuple[int, int, int]:
+    """(n_docs, n_spans, output_bytes) of a written partition directory."""
+    import pyarrow.compute as pc
+
+    out_bytes = 0
+    for root, _, files in os.walk(final_dir):
+        for f in files:
+            out_bytes += os.path.getsize(os.path.join(root, f))
+    if output_format == "lance":
+        import lance
+
+        lds = lance.dataset(final_dir)
+        n_docs = lds.count_rows()
+        spans_tbl = lds.to_table(columns=["n_spans"])
+    else:
+        import pyarrow.parquet as pq
+
+        n_docs = 0
+        for f in os.listdir(final_dir):
+            n_docs += pq.ParquetFile(os.path.join(final_dir, f)).metadata.num_rows
+        spans_tbl = pq.read_table(final_dir, columns=["n_spans"])
+    n_spans = pc.sum(spans_tbl["n_spans"]).as_py() or 0
+    return n_docs, int(n_spans), out_bytes
 
 
 def manifest_path(out_root: str, pid: int) -> str:
@@ -92,6 +143,7 @@ def run_checkpointed(
     partitions: list[int] | None = None,
     max_partitions: int | None = None,
     exchange: str = "none",
+    output_format: str = "parquet",
 ) -> dict:
     """Process (or resume) a partitioned corpus; returns a run summary.
 
@@ -107,7 +159,7 @@ def run_checkpointed(
     cfg = config or PipelineConfig()
     # the exchange mode is execution lineage too: resuming a run under a
     # different mode must recompute, not skip
-    cfg_fp = run_fingerprint(cfg, exchange)
+    cfg_fp = run_fingerprint(cfg, exchange, output_format)
     os.makedirs(os.path.join(out_root, "_ckpt"), exist_ok=True)
 
     available = set(list_partitions(input_root))
@@ -142,7 +194,7 @@ def run_checkpointed(
         out = extract_dataset(ds, cfg, exchange=exchange)
 
         tmp_dir = os.path.join(out_root, f".tmp-{pid}-{uuid.uuid4().hex[:8]}")
-        out.write_parquet(tmp_dir)
+        _write_output(out, tmp_dir, output_format)
         wall = time.monotonic() - t0
 
         final_dir = os.path.join(out_root, f"part={pid}")
@@ -150,21 +202,11 @@ def run_checkpointed(
             shutil.rmtree(final_dir)  # stale partial output: idempotent overwrite
         os.rename(tmp_dir, final_dir)
 
-        import pyarrow.parquet as pq
-
-        n_docs = n_spans = out_bytes = 0
-        for f in os.listdir(final_dir):
-            fp = os.path.join(final_dir, f)
-            out_bytes += os.path.getsize(fp)
-            md = pq.ParquetFile(fp)
-            n_docs += md.metadata.num_rows
-        stats_tbl = pq.read_table(final_dir, columns=["n_spans"])
-        import pyarrow.compute as pc
-
-        n_spans = pc.sum(stats_tbl["n_spans"]).as_py() or 0
+        n_docs, n_spans, out_bytes = _partition_stats(final_dir, output_format)
 
         manifest = {
             "partition": pid,
+            "output_format": output_format,
             "input_fingerprint": in_fp,
             "config_fingerprint": cfg_fp,
             "engine_version": __version__,

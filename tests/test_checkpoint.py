@@ -106,3 +106,65 @@ def test_tmp_sweep_scoped_to_this_runs_partitions(ray_session, corpus, tmp_path)
     run_checkpointed(corpus, out, PipelineConfig(), partitions=[0])
     assert not os.path.exists(mine), "this run's orphan tmp must be swept"
     assert os.path.exists(theirs), "another run's in-flight tmp must survive"
+
+
+def test_lance_output_gate_raises_without_lib(ray_session, tmp_path):
+    """In environments without pylance the lance path must fail loudly
+    (never silently fall back to parquet)."""
+    try:
+        import lance  # noqa: F401
+
+        pytest.skip("lance installed — gate not reachable")
+    except ImportError:
+        pass
+    corpus = str(tmp_path / "in")
+    write_interleaved(corpus, 20, seed=42, num_partitions=2)
+    with pytest.raises(ImportError, match="pylance"):
+        run_checkpointed(
+            corpus, str(tmp_path / "out"), PipelineConfig(),
+            output_format="lance",
+        )
+
+
+def test_unknown_output_format_rejected(ray_session, tmp_path):
+    corpus = str(tmp_path / "in")
+    write_interleaved(corpus, 20, seed=42, num_partitions=2)
+    with pytest.raises(ValueError, match="output_format"):
+        run_checkpointed(
+            corpus, str(tmp_path / "out"), PipelineConfig(),
+            output_format="orc",
+        )
+
+
+def test_output_format_in_lineage_fingerprint():
+    """Switching the output format must invalidate resume skips — same
+    config, different format → different fingerprint."""
+    cfg = PipelineConfig()
+    assert run_fingerprint(cfg, "none", "parquet") != run_fingerprint(
+        cfg, "none", "lance"
+    )
+    # and the default signature is the parquet one (manifest compat)
+    assert run_fingerprint(cfg) == run_fingerprint(cfg, "none", "parquet")
+
+
+def test_lance_round_trip_and_resume(ray_session, tmp_path):
+    """Gated: full extract → write_lance → manifest → resume-skip → read
+    back through read_partition (prefers read_lance when the lib exists)."""
+    pytest.importorskip("lance")
+    corpus = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    write_interleaved(corpus, 30, seed=42, num_partitions=3)
+    s1 = run_checkpointed(corpus, out, PipelineConfig(), output_format="lance")
+    assert sorted(s1["computed"]) == [0, 1, 2]
+    assert s1["total_docs"] == 30
+    # resume skips everything
+    s2 = run_checkpointed(corpus, out, PipelineConfig(), output_format="lance")
+    assert s2["computed"] == [] and sorted(s2["skipped"]) == [0, 1, 2]
+    # parquet-format rerun must NOT skip lance output
+    s3 = run_checkpointed(corpus, out, PipelineConfig(), output_format="parquet")
+    assert sorted(s3["computed"]) == [0, 1, 2]
+    # read back partition 0 via the lance-preferring reader
+    from deepseek_ocr_ray.sources.interleaved import read_partition
+
+    ds = read_partition(out, 0)
+    assert ds.count() > 0

@@ -252,3 +252,58 @@ def test_salted_handles_extreme_doc(ray_session):
     assert [tuple(s.values()) for s in a["spans"]] == [
         tuple(s.values()) for s in b["spans"]
     ]
+
+
+def test_delta_stream_printer_semantics():
+    """W6: the printed-length delta loop of the reference's streaming
+    stdout sink — only unseen suffixes are written; finish() emits the
+    terminal blank line and resets."""
+    import io
+
+    from deepseek_ocr_ray.stages.model_stub import DeltaStreamPrinter
+
+    buf = io.StringIO()
+    p = DeltaStreamPrinter(buf)
+    assert p.feed("hel") == "hel"
+    assert p.feed("hello wo") == "lo wo"
+    assert p.feed("hello wo") == ""      # no growth → nothing written
+    assert p.feed("hello world") == "rld"
+    p.finish()
+    assert buf.getvalue() == "hello world\n\n"
+    # shrink mirrors the reference: empty slice, printed length follows down
+    assert p.feed("ab") == "ab"
+    assert p.feed("a") == ""
+    assert p.feed("abc") == "bc"         # regrowth prints from the new mark
+    # reset after finish starts a fresh request
+    p.finish()
+    p2_start = buf.getvalue()
+    assert p.feed("next") == "next"
+    assert buf.getvalue() == p2_start + "next"
+
+
+def test_ocr_stage_stream_progress_writes_each_unit():
+    import io
+
+    import pyarrow as pa
+
+    from deepseek_ocr_ray.stages.model_stub import OcrStage, generate_page_markdown
+
+    buf = io.StringIO()
+    stage = OcrStage(stream_progress=True, progress_stream=buf)
+    batch = pa.table(
+        {
+            "kind": pa.array(["image", "text", "image"]),
+            "media_ref": pa.array(["blob://a/0", "", "blob://b/1"]),
+        }
+    )
+    out = stage(batch)
+    assert out.num_rows == 3
+    expected = (
+        generate_page_markdown("blob://a/0")
+        + "\n\n"
+        + generate_page_markdown("blob://b/1")
+        + "\n\n"
+    )
+    assert buf.getvalue() == expected
+    # default: no printer, no stdout side effects
+    assert OcrStage().printer is None
