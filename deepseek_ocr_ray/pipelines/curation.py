@@ -1,0 +1,591 @@
+"""Training-corpus curation operators beyond dedup: PII scrubbing,
+repetition-quality signals, benchmark decontamination, mixture sampling,
+frequency-rank scoring, and duplicate clustering.
+
+Every operator here has an exact DuckDB oracle (the driver gate), so all
+semantics are chosen integer-exact:
+
+- counts and flags are integers; ratio thresholds are applied by integer
+  cross-multiplication (``top_n * 10000 <= 1500 * total``), never float
+  division;
+- regexes are RE2 on BOTH sides (Arrow's ``replace_substring_regex`` and
+  DuckDB's ``regexp_replace`` share the RE2 engine), with identical
+  pattern literals;
+- the one per-row hash (mixture sampling's fractional epoch) reuses the
+  repo's md5 SQL-parity rule — the vectorized ``hashing.hash64_array``
+  path is the documented production default elsewhere
+  (``analytics.deterministic_sample``).
+
+Scale shapes:
+
+- ``pii_scrub``, ``doc_repetition``: pure map — per-batch Arrow C++
+  kernels, zero shuffle.
+- ``decontaminate``: the benchmark n-gram set is SMALL by construction
+  (benchmarks are thousands of docs, not billions) → built once,
+  broadcast via ``ray.put``, membership-tested with ``pc.is_in`` inside a
+  map.  The corpus side streams; no shuffle.
+- ``token_rank_stats``: one wide aggregate (vocabulary with map-side
+  combine — the shuffle carries one row per distinct token per block),
+  then the ranked vocab is broadcast and the scoring pass is a pure map.
+  At web scale the vocab is capped (top-K + overflow rank) — documented
+  on the function.
+- ``mixture_sample``: pure map with in-batch row expansion (np.repeat).
+- ``dedup_clusters``: pairwise candidates → ``stages.graph``
+  label-propagation (one shuffle join + one aggregate per round).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .analytics import read_table
+
+# ---------------------------------------------------------------------------
+# vectorized word-token / n-gram plumbing (shared; Arrow C++ throughout)
+# ---------------------------------------------------------------------------
+
+
+def tokens_flat(texts) -> tuple[pa.Array, np.ndarray]:
+    """Lowercased whitespace tokens of a batch of texts, flattened:
+    ``(flat_tokens, parent_row_index)`` with empty tokens removed —
+    the same tokenization as the SQL oracles'
+    ``string_split_regex(lower(text), '\\s+')`` + empty filter."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    tl = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+    flat = pc.list_flatten(tl)
+    parent = pc.list_parent_indices(tl)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parent = parent.filter(mask).to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, parent
+
+
+def ngram_rows(
+    flat: pa.Array, parent: np.ndarray, n: int
+) -> tuple[pa.Array, np.ndarray]:
+    """Word n-grams (space-joined) from a flattened token stream:
+    ``(ngrams, parent_row_index)``.  Built from ``n`` zero-copy slices of
+    the token array joined element-wise in Arrow C++; a window is valid iff
+    its first and last token share a parent row (tokens of one document are
+    contiguous in the flattened stream)."""
+    L = len(flat)
+    if L < n:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    w = L - n + 1
+    cols = [flat.slice(k, w) for k in range(n)]
+    ng = pc.binary_join_element_wise(*cols, " ")
+    valid = parent[:w] == parent[n - 1 :]
+    return ng.filter(pa.array(valid)), parent[:w][valid]
+
+
+def _scatter(parent: np.ndarray, values: np.ndarray, n_rows: int) -> np.ndarray:
+    """Scatter per-group values (indexed by parent row) into a dense
+    zeros(n_rows) int64 array."""
+    out = np.zeros(n_rows, np.int64)
+    out[parent] = values
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# RE2 literals — identical bytes on the Arrow and DuckDB sides
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def scrub_batch(texts) -> dict[str, pa.Array]:
+    """Redact emails → IPs → phones (fixed order: later patterns run over
+    the already-redacted text, same as the nested SQL ``regexp_replace``)
+    and count matches on the ORIGINAL text."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_email = pc.count_substring_regex(texts, EMAIL_RE).cast(pa.int64())
+    n_ip = pc.count_substring_regex(texts, IP_RE).cast(pa.int64())
+    n_phone = pc.count_substring_regex(texts, PHONE_RE).cast(pa.int64())
+    clean = pc.replace_substring_regex(texts, EMAIL_RE, "<EMAIL>")
+    clean = pc.replace_substring_regex(clean, IP_RE, "<IP>")
+    clean = pc.replace_substring_regex(clean, PHONE_RE, "<PHONE>")
+    return {
+        "clean_text": clean,
+        "n_emails": n_email,
+        "n_ips": n_ip,
+        "n_phones": n_phone,
+    }
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction over ``documents``.  The synthetic corpus carries no
+    PII, so a deterministic PII suffix (email + IP + phone derived from
+    doc_id/lang) is appended on BOTH sides first — the scrubber then has
+    real matches to find, and the oracle checks count + redaction parity
+    end-to-end.  Pure map: zero shuffle, all-Arrow kernels."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ids_s = pc.cast(batch["doc_id"], pa.string())
+        aug = pc.binary_join_element_wise(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"],
+            " contact user",
+            ids_s,
+            "@example.",
+            batch["lang"],
+            " node 10.",
+            pc.cast(pa.array(ids % 200), pa.string()),
+            ".0.",
+            pc.cast(pa.array(ids % 250), pa.string()),
+            " tel +1-555-",
+            pc.utf8_lpad(pc.cast(pa.array(ids % 10000), pa.string()), 4, "0"),
+            "",
+        )
+        out = scrub_batch(aug)
+        return pa.table({"doc_id": batch["doc_id"], **out})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.' || lang
+              || ' node 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{IP_RE}', '<IP>', 'g'),
+    '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{IP_RE}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM aug ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition-quality signals (Gopher-style, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Per-document repetition signals: the Gopher/C4 family of
+    "repetitious documents are low quality" filters, restated over word
+    n-grams (the corpus has no line structure):
+
+    - ``top_bigram_n`` / ``n_bigrams`` — occurrences of the most frequent
+      bigram vs total bigrams (Gopher's top-n-gram fraction);
+    - ``dup_trigram_excess`` / ``n_trigrams`` — trigram occurrences beyond
+      each trigram's first (Gopher's duplicate-n-gram fraction);
+    - flags by integer cross-multiplication: top bigram ≤ 15 % and
+      duplicate trigrams ≤ 10 %.
+
+    Pure map: per-batch ``pa.Table.group_by`` (Arrow C++ hash groups) with
+    numpy scatter — zero shuffle, no per-row Python."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parent = tokens_flat(batch["text"])
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+
+        def per_doc_ngram_counts(k: int):
+            g, gp = ngram_rows(flat, parent, k)
+            cnt = (
+                pa.table({"p": gp, "g": g})
+                .group_by(["p", "g"])
+                .aggregate([([], "count_all")])
+            )
+            per = cnt.group_by("p").aggregate(
+                [("count_all", "max"), ("count_all", "sum"), ([], "count_all")]
+            )
+            p = per["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return (
+                _scatter(p, per["count_all_max"].to_numpy(), n),
+                _scatter(p, per["count_all_sum"].to_numpy(), n),
+                _scatter(p, per["count_all"].to_numpy(), n),
+            )
+
+        top_bg, n_bg, _ = per_doc_ngram_counts(2)
+        _, n_tg, distinct_tg = per_doc_ngram_counts(3)
+        dup_tg = n_tg - distinct_tg
+        flag_bg = ((n_bg > 0) & (top_bg * 10000 <= 1500 * n_bg)).astype(np.int32)
+        flag_tg = ((n_tg > 0) & (dup_tg * 10000 <= 1000 * n_tg)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens),
+                "top_bigram_n": pa.array(top_bg),
+                "n_bigrams": pa.array(n_bg),
+                "dup_trigram_excess": pa.array(dup_tg),
+                "n_trigrams": pa.array(n_tg),
+                "flag_top_bigram": pa.array(flag_bg),
+                "flag_dup_trigram": pa.array(flag_tg),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+DOC_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+  FROM toks, unnest(generate_series(1, len(tk)-1)) AS t(i)
+),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+bagg AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+         CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM bcnt GROUP BY 1
+),
+tri AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+  FROM toks, unnest(generate_series(1, len(tk)-2)) AS t(i)
+),
+tcnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+tagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+         CAST(sum(c) - count(*) AS BIGINT) AS dup_trigram_excess
+  FROM tcnt GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(len(list_filter(string_split_regex(lower(d.text), '\\s+'), t -> t <> ''))
+       AS BIGINT) AS n_tokens,
+  coalesce(b.top_bigram_n, 0) AS top_bigram_n,
+  coalesce(b.n_bigrams, 0) AS n_bigrams,
+  coalesce(t.dup_trigram_excess, 0) AS dup_trigram_excess,
+  coalesce(t.n_trigrams, 0) AS n_trigrams,
+  CASE WHEN coalesce(b.n_bigrams, 0) > 0
+        AND coalesce(b.top_bigram_n, 0) * 10000 <= 1500 * b.n_bigrams
+       THEN 1 ELSE 0 END AS flag_top_bigram,
+  CASE WHEN coalesce(t.n_trigrams, 0) > 0
+        AND coalesce(t.dup_trigram_excess, 0) * 10000 <= 1000 * t.n_trigrams
+       THEN 1 ELSE 0 END AS flag_dup_trigram
+FROM documents d
+LEFT JOIN bagg b USING (doc_id)
+LEFT JOIN tagg t USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    sf_dir: str, *, ngram: int = 5, bench_mod: int = 41
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``ngram``-gram with the held-out benchmark set (docs with
+    ``doc_id % bench_mod == 0`` stand in for the benchmark — the split is
+    SQL-expressible so the oracle can replicate it).
+
+    Scale shape: the benchmark n-gram set is small by construction
+    (evaluation sets are thousands of documents), so it is collected once
+    (distinct n-grams, block-local dedup before the tiny ``unique``
+    shuffle), broadcast via ``ray.put``, and membership-tested with
+    ``pc.is_in`` inside a streaming map over the corpus.  The corpus side
+    never shuffles; overlap counts are per-doc-DISTINCT n-grams (Arrow
+    hash-group dedup per batch)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy() % bench_mod == 0
+        sub = batch.filter(pa.array(keep))
+        flat, parent = tokens_flat(sub["text"])
+        g, _ = ngram_rows(flat, parent, ngram)
+        return pa.table({"g": g}).group_by("g").aggregate([])
+
+    bench = ds.map_batches(bench_grams, batch_format="pyarrow").unique("g")
+    bench_ref = ray.put(pa.array(sorted(bench), pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy() % bench_mod != 0
+        sub = batch.filter(pa.array(keep))
+        n = sub.num_rows
+        flat, parent = tokens_flat(sub["text"])
+        g, gp = ngram_rows(flat, parent, ngram)
+        distinct = (
+            pa.table({"p": gp, "g": g}).group_by(["p", "g"]).aggregate([])
+        )
+        p = distinct["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = (
+            pc.is_in(distinct["g"], value_set=ray.get(bench_ref))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_ngrams = np.zeros(n, np.int64)
+        np.add.at(n_ngrams, p, 1)
+        n_overlap = np.zeros(n, np.int64)
+        np.add.at(n_overlap, p, hit)
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "n_ngrams": pa.array(n_ngrams),
+                "n_overlap": pa.array(n_overlap),
+                "flag_contaminated": pa.array(
+                    (n_overlap > 0).astype(np.int32)
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+ng AS (
+  SELECT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS g
+  FROM toks, unnest(generate_series(1, len(tk)-4)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 41 = 0),
+docng AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id % 41 <> 0),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM docng LEFT JOIN bench b USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_ngrams, 0) AS n_ngrams,
+       coalesce(a.n_overlap, 0) AS n_overlap,
+       CASE WHEN coalesce(a.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS flag_contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % 41 <> 0 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling (per-source epoch weighting)
+# ---------------------------------------------------------------------------
+
+_MIX_FULL = np.array([2, 1, 1, 0], np.int64)  # floor(weight) per source%4
+_MIX_FRAC_BP = np.array([0, 5000, 0, 2500], np.int64)  # frac part, basis pts
+_MIX_SALT = "m42"
+
+
+def mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """Training-mixture construction: each source gets a sampling WEIGHT
+    (here weights 2.0 / 1.5 / 1.0 / 0.25 by ``source_index % 4`` — the
+    oversample-books / downsample-web shape of LLM data recipes).  A doc
+    with weight w appears ``floor(w)`` times plus one more with probability
+    ``frac(w)``, decided by the repo's deterministic md5 sampling rule
+    (reproducible at any parallelism, nested across reruns).  Output rows
+    carry ``epoch`` (0-based copy index) — downstream shuffling interleaves
+    epochs.
+
+    Pure map with in-batch row expansion (``np.repeat``); the md5 is the
+    SQL-parity hash (see ``analytics.deterministic_sample`` for the
+    vectorized production default)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        src_idx = (
+            pc.cast(pc.utf8_slice_codeunits(batch["source"], 3), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        m = src_idx % 4
+        sp = f"{_MIX_SALT}:".encode()
+        md5 = hashlib.md5
+        bucket = np.fromiter(
+            (
+                int.from_bytes(md5(sp + str(v).encode()).digest()[:4], "big")
+                % 10000
+                for v in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        copies = _MIX_FULL[m] + (bucket < _MIX_FRAC_BP[m]).astype(np.int64)
+        idx = np.repeat(np.arange(len(ids)), copies)
+        starts = np.concatenate(([0], np.cumsum(copies)[:-1]))
+        epoch = np.arange(int(copies.sum()), dtype=np.int64) - np.repeat(
+            starts, copies
+        )
+        taken = batch.take(pa.array(idx))
+        return pa.table(
+            {
+                "doc_id": taken["doc_id"],
+                "source": taken["source"],
+                "epoch": pa.array(epoch),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS INT) % 4 AS m,
+         CAST(('0x' || substr(md5('m42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 10000 AS b
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         (CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END)
+         + (CASE WHEN b < (CASE m WHEN 0 THEN 0 WHEN 1 THEN 5000
+                           WHEN 2 THEN 0 ELSE 2500 END)
+            THEN 1 ELSE 0 END) AS copies
+  FROM w
+)
+SELECT doc_id, source, CAST(e - 1 AS BIGINT) AS epoch
+FROM c, unnest(generate_series(1, copies)) AS t(e)
+ORDER BY doc_id, epoch
+"""
+
+
+# ---------------------------------------------------------------------------
+# token frequency-rank scoring
+# ---------------------------------------------------------------------------
+
+
+def token_rank_stats(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact corpus-frequency scoring: rank every token by global
+    frequency (ties by token text), then score each document by the SUM of
+    its tokens' ranks — the integer stand-in for unigram log-probability
+    quality scoring (low sum-rank ⇒ common-word text; high ⇒ rare-word
+    text), with none of the float summation-order noise a log-prob score
+    would put under the driver's bit-exact hash gate.
+
+    Two phases: (1) the vocabulary aggregate — map-side combine, shuffle
+    carries one row per distinct token per block; (2) ranked vocab
+    broadcast via ``ray.put`` + a pure scoring map (``pc.index_in`` into
+    the broadcast token array, numpy gather + bincount).  At web scale the
+    broadcast vocab is capped (top-K ranks + a shared overflow rank for
+    the tail); the full-vocab variant here is exact for the oracle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_flat(batch["text"])
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["token"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    vocab = (
+        ds.map_batches(local_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "n"})
+        .sort(["n", "token"], descending=[True, False])
+        .take_all()
+    )
+    tokens = pa.array([r["token"] for r in vocab], pa.string())
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.int64)
+    ref = ray.put((tokens, ranks))
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks, rks = ray.get(ref)
+        n = batch.num_rows
+        flat, parent = tokens_flat(batch["text"])
+        pos = pc.index_in(flat, value_set=toks).to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        sum_rank = np.zeros(n, np.int64)
+        np.add.at(sum_rank, parent, rks[pos])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens),
+                "sum_token_rank": pa.array(sum_rank),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+TOKEN_RANK_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS r
+  FROM vocab
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(r.r) AS BIGINT) AS sum_token_rank
+FROM toks t JOIN ranked r USING (tok)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (transitive closure of near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(sf_dir: str, *, threshold: float = 0.3) -> ray.data.Dataset:
+    """Near-duplicate CLUSTERS over the embedding table: cosine-similar
+    pairs (≥ threshold) → connected components → ``(vec_id, cluster_id)``
+    where ``cluster_id`` is the smallest member id.  The cluster view is
+    what curation policies act on ("keep the longest doc per cluster",
+    "cap cluster size"), not raw pairs.
+
+    Pairs here come from the brute oracle path (exact, matches the SQL
+    self-join); the LSH candidate generator (``stages/dedup.py``) is the
+    10^12-row pair source.  Components via ``stages.graph`` min-label
+    propagation — one shuffle join + one aggregate per round, converging in
+    O(component diameter) rounds."""
+    from ..stages.dedup import embedding_dup_pairs_brute
+    from ..stages.graph import connected_components
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_dup_pairs_brute(ds, threshold=threshold)
+    return connected_components(
+        pairs,
+        ds.select_columns(["vec_id"]),
+        id_col="vec_id",
+        u_col="id_a",
+        v_col="id_b",
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+)
+SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY 1 ORDER BY 1
+"""

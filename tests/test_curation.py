@@ -1,0 +1,294 @@
+"""Semantic tests for the curation operators (pii scrub, repetition
+signals, decontamination, mixture sampling, rank scoring, clustering) on
+hand-built inputs with hand-computed expectations.  The driver-gate parity
+of the full operators runs in tests/test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_ray.pipelines import curation
+
+
+# ---------------------------------------------------------------------------
+# token / n-gram plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_tokens_flat_lowercases_and_drops_empties():
+    flat, parent = curation.tokens_flat(pa.array(["A  b", "", "  c "]))
+    assert flat.to_pylist() == ["a", "b", "c"]
+    assert parent.tolist() == [0, 0, 2]
+
+
+def test_ngram_rows_respects_document_boundaries():
+    flat, parent = curation.tokens_flat(pa.array(["a b c", "d e"]))
+    ng, ngp = curation.ngram_rows(flat, parent, 2)
+    # "c d" spans two documents and must NOT appear
+    assert ng.to_pylist() == ["a b", "b c", "d e"]
+    assert ngp.tolist() == [0, 0, 1]
+
+
+def test_ngram_rows_short_streams():
+    flat, parent = curation.tokens_flat(pa.array(["a"]))
+    ng, ngp = curation.ngram_rows(flat, parent, 3)
+    assert len(ng) == 0 and len(ngp) == 0
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_batch_redacts_all_three_kinds():
+    out = curation.scrub_batch(
+        pa.array(
+            [
+                "mail bob.smith+x@corp.example.org now",
+                "host 192.168.0.1 and 10.0.0.255 up",
+                "call +1-555-0123 or +44-201-9999",
+                "clean text with no pii at all",
+            ]
+        )
+    )
+    assert out["clean_text"].to_pylist() == [
+        "mail <EMAIL> now",
+        "host <IP> and <IP> up",
+        "call <PHONE> or <PHONE>",
+        "clean text with no pii at all",
+    ]
+    assert out["n_emails"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_ips"].to_pylist() == [0, 2, 0, 0]
+    assert out["n_phones"].to_pylist() == [0, 0, 2, 0]
+
+
+def test_scrub_batch_order_email_before_ip():
+    # the dotted digits inside an email must be swallowed by the EMAIL
+    # pass, not partially hit by the IP pass
+    out = curation.scrub_batch(pa.array(["x 1.2.3.4@a.bc y"]))
+    assert out["clean_text"].to_pylist() == ["x <EMAIL> y"]
+    assert out["n_emails"].to_pylist() == [1]
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (through the same group_by interior the operator uses)
+# ---------------------------------------------------------------------------
+
+
+def _repetition_on(texts: list[str]) -> pa.Table:
+    import ray.data
+
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["src0"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "documents.parquet"),
+    )
+    df = curation.doc_repetition(tmp).to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_doc_repetition_counts(ray_session):
+    t = _repetition_on(
+        [
+            "a b a b a b",          # bigrams: 5 total; "a b" x3 (top)
+            "x y z",                # 2 bigrams, 1 trigram, no repetition
+        ]
+    ).to_pylist()
+    d0, d1 = t
+    assert d0["n_tokens"] == 6 and d0["n_bigrams"] == 5
+    assert d0["top_bigram_n"] == 3  # "a b" at positions 0,2,4
+    # trigrams: "a b a","b a b","a b a","b a b" → 4 total, 2 distinct
+    assert d0["n_trigrams"] == 4 and d0["dup_trigram_excess"] == 2
+    assert d0["flag_top_bigram"] == 0  # 3/5 = 60 % > 15 %
+    assert d0["flag_dup_trigram"] == 0  # 2/4 = 50 % > 10 %
+    assert d1["n_tokens"] == 3 and d1["top_bigram_n"] == 1
+    assert d1["dup_trigram_excess"] == 0
+    assert d1["flag_top_bigram"] == 0  # 1/2 = 50 % > 15 %
+    assert d1["flag_dup_trigram"] == 1
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_copies_deterministic(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = 400
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["w"] * n),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array([f"src{i % 8}" for i in range(n)]),
+                "n_chars": pa.array([1] * n, pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = curation.mixture_sample(str(tmp_path)).to_pandas()
+    by_doc = out.groupby("doc_id").size()
+    src_idx = np.array([i % 8 for i in range(n)]) % 4
+    # weight floors: src%4==0 → ≥2 copies exactly (frac 0); ==2 → exactly 1
+    assert (by_doc.reindex(range(n), fill_value=0)[src_idx == 0] == 2).all()
+    assert (by_doc.reindex(range(n), fill_value=0)[src_idx == 2] == 1).all()
+    # weight 1.5 → 1 or 2; weight 0.25 → 0 or 1, with BOTH outcomes present
+    w15 = by_doc.reindex(range(n), fill_value=0)[src_idx == 1]
+    w025 = by_doc.reindex(range(n), fill_value=0)[src_idx == 3]
+    assert set(w15.unique()) <= {1, 2} and len(set(w15.unique())) == 2
+    assert set(w025.unique()) <= {0, 1} and len(set(w025.unique())) == 2
+    # epochs are 0..copies-1
+    assert (
+        out.groupby("doc_id")["epoch"].max() + 1 == by_doc
+    ).all()
+    # rerun → identical rows (deterministic hash, no RNG)
+    out2 = curation.mixture_sample(str(tmp_path)).to_pandas()
+    assert out.sort_values(["doc_id", "epoch"]).reset_index(drop=True).equals(
+        out2.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def _cc(edges: list[tuple[int, int]], nodes: list[int]):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.graph import connected_components
+
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in edges], pa.int64()),
+                "id_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    nd = ray.data.from_arrow(pa.table({"vec_id": pa.array(nodes, pa.int64())}))
+    out = connected_components(
+        e, nd, id_col="vec_id", u_col="id_a", v_col="id_b"
+    ).to_pandas()
+    return dict(zip(out["vec_id"], out["cluster_id"]))
+
+
+def test_cc_basic_components(ray_session):
+    got = _cc([(1, 2), (2, 3), (5, 6)], [1, 2, 3, 4, 5, 6])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_cc_long_chain_converges(ray_session):
+    # a path graph is the worst case for plain min-propagation (diameter
+    # rounds); 12 nodes must still converge inside the default bound
+    n = 12
+    got = _cc([(i, i + 1) for i in range(n - 1)], list(range(n)))
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_nonconvergence_raises(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.graph import connected_components
+
+    e = ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array([0, 1, 2], pa.int64()),
+             "id_b": pa.array([1, 2, 3], pa.int64())}
+        )
+    )
+    nd = ray.data.from_arrow(pa.table({"id": pa.array(range(4), pa.int64())}))
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(e, nd, u_col="id_a", v_col="id_b", max_iters=1)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    # doc 0 (id 0 % 41 == 0) is the benchmark; doc 1 copies 5 of its words
+    # verbatim, doc 2 shares no 5-gram
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "xx alpha beta gamma delta epsilon yy",
+        2: "one two three four five six seven",
+        41: "unrelated benchmark text entirely different words here",
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["src0"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = curation.decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 2]  # benchmark docs excluded
+    assert out.loc[1, "flag_contaminated"] == 1
+    # one shared 5-gram: "alpha beta gamma delta epsilon"
+    assert out.loc[1, "n_overlap"] == 1
+    assert out.loc[2, "flag_contaminated"] == 0 and out.loc[2, "n_overlap"] == 0
+
+
+# ---------------------------------------------------------------------------
+# token rank scoring
+# ---------------------------------------------------------------------------
+
+
+def test_token_rank_stats_hand_computed(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    # corpus counts: b×3, a×2, c×1 → ranks b=1, a=2, c=3
+    texts = ["a b b", "b a c"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["src0", "src0"]),
+                "n_chars": pa.array([5, 5], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = (
+        curation.token_rank_stats(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "sum_token_rank"] == 2 + 1 + 1  # a b b
+    assert out.loc[1, "sum_token_rank"] == 1 + 2 + 3  # b a c
+    assert (out["n_tokens"] == 3).all()
