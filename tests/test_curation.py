@@ -199,10 +199,60 @@ def test_cc_basic_components(ray_session):
 
 def test_cc_long_chain_converges(ray_session):
     # a path graph is the worst case for plain min-propagation (diameter
-    # rounds); 12 nodes must still converge inside the default bound
+    # rounds); 12 nodes must still converge inside the default bound —
+    # forced through the DISTRIBUTED rounds (auto would go local here)
+    import ray.data
+
+    from deepseek_ocr_ray.stages.graph import connected_components
+
     n = 12
-    got = _cc([(i, i + 1) for i in range(n - 1)], list(range(n)))
-    assert got == {i: 0 for i in range(n)}
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(range(n - 1)), pa.int64()),
+                "id_b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    nd = ray.data.from_arrow(pa.table({"id": pa.array(range(n), pa.int64())}))
+    out = connected_components(
+        e, nd, u_col="id_a", v_col="id_b", strategy="distributed"
+    ).to_pandas()
+    assert dict(zip(out["id"], out["cluster_id"])) == {i: 0 for i in range(n)}
+
+
+def test_cc_local_and_distributed_plans_equal(ray_session):
+    """The auto-select threshold must never change answers: random graphs
+    through the driver-side numpy plan and the shuffle-join rounds give
+    identical components."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 40
+        m = rng.integers(10, 60)
+        ea = rng.integers(0, n, m).astype(np.int64)
+        eb = rng.integers(0, n, m).astype(np.int64)
+        e = ray.data.from_arrow(
+            pa.table({"id_a": pa.array(ea), "id_b": pa.array(eb)})
+        )
+        nd = ray.data.from_arrow(
+            pa.table({"id": pa.array(range(n), pa.int64())})
+        )
+        outs = []
+        for strat in ("local", "distributed"):
+            df = (
+                connected_components(
+                    e, nd, u_col="id_a", v_col="id_b", strategy=strat
+                )
+                .to_pandas()
+                .sort_values("id")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        assert outs[0].equals(outs[1]), f"trial {trial} plans disagree"
 
 
 def test_cc_nonconvergence_raises(ray_session):
@@ -218,7 +268,10 @@ def test_cc_nonconvergence_raises(ray_session):
     )
     nd = ray.data.from_arrow(pa.table({"id": pa.array(range(4), pa.int64())}))
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(e, nd, u_col="id_a", v_col="id_b", max_iters=1)
+        connected_components(
+            e, nd, u_col="id_a", v_col="id_b", max_iters=1,
+            strategy="distributed",
+        )
 
 
 # ---------------------------------------------------------------------------
