@@ -17,6 +17,13 @@ order-independent).
 - **exact_distinct** — the oracled exact companion (map-side distinct per
   block, then a distinct-count aggregate; shuffle carries one row per
   distinct value per block).
+- **DDSketch quantiles** (Masson et al., VLDB'19): log-spaced counter bins
+  with an α relative-error guarantee; merge = counter addition (here a
+  plain ``groupby(sign, bin).sum`` — the sketch IS a tiny keyed
+  aggregate), so estimates are parallelism-invariant.
+- **count-min** point frequencies (Cormode & Muthukrishnan 2005): d×w
+  counter matrix, merge = matrix addition, estimate = min over rows —
+  never underestimates; overshoot bounded by collisions.
 """
 
 from __future__ import annotations
@@ -160,4 +167,221 @@ def exact_distinct(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
         distinct.map_batches(count_rows, batch_format="pyarrow", batch_size=None)
         .repartition(1)
         .map_batches(total, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style quantiles (Masson et al., VLDB'19 — log-spaced bins,
+# relative-error guarantee, merge = counter addition)
+# ---------------------------------------------------------------------------
+
+DD_ZERO_EPS = 1e-9
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_partial(values: np.ndarray, alpha: float) -> pa.Table:
+    """Per-block DDSketch partial: ``(sign, bin, n)`` counter rows.
+
+    ``sign`` is -1/0/+1; positive x lands in bin ``ceil(log_γ x)`` (so
+    x ∈ (γ^(i-1), γ^i]), negatives mirror on |x|, |x| ≤ 1e-9 goes to the
+    zero bucket.  Bin count is bounded by the value range (~log_γ(max/min)
+    bins ≈ 2,000 at α=0.01 over 12 decades), independent of row count."""
+    x = np.asarray(values, np.float64)
+    x = x[~np.isnan(x)]
+    log_gamma = np.log(_dd_gamma(alpha))
+    signs, bins = [], []
+    pos = x > DD_ZERO_EPS
+    neg = x < -DD_ZERO_EPS
+    nz = len(x) - int(pos.sum()) - int(neg.sum())
+    out_s, out_b, out_n = [], [], []
+    for s, vals in ((1, x[pos]), (-1, -x[neg])):
+        if len(vals):
+            b = np.ceil(np.log(vals) / log_gamma).astype(np.int64)
+            ub, cnt = np.unique(b, return_counts=True)
+            out_s.append(np.full(len(ub), s, np.int64))
+            out_b.append(ub)
+            out_n.append(cnt.astype(np.int64))
+    if nz:
+        out_s.append(np.array([0], np.int64))
+        out_b.append(np.array([0], np.int64))
+        out_n.append(np.array([nz], np.int64))
+    if not out_s:
+        return pa.table(
+            {"sign": pa.array([], pa.int64()), "bin": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "sign": pa.array(np.concatenate(out_s)),
+            "bin": pa.array(np.concatenate(out_b)),
+            "n": pa.array(np.concatenate(out_n)),
+        }
+    )
+
+
+def dd_quantiles(
+    bins: pa.Table, qs: tuple[float, ...], alpha: float
+) -> pa.Table:
+    """Quantile estimates from merged ``(sign, bin, n)`` counters.
+
+    Rank convention matches ``quantile_disc``: the q-quantile is the value
+    at 1-based rank ``floor(q·(N-1)) + 1`` of the sorted multiset; the
+    estimate for a log bin is the linear midpoint γ^(i-1)·(1+γ)/2, giving
+    relative error ≤ α/(1-α)."""
+    gamma = _dd_gamma(alpha)
+    sign = bins["sign"].to_numpy(zero_copy_only=False)
+    bn = bins["bin"].to_numpy(zero_copy_only=False)
+    n = bins["n"].to_numpy(zero_copy_only=False)
+    # ascending value order: negatives by bin DESC, zero, positives by ASC
+    order = np.lexsort((np.where(sign < 0, -bn, bn), sign))
+    sign, bn, n = sign[order], bn[order], n[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_est = [], []
+    for q in qs:
+        if total == 0:
+            out_q.append(q)
+            out_est.append(float("nan"))
+            continue
+        rank = int(np.floor(q * (total - 1))) + 1
+        i = int(np.searchsorted(cum, rank))
+        s, b = int(sign[i]), int(bn[i])
+        if s == 0:
+            est = 0.0
+        else:
+            est = s * (gamma ** (b - 1)) * (1.0 + gamma) / 2.0
+        out_q.append(q)
+        out_est.append(round(est, 6))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "est": pa.array(out_est, pa.float64())}
+    )
+
+
+def ddsketch_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    *,
+    alpha: float = 0.01,
+) -> ray.data.Dataset:
+    """Approximate quantiles with an α relative-error guarantee.
+
+    Per-block log-histogram partials → ``groupby(sign, bin).sum`` (the
+    exchange carries bounded counter rows per block, never values) → one
+    final walk.  Merging is counter addition: associative, commutative —
+    estimates are identical at any parallelism, so the result is
+    fixture-pinnable like the HLL estimate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return dd_partial(
+            batch[col].to_numpy(zero_copy_only=False), alpha
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["sign", "bin"])
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "n"})
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return dd_quantiles(batch, qs, alpha)
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch (Cormode & Muthukrishnan 2005 — d×w counter
+# matrix, merge = matrix addition, point estimate = min over rows)
+# ---------------------------------------------------------------------------
+
+_CMS_SALTS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cms_positions(tokens: pa.Array, d: int, w: int) -> np.ndarray:
+    """(d, n_tokens) column positions — engine string hash mixed with a
+    per-row salt, all vectorized."""
+    from ..hashing import mix64, string_hash64
+
+    base = string_hash64(tokens)
+    return np.stack(
+        [mix64(base ^ _CMS_SALTS[j]) % np.uint64(w) for j in range(d)]
+    ).astype(np.int64)
+
+
+def cms_partial(tokens: pa.Array, d: int = 4, w: int = 4096) -> np.ndarray:
+    """Per-block (d, w) int64 counter matrix."""
+    m = np.zeros((d, w), np.int64)
+    if len(tokens):
+        pos = _cms_positions(tokens, d, w)
+        for j in range(d):
+            np.add.at(m[j], pos[j], 1)
+    return m
+
+
+def cms_estimate(m: np.ndarray, probes: pa.Array) -> np.ndarray:
+    """Point-frequency estimates (min over rows) — never underestimates."""
+    d, w = m.shape
+    if not len(probes):
+        return np.array([], np.int64)
+    pos = _cms_positions(probes, d, w)
+    return np.min(
+        np.stack([m[j, pos[j]] for j in range(d)]), axis=0
+    ).astype(np.int64)
+
+
+def cms_token_freq(
+    ds: ray.data.Dataset,
+    col: str,
+    probes: list[str],
+    *,
+    d: int = 4,
+    w: int = 4096,
+) -> ray.data.Dataset:
+    """Approximate frequencies of ``probes`` over a token column.
+
+    Same skeleton as the HLL: per-block (d×w) counter matrices ride the
+    exchange as fixed-size blobs (128 KiB at 4×4096), tree-combined by
+    matrix addition (order-independent ⇒ parallelism-invariant), one
+    finalize task answers the probes.  Estimates are exact upper bounds:
+    est ≥ true count always; overshoot is bounded by collisions
+    (≤ total/w per row in expectation, min over d rows)."""
+    probe_arr = pa.array(sorted(probes), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col_arr = batch[col]
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        m = cms_partial(col_arr, d, w)
+        return pa.table({"m": pa.array([m.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def _merge(batch: pa.Table) -> np.ndarray:
+        merged = np.zeros((d, w), np.int64)
+        for blob in batch["m"].to_pylist():
+            merged += np.frombuffer(blob, np.int64).reshape(d, w)
+        return merged
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return pa.table({"m": pa.array([_merge(batch).tobytes()], pa.binary())})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        est = cms_estimate(_merge(batch), probe_arr)
+        return pa.table({"token": probe_arr, "est_n": pa.array(est)})
+
+    return (
+        partials.repartition(8)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
     )

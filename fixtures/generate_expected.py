@@ -167,6 +167,45 @@ def main() -> None:
         os.path.join(OUT_DIR, "expected_distinct_hll.parquet"),
     )
 
+    # mergeable-sketch queries (DDSketch quantiles, count-min frequencies):
+    # deterministic + parallelism-invariant (counter-addition merges), so
+    # their outputs pin like the HLL estimate; the error BOUNDS are
+    # established in tests/test_sketches.py against exact answers
+    qs_rows, cms_rows = [], []
+    for sf_dir in SF_DIRS:
+        tag = corpus_tag(sf_dir)
+        t = _to_df(q["price_quantiles_sketch"](sf_dir))
+        qs_rows.append(
+            pa.table(
+                {
+                    "corpus_tag": pa.array([tag] * t.num_rows, pa.int64()),
+                    "q": t["q"],
+                    "est": t["est"],
+                }
+            )
+        )
+        print(f"{sf_dir} price_quantiles_sketch: {t.to_pydict()}")
+        t = _to_df(q["token_freq_cms"](sf_dir))
+        cms_rows.append(
+            pa.table(
+                {
+                    "corpus_tag": pa.array([tag] * t.num_rows, pa.int64()),
+                    "token": t["token"],
+                    "n_exact": t["n_exact"],
+                    "est_n": t["est_n"],
+                }
+            )
+        )
+        print(f"{sf_dir} token_freq_cms: {t.num_rows} probes")
+    pq.write_table(
+        pa.concat_tables(qs_rows),
+        os.path.join(OUT_DIR, "expected_quantile_sketch.parquet"),
+    )
+    pq.write_table(
+        pa.concat_tables(cms_rows),
+        os.path.join(OUT_DIR, "expected_token_cms.parquet"),
+    )
+
     print("fixtures written to", OUT_DIR)
     ray.shutdown()
 

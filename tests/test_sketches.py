@@ -82,3 +82,132 @@ def test_hll_estimate_mid_range_monotone():
         for r in (14, 16, 18, 20, 22)
     ]
     assert all(b > a for a, b in zip(ests, ests[1:]))
+
+
+# ---------------------------------------------------------------------------
+# DDSketch quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_dd_relative_error_bound():
+    """Estimates must be within the α/(1-α) relative bound of the exact
+    rank values for lognormal data across a wide dynamic range."""
+    rng = np.random.default_rng(42)
+    x = np.exp(rng.normal(5.0, 2.0, 20_000))  # ~6 decades
+    alpha = 0.01
+    bins = sketches.dd_partial(x, alpha)
+    qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    out = sketches.dd_quantiles(bins, qs, alpha)
+    xs = np.sort(x)
+    bound = alpha / (1 - alpha) + 1e-12
+    for q, est in zip(out["q"].to_pylist(), out["est"].to_pylist()):
+        exact = xs[int(np.floor(q * (len(xs) - 1)))]
+        assert abs(est - exact) / exact <= bound, (q, est, exact)
+
+
+def test_dd_handles_negatives_and_zeros():
+    x = np.array([-100.0, -1.0, 0.0, 0.0, 1.0, 100.0])
+    bins = sketches.dd_partial(x, 0.01)
+    out = sketches.dd_quantiles(bins, (0.0, 0.5, 1.0), 0.01)
+    ests = dict(zip(out["q"].to_pylist(), out["est"].to_pylist()))
+    assert ests[0.0] < -99  # min ≈ -100
+    assert ests[0.5] == 0.0  # median is the zero bucket
+    assert ests[1.0] > 99  # max ≈ +100
+
+
+def test_dd_merge_invariant_to_split():
+    """partial(full) and sum of partial(halves) give identical counters —
+    the property that makes the sketch parallelism-invariant."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    x = np.exp(rng.normal(0, 3, 5_000))
+
+    def counters(parts):
+        dfs = [sketches.dd_partial(p, 0.01).to_pandas() for p in parts]
+        return (
+            pd.concat(dfs)
+            .groupby(["sign", "bin"], as_index=False)["n"]
+            .sum()
+            .sort_values(["sign", "bin"])
+            .reset_index(drop=True)
+        )
+
+    whole = counters([x])
+    split = counters(np.array_split(x, 7))
+    assert whole.equals(split)
+    q1 = sketches.dd_quantiles(
+        pa.Table.from_pandas(whole), (0.5, 0.9), 0.01
+    )["est"].to_pylist()
+    q2 = sketches.dd_quantiles(
+        pa.Table.from_pandas(split), (0.5, 0.9), 0.01
+    )["est"].to_pylist()
+    assert q1 == q2
+
+
+def test_ddsketch_dataset_matches_local(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    x = np.exp(rng.normal(2, 1, 4_000))
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(x, pa.float64())})
+    ).repartition(5)
+    got = sketches.ddsketch_quantiles(ds, "v", (0.5, 0.9)).take_all()
+    local = sketches.dd_quantiles(
+        sketches.dd_partial(x, 0.01), (0.5, 0.9), 0.01
+    ).to_pylist()
+    assert [(r["q"], r["est"]) for r in got] == [
+        (r["q"], r["est"]) for r in local
+    ]
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_bounded():
+    rng = np.random.default_rng(11)
+    # zipf-ish token stream over 500 types
+    types = [f"tok{i}" for i in range(500)]
+    weights = 1.0 / np.arange(1, 501)
+    weights /= weights.sum()
+    stream = rng.choice(types, 50_000, p=weights)
+    tokens = pa.array(stream, pa.string())
+    m = sketches.cms_partial(tokens, d=4, w=4096)
+    import collections
+
+    exact = collections.Counter(stream)
+    probes = pa.array(types[:50], pa.string())
+    est = sketches.cms_estimate(m, probes)
+    for t, e in zip(types[:50], est):
+        assert e >= exact[t], (t, e, exact[t])
+        # collision overshoot: ≤ ~2·total/w with this seed (loose, deterministic)
+        assert e - exact[t] <= 2 * len(stream) / 4096, (t, e, exact[t])
+
+
+def test_cms_merge_is_addition():
+    a = pa.array(["x", "y", "x"], pa.string())
+    b = pa.array(["y", "z"], pa.string())
+    both = pa.array(["x", "y", "x", "y", "z"], pa.string())
+    m = sketches.cms_partial(a) + sketches.cms_partial(b)
+    assert (m == sketches.cms_partial(both)).all()
+
+
+def test_cms_dataset_matches_local(ray_session):
+    import ray.data
+
+    words = ["alpha", "beta", "gamma"] * 400 + ["rare"]
+    ds = ray.data.from_arrow(
+        pa.table({"token": pa.array(words, pa.string())})
+    ).repartition(6)
+    got = sketches.cms_token_freq(ds, "token", ["alpha", "rare", "absent"])
+    rows = {r["token"]: r["est_n"] for r in got.take_all()}
+    local = sketches.cms_estimate(
+        sketches.cms_partial(pa.array(words, pa.string())),
+        pa.array(sorted(["alpha", "rare", "absent"]), pa.string()),
+    )
+    want = dict(zip(sorted(["alpha", "rare", "absent"]), local))
+    assert rows == {k: int(v) for k, v in want.items()}
+    assert rows["alpha"] >= 400 and rows["rare"] >= 1
