@@ -108,6 +108,14 @@ class PipelineConfig:
     ocr_batch_size: int = 64
     ocr_num_cpus: float = 1.0
     ocr_num_gpus: float = 0.0  # 1.0 per actor with a real vLLM model
+    # A3 memory-based auto-sizing (used when ocr_concurrency is None):
+    # per-accelerator memory and target utilization; None → CPU-only rule.
+    # On a real cluster set gpu_memory_gb from the device spec (e.g. 80 for
+    # A100-80G); the auto path then caps the pool so each actor's
+    # ocr_batch_size concurrent sequences fit (reference empirical rule:
+    # ~800 MB per sequence at 8192 max_tokens).
+    gpu_memory_gb: float | None = None
+    gpu_memory_utilization: float = 0.85
     cpu_batch_size: int = 256
     # hash-partitioning width for checkpointed runs
     num_partitions: int = 16

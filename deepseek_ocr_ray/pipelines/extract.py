@@ -20,10 +20,35 @@ import functools
 
 import ray.data
 
-from ..config import PipelineConfig
+from ..config import PipelineConfig, estimate_max_concurrency
 from ..stages.assemble import add_bucket, assemble_bucket
 from ..stages.model_stub import OcrStage
 from ..stages.transforms import explode_docs, parse_units
+
+
+def auto_pool_size(cfg: PipelineConfig, total_cpus: int) -> int:
+    """A3: auto-size the OCR actor pool.
+
+    CPU rule: ~75 % of cluster CPUs (the OCR stage dominates compute; the
+    remainder serves the task stages).  When ``cfg.gpu_memory_gb`` is set
+    (real-model deployment), the memory rule additionally caps the pool:
+    effective memory is the reference's ``total × utilization − 1 GB``
+    (gradio_vllm_demo.py:1744-1750), the per-sequence cost is the
+    reference's empirical ~800 MB at 8192 max_tokens
+    (``estimate_max_concurrency``), and each actor holds up to
+    ``ocr_batch_size`` concurrent sequences — so the pool is capped at
+    ``est_sequences // ocr_batch_size`` actors per the configured device.
+    The floor of 1 keeps a configured-but-tiny device runnable (one
+    partially-filled actor), mirroring the reference's floor of 1."""
+    cpu_est = max(2, int(total_cpus * 0.75))
+    if cfg.gpu_memory_gb is None:
+        return cpu_est
+    effective_gb = max(
+        cfg.gpu_memory_gb * cfg.gpu_memory_utilization - 1.0, 1.0
+    )
+    seqs = estimate_max_concurrency(effective_gb, cfg.max_tokens)
+    mem_est = max(1, seqs // max(1, cfg.ocr_batch_size))
+    return max(1, min(cpu_est, mem_est))
 
 # groups per assembly shuffle — bounded group count so 10^12 docs never mean
 # 10^12 Python group calls; each group assembles many docs vectorized.
@@ -64,13 +89,11 @@ def extract_dataset(
     )
     concurrency = cfg.ocr_concurrency
     if concurrency is None:
-        # auto: fixed pool sized to the cluster (75% of CPUs — the OCR stage
-        # dominates compute; the rest of the CPUs serve the task stages)
         try:
             total_cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             total_cpus = 8
-        concurrency = max(2, int(total_cpus * 0.75))
+        concurrency = auto_pool_size(cfg, total_cpus)
     ocr = units.map_batches(
         OcrStage,
         fn_constructor_kwargs={"config": cfg},

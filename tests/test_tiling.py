@@ -141,3 +141,27 @@ def test_dynamic_preprocess_geometry_with_fake_image():
     assert all(t.size == (640, 640) for t in tiles)
     with_thumb, _ = dynamic_preprocess_pil(img, use_thumbnail=True)
     assert len(with_thumb) == wt * ht + 1
+
+
+def test_auto_pool_size_cpu_and_memory_rules():
+    from deepseek_ocr_ray.config import PipelineConfig
+    from deepseek_ocr_ray.pipelines.extract import auto_pool_size
+
+    # CPU-only rule: 75% of CPUs, floor 2
+    assert auto_pool_size(PipelineConfig(), 32) == 24
+    assert auto_pool_size(PipelineConfig(), 2) == 2
+    # memory rule caps the pool: 40 GB @ 0.85 − 1 = 33 GB effective →
+    # 42 sequences @ 800 MB → 42 // batch 8 = 5 actors (< cpu est 24)
+    cfg = PipelineConfig(gpu_memory_gb=40.0, ocr_batch_size=8)
+    assert auto_pool_size(cfg, 32) == 5
+    # longer generations shrink the pool linearly
+    cfg16k = PipelineConfig(
+        gpu_memory_gb=40.0, ocr_batch_size=8, max_tokens=16384
+    )
+    assert auto_pool_size(cfg16k, 32) == 2
+    # abundant memory: CPU rule wins
+    big = PipelineConfig(gpu_memory_gb=640.0, ocr_batch_size=8)
+    assert auto_pool_size(big, 32) == 24
+    # tiny device still yields one runnable actor
+    tiny = PipelineConfig(gpu_memory_gb=2.0, ocr_batch_size=64)
+    assert auto_pool_size(tiny, 32) == 1
