@@ -345,3 +345,44 @@ def test_token_rank_stats_hand_computed(ray_session, tmp_path):
     assert out.loc[0, "sum_token_rank"] == 2 + 1 + 1  # a b b
     assert out.loc[1, "sum_token_rank"] == 1 + 2 + 3  # b a c
     assert (out["n_tokens"] == 3).all()
+
+
+# ---------------------------------------------------------------------------
+# parallelism invariance: results must not depend on block structure
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["pii_scrub", "doc_repetition", "decontaminate", "mixture_sample",
+     "token_rank_stats", "dedup_clusters"],
+)
+def test_curation_ops_block_invariant(ray_session, qname, monkeypatch):
+    """Running the same operator over 1-block and many-block reads of the
+    same table must give identical rows — no operator may depend on what
+    lands in a batch together."""
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines import analytics
+
+    SF = "/root/testdata/sf0.001"
+    fn = getattr(curation, qname)
+    real_read = analytics.read_table
+
+    outs = []
+    for blocks in (1, 7):
+        def read_override(sf_dir, name, columns=None, _b=blocks):
+            return real_read(sf_dir, name, columns=columns).repartition(_b)
+
+        monkeypatch.setattr(curation, "read_table", read_override)
+        df = (
+            fn(SF)
+            .to_pandas()
+            .sort_values(
+                [c for c in ("doc_id", "vec_id", "epoch") if c in fn(SF).columns()]
+            )
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    monkeypatch.setattr(curation, "read_table", real_read)
+    assert outs[0].equals(outs[1]), f"{qname} depends on block structure"
