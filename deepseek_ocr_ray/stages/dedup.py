@@ -47,7 +47,7 @@ from ray.data.aggregate import Count, Min
 
 from ..cluster import equi_join, join_partitions
 from ..functions.text_stats import md5_fingerprints
-from ..hashing import id_bucket_array, splitmix_bucket
+from ..hashing import id_bucket_array, mix64, splitmix_bucket
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -281,6 +281,26 @@ def _band_rows(
             ),
         }
     )
+
+
+def _matrix_from_binary(
+    arr: pa.Array | pa.ChunkedArray, dtype=np.uint32
+) -> np.ndarray:
+    """Inverse of ``_binary_from_matrix`` for EQUAL-WIDTH binary values
+    that may sit non-contiguously in the buffer (post-join/take): gathers
+    each row's bytes by offset without per-row Python."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    width = int(offs[1] - offs[0])
+    idx = offs[:-1, None].astype(np.int64) + np.arange(width, dtype=np.int64)
+    return np.ascontiguousarray(data[idx]).view(dtype)
 
 
 def _binary_from_matrix(rows: np.ndarray) -> pa.Array:
@@ -520,6 +540,99 @@ def minhash_dedup(
             seed=seed,
             n_buckets=n_buckets,
         ),
+    )
+
+
+def incremental_minhash_dedup(
+    new_ds: ray.data.Dataset,
+    existing_ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    n_buckets: int = 64,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Continuous-crawl NEAR-dup ingestion filter: keep only new documents
+    whose estimated Jaccard (shared seeded MinHash signatures — comparable
+    across runs by construction) against EVERY existing document is below
+    ``threshold``.  The near-dup companion of ``incremental_exact_dedup``.
+
+    Dataflow: both sides → banded signature rows (one ``MinHashBandStage``
+    pool each); the new side equi-joins the existing side on the mixed
+    (band, band_key) — ONE keyed exchange where only colliding bands meet;
+    each joined row verifies vectorized (whole-batch uint32 matrix
+    compare, no per-pair Python); contaminated new ids leave via the
+    planner's distributed ``left_anti`` join.  Nothing is ever broadcast
+    or materialized on the driver.
+
+    Duplicates WITHIN the new batch are not removed here — compose with
+    ``minhash_dedup(new_ds)`` for that; the existing corpus stays the
+    authority for cross-run decisions.
+    """
+    kw = dict(
+        text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, seed=seed, n_buckets=n_buckets,
+    )
+
+    def bandify(ds: ray.data.Dataset, out_id: str, out_sig: str):
+        rows = ds.map_batches(
+            MinHashBandStage, fn_constructor_kwargs=kw,
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            band = batch["band"].to_numpy(zero_copy_only=False)
+            key = batch["band_key"].to_numpy(zero_copy_only=False)
+            ck = mix64(
+                key.astype(np.uint64)
+                ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ).view(np.int64)
+            return pa.table(
+                {
+                    "bk": pa.array(ck),
+                    out_id: batch[id_col],
+                    out_sig: batch["payload"],
+                }
+            )
+
+        return rows.map_batches(prep, batch_format="pyarrow")
+
+    nb = bandify(new_ds, "nid", "nsig")
+    eb = bandify(existing_ds, "eid", "esig")
+    cand = equi_join(
+        nb, eb, on="bk",
+        left_cols=["nid", "nsig"], right_cols=["eid", "esig"],
+    )
+
+    id_type = new_ds.schema().base_schema.field(id_col).type
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"nid": pa.array([], id_type)})
+        a = _matrix_from_binary(batch["nsig"], np.uint32)
+        b = _matrix_from_binary(batch["esig"], np.uint32)
+        dup = (a == b).mean(axis=1) >= threshold
+        hit = batch.filter(pa.array(dup))
+        # block-local distinct: a near-dup pair collides in MANY bands
+        return pa.table({"nid": hit["nid"]}).group_by("nid").aggregate([])
+
+    contaminated = cand.map_batches(verify, batch_format="pyarrow")
+    # anti join keeps exactly the new ids with NO verified near-dup;
+    # duplicate right keys are harmless to anti semantics.  right_types
+    # covers the no-duplicates case (empty computed dataset → no schema).
+    return equi_join(
+        new_ds.select_columns([id_col]),
+        contaminated,
+        on=id_col,
+        right_on="nid",
+        join_type="left_anti",
+        left_cols=[id_col],
+        right_types={"nid": id_type},
     )
 
 

@@ -248,3 +248,75 @@ def test_band_stages_emit_doc_major_rows(ray_session):
         c = k[k.doc_id == 12].sort_values("band")["band_key"].tolist()
         assert a == b
         assert not any(x == y for x, y in zip(a, c))
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash (continuous-crawl near-dup filter)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_minhash_semantics(ray_session):
+    """Hand-built corpus: a new doc near-duplicating an existing doc is
+    dropped; an exact re-crawl is dropped; novel docs and near-dups that
+    exist only WITHIN the new batch are kept."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.dedup import incremental_minhash_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun every single day"
+    )
+    existing = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": "completely different existing content "
+                                  "about distributed query engines and "
+                                  "columnar storage formats for analytics"},
+        ]
+    )
+    new = ray.data.from_items(
+        [
+            {"doc_id": 10, "text": base},                      # exact recrawl
+            {"doc_id": 11, "text": base.replace("dog", "dog ")},  # near-dup
+            {"doc_id": 12, "text": "entirely novel text with nothing in "
+                                   "common discussing sailing routes across "
+                                   "the northern atlantic in winter storms"},
+            # 13/14 duplicate EACH OTHER but nothing existing → both kept
+            {"doc_id": 13, "text": "intra batch duplicate pair first copy "
+                                   "with many shared words and shingles in "
+                                   "a long enough sentence to sign properly"},
+            {"doc_id": 14, "text": "intra batch duplicate pair first copy "
+                                   "with many shared words and shingles in "
+                                   "a long enough sentence to sign properly"},
+        ]
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            new, existing, threshold=0.8
+        ).take_all()
+    )
+    assert kept == [12, 13, 14]
+
+
+def test_incremental_minhash_no_dups_keeps_all(ray_session):
+    """Empty contaminated side (no near-dups anywhere) must not break the
+    anti join (empty computed dataset → right_types path)."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.dedup import incremental_minhash_dedup
+
+    existing = ray.data.from_items(
+        [{"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta eta "
+                               "theta iota kappa completely unrelated"}]
+    )
+    new = ray.data.from_items(
+        [{"doc_id": 5, "text": "five six seven eight nine ten eleven "
+                               "twelve novel words in every position"}]
+    )
+    kept = [
+        r["doc_id"]
+        for r in incremental_minhash_dedup(new, existing).take_all()
+    ]
+    assert kept == [5]
