@@ -202,46 +202,52 @@ def doc_repetition(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         flat, parent = tokens_flat(batch["text"])
-        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
-
-        def per_doc_ngram_counts(k: int):
-            g, gp = ngram_rows(flat, parent, k)
-            cnt = (
-                pa.table({"p": gp, "g": g})
-                .group_by(["p", "g"])
-                .aggregate([([], "count_all")])
-            )
-            per = cnt.group_by("p").aggregate(
-                [("count_all", "max"), ("count_all", "sum"), ([], "count_all")]
-            )
-            p = per["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return (
-                _scatter(p, per["count_all_max"].to_numpy(), n),
-                _scatter(p, per["count_all_sum"].to_numpy(), n),
-                _scatter(p, per["count_all"].to_numpy(), n),
-            )
-
-        top_bg, n_bg, _ = per_doc_ngram_counts(2)
-        _, n_tg, distinct_tg = per_doc_ngram_counts(3)
-        dup_tg = n_tg - distinct_tg
-        flag_bg = ((n_bg > 0) & (top_bg * 10000 <= 1500 * n_bg)).astype(np.int32)
-        flag_tg = ((n_tg > 0) & (dup_tg * 10000 <= 1000 * n_tg)).astype(np.int32)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tokens),
-                "top_bigram_n": pa.array(top_bg),
-                "n_bigrams": pa.array(n_bg),
-                "dup_trigram_excess": pa.array(dup_tg),
-                "n_trigrams": pa.array(n_tg),
-                "flag_top_bigram": pa.array(flag_bg),
-                "flag_dup_trigram": pa.array(flag_tg),
-            }
-        )
+        r = repetition_arrays(flat, parent, batch.num_rows)
+        return pa.table({"doc_id": batch["doc_id"], **{
+            k: pa.array(v) for k, v in r.items()
+        }})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _per_doc_ngram_counts(flat, parent, k: int, n: int):
+    """(max count, total count, distinct count) of word k-grams per doc."""
+    g, gp = ngram_rows(flat, parent, k)
+    cnt = (
+        pa.table({"p": gp, "g": g})
+        .group_by(["p", "g"])
+        .aggregate([([], "count_all")])
+    )
+    per = cnt.group_by("p").aggregate(
+        [("count_all", "max"), ("count_all", "sum"), ([], "count_all")]
+    )
+    p = per["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return (
+        _scatter(p, per["count_all_max"].to_numpy(), n),
+        _scatter(p, per["count_all_sum"].to_numpy(), n),
+        _scatter(p, per["count_all"].to_numpy(), n),
+    )
+
+
+def repetition_arrays(flat, parent, n: int) -> dict[str, np.ndarray]:
+    """The repetition-signal columns for one batch (shared by
+    ``doc_repetition`` and ``corpus_filter``)."""
+    n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+    top_bg, n_bg, _ = _per_doc_ngram_counts(flat, parent, 2, n)
+    _, n_tg, distinct_tg = _per_doc_ngram_counts(flat, parent, 3, n)
+    dup_tg = n_tg - distinct_tg
+    flag_bg = ((n_bg > 0) & (top_bg * 10000 <= 1500 * n_bg)).astype(np.int32)
+    flag_tg = ((n_tg > 0) & (dup_tg * 10000 <= 1000 * n_tg)).astype(np.int32)
+    return {
+        "n_tokens": n_tokens,
+        "top_bigram_n": top_bg,
+        "n_bigrams": n_bg,
+        "dup_trigram_excess": dup_tg,
+        "n_trigrams": n_tg,
+        "flag_top_bigram": flag_bg,
+        "flag_dup_trigram": flag_tg,
+    }
 
 
 DOC_REPETITION_SQL = """
@@ -311,36 +317,15 @@ def decontaminate(
     never shuffles; overlap counts are per-doc-DISTINCT n-grams (Arrow
     hash-group dedup per batch)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        keep = batch["doc_id"].to_numpy() % bench_mod == 0
-        sub = batch.filter(pa.array(keep))
-        flat, parent = tokens_flat(sub["text"])
-        g, _ = ngram_rows(flat, parent, ngram)
-        return pa.table({"g": g}).group_by("g").aggregate([])
-
-    bench = ds.map_batches(bench_grams, batch_format="pyarrow").unique("g")
-    bench_ref = ray.put(pa.array(sorted(bench), pa.string()))
+    bench_ref = bench_ngram_ref(ds, ngram, bench_mod)
 
     def score(batch: pa.Table) -> pa.Table:
         keep = batch["doc_id"].to_numpy() % bench_mod != 0
         sub = batch.filter(pa.array(keep))
-        n = sub.num_rows
         flat, parent = tokens_flat(sub["text"])
-        g, gp = ngram_rows(flat, parent, ngram)
-        distinct = (
-            pa.table({"p": gp, "g": g}).group_by(["p", "g"]).aggregate([])
+        n_ngrams, n_overlap = overlap_arrays(
+            flat, parent, ngram, ray.get(bench_ref), sub.num_rows
         )
-        p = distinct["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hit = (
-            pc.is_in(distinct["g"], value_set=ray.get(bench_ref))
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        n_ngrams = np.zeros(n, np.int64)
-        np.add.at(n_ngrams, p, 1)
-        n_overlap = np.zeros(n, np.int64)
-        np.add.at(n_overlap, p, hit)
         return pa.table(
             {
                 "doc_id": sub["doc_id"],
@@ -353,6 +338,42 @@ def decontaminate(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bench_ngram_ref(ds: ray.data.Dataset, ngram: int, bench_mod: int):
+    """Distinct word n-grams of the benchmark split (doc_id % bench_mod
+    == 0), block-local-deduped, collected through one tiny ``unique``
+    shuffle, broadcast via ``ray.put``."""
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy() % bench_mod == 0
+        sub = batch.filter(pa.array(keep))
+        flat, parent = tokens_flat(sub["text"])
+        g, _ = ngram_rows(flat, parent, ngram)
+        return pa.table({"g": g}).group_by("g").aggregate([])
+
+    bench = ds.map_batches(bench_grams, batch_format="pyarrow").unique("g")
+    return ray.put(pa.array(sorted(bench), pa.string()))
+
+
+def overlap_arrays(
+    flat, parent, ngram: int, bench_arr: pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (distinct n-gram count, distinct n-grams shared with the
+    broadcast benchmark set) for one batch."""
+    g, gp = ngram_rows(flat, parent, ngram)
+    distinct = pa.table({"p": gp, "g": g}).group_by(["p", "g"]).aggregate([])
+    p = distinct["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hit = (
+        pc.is_in(distinct["g"], value_set=bench_arr)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_ngrams = np.zeros(n, np.int64)
+    np.add.at(n_ngrams, p, 1)
+    n_overlap = np.zeros(n, np.int64)
+    np.add.at(n_overlap, p, hit)
+    return n_ngrams, n_overlap
 
 
 DECONTAMINATE_SQL = """
@@ -588,4 +609,204 @@ reach(src, dst) AS (
 )
 SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
 FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# the end-to-end cleaning composition (C4/Gopher-style keep decision)
+# ---------------------------------------------------------------------------
+
+
+def corpus_filter(
+    sf_dir: str, *, ngram: int = 5, bench_mod: int = 41
+) -> ray.data.Dataset:
+    """The canonical corpus-cleaning pipeline as ONE composition: for every
+    non-benchmark document, four independent keep signals and their
+    conjunction —
+
+    - ``flag_quality``   — all four heuristic quality gates pass
+      (``text_stats.quality_columns``: length / word length / punctuation /
+      stopword);
+    - ``flag_repetition`` — both repetition gates pass (top bigram ≤ 15 %,
+      duplicate trigrams ≤ 10 %);
+    - ``flag_clean``     — zero benchmark n-gram overlap (decontamination);
+    - ``flag_unique``    — the document is its exact-text group's winner
+      (min doc_id per md5(text));
+    - ``keep``           — the conjunction.
+
+    Scale shape: ONE tokenization pass feeds quality, repetition, and
+    contamination (pure map, broadcast benchmark set); uniqueness costs one
+    map-combined ``groupby(text_hash).min`` plus one planner ``left_outer``
+    join back on doc_id.  Total: one tiny broadcast + two keyed exchanges
+    over hashes/ids — the text itself never shuffles."""
+    from ray.data.aggregate import Min
+
+    from ..functions import text_stats
+    from ..stages.dedup import add_text_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_ref = bench_ngram_ref(ds, ngram, bench_mod)
+
+    # exact-dup winners: md5(text) → min doc_id; rows keyed by winning id
+    winners = (
+        ds.map_batches(add_text_hash, batch_format="pyarrow")
+        .select_columns(["text_hash", "doc_id"])
+        .groupby("text_hash")
+        .aggregate(Min("doc_id"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "win_id": b["min(doc_id)"],
+                    # join planners may not emit the right KEY column in the
+                    # output; the match test rides an explicit marker instead
+                    "is_winner": pa.array(
+                        np.ones(b.num_rows, np.int32)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy() % bench_mod != 0
+        sub = batch.filter(pa.array(keep))
+        n = sub.num_rows
+        flat, parent = tokens_flat(sub["text"])
+        q = text_stats.quality_columns(sub["text"])
+        flag_quality = (
+            q["quality_passes"].to_numpy(zero_copy_only=False) == 4
+        ).astype(np.int32)
+        rep = repetition_arrays(flat, parent, n)
+        flag_repetition = (
+            (rep["flag_top_bigram"] == 1) & (rep["flag_dup_trigram"] == 1)
+        ).astype(np.int32)
+        _, n_overlap = overlap_arrays(
+            flat, parent, ngram, ray.get(bench_ref), n
+        )
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "flag_quality": pa.array(flag_quality),
+                "flag_repetition": pa.array(flag_repetition),
+                "flag_clean": pa.array((n_overlap == 0).astype(np.int32)),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    from ..cluster import equi_join
+
+    joined = equi_join(
+        scored,
+        winners,
+        on="doc_id",
+        right_on="win_id",
+        join_type="left_outer",
+        left_cols=["doc_id", "flag_quality", "flag_repetition", "flag_clean"],
+        right_cols=["is_winner"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        uniq = pc.is_valid(batch["is_winner"]).cast(pa.int32())
+        keep = pc.multiply(
+            pc.multiply(batch["flag_quality"], batch["flag_repetition"]),
+            pc.multiply(batch["flag_clean"], uniq),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "flag_quality": batch["flag_quality"],
+                "flag_repetition": batch["flag_repetition"],
+                "flag_clean": batch["flag_clean"],
+                "flag_unique": uniq,
+                "keep": keep,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_QUALITY_PASSES_FRAG = """
+  (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+   + CASE WHEN n_tokens > 0
+            AND (n_chars - GREATEST(n_tokens - 1, 0))::DOUBLE / GREATEST(n_tokens, 1)
+                BETWEEN 2.0 AND 12.0
+          THEN 1 ELSE 0 END
+   + CASE WHEN n_chars > 0 AND n_punct::DOUBLE / n_chars <= 0.2
+          THEN 1 ELSE 0 END
+   + CASE WHEN n_stopwords >= 1 THEN 1 ELSE 0 END)
+"""
+
+
+def corpus_filter_sql(stopword_list: str) -> str:
+    """The oracle for ``corpus_filter`` — assembled from the same SQL
+    fragments the component oracles use, so the composition cannot drift
+    from its parts."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+q0 AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> list_contains({stopword_list}, w))) AS n_stopwords
+  FROM documents
+),
+q AS (SELECT doc_id, {_QUALITY_PASSES_FRAG} AS qp FROM q0),
+big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+  FROM toks, unnest(generate_series(1, len(tk)-1)) AS t(i)
+),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+bagg AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bcnt GROUP BY 1),
+tri AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+  FROM toks, unnest(generate_series(1, len(tk)-2)) AS t(i)
+),
+tcnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+tagg AS (SELECT doc_id, sum(c) AS n_tg, sum(c) - count(*) AS dup_tg
+         FROM tcnt GROUP BY 1),
+ng AS (
+  SELECT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS g
+  FROM toks, unnest(generate_series(1, len(tk)-4)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 41 = 0),
+docng AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id % 41 <> 0),
+cagg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM docng LEFT JOIN bench b USING (g) GROUP BY 1
+),
+w AS (SELECT md5(text) AS h, min(doc_id) AS win FROM documents GROUP BY 1)
+SELECT d.doc_id,
+  CASE WHEN q.qp = 4 THEN 1 ELSE 0 END AS flag_quality,
+  CASE WHEN coalesce(b.n_bg, 0) > 0
+        AND coalesce(b.top_bg, 0) * 10000 <= 1500 * b.n_bg
+        AND coalesce(t.n_tg, 0) > 0
+        AND coalesce(t.dup_tg, 0) * 10000 <= 1000 * t.n_tg
+       THEN 1 ELSE 0 END AS flag_repetition,
+  CASE WHEN coalesce(c.n_overlap, 0) = 0 THEN 1 ELSE 0 END AS flag_clean,
+  CASE WHEN w2.win IS NOT NULL THEN 1 ELSE 0 END AS flag_unique,
+  (CASE WHEN q.qp = 4 THEN 1 ELSE 0 END
+   * CASE WHEN coalesce(b.n_bg, 0) > 0
+           AND coalesce(b.top_bg, 0) * 10000 <= 1500 * b.n_bg
+           AND coalesce(t.n_tg, 0) > 0
+           AND coalesce(t.dup_tg, 0) * 10000 <= 1000 * t.n_tg
+          THEN 1 ELSE 0 END
+   * CASE WHEN coalesce(c.n_overlap, 0) = 0 THEN 1 ELSE 0 END
+   * CASE WHEN w2.win IS NOT NULL THEN 1 ELSE 0 END) AS keep
+FROM documents d
+JOIN q USING (doc_id)
+LEFT JOIN bagg b USING (doc_id)
+LEFT JOIN tagg t USING (doc_id)
+LEFT JOIN cagg c USING (doc_id)
+LEFT JOIN w w2 ON w2.win = d.doc_id
+WHERE d.doc_id % 41 <> 0
+ORDER BY d.doc_id
 """

@@ -386,3 +386,55 @@ def test_curation_ops_block_invariant(ray_session, qname, monkeypatch):
         outs.append(df)
     monkeypatch.setattr(curation, "read_table", real_read)
     assert outs[0].equals(outs[1]), f"{qname} depends on block structure"
+
+
+# ---------------------------------------------------------------------------
+# corpus_filter composition
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_filter_each_flag_has_a_designated_failure(ray_session, tmp_path):
+    """Hand-built corpus where each keep signal has exactly one designed
+    casualty; doc 0 (id % 41 == 0) is the benchmark."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    good = ("the quick brown fox jumps over the lazy dog while autumn "
+            "rain falls, softly on the quiet village rooftops tonight")
+    texts = {
+        0: "benchmark alpha beta gamma delta epsilon zeta eta theta",
+        1: good,                                        # keeps everything
+        2: "word " * 60,                                # repetition casualty
+        3: "tiny doc",                                  # quality (len < 5 tokens)
+        4: good,                                        # dup loser (1 wins)
+        5: "xx alpha beta gamma delta epsilon yy oh no extra words here "
+           "to make the quality gates pass with varied, vocabulary okay",
+                                                        # contamination casualty
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["src0"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = (
+        curation.corpus_filter(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert sorted(out.index) == [1, 2, 3, 4, 5]  # benchmark doc excluded
+    assert out.loc[1, "keep"] == 1
+    assert out.loc[2, "flag_repetition"] == 0 and out.loc[2, "keep"] == 0
+    assert out.loc[3, "flag_quality"] == 0 and out.loc[3, "keep"] == 0
+    assert out.loc[4, "flag_unique"] == 0 and out.loc[4, "keep"] == 0
+    assert out.loc[1, "flag_unique"] == 1
+    assert out.loc[5, "flag_clean"] == 0 and out.loc[5, "keep"] == 0
