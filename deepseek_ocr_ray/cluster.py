@@ -346,3 +346,97 @@ def equi_join(
             type(err).__name__,
         )
         return bucket_plan()
+
+
+def equi_join_multi(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: list[str],
+    right_on: list[str] | None = None,
+    join_type: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    **kw,
+) -> "ray.data.Dataset":
+    """Composite-key equi-join through the single-key planner.
+
+    Each side folds its key columns into one 64-bit combined key
+    (vectorized ``hash64_array`` per column, mixed with per-position
+    rotations), joins on that single column, then VERIFIES true key
+    equality on every joined row and drops hash collisions — one
+    vectorized compare per row, so the plan stays correct at any scale
+    (at 10^12 joined rows a 64-bit combined key WILL collide; the verify
+    makes that a no-op instead of a wrong row).  The right-side key
+    columns ride through the join under reserved names for the verify and
+    are dropped from the output.
+
+    ``inner`` only: outer/semi/anti under collisions need collision-aware
+    unmatched tracking — route those through a single-key join on a
+    concatenated exact key instead (raises with that guidance).
+    """
+    import numpy as np
+
+    from .hashing import hash64_array, mix64
+
+    if join_type != "inner":
+        raise NotImplementedError(
+            "equi_join_multi supports inner joins only; for outer/semi/"
+            "anti build one exact composite key column (e.g. string "
+            "concat with a separator) and use equi_join"
+        )
+    r_on = right_on if right_on is not None else on
+    if len(on) != len(r_on) or len(on) < 2:
+        raise ValueError("on/right_on must be equal-length lists of ≥2 keys")
+
+    def add_ck(keys: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = np.zeros(batch.num_rows, np.uint64)
+            for i, k in enumerate(keys):
+                hk = hash64_array(batch[k])
+                rot = np.uint64((17 * (i + 1)) % 64)
+                h ^= (hk << rot) | (hk >> (np.uint64(64) - rot))
+            return batch.append_column(
+                "__ck", pa.array(mix64(h).view(np.int64))
+            )
+
+        return fn
+
+    l_schema = left.schema().base_schema
+    lcols = left_cols if left_cols is not None else list(l_schema.names)
+    r_schema = right.schema().base_schema
+    rcols = (
+        right_cols
+        if right_cols is not None
+        else [c for c in r_schema.names if c not in r_on]
+    )
+    rk_alias = {k: f"__rk{i}" for i, k in enumerate(r_on)}
+
+    def alias_right(batch: pa.Table) -> pa.Table:
+        cols = {rk_alias.get(c, c): batch[c] for c in batch.column_names}
+        return pa.table(cols)
+
+    lt = left.map_batches(add_ck(on), batch_format="pyarrow")
+    rt = right.map_batches(add_ck(r_on), batch_format="pyarrow").map_batches(
+        alias_right, batch_format="pyarrow"
+    )
+    joined = equi_join(
+        lt,
+        rt,
+        on="__ck",
+        join_type="inner",
+        left_cols=list(dict.fromkeys(list(on) + lcols)),
+        right_cols=list(rk_alias.values()) + rcols,
+        **kw,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            ok = None
+            for lk, rk in zip(on, rk_alias.values()):
+                eq = pc.equal(batch[lk], batch[rk])
+                ok = eq if ok is None else pc.and_(ok, eq)
+            batch = batch.filter(pc.fill_null(ok, False))
+        return batch.select(list(dict.fromkeys(list(on) + lcols)) + rcols)
+
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -32,6 +32,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..cluster import (
+    equi_join_multi,
     equi_join,
     join_partitions,
     table_file_bytes,
@@ -1038,4 +1039,84 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE CAST(('0x' || substr(md5('s42:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
       % 10000 < CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END
 ORDER BY doc_id
+"""
+
+
+USER_DAY_VALUE_THRESHOLD = 150.0
+
+
+def user_day_activity(sf_dir: str) -> ray.data.Dataset:
+    """Composite-key join: per-(user, day) TOTAL event activity ⋈ per-(user,
+    day) HIGH-VALUE activity (``value >= 150``) — "how active was the user
+    on the days they produced a high-value event".  Both sides pre-aggregate
+    BEFORE the join (map-combined groupbys), so the exchange carries one row
+    per key, and the join itself runs through ``equi_join_multi`` (64-bit
+    combined key + exact-equality verify — collision-safe at any scale)."""
+    from ray.data.aggregate import Count, Sum
+
+    events = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def eprep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "value_cents": _cents(batch["value"]),
+            }
+        )
+
+    prepped = events.map_batches(eprep, batch_format="pyarrow")
+    e = (
+        prepped.groupby(["user_id", "day"])
+        .aggregate(Count(), Sum("value_cents"))
+        .rename_columns(
+            {"count()": "n_events", "sum(value_cents)": "value_cents"}
+        )
+    )
+
+    hi_cents = int(round(USER_DAY_VALUE_THRESHOLD * 100))
+
+    def hi_prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater_equal(batch["value_cents"], hi_cents)
+        )
+        return pa.table(
+            {"h_user_id": batch["user_id"], "h_day": batch["day"]}
+        )
+
+    h = (
+        prepped.map_batches(hi_prep, batch_format="pyarrow")
+        .groupby(["h_user_id", "h_day"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n_high"})
+    )
+    return equi_join_multi(
+        e,
+        h,
+        on=["user_id", "day"],
+        right_on=["h_user_id", "h_day"],
+        left_cols=["n_events", "value_cents"],
+        right_cols=["n_high"],
+        approx_bytes=table_file_bytes(sf_dir, "events"),
+    )
+
+
+USER_DAY_ACTIVITY_SQL = """
+WITH e AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_high
+  FROM events
+  WHERE CAST(FLOOR(value*100 + 0.5) AS BIGINT) >= 15000
+  GROUP BY 1, 2
+)
+SELECT e.user_id, e.day, e.n_events, e.value_cents, h.n_high
+FROM e JOIN h ON h.user_id = e.user_id AND h.day = e.day
+ORDER BY 1, 2
 """

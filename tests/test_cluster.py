@@ -208,3 +208,104 @@ def test_join_partitions_for_bytes_grows_with_volume(ray_session):
     assert big <= cluster.join_partitions()
     # no estimate → CPU sizing
     assert cluster.join_partitions_for_bytes(None) == cluster.join_partitions()
+
+
+# --------------------------------------------------------------------------
+# equi_join_multi: composite keys through the single-key planner
+# --------------------------------------------------------------------------
+
+
+def _multi_inputs():
+    l = pa.table(
+        {
+            "uid": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "day": pa.array(["a", "b", "a", "b", "a"], pa.string()),
+            "lv": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        }
+    )
+    r = pa.table(
+        {
+            "r_uid": pa.array([1, 2, 2, 4], pa.int64()),
+            "r_day": pa.array(["a", "b", "b", "a"], pa.string()),
+            "rv": pa.array([100, 200, 201, 400], pa.int64()),
+        }
+    )
+    return l, r
+
+
+def _naive_multi(l: pa.Table, r: pa.Table):
+    out = []
+    for i in range(l.num_rows):
+        for j in range(r.num_rows):
+            if (
+                l["uid"][i].as_py() == r["r_uid"][j].as_py()
+                and l["day"][i].as_py() == r["r_day"][j].as_py()
+            ):
+                out.append(
+                    (
+                        l["uid"][i].as_py(),
+                        l["day"][i].as_py(),
+                        l["lv"][i].as_py(),
+                        r["rv"][j].as_py(),
+                    )
+                )
+    return sorted(out)
+
+
+def test_equi_join_multi_vs_naive(ray_session):
+    import ray.data
+
+    ltab, rtab = _multi_inputs()
+    got = cluster.equi_join_multi(
+        ray.data.from_arrow(ltab),
+        ray.data.from_arrow(rtab),
+        on=["uid", "day"],
+        right_on=["r_uid", "r_day"],
+        left_cols=["lv"],
+        right_cols=["rv"],
+        num_partitions=2,
+    ).to_pandas()
+    assert list(got.columns) == ["uid", "day", "lv", "rv"]
+    rows = sorted(map(tuple, got.itertuples(index=False)))
+    assert rows == _naive_multi(ltab, rtab)
+
+
+def test_equi_join_multi_drops_hash_collisions(ray_session, monkeypatch):
+    """With the mixer forced constant EVERY row shares one combined key, so
+    the underlying single-key join degenerates to a full cross product — the
+    exact-equality verify must cut it back to the true composite-key result.
+    This is the 10^12-row collision story exercised at test scale."""
+    import ray.data
+
+    monkeypatch.setattr(
+        "deepseek_ocr_ray.hashing.mix64", lambda h: np.zeros_like(h)
+    )
+    ltab, rtab = _multi_inputs()
+    got = cluster.equi_join_multi(
+        ray.data.from_arrow(ltab),
+        ray.data.from_arrow(rtab),
+        on=["uid", "day"],
+        right_on=["r_uid", "r_day"],
+        left_cols=["lv"],
+        right_cols=["rv"],
+        num_partitions=2,
+    ).to_pandas()
+    rows = sorted(map(tuple, got.itertuples(index=False)))
+    assert rows == _naive_multi(ltab, rtab)
+
+
+def test_equi_join_multi_validation(ray_session):
+    import ray.data
+
+    ltab, rtab = _multi_inputs()
+    l = ray.data.from_arrow(ltab)
+    r = ray.data.from_arrow(rtab)
+    with pytest.raises(NotImplementedError, match="inner joins only"):
+        cluster.equi_join_multi(
+            l, r, on=["uid", "day"], right_on=["r_uid", "r_day"],
+            join_type="left_outer",
+        )
+    with pytest.raises(ValueError, match="equal-length"):
+        cluster.equi_join_multi(l, r, on=["uid"], right_on=["r_uid"])
+    with pytest.raises(ValueError, match="equal-length"):
+        cluster.equi_join_multi(l, r, on=["uid", "day"], right_on=["r_uid"])
