@@ -90,6 +90,11 @@ JOIN_PARTITION_SIZE_HINT = 64 << 20
 # volume estimate — one aggregator comfortably handles this much
 JOIN_TARGET_PARTITION_BYTES = 128 << 20
 
+# ceiling on the materialized right side of a broadcast join — one copy
+# lands in each node's plasma store and is read zero-copy by every task, so
+# the bound is per-node object-store headroom, not per-task heap
+BROADCAST_MAX_BYTES = 256 << 20
+
 
 def join_partitions_for_bytes(
     approx_bytes: int | None = None, cap: int = 16
@@ -185,6 +190,7 @@ def equi_join(
     n_buckets: int = 64,
     left_types: dict[str, pa.DataType] | None = None,
     right_types: dict[str, pa.DataType] | None = None,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
     _drop_anchor: bool = False,
 ) -> "ray.data.Dataset":
     """Engine-owned equi-join planner — ALL repo equi-joins go through here.
@@ -206,6 +212,18 @@ def equi_join(
       aggregator actors; lazy; sort-based exchange (slower at equal scale).
       The right choice when robustness beats peak throughput or the join
       output is too large to materialize.
+    - ``broadcast`` — NO exchange at all: the right side is materialized
+      once, shipped to the object store via ``ray.put`` (one plasma copy per
+      node, zero-copy reads in every task), and each left batch joins
+      against it locally with a C++ acero join.  The only join whose cost
+      is O(left scan) — the correct plan whenever the right side is a
+      lookup table (dims, distinct-key sets, configs).  Guarded by
+      ``broadcast_max_bytes`` (default 256 MiB): a larger right side raises
+      with guidance rather than silently flooding worker heaps.  Supports
+      all four join types (the right side is complete in every task, so
+      per-batch outer/semi/anti are exact).  Requires the right key NOT be
+      listed in ``right_cols`` (acero coalesces keys; the planner's other
+      strategies share this contract).
     - ``auto`` (default) — run the ``hash`` plan EAGERLY (materialized so a
       schema-broadcast loss surfaces here, not in the consumer) and fall
       back to the ``bucket`` plan transparently if Ray's join dies with the
@@ -227,7 +245,7 @@ def equi_join(
     assert join_type in ("inner", "left_outer", "left_semi", "left_anti"), join_type
     r_on = right_on if right_on is not None else on
     strategy = strategy or os.environ.get("DSOR_JOIN_STRATEGY", "auto")
-    assert strategy in ("auto", "hash", "bucket"), strategy
+    assert strategy in ("auto", "hash", "bucket", "broadcast"), strategy
 
     def _side_schema(
         ds: "ray.data.Dataset", override: dict | None, side: str
@@ -284,6 +302,61 @@ def equi_join(
 
     if strategy == "bucket":
         return bucket_plan()
+
+    if strategy == "broadcast":
+        if r_on in rcols:
+            raise ValueError(
+                "equi_join(broadcast): the right key is coalesced into the "
+                f"left key by the local join — drop {r_on!r} from right_cols"
+            )
+        rtab = pa.concat_tables(
+            [
+                t.select(list(dict.fromkeys([r_on] + rcols)))
+                for t in ray.get(right.to_arrow_refs())
+                if t.num_rows
+            ]
+            or [
+                pa.table(
+                    {
+                        c: pa.array([], r_schema[c])
+                        for c in dict.fromkeys([r_on] + rcols)
+                    }
+                )
+            ],
+            promote_options="default",
+        ).combine_chunks()
+        if rtab.nbytes > broadcast_max_bytes:
+            raise ValueError(
+                f"equi_join(broadcast): right side is {rtab.nbytes >> 20} "
+                f"MiB (> {broadcast_max_bytes >> 20} MiB cap) — a side that "
+                "large must move through an exchange; use strategy='auto' "
+                "or 'bucket'"
+            )
+        rref = ray.put(rtab)
+        how_arrow = {
+            "inner": "inner",
+            "left_outer": "left outer",
+            "left_semi": "left semi",
+            "left_anti": "left anti",
+        }[join_type]
+        lsel = list(dict.fromkeys(lcols + [on]))
+        out_cols = lcols + rcols
+        cast_schema = pa.schema(
+            [(c, l_schema[c]) for c in lcols]
+            + [(c, r_schema[c]) for c in rcols]
+        )
+
+        def bcast_join(batch: pa.Table) -> pa.Table:
+            r = ray.get(rref)
+            joined = batch.select(lsel).join(
+                r,
+                keys=[on],
+                right_keys=[r_on],
+                join_type=how_arrow,
+            )
+            return joined.select(out_cols).cast(cast_schema)
+
+        return left.map_batches(bcast_join, batch_format="pyarrow")
 
     def hash_plan() -> "ray.data.Dataset":
         nparts = (

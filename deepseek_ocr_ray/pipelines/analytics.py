@@ -748,9 +748,12 @@ def suppliers_with_lineitems(
 
     The distinct suppkey set is pre-aggregated either way (map-side
     combined groupby — the shuffle carries one row per distinct key per
-    block, never one per lineitem).  Plan auto-selects on |supplier|:
+    block, never one per lineitem).  Plan auto-selects on |supplier|
+    (an upper bound on the distinct set, since l_suppkey ⊆ s_suppkey):
 
-    - small: collect + ``ray.put`` the key set once, filter with np.isin;
+    - small: the planner's ``broadcast`` strategy — the distinct-key set
+      moves to plasma once and each supplier batch semi-joins locally
+      (no exchange at all);
     - large: the planner's distributed ``left_semi`` join — nothing on the
       driver, the only valid plan at corpus scale.
     """
@@ -760,26 +763,14 @@ def suppliers_with_lineitems(
         .count()
     )
     sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-
-    if sup.count() <= broadcast_threshold:
-        keys = np.array(
-            [r["l_suppkey"] for r in distinct.take_all()], dtype=np.int64
-        )
-        kref = ray.put(keys)
-
-        def semi(batch: pa.Table) -> pa.Table:
-            k = ray.get(kref)
-            sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(np.isin(sk, k)))
-
-        return sup.map_batches(semi, batch_format="pyarrow")
-
+    small = sup.count() <= broadcast_threshold
     return equi_join(
         sup,
         distinct.rename_columns({"count()": "n"}),
         on="s_suppkey",
         right_on="l_suppkey",
         join_type="left_semi",
+        strategy="broadcast" if small else None,
         approx_bytes=table_file_bytes(sf_dir, "supplier", "lineitem"),
     )
 
@@ -1118,5 +1109,59 @@ h AS (
 )
 SELECT e.user_id, e.day, e.n_events, e.value_cents, h.n_high
 FROM e JOIN h ON h.user_id = e.user_id AND h.day = e.day
+ORDER BY 1, 2
+"""
+
+
+def lineitems_urgent_bloom(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-prefiltered EXACT semi-join: lineitems of 1-URGENT orders.
+
+    The scale story: the urgent-order key set is built into a fixed 1 MiB
+    Bloom bitmap in one pass (tree-merged per-block partials), broadcast
+    once, and the lineitem scan filters itself — only true matches plus
+    <1% false positives enter the verify exchange, instead of the whole
+    lineitem table.  The verify ``left_semi`` join restores exactness, so
+    the SQL oracle is a plain IN-subquery."""
+    from ..stages.bloom import bloom_semi_join
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT")
+        ).select(["o_orderkey"])
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(urgent, batch_format="pyarrow")
+    items = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "price_cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+
+    return bloom_semi_join(
+        items.map_batches(prep, batch_format="pyarrow"),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "orders"),
+    )
+
+
+LINEITEMS_URGENT_BLOOM_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
 ORDER BY 1, 2
 """

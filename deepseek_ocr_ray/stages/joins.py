@@ -309,25 +309,18 @@ def range_join(
 
 
 def _key_buckets(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
-    """Stable bucket per key value: splitmix for integer keys, md5 for
-    strings (Python's builtin hash() is per-process-seeded — workers would
-    route the same key to different buckets)."""
+    """Stable bucket per key value: splitmix for integer keys, the
+    vectorized polynomial rolling hash for strings (Python's builtin
+    hash() is per-process-seeded — workers would route the same key to
+    different buckets).  Bucket routing only affects which group a key
+    lands in, never the joined rows, so the hash choice is free."""
     t = col.type
     if pa.types.is_integer(t):
         vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
         return _bucket_i64(vals, n_buckets)
-    import hashlib
+    from ..hashing import string_hash64
 
-    md5 = hashlib.md5
-    return np.fromiter(
-        (
-            int.from_bytes(md5(str(v).encode()).digest()[:8], "little")
-            % n_buckets
-            for v in col.to_pylist()
-        ),
-        dtype=np.int64,
-        count=len(col),
-    )
+    return (string_hash64(col) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def bucket_join(

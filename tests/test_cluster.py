@@ -117,7 +117,7 @@ def _naive(lrows, rrows, how):
 
 
 @pytest.mark.parametrize("how", ["inner", "left_outer", "left_semi", "left_anti"])
-@pytest.mark.parametrize("strategy", ["hash", "bucket", "auto"])
+@pytest.mark.parametrize("strategy", ["hash", "bucket", "auto", "broadcast"])
 def test_equi_join_all_strategies_vs_naive(ray_session, how, strategy):
     ltab, rtab, l, r = _planner_inputs()
     got = cluster.equi_join(
@@ -309,3 +309,31 @@ def test_equi_join_multi_validation(ray_session):
         cluster.equi_join_multi(l, r, on=["uid"], right_on=["r_uid"])
     with pytest.raises(ValueError, match="equal-length"):
         cluster.equi_join_multi(l, r, on=["uid", "day"], right_on=["r_uid"])
+
+
+def test_equi_join_broadcast_guards(ray_session):
+    _ltab, _rtab, l, r = _planner_inputs()
+    with pytest.raises(ValueError, match="right key is coalesced"):
+        cluster.equi_join(
+            l, r, on="k", right_on="rk", join_type="inner",
+            right_cols=["rk", "rv"], strategy="broadcast",
+        )
+    with pytest.raises(ValueError, match="MiB cap"):
+        cluster.equi_join(
+            l, r, on="k", right_on="rk", join_type="inner",
+            strategy="broadcast", broadcast_max_bytes=8,
+        )
+
+
+def test_equi_join_broadcast_empty_right(ray_session):
+    import ray.data
+
+    _ltab, _rtab, l, _r = _planner_inputs()
+    empty_right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+    )
+    got = cluster.equi_join(
+        l, empty_right, on="k", right_on="rk", join_type="left_anti",
+        strategy="broadcast",
+    ).to_pandas()
+    assert sorted(got.lv.tolist()) == list(range(90))
