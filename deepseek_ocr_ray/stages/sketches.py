@@ -385,3 +385,102 @@ def cms_token_freq(
         .repartition(1)
         .map_batches(finalize, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group HLL distinct (GROUP BY g, approx COUNT(DISTINCT v))
+# ---------------------------------------------------------------------------
+
+
+def group_hll_partial(
+    batch: pa.Table, group_col: str, value_col: str, p: int = 12
+) -> pa.Table:
+    """Block → one (group, registers) row per distinct group in the block.
+
+    The per-group loop is bounded by GROUP CARDINALITY inside the block
+    (dictionary-encoded), not row count; register computation stays
+    vectorized per group."""
+    groups = batch[group_col]
+    if isinstance(groups, pa.ChunkedArray):
+        groups = groups.combine_chunks()
+    enc = groups.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary
+    blobs = []
+    for gi in range(len(uniq)):
+        vals = batch[value_col].filter(pa.array(codes == gi))
+        blobs.append(hll_partial(vals, p).tobytes())
+    return pa.table(
+        {
+            group_col: uniq.take(pa.array(range(len(uniq)), pa.int64())),
+            "regs": pa.array(blobs, pa.binary()),
+        }
+    )
+
+
+def group_hll_distinct(
+    ds: ray.data.Dataset, group_col: str, value_col: str, *, p: int = 12
+) -> ray.data.Dataset:
+    """Approximate ``SELECT g, COUNT(DISTINCT v) GROUP BY g``.
+
+    Map side emits one 2^p-byte register blob per (block, group) — the
+    exchange volume is blocks × groups × 4 KiB, independent of row count —
+    then ONE keyed exchange merges registers per group (max is associative
+    and order-independent, so estimates are parallelism-invariant)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return group_hll_partial(batch, group_col, value_col, p)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for blob in group["regs"].to_pylist():
+            regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
+        return pa.table(
+            {
+                group_col: group[group_col].slice(0, 1),
+                "approx_distinct": pa.array([hll_estimate(regs)], pa.int64()),
+            }
+        )
+
+    return partials.groupby(group_col).map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+def group_distinct_exact(
+    ds: ray.data.Dataset, group_col: str, value_col: str
+) -> ray.data.Dataset:
+    """Exact ``SELECT g, COUNT(DISTINCT v) GROUP BY g`` — the oracled
+    companion.  Per-block distinct (group, value) pairs first (C++
+    group_by), so the exchange carries one row per distinct pair per
+    block; the global pair-distinct and the per-group count share one
+    keyed exchange (groupby value-pair → count is a second tiny agg over
+    one row per distinct pair)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]
+        ).aggregate([])
+
+    pairs = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .count()
+    )
+
+    def per_group(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(group_col).aggregate([(value_col, "count")])
+        return g.rename_columns([group_col, "partial_n"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.map_batches(per_group, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("partial_n"))
+        .rename_columns({"sum(partial_n)": "n_distinct"})
+    )

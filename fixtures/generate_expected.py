@@ -168,6 +168,26 @@ def main() -> None:
         os.path.join(OUT_DIR, "expected_distinct_hll.parquet"),
     )
 
+    # per-group HLL (same invariance argument, one row per group)
+    ghll_rows = []
+    for sf_dir in SF_DIRS:
+        tag = corpus_tag(sf_dir)
+        t = _to_df(q["users_by_type_hll"](sf_dir))
+        ghll_rows.append(
+            pa.table(
+                {
+                    "corpus_tag": pa.array([tag] * t.num_rows, pa.int64()),
+                    "event_type": t["event_type"],
+                    "approx_distinct": t["approx_distinct"],
+                }
+            )
+        )
+        print(f"{sf_dir} users_by_type_hll: {t.num_rows} groups")
+    pq.write_table(
+        pa.concat_tables(ghll_rows),
+        os.path.join(OUT_DIR, "expected_group_hll.parquet"),
+    )
+
     # mergeable-sketch queries (DDSketch quantiles, count-min frequencies):
     # deterministic + parallelism-invariant (counter-addition merges), so
     # their outputs pin like the HLL estimate; the error BOUNDS are

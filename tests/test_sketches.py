@@ -211,3 +211,62 @@ def test_cms_dataset_matches_local(ray_session):
     want = dict(zip(sorted(["alpha", "rare", "absent"]), local))
     assert rows == {k: int(v) for k, v in want.items()}
     assert rows["alpha"] >= 400 and rows["rare"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# per-group HLL
+# ---------------------------------------------------------------------------
+
+
+def test_group_hll_close_to_exact_per_group(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    n = 30000
+    groups = np.array(["a", "b", "c"])[rng.randint(0, 3, n)]
+    # distinct domains of very different sizes per group
+    vals = np.where(
+        groups == "a",
+        rng.randint(0, 200, n),
+        np.where(groups == "b", rng.randint(0, 5000, n), rng.randint(0, 40, n)),
+    )
+    tab = pa.table(
+        {
+            "g": pa.array(groups.tolist(), pa.string()),
+            "v": pa.array(vals.tolist(), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tab).repartition(6)
+    est = {
+        r["g"]: r["approx_distinct"]
+        for r in sketches.group_hll_distinct(ds, "g", "v").take_all()
+    }
+    exact = {
+        r["g"]: r["n_distinct"]
+        for r in sketches.group_distinct_exact(ds, "g", "v").take_all()
+    }
+    assert set(est) == set(exact) == {"a", "b", "c"}
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.05, (g, est[g], exact[g])
+
+
+def test_group_hll_parallelism_invariant(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    tab = pa.table(
+        {
+            "g": pa.array(rng.choice(["x", "y"], 5000).tolist(), pa.string()),
+            "v": pa.array(rng.randint(0, 1000, 5000).tolist(), pa.int64()),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tab).repartition(parts)
+        outs.append(
+            sorted(
+                (r["g"], r["approx_distinct"])
+                for r in sketches.group_hll_distinct(ds, "g", "v").take_all()
+            )
+        )
+    assert outs[0] == outs[1]
