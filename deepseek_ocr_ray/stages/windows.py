@@ -257,3 +257,74 @@ def sliding_window_daily(
         .groupby("gbucket")
         .map_groups(roll, batch_format="pyarrow")
     )
+
+
+def hopping_window(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str | None = "event_type",
+    size_s: int = 21600,
+    hop_s: int = 7200,
+) -> ray.data.Dataset:
+    """Hopping (sliding-start) window aggregate: per aligned window of
+    ``size_s`` seconds starting every ``hop_s`` seconds, the event count
+    and integer-cent value sum — tumbling windows are the ``size == hop``
+    special case.
+
+    Every event belongs to exactly ``size_s // hop_s`` windows (windows are
+    epoch-aligned, so for an event in hop-bucket b the containing starts
+    are ``(b - i) * hop_s`` for ``i < size/hop``) — the expansion is a
+    bounded, vectorized flat-map (np.repeat/np.tile), NOT a range join.
+    The replicated rows are pre-combined per block (C++ group_by) before
+    ONE keyed exchange, so the shuffle carries one partial row per
+    (window, group) per block at ``size/hop`` × the daily-aggregate cost.
+    """
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch_s = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        b = epoch_s // hop_s
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        i = np.tile(np.arange(k, dtype=np.int64), n)
+        start = (b[idx] - i) * hop_s
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)[idx]
+        cols = {
+            "window_start": pa.array(start, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        }
+        keys = ["window_start"]
+        if group_col is not None:
+            gc = batch[group_col]
+            if isinstance(gc, pa.ChunkedArray):
+                gc = gc.combine_chunks()
+            cols[group_col] = gc.take(pa.array(idx))
+            keys.append(group_col)
+        t = pa.table(cols)
+        # map-side combine: one partial row per (window, group) per block
+        return t.group_by(keys).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        ).rename_columns(keys + ["cents_partial", "n_partial"])
+
+    from ray.data.aggregate import Sum
+
+    keys = ["window_start"] + ([group_col] if group_col else [])
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(Sum("n_partial"), Sum("cents_partial"))
+        .rename_columns(
+            {
+                "sum(n_partial)": "n_events",
+                "sum(cents_partial)": "value_cents",
+            }
+        )
+    )

@@ -4,7 +4,9 @@ from __future__ import annotations
 
 import datetime as dt
 
+import numpy as np
 import pyarrow as pa
+import pytest
 
 from deepseek_ocr_ray.stages import windows
 
@@ -160,3 +162,85 @@ def test_pack_dataset_duplicate_ids_reject_or_correct(ray_session):
         return
     want = sorted(i * 10 // 100 for i in range(40))
     assert sorted(df.pack_id.tolist()) == want
+
+
+# ---------------------------------------------------------------------------
+# hopping windows
+# ---------------------------------------------------------------------------
+
+
+def _hop_events():
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h, typ, v in [
+        (0, "a", 1.0), (1, "a", 2.0), (3, "b", 3.0),
+        (5, "a", 4.0), (8, "b", 5.0),
+    ]:
+        rows.append((base + dt.timedelta(hours=h), typ, v))
+    return pa.table(
+        {
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _naive_hopping(tab, size_s, hop_s):
+    out = {}
+    for i in range(tab.num_rows):
+        t = tab["ts"][i].value // 1_000_000
+        typ = tab["event_type"][i].as_py()
+        cents = int(np.floor(tab["value"][i].as_py() * 100 + 0.5))
+        start = (t // hop_s) * hop_s
+        while start > t - size_s:
+            key = (start, typ)
+            n, c = out.get(key, (0, 0))
+            out[key] = (n + 1, c + cents)
+            start -= hop_s
+    return {
+        k: v for k, v in out.items()
+    }
+
+
+def test_hopping_window_vs_naive(ray_session):
+    import ray.data
+
+    tab = _hop_events()
+    got = windows.hopping_window(
+        ray.data.from_arrow(tab).repartition(3), size_s=21600, hop_s=7200
+    ).take_all()
+    want = _naive_hopping(tab, 21600, 7200)
+    got_map = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in got
+    }
+    assert got_map == want
+
+
+def test_hopping_window_tumbling_special_case(ray_session):
+    import ray.data
+
+    tab = _hop_events()
+    got = windows.hopping_window(
+        ray.data.from_arrow(tab), size_s=7200, hop_s=7200
+    ).take_all()
+    want = _naive_hopping(tab, 7200, 7200)
+    got_map = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in got
+    }
+    assert got_map == want
+    # tumbling: every event in exactly one window
+    assert sum(n for n, _ in got_map.values()) == tab.num_rows
+
+
+def test_hopping_window_rejects_non_multiple(ray_session):
+    import ray.data
+
+    with pytest.raises(ValueError, match="multiple"):
+        windows.hopping_window(
+            ray.data.from_arrow(_hop_events()), size_s=7000, hop_s=3000
+        )
