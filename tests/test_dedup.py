@@ -320,3 +320,37 @@ def test_incremental_minhash_no_dups_keeps_all(ray_session):
         for r in incremental_minhash_dedup(new, existing).take_all()
     ]
     assert kept == [5]
+
+
+# ---------------------------------------------------------------------------
+# normalized exact dedup
+# ---------------------------------------------------------------------------
+
+
+def test_normalized_dedup_catches_trivial_edits(ray_session):
+    import ray.data
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello, World!",
+                    "hello   world",
+                    "HELLO WORLD.",
+                    "a genuinely different text",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    got = dedup.normalized_dedup(ray.data.from_arrow(tab)).take_all()
+    rows = sorted((r["doc_id"], r["dup_count"]) for r in got)
+    # docs 1-3 collapse to one normalized form kept under min id 1
+    assert rows == [(1, 3), (4, 1)]
+
+
+def test_normalize_text_kernels():
+    col = pa.array(["  A--B  c ", "", "123"], pa.string())
+    out = dedup.normalize_text(col)
+    assert out.to_pylist() == ["a b c", "", "123"]
