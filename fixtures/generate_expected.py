@@ -188,6 +188,29 @@ def main() -> None:
         os.path.join(OUT_DIR, "expected_group_hll.parquet"),
     )
 
+    # k-means cluster membership (deterministic build — seeded, sorted
+    # sample; membership pinned per cell by count/min/sum of ids)
+    ec_rows = []
+    for sf_dir in SF_DIRS:
+        tag = corpus_tag(sf_dir)
+        t = _to_df(q["embedding_clusters"](sf_dir))
+        ec_rows.append(
+            pa.table(
+                {
+                    "corpus_tag": pa.array([tag] * t.num_rows, pa.int64()),
+                    "cell": t["cell"],
+                    "n_vecs": t["n_vecs"],
+                    "min_vec_id": t["min_vec_id"],
+                    "sum_vec_id": t["sum_vec_id"],
+                }
+            )
+        )
+        print(f"{sf_dir} embedding_clusters: {t.num_rows} cells")
+    pq.write_table(
+        pa.concat_tables(ec_rows),
+        os.path.join(OUT_DIR, "expected_embedding_clusters.parquet"),
+    )
+
     # mergeable-sketch queries (DDSketch quantiles, count-min frequencies):
     # deterministic + parallelism-invariant (counter-addition merges), so
     # their outputs pin like the HLL estimate; the error BOUNDS are
