@@ -247,3 +247,122 @@ def render_layouts_pdf(
         % (len(objects) + 1, xref_at)
     )
     return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# import-gated RASTER variants (P11/P12).  The SVG renderers above are the
+# sandbox-testable equivalents with identical geometry and palette; these
+# produce the reference's actual raster bytes wherever PIL / matplotlib are
+# installed.  Deliberately behind function-local imports with a loud
+# ImportError, mirroring the other gated kernels (multimodal._decode_pil).
+# ---------------------------------------------------------------------------
+
+
+def _hex_to_rgb255(color: str) -> tuple[int, int, int]:
+    return tuple(int(color[i : i + 2], 16) for i in (1, 3, 5))
+
+
+def render_layout_raster(
+    raw_text: str, image=None, width: int = 1024, height: int = 1024
+) -> bytes:
+    """PIL raster layout overlay ≙ reference ``draw_bounding_boxes``
+    (DSV/run_dpsk_ocr_pdf.py:157-221): outline width 4 for ``title`` / 2
+    otherwise, an RGBA overlay rect at alpha 20 composited over the page,
+    label text at ``(x1, max(0, y1-15))`` on a translucent white text box —
+    with the engine's seed-42 per-label palette in place of the reference's
+    per-call ``np.random`` colors (determinism is the engine's invariant).
+
+    ``image``: optional PIL.Image page; omitted → white canvas of
+    (width, height).  Returns PNG bytes (lossless → byte-deterministic for
+    identical inputs, unlike JPEG whose encoder version varies).
+    """
+    try:
+        from PIL import Image, ImageDraw, ImageFont
+    except ImportError as err:  # pragma: no cover - exercised off-sandbox
+        raise ImportError(
+            "render_layout_raster needs Pillow (pip install Pillow); the "
+            "sandbox-testable equivalent is render_layout_svg"
+        ) from err
+
+    if image is None:
+        image = Image.new("RGB", (width, height), (255, 255, 255))
+    else:
+        image = image.convert("RGB")
+    width, height = image.size
+    img_draw = image.copy()
+    draw = ImageDraw.Draw(img_draw)
+    overlay = Image.new("RGBA", img_draw.size, (0, 0, 0, 0))
+    draw2 = ImageDraw.Draw(overlay)
+    font = ImageFont.load_default()
+
+    refs = extract_grounding_references(raw_text)
+    palette = label_palette([lab for _, lab, _ in refs])
+    for _, label, coords_str in refs:
+        boxes = parse_coords(coords_str)
+        if boxes is None:
+            continue  # malformed coords skipped, reference-style
+        color = _hex_to_rgb255(palette[label])
+        for box in boxes:
+            x1, y1, x2, y2 = scale_box(box, width, height)
+            w = 4 if label == "title" else 2
+            draw.rectangle([x1, y1, x2, y2], outline=color, width=w)
+            draw2.rectangle(
+                [x1, y1, x2, y2], fill=color + (20,), outline=(0, 0, 0, 0),
+                width=1,
+            )
+            tx, ty = x1, max(0, y1 - 15)
+            bbox = draw.textbbox((0, 0), label, font=font)
+            draw.rectangle(
+                [tx, ty, tx + bbox[2] - bbox[0], ty + bbox[3] - bbox[1]],
+                fill=(255, 255, 255, 30),
+            )
+            draw.text((tx, ty), label, font=font, fill=color)
+    img_draw.paste(overlay, (0, 0), overlay)
+    buf = io.BytesIO()
+    img_draw.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def render_geometry_raster(geom: dict, size_px: int = 600) -> bytes:
+    """Matplotlib geometry re-plot ≙ reference ``'line_type'`` branch
+    (DSV/run_dpsk_ocr_image.py:270-320): 3×3-inch figure at dpi 200, axes
+    limits (-15, 15), black 0.8-width segments with s=5 endpoint dots,
+    unfilled black circles — consuming the engine's literal-parsed geometry
+    dict (no ``eval``).  Returns PNG bytes.
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.patches import Circle
+    except ImportError as err:  # pragma: no cover - exercised off-sandbox
+        raise ImportError(
+            "render_geometry_raster needs matplotlib; the sandbox-testable "
+            "equivalent is render_geometry_svg"
+        ) from err
+
+    dpi = 200
+    fig, ax = plt.subplots(figsize=(size_px / dpi, size_px / dpi), dpi=dpi)
+    ax.set_xlim(-15, 15)
+    ax.set_ylim(-15, 15)
+    lines = geom.get("line", [])
+    for seg in lines if isinstance(lines, list) else []:
+        if not (isinstance(seg, (list, tuple)) and len(seg) == 4):
+            continue
+        x1, y1, x2, y2 = (float(v) for v in seg)
+        ax.plot([x1, x2], [y1, y2], linewidth=0.8, color="k")
+        ax.scatter([x1, x2], [y1, y2], s=5, color="k")
+    circles = geom.get("circle", [])
+    for c in circles if isinstance(circles, list) else []:
+        if not (isinstance(c, (list, tuple)) and len(c) == 3):
+            continue
+        cx, cy, r = (float(v) for v in c)
+        ax.add_patch(
+            Circle((cx, cy), radius=r, fill=False, edgecolor="black",
+                   linewidth=0.8)
+        )
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png")
+    plt.close(fig)
+    return buf.getvalue()

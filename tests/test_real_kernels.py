@@ -230,3 +230,38 @@ def test_pixel_preprocess_pil_e2e():
     assert meta2.images_spatial_crop.tolist() == [[1, 1]]
     assert pv2.shape == (1, 3, 1024, 1024)
     assert crops2.shape == (0, 3, 640, 640)
+
+
+def test_layout_raster_real_path():
+    pytest.importorskip("PIL")
+    from deepseek_ocr_ray.functions import artifacts as art
+
+    raw = (
+        "<|ref|>title<|/ref|><|det|>[[100, 100, 500, 200]]<|/det|>"
+        "<|ref|>text<|/ref|><|det|>[[100, 260, 900, 700]]<|/det|>"
+    )
+    png = art.render_layout_raster(raw, width=400, height=300)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # deterministic bytes for identical inputs (seeded palette, PNG encode)
+    assert art.render_layout_raster(raw, width=400, height=300) == png
+    # boxes actually landed: the canvas is no longer all-white
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(png)).convert("RGB")
+    colors = {c for _, c in img.getcolors(maxcolors=1 << 20)}
+    assert len(colors) > 1
+
+
+def test_geometry_raster_real_path():
+    pytest.importorskip("matplotlib")
+    from deepseek_ocr_ray.functions import artifacts as art
+
+    geom = {
+        "line_type": "seg",
+        "line": [[0, 0, 10, 10], [-5, 5, 5, -5]],
+        "circle": [[0, 0, 8]],
+    }
+    png = art.render_geometry_raster(geom)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
