@@ -484,3 +484,127 @@ def group_distinct_exact(
         .aggregate(Sum("partial_n"))
         .rename_columns({"sum(partial_n)": "n_distinct"})
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: two-pass EXACT top-k via Misra-Gries candidate generation
+# ---------------------------------------------------------------------------
+
+
+def mg_topk(
+    ds: ray.data.Dataset,
+    tokens_fn,
+    *,
+    k: int = 25,
+    capacity: int = 4096,
+    candidate_cap: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Exact global top-k items WITHOUT a full-vocabulary exchange.
+
+    The brute plan (``token_vocab``) shuffles one row per distinct item per
+    block — fine for word vocabularies, quadratic pain for open vocabularies
+    (URLs, n-grams, ids).  This is the scale plan:
+
+    1. **Summary pass** — per block, exact C++ group counts trimmed by the
+       Misra-Gries rule (subtract the (capacity+1)-th largest count, keep
+       positive): ≤ ``capacity`` summary rows per block move, and any item
+       absent from a block's summary has block count ≤ the subtracted
+       threshold, so a GLOBALLY absent item has true count < total/capacity.
+    2. **Verify pass** — the candidate union (bounded by blocks × capacity,
+       guarded by ``candidate_cap``) is broadcast once; a second scan counts
+       EXACTLY only the candidate items (``pc.is_in`` filter before the
+       group_by), then one small exchange + sort + limit.
+
+    The result is exact, and provably so: the k-th exact count must be
+    ≥ total/capacity (checked — raises with a "grow capacity" message
+    otherwise), so no non-candidate can reach the top k even on ties.
+    """
+
+    def summary(batch: pa.Table) -> pa.Table:
+        toks = tokens_fn(batch)
+        t = pa.table({"token": toks}).group_by("token").aggregate(
+            [([], "count_all")]
+        )
+        cnts = t["count_all"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        total = int(cnts.sum())
+        if t.num_rows > capacity:
+            thresh = np.partition(cnts, len(cnts) - capacity - 1)[
+                len(cnts) - capacity - 1
+            ]
+            keep = cnts > thresh
+            kept = pa.table(
+                {
+                    "token": t["token"].filter(pa.array(keep)),
+                    "mg": pa.array(cnts[keep] - thresh, pa.int64()),
+                }
+            )
+        else:
+            kept = pa.table(
+                {"token": t["token"], "mg": pa.array(cnts, pa.int64())}
+            )
+        sentinel = pa.table(
+            {"token": pa.array([""], kept["token"].type)
+             if kept.num_rows == 0 else pa.array([""]).cast(kept["token"].type),
+             "mg": pa.array([0], pa.int64())}
+        )
+        kept = pa.concat_tables([kept, sentinel], promote_options="default")
+        return kept.append_column(
+            "n_block",
+            pa.array(
+                [0] * (kept.num_rows - 1) + [total], pa.int64()
+            ),
+        )
+
+    from ray.data.aggregate import Sum as RSum
+
+    summaries = (
+        ds.map_batches(summary, batch_format="pyarrow", batch_size=None)
+        .groupby("token")
+        .aggregate(RSum("mg"), RSum("n_block"))
+    )
+    # the summary union is bounded by blocks × capacity rows; one driver
+    # materialization (guarded below).  "" is the per-block total sentinel —
+    # tokens_fn must never emit the empty string.
+    srows = summaries.take_all()
+    cand_rows = [r for r in srows if r["token"] != ""]
+    total = sum(r["sum(n_block)"] for r in srows if r["token"] == "")
+    if len(cand_rows) > candidate_cap:
+        raise ValueError(
+            f"mg_topk: candidate union {len(cand_rows)} exceeds "
+            f"candidate_cap={candidate_cap} — lower capacity or raise the cap"
+        )
+    cand_set = pa.array(sorted(r["token"] for r in cand_rows), pa.string())
+    cref = ray.put(cand_set)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cref)
+        toks = tokens_fn(batch)
+        toks = toks.filter(pc.is_in(toks, value_set=cands))
+        t = pa.table({"token": toks}).group_by("token").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": t["token"], "n": t["count_all"].cast(pa.int64())}
+        )
+
+    topk = (
+        ds.map_batches(exact_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("token")
+        .aggregate(RSum("n"))
+        .rename_columns({"sum(n)": "n"})
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+    rows = topk.take_all()
+    if len(rows) == k and total and rows[-1]["n"] < total / capacity:
+        raise ValueError(
+            f"mg_topk: guarantee check failed — k-th count {rows[-1]['n']} "
+            f"< total/capacity = {total / capacity:.1f}; grow capacity"
+        )
+    out = pa.table(
+        {
+            "token": pa.array([r["token"] for r in rows], pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -270,3 +270,69 @@ def test_group_hll_parallelism_invariant(ray_session):
             )
         )
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries two-pass exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _zipf_table(n=20000, vocab=2000, seed=11):
+    rng = np.random.RandomState(seed)
+    ids = np.minimum((rng.zipf(1.3, n) - 1), vocab - 1)
+    toks = np.array([f"w{i:05d}" for i in range(vocab)])[ids]
+    return pa.table({"tok": pa.array(toks.tolist(), pa.string())})
+
+
+def _make_tokens_fn():
+    # defined per-call so cloudpickle ships it by VALUE (the test module
+    # is not importable inside Ray workers)
+    def tokens_fn(batch):
+        col = batch["tok"]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    return tokens_fn
+
+
+def test_mg_topk_equals_exact_topk(ray_session):
+    import collections
+
+    import ray.data
+
+    tab = _zipf_table()
+    got = sketches.mg_topk(
+        ray.data.from_arrow(tab).repartition(5), _make_tokens_fn(),
+        k=10, capacity=256,
+    ).take_all()
+    counts = collections.Counter(tab["tok"].to_pylist())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["token"], r["n"]) for r in got] == want
+
+
+def test_mg_topk_guarantee_check_raises_on_tiny_capacity(ray_session):
+    import ray.data
+
+    # near-uniform data: the k-th count is far below total/capacity, so the
+    # proof obligation fails loudly instead of returning a maybe-wrong top-k
+    rng = np.random.RandomState(2)
+    toks = [f"u{i}" for i in rng.randint(0, 5000, 20000)]
+    tab = pa.table({"tok": pa.array(toks, pa.string())})
+    with pytest.raises(ValueError, match="guarantee check|candidate"):
+        sketches.mg_topk(
+            ray.data.from_arrow(tab).repartition(4), _make_tokens_fn(),
+            k=10, capacity=8,
+        )
+
+
+def test_mg_topk_parallelism_invariant(ray_session):
+    import ray.data
+
+    tab = _zipf_table(seed=13)
+    outs = []
+    for parts in (1, 6):
+        got = sketches.mg_topk(
+            ray.data.from_arrow(tab).repartition(parts), _make_tokens_fn(),
+            k=8, capacity=512,
+        ).take_all()
+        outs.append([(r["token"], r["n"]) for r in got])
+    assert outs[0] == outs[1]
