@@ -450,7 +450,7 @@ def equi_join_multi(
     """
     import numpy as np
 
-    from .hashing import hash64_array, mix64
+    from .hashing import hash64_columns
 
     if join_type != "inner":
         raise NotImplementedError(
@@ -464,13 +464,9 @@ def equi_join_multi(
 
     def add_ck(keys: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
-            h = np.zeros(batch.num_rows, np.uint64)
-            for i, k in enumerate(keys):
-                hk = hash64_array(batch[k])
-                rot = np.uint64((17 * (i + 1)) % 64)
-                h ^= (hk << rot) | (hk >> (np.uint64(64) - rot))
+            h = hash64_columns(batch, keys)
             return batch.append_column(
-                "__ck", pa.array(mix64(h).view(np.int64))
+                "__ck", pa.array(h.view(np.int64))
             )
 
         return fn

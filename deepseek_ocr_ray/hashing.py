@@ -125,3 +125,16 @@ def id_bucket_array(ids: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array
         (string_hash64(ids) % np.uint64(n_buckets)).astype(np.int64),
         pa.int64(),
     )
+
+
+def hash64_columns(batch: pa.Table, keys: list[str]) -> np.ndarray:
+    """Combined stable uint64 hash of several key columns: per-column
+    ``hash64_array`` mixed with per-position bit rotations, then a final
+    avalanche — the shared combined-key primitive of ``equi_join_multi``
+    and the coarse-bucket aggregations."""
+    h = np.zeros(batch.num_rows, np.uint64)
+    for i, k in enumerate(keys):
+        hk = hash64_array(batch[k])
+        rot = np.uint64((17 * (i + 1)) % 64)
+        h ^= (hk << rot) | (hk >> (np.uint64(64) - rot))
+    return mix64(h)

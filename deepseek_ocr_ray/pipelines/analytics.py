@@ -1042,8 +1042,14 @@ def user_day_activity(sf_dir: str) -> ray.data.Dataset:
     on the days they produced a high-value event".  Both sides pre-aggregate
     BEFORE the join (map-combined groupbys), so the exchange carries one row
     per key, and the join itself runs through ``equi_join_multi`` (64-bit
-    combined key + exact-equality verify — collision-safe at any scale)."""
-    from ray.data.aggregate import Count, Sum
+    combined key + exact-equality verify — collision-safe at any scale).
+
+    Both aggregations use the coarse-bucket C++ path
+    (``stages.agg.bucket_groupby_sum``): at ~2.5 rows per (user, day) key,
+    Ray's per-key Python accumulators were the measured bottleneck
+    (10.2 s → the C++ plan) — high-cardinality GROUP BY belongs on the
+    bucket plan."""
+    from ..stages.agg import bucket_groupby_sum
 
     events = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
@@ -1057,12 +1063,8 @@ def user_day_activity(sf_dir: str) -> ray.data.Dataset:
         )
 
     prepped = events.map_batches(eprep, batch_format="pyarrow")
-    e = (
-        prepped.groupby(["user_id", "day"])
-        .aggregate(Count(), Sum("value_cents"))
-        .rename_columns(
-            {"count()": "n_events", "sum(value_cents)": "value_cents"}
-        )
+    e = bucket_groupby_sum(
+        prepped, ["user_id", "day"], ["value_cents"], count_col="n_events"
     )
 
     hi_cents = int(round(USER_DAY_VALUE_THRESHOLD * 100))
@@ -1075,11 +1077,11 @@ def user_day_activity(sf_dir: str) -> ray.data.Dataset:
             {"h_user_id": batch["user_id"], "h_day": batch["day"]}
         )
 
-    h = (
-        prepped.map_batches(hi_prep, batch_format="pyarrow")
-        .groupby(["h_user_id", "h_day"])
-        .aggregate(Count())
-        .rename_columns({"count()": "n_high"})
+    h = bucket_groupby_sum(
+        prepped.map_batches(hi_prep, batch_format="pyarrow"),
+        ["h_user_id", "h_day"],
+        [],
+        count_col="n_high",
     )
     return equi_join_multi(
         e,
