@@ -1115,6 +1115,61 @@ ORDER BY 1, 2
 """
 
 
+def user_event_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event profile exercising every kernel of the coarse-bucket
+    aggregate (``stages.agg.bucket_groupby_agg``): count, integer sum,
+    min/max (int AND string), and exact mean (int64 sum ÷ int64 count, one
+    deterministic float64 division per group — bit-identical to DuckDB's
+    ``avg`` over BIGINT at these magnitudes, where double addition of
+    integers is exact).  One C++ partial pass, one 64-bucket exchange of
+    partial rows, C++ finalize — no per-key Python anywhere."""
+    from ..stages.agg import bucket_groupby_agg
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "value_cents": _cents(batch["value"]),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    out = bucket_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [
+            (None, "count", "n_events"),
+            ("value_cents", "sum", "sum_cents"),
+            ("value_cents", "min", "min_cents"),
+            ("value_cents", "max", "max_cents"),
+            ("value_cents", "mean", "avg_cents"),
+            ("event_type", "min", "first_type"),
+            ("event_type", "max", "last_type"),
+        ],
+    )
+    return out.sort("user_id")
+
+
+USER_EVENT_STATS_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       avg(cents) AS avg_cents,
+       min(event_type) AS first_type,
+       max(event_type) AS last_type
+FROM (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def lineitems_urgent_bloom(sf_dir: str) -> ray.data.Dataset:
     """Bloom-prefiltered EXACT semi-join: lineitems of 1-URGENT orders.
 

@@ -12,9 +12,14 @@ operator keeps every interior in Arrow C++:
    shuffle moves small int keys);
 3. per-bucket C++ ``group_by`` finalize.
 
-Exact for SUM / COUNT (partial counts re-enter as sums), associative and
-order-independent, so results are parallelism-invariant by construction.
-No reference counterpart (the reference has no aggregation surface).
+Every supported aggregate decomposes into associative, order-independent
+partials (sum→sum, min→min, max→max, count→sum, mean→sum+count), so
+results are parallelism-invariant by construction.  SUM and MEAN are
+restricted to integer inputs: a float sum's value depends on block
+combination order, which would put nondeterminism under the driver's
+bit-exact hash gate (scale float money to integer cents first, as the
+repo's queries do).  No reference counterpart (the reference has no
+aggregation surface).
 """
 
 from __future__ import annotations
@@ -25,6 +30,105 @@ import ray.data
 
 from ..hashing import hash64_columns
 
+AGG_FNS = ("sum", "min", "max", "count", "mean")
+
+
+def bucket_groupby_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[tuple[str | None, str, str]],
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact ``SELECT keys, fn(col) AS out, ... GROUP BY keys`` with every
+    interior in Arrow C++.
+
+    ``aggs`` is a list of ``(col, fn, out_name)`` with ``fn`` one of
+    ``sum | min | max | count | mean`` (``col`` is ignored for ``count``).
+    Output columns are ``keys + [out_name...]``; integer sums/counts are
+    int64, min/max keep the input type, mean is float64 (exact int64 sum ÷
+    int64 count — one deterministic division per group).
+    """
+    if not aggs:
+        raise ValueError("nothing to aggregate")
+    seen = set(keys)
+    for col, fn, out in aggs:
+        if fn not in AGG_FNS:
+            raise ValueError(f"unsupported aggregate {fn!r}; one of {AGG_FNS}")
+        if out in seen:
+            raise ValueError(f"duplicate output column {out!r}")
+        seen.add(out)
+        if fn != "count":
+            typ = ds.schema().base_schema.field(col).type
+            if fn in ("sum", "mean") and not (
+                pa.types.is_integer(typ) or pa.types.is_boolean(typ)
+            ):
+                raise ValueError(
+                    f"{fn}({col}): float sums are block-order-dependent — "
+                    "scale to integers (e.g. cents) first"
+                )
+
+    # the unique set of Arrow kernels the partial pass needs (dedup so
+    # e.g. count + mean don't emit two colliding count_all columns)
+    def partial(batch: pa.Table) -> pa.Table:
+        arrow_aggs: list = []
+        for col, fn, out in aggs:
+            if fn == "count" or fn == "mean":
+                if ([], "count_all") not in arrow_aggs:
+                    arrow_aggs.append(([], "count_all"))
+            if fn == "mean" or fn == "sum":
+                if (col, "sum") not in arrow_aggs:
+                    arrow_aggs.append((col, "sum"))
+            elif fn in ("min", "max"):
+                if (col, fn) not in arrow_aggs:
+                    arrow_aggs.append((col, fn))
+        g = batch.group_by(keys).aggregate(arrow_aggs)
+        cols = {k: g[k] for k in keys}
+        for col, fn, out in aggs:
+            if fn == "count":
+                cols[out] = g["count_all"].cast(pa.int64())
+            elif fn == "mean":
+                cols[f"{out}__sum"] = g[f"{col}_sum"].cast(pa.int64())
+                cols[f"{out}__n"] = g["count_all"].cast(pa.int64())
+            elif fn == "sum":
+                cols[out] = g[f"{col}_sum"].cast(pa.int64())
+            else:  # min / max keep their input type
+                cols[out] = g[f"{col}_{fn}"]
+        t = pa.table(cols)
+        bucket = hash64_columns(t, keys) % np.uint64(n_buckets)
+        return t.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        arrow_aggs = []
+        for col, fn, out in aggs:
+            if fn in ("sum", "count"):
+                arrow_aggs.append((out, "sum"))
+            elif fn == "mean":
+                arrow_aggs.append((f"{out}__sum", "sum"))
+                arrow_aggs.append((f"{out}__n", "sum"))
+            else:
+                arrow_aggs.append((out, fn))
+        g = group.group_by(keys).aggregate(arrow_aggs)
+        cols = {k: g[k] for k in keys}
+        for col, fn, out in aggs:
+            if fn in ("sum", "count"):
+                cols[out] = g[f"{out}_sum"].cast(pa.int64())
+            elif fn == "mean":
+                s = g[f"{out}__sum_sum"].cast(pa.float64())
+                n = g[f"{out}__n_sum"].cast(pa.float64())
+                cols[out] = pa.compute.divide(s, n)
+            else:
+                cols[out] = g[f"{out}_{fn}"]
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
 
 def bucket_groupby_sum(
     ds: ray.data.Dataset,
@@ -34,42 +138,11 @@ def bucket_groupby_sum(
     count_col: str | None = None,
     n_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Exact ``SELECT keys, SUM(c)..., COUNT(*) GROUP BY keys`` via
-    per-block C++ combine + one coarse-bucket exchange + C++ finalize.
-
-    Output columns: ``keys + sum_cols (+ count_col)``; sums keep their
-    input integer types widened to int64, the count is int64.
-    """
-    if not sum_cols and count_col is None:
-        raise ValueError("nothing to aggregate")
-
-    def partial(batch: pa.Table) -> pa.Table:
-        aggs = [(c, "sum") for c in sum_cols]
-        if count_col is not None:
-            aggs.append(([], "count_all"))
-        g = batch.group_by(keys).aggregate(aggs)
-        cols = {k: g[k] for k in keys}
-        for c in sum_cols:
-            cols[c] = g[f"{c}_sum"].cast(pa.int64())
-        if count_col is not None:
-            cols[count_col] = g["count_all"].cast(pa.int64())
-        t = pa.table(cols)
-        bucket = hash64_columns(t, keys) % np.uint64(n_buckets)
-        return t.append_column(
-            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
-        )
-
-    value_cols = list(sum_cols) + ([count_col] if count_col else [])
-
-    def finalize(group: pa.Table) -> pa.Table:
-        g = group.group_by(keys).aggregate([(c, "sum") for c in value_cols])
-        cols = {k: g[k] for k in keys}
-        for c in value_cols:
-            cols[c] = g[f"{c}_sum"].cast(pa.int64())
-        return pa.table(cols)
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(finalize, batch_format="pyarrow")
-    )
+    """Exact ``SELECT keys, SUM(c)..., COUNT(*) GROUP BY keys`` — thin
+    wrapper over :func:`bucket_groupby_agg`."""
+    aggs: list[tuple[str | None, str, str]] = [
+        (c, "sum", c) for c in sum_cols
+    ]
+    if count_col is not None:
+        aggs.append((None, "count", count_col))
+    return bucket_groupby_agg(ds, keys, aggs, n_buckets=n_buckets)

@@ -62,3 +62,77 @@ def test_bucket_groupby_sum_validation(ray_session):
 
     with pytest.raises(ValueError, match="nothing to aggregate"):
         bucket_groupby_sum(ray.data.from_arrow(_tab()), ["g"], [])
+
+
+def test_bucket_groupby_agg_all_fns_vs_naive(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import bucket_groupby_agg
+
+    tab = _tab(seed=11)
+    got = bucket_groupby_agg(
+        ray.data.from_arrow(tab).repartition(6),
+        ["g", "s"],
+        [
+            ("v", "sum", "sv"),
+            ("v", "min", "mn"),
+            ("v", "max", "mx"),
+            (None, "count", "n"),
+            ("v", "mean", "avg"),
+        ],
+    ).take_all()
+    want = {}
+    for i in range(tab.num_rows):
+        k = (tab["g"][i].as_py(), tab["s"][i].as_py())
+        v = tab["v"][i].as_py()
+        if k not in want:
+            want[k] = [0, 10**9, -(10**9), 0]
+        want[k][0] += v
+        want[k][1] = min(want[k][1], v)
+        want[k][2] = max(want[k][2], v)
+        want[k][3] += 1
+    assert len(got) == len(want)
+    for r in got:
+        sv, mn, mx, n = want[(r["g"], r["s"])]
+        assert (r["sv"], r["mn"], r["mx"], r["n"]) == (sv, mn, mx, n)
+        assert r["avg"] == sv / n
+
+
+def test_bucket_groupby_agg_min_max_on_strings(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import bucket_groupby_agg
+
+    tab = _tab(seed=3)
+    got = bucket_groupby_agg(
+        ray.data.from_arrow(tab).repartition(4),
+        ["g"],
+        [("s", "min", "smin"), ("s", "max", "smax")],
+    ).take_all()
+    want_min, want_max = {}, {}
+    for i in range(tab.num_rows):
+        k, s = tab["g"][i].as_py(), tab["s"][i].as_py()
+        want_min[k] = min(want_min.get(k, s), s)
+        want_max[k] = max(want_max.get(k, s), s)
+    for r in got:
+        assert (r["smin"], r["smax"]) == (want_min[r["g"]], want_max[r["g"]])
+
+
+def test_bucket_groupby_agg_rejects_float_sum(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import bucket_groupby_agg
+
+    tab = pa.table(
+        {"g": pa.array([1, 1], pa.int64()), "x": pa.array([0.5, 1.5])}
+    )
+    with pytest.raises(ValueError, match="block-order-dependent"):
+        bucket_groupby_agg(
+            ray.data.from_arrow(tab), ["g"], [("x", "sum", "sx")]
+        )
+    with pytest.raises(ValueError, match="duplicate output"):
+        bucket_groupby_agg(
+            ray.data.from_arrow(tab),
+            ["g"],
+            [(None, "count", "n"), (None, "count", "n")],
+        )
