@@ -1115,6 +1115,45 @@ ORDER BY 1, 2
 """
 
 
+def user_day_activity_fused(sf_dir: str) -> ray.data.Dataset:
+    """The 1-exchange plan for ``user_day_activity``: the self-join of
+    "per-(user, day) totals" with "per-(user, day) high-value counts" is
+    really one aggregation with a conditional sum — ``n_high =
+    SUM(value_cents >= threshold)`` — and the inner-join semantics are the
+    post-filter ``n_high > 0``.  Identical rows to the 3-exchange
+    join plan (shares its SQL oracle); this is the plan an optimizer
+    should pick whenever both join inputs are aggregations of the same
+    relation on the same keys."""
+    from ..stages.agg import bucket_groupby_agg
+
+    events = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    hi_cents = int(round(USER_DAY_VALUE_THRESHOLD * 100))
+
+    def eprep(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["value"])
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "value_cents": cents,
+                "is_high": pc.cast(
+                    pc.greater_equal(cents, hi_cents), pa.int64()
+                ),
+            }
+        )
+
+    out = bucket_groupby_agg(
+        events.map_batches(eprep, batch_format="pyarrow"),
+        ["user_id", "day"],
+        [
+            (None, "count", "n_events"),
+            ("value_cents", "sum", "value_cents"),
+            ("is_high", "sum", "n_high"),
+        ],
+    )
+    return out.filter(expr="n_high > 0")
+
+
 def user_event_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-user event profile exercising every kernel of the coarse-bucket
     aggregate (``stages.agg.bucket_groupby_agg``): count, integer sum,
