@@ -810,3 +810,131 @@ LEFT JOIN w w2 ON w2.win = d.doc_id
 WHERE d.doc_id % 41 <> 0
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF relevance search (integer-exact scoring)
+# ---------------------------------------------------------------------------
+
+TFIDF_TERMS = ["vector", "hash", "spark"]
+TFIDF_SCALE = 1_000_000
+TFIDF_K = 10
+
+
+def search_tfidf(
+    sf_dir: str,
+    *,
+    terms: list[str] | None = None,
+    k: int = TFIDF_K,
+) -> ray.data.Dataset:
+    """Top-k documents for a fixed term query by integer-exact TF-IDF.
+
+    ``score(doc) = Σ_term tf(term, doc) · idf_int(term)`` with
+    ``idf_int = (N_docs · SCALE) // df`` — floor division of exact int64s,
+    bit-identical between numpy and the SQL oracle's BIGINT ``//`` (a float
+    ``ln`` IDF would put IEEE rounding under the driver's hash gate; the
+    floor-scaled ratio preserves the same ranking signal).
+
+    Distributed shape: (1) N_docs from parquet metadata (no scan);
+    (2) one DF pass — per-block distinct (doc, term) pairs for QUERY terms
+    only (``pc.index_in`` against the tiny term set, so non-query tokens
+    never leave the kernel), combined through a ≤|terms|-key groupby;
+    (3) the ≤|terms|-row IDF table is a plain closure constant — no
+    broadcast needed; (4) one scoring map (tf·idf via ``np.add.at`` on the
+    flattened hit stream) emitting only matching docs; (5) per-block local
+    top-k then a final sort+limit over blocks×k rows — the corpus is never
+    globally sorted."""
+    from ray.data.aggregate import Sum
+
+    terms = list(terms or TFIDF_TERMS)
+    tset = pa.array(terms, pa.string())
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        pos = pc.index_in(flat, value_set=tset)
+        mask = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        pairs = (
+            pa.table(
+                {
+                    "doc": pa.array(parent[mask]),
+                    "term": pos.filter(pa.array(mask)).cast(pa.int32()),
+                }
+            )
+            # a document is one row, so per-block distinct == global distinct
+            .group_by(["doc", "term"])
+            .aggregate([])
+        )
+        g = pairs.group_by("term").aggregate([([], "count_all")])
+        return pa.table(
+            {"term": g["term"], "df": g["count_all"].cast(pa.int64())}
+        )
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df"))
+        .take_all()
+    )  # bounded: ≤ len(terms) rows
+    idf = np.zeros(len(terms), np.int64)
+    for r in df_rows:
+        if r["sum(df)"] > 0:
+            idf[r["term"]] = (n_docs * TFIDF_SCALE) // r["sum(df)"]
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parent = tokens_flat(batch["text"])
+        pos = pc.index_in(flat, value_set=tset)
+        mask = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        hits = pos.filter(pa.array(mask)).to_numpy(zero_copy_only=False)
+        s = np.zeros(n, np.int64)
+        np.add.at(s, parent[mask], idf[hits.astype(np.int64)])
+        keep = s > 0
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "score": pa.array(s[keep], pa.int64()),
+            }
+        )
+        # block-local top-k by (score desc, doc_id asc): the global
+        # top-k is a subset of the per-block top-ks under a total order
+        if t.num_rows > k:
+            order = np.lexsort(
+                (
+                    t["doc_id"].to_numpy(zero_copy_only=False),
+                    -t["score"].to_numpy(zero_copy_only=False),
+                )
+            )[:k]
+            t = t.take(pa.array(np.sort(order)))
+        return t
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def search_tfidf_sql(terms: list[str] | None = None, k: int = TFIDF_K) -> str:
+    terms = list(terms or TFIDF_TERMS)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok IN ({in_list})
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks GROUP BY 1),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf * ((n.n_docs * {TFIDF_SCALE}) // df.df)) AS BIGINT)
+         AS score
+FROM tf JOIN df USING (tok) CROSS JOIN n
+GROUP BY 1
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
