@@ -1115,6 +1115,49 @@ ORDER BY 1, 2
 """
 
 
+def quality_filter_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-language median-length filter — the canonical two-pass
+    threshold pattern of corpus curation ("keep documents at or above
+    their language's P50"): (1) EXACT per-group quantile via the
+    histogram plan (``stages.agg.group_quantile_disc`` — one exchange of
+    per-(lang, length) counts, volume independent of row count); (2) the
+    per-language threshold table (one row per language, bounded) becomes
+    a closure constant and the corpus streams through one vectorized
+    filter map.  No full-table sort, no per-row Python."""
+    from ..stages.agg import group_quantile_disc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    th_rows = group_quantile_disc(
+        ds.select_columns(["lang", "n_chars"]),
+        ["lang"],
+        "n_chars",
+        0.5,
+        out_col="th",
+    ).take_all()  # bounded: one row per language
+    langs = pa.array([r["lang"] for r in th_rows], pa.string())
+    ths = np.array([r["th"] for r in th_rows], np.int64)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch["lang"], value_set=langs).to_numpy(
+            zero_copy_only=False
+        )
+        keep = batch["n_chars"].to_numpy(zero_copy_only=False) >= ths[pos]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+QUALITY_FILTER_BY_LANG_SQL = """
+WITH th AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS t FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN th USING (lang)
+WHERE d.n_chars >= th.t
+ORDER BY 1
+"""
+
+
 def user_day_activity_fused(sf_dir: str) -> ray.data.Dataset:
     """The 1-exchange plan for ``user_day_activity``: the self-join of
     "per-(user, day) totals" with "per-(user, day) high-value counts" is

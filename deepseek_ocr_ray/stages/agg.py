@@ -146,3 +146,89 @@ def bucket_groupby_sum(
     if count_col is not None:
         aggs.append((None, "count", count_col))
     return bucket_groupby_agg(ds, keys, aggs, n_buckets=n_buckets)
+
+
+def group_quantile_disc(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    q: float,
+    *,
+    out_col: str = "quantile",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT per-group discrete quantile (DuckDB ``quantile_disc``
+    convention: the value at sorted index ``floor(q·(n−1))``) — one row
+    per group.
+
+    Histogram plan: the map side reduces each block to per-(group, value)
+    counts in C++, ONE keyed exchange moves those partial histogram rows
+    (volume = groups × distinct values per block, independent of row
+    count), and the finalize walks each group's sorted histogram with a
+    vectorized cumsum to pick the rank.  Exact and parallelism-invariant
+    for any integer-ish value column whose distinct-value count is
+    bounded (scores, lengths, cents); for unbounded doubles use the
+    DDSketch quantiles in ``stages/sketches.py`` instead.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys + [value_col]).aggregate([([], "count_all")])
+        cols = {k: g[k] for k in keys}
+        cols[value_col] = g[value_col]
+        cols["__cnt"] = g["count_all"].cast(pa.int64())
+        t = pa.table(cols)
+        bucket = hash64_columns(t, keys) % np.uint64(n_buckets)
+        return t.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        # merge duplicate (keys, value) partials from different blocks
+        g = group.group_by(keys + [value_col]).aggregate([("__cnt", "sum")])
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: g[k] for k in keys},
+                    out_col: g[value_col],
+                }
+            )
+        # sort histogram rows by (group, value) using EXACT per-column
+        # dictionary codes as the run delimiter (codes order differently
+        # than values, which is irrelevant — only run identity matters —
+        # and unlike a 64-bit hash they cannot merge two distinct groups)
+        def _codes(col) -> np.ndarray:
+            enc = pa.compute.dictionary_encode(col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        codes = [_codes(g[k]) for k in keys]
+        val = g[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((val, *codes[::-1]))
+        codes_s = [c[order] for c in codes]
+        changed = np.zeros(n - 1, bool) if n else np.zeros(0, bool)
+        for c in codes_s:
+            changed |= c[1:] != c[:-1]
+        cnt_s = g["__cnt_sum"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.r_[True, changed])
+        ends = np.r_[starts[1:], n]
+        csum = np.cumsum(cnt_s)
+        run_base = np.where(starts > 0, csum[starts - 1], 0)
+        run_tot = csum[ends - 1] - run_base
+        # zero-indexed target rank within the run: floor(q * (n_g - 1))
+        target = np.floor(q * (run_tot - 1)).astype(np.int64)
+        # first histogram row whose cumulative count exceeds the rank
+        pick = np.searchsorted(csum, run_base + target, side="right")
+        out_rows = order[pick]
+        out_cols = {k: g[k].take(pa.array(out_rows)) for k in keys}
+        out_cols[out_col] = g[value_col].take(pa.array(out_rows))
+        return pa.table(out_cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

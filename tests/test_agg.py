@@ -136,3 +136,91 @@ def test_bucket_groupby_agg_rejects_float_sum(ray_session):
             ["g"],
             [(None, "count", "n"), (None, "count", "n")],
         )
+
+
+def _quantile_naive(pairs, q):
+    """DuckDB quantile_disc: sorted values, index floor(q*(n-1))."""
+    import math
+
+    by_key = {}
+    for k, v in pairs:
+        by_key.setdefault(k, []).append(v)
+    out = {}
+    for k, vs in by_key.items():
+        vs.sort()
+        out[k] = vs[math.floor(q * (len(vs) - 1))]
+    return out
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.75, 1.0])
+def test_group_quantile_disc_matches_duckdb_convention(ray_session, q):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_quantile_disc
+
+    rng = np.random.RandomState(17)
+    n = 4000
+    tab = pa.table(
+        {
+            "k": pa.array([f"g{v}" for v in rng.randint(0, 9, n)], pa.string()),
+            "v": pa.array(rng.randint(0, 40, n).tolist(), pa.int64()),
+        }
+    )
+    got = {
+        r["k"]: r["quantile"]
+        for r in group_quantile_disc(
+            ray.data.from_arrow(tab).repartition(6), ["k"], "v", q
+        ).take_all()
+    }
+    want = {
+        k: t
+        for k, t in duckdb.connect()
+        .execute(
+            "SELECT k, quantile_disc(v, ?) FROM tab GROUP BY 1", [q]
+        )
+        .fetchall()
+    }
+    assert got == want
+
+
+def test_group_quantile_disc_multikey_and_invariance(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_quantile_disc
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    tab = pa.table(
+        {
+            "a": pa.array(rng.randint(0, 5, n).tolist(), pa.int64()),
+            "b": pa.array([f"s{v}" for v in rng.randint(0, 4, n)], pa.string()),
+            "v": pa.array(rng.randint(-30, 30, n).tolist(), pa.int64()),
+        }
+    )
+    pairs = [
+        ((tab["a"][i].as_py(), tab["b"][i].as_py()), tab["v"][i].as_py())
+        for i in range(n)
+    ]
+    want = _quantile_naive(pairs, 0.75)
+    outs = []
+    for parts in (1, 8):
+        rows = group_quantile_disc(
+            ray.data.from_arrow(tab).repartition(parts),
+            ["a", "b"],
+            "v",
+            0.75,
+        ).take_all()
+        outs.append({(r["a"], r["b"]): r["quantile"] for r in rows})
+    assert outs[0] == want
+    assert outs[1] == want
+
+
+def test_group_quantile_disc_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_quantile_disc
+
+    tab = pa.table({"k": [1], "v": [1]})
+    with pytest.raises(ValueError, match="q must be"):
+        group_quantile_disc(ray.data.from_arrow(tab), ["k"], "v", 1.5)
