@@ -328,3 +328,107 @@ def hopping_window(
             }
         )
     )
+
+
+def funnel_conversions(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    step_a: str = "view",
+    step_b: str = "purchase",
+    window_sec: float = 3600.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Two-step funnel: per user, how many ``step_a`` events were followed
+    by at least one ``step_b`` event STRICTLY within ``(t, t + window]`` —
+    the sequence-pattern primitive (MATCH_RECOGNIZE-lite) behind
+    conversion-rate and A/B metrics.
+
+    Shape: one coarse-bucket exchange on a stable hash of the user (all
+    events of one user land in one group), then a FULLY vectorized
+    in-group pass — events lexsorted by (user, ts), users dense-ranked,
+    each row encoded as ``urank·T + dt`` (``T`` sized so ``dt + window``
+    cannot wrap into the next user, with an explicit int64-overflow
+    guard), so one ``np.searchsorted`` pair per side plus a
+    purchase-prefix-sum answers every "any B in (t, t+W] for this user"
+    question with zero per-row or per-user Python.
+    """
+    window_us = int(round(window_sec * 1e6))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch[type_col], value_set=pa.array([step_a, step_b], pa.string())
+        )
+        out = batch.select([user_col, ts_col, type_col]).filter(keep)
+        users = out[user_col].to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "bucket", pa.array(_bucket_i64(users, n_buckets), pa.int64())
+        )
+
+    empty = pa.table(
+        {
+            user_col: pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_conv": pa.array([], pa.int64()),
+        }
+    )
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return empty
+        users = g[user_col].to_numpy(zero_copy_only=False)
+        ts_us = (
+            g[ts_col]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        is_b = pc.equal(g[type_col], step_b).to_numpy(zero_copy_only=False)
+        is_a = pc.equal(g[type_col], step_a).to_numpy(zero_copy_only=False)
+
+        # dense-rank users (input already sorted by user)
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        urank = np.cumsum(new_user) - 1
+        dt = ts_us - ts_us.min()
+        T = int(dt.max()) + window_us + 2
+        if (int(urank[-1]) + 1) * T >= 2**63:
+            raise OverflowError(
+                "funnel_conversions: users-per-bucket x time-range too "
+                "large for the int64 combined key — raise n_buckets"
+            )
+        comb = urank * np.int64(T) + dt
+        # purchases among the first k rows
+        pp = np.concatenate(([0], np.cumsum(is_b)))
+        a_idx = np.flatnonzero(is_a)
+        code_a = comb[a_idx]
+        j1 = np.searchsorted(comb, code_a, side="right")
+        j2 = np.searchsorted(comb, code_a + window_us, side="right")
+        conv = (pp[j2] - pp[j1]) > 0
+
+        # aggregate per user over step_a rows
+        ua = urank[a_idx]
+        n_users = int(urank[-1]) + 1
+        n_a = np.bincount(ua, minlength=n_users)
+        n_conv = np.bincount(ua, weights=conv.astype(np.int64), minlength=n_users)
+        first_rows = np.flatnonzero(new_user)
+        keep = n_a > 0
+        return pa.table(
+            {
+                user_col: pa.array(users[first_rows][keep], pa.int64()),
+                "n_a": pa.array(n_a[keep].astype(np.int64), pa.int64()),
+                "n_conv": pa.array(n_conv[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )

@@ -244,3 +244,77 @@ def test_hopping_window_rejects_non_multiple(ray_session):
         windows.hopping_window(
             ray.data.from_arrow(_hop_events()), size_s=7000, hop_s=3000
         )
+
+
+def test_funnel_conversions_vs_naive(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import funnel_conversions
+
+    rng = np.random.RandomState(23)
+    n = 4000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.randint(0, 3 * 86400, n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    users = rng.randint(0, 60, n).astype(np.int64)
+    types = rng.choice(["view", "purchase", "click"], n)
+    tab = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    W = np.timedelta64(3600 * 1000000, "us")
+    want = {}
+    for u in np.unique(users):
+        vm = (users == u) & (types == "view")
+        pm = (users == u) & (types == "purchase")
+        pts = ts[pm]
+        n_a = int(vm.sum())
+        if n_a == 0:
+            continue
+        n_conv = sum(
+            1 for t in ts[vm] if np.any((pts > t) & (pts <= t + W))
+        )
+        want[int(u)] = (n_a, n_conv)
+
+    for parts in (1, 9):
+        got = {
+            r["user_id"]: (r["n_a"], r["n_conv"])
+            for r in funnel_conversions(
+                ray.data.from_arrow(tab).repartition(parts)
+            ).take_all()
+        }
+        assert got == want
+
+
+def test_funnel_window_boundaries_are_strict_open_closed(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import funnel_conversions
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(3600 * 1000000, "us")
+    US = np.timedelta64(1, "us")
+    rows = [
+        # purchase AT the view instant -> no conversion (strict >)
+        (1, t0, "view"), (1, t0, "purchase"),
+        # purchase exactly at t+window -> conversion (closed right edge)
+        (2, t0, "view"), (2, t0 + H, "purchase"),
+        # purchase one microsecond past the window -> no conversion
+        (3, t0, "view"), (3, t0 + H + US, "purchase"),
+    ]
+    tab = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = {
+        r["user_id"]: r["n_conv"]
+        for r in funnel_conversions(ray.data.from_arrow(tab)).take_all()
+    }
+    assert got == {1: 0, 2: 1, 3: 0}
