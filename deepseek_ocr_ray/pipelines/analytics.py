@@ -106,30 +106,49 @@ def chunk_documents(
     (generate_series + substr)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_no": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "chunk_chars": pa.array([], pa.int64()),
+        }
+    )
+
     def chunks(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out_id: list[int] = []
-        out_no: list[int] = []
-        out_text: list[str] = []
-        for did, t in zip(ids, texts):
-            n = len(t)
-            for no, start in enumerate(range(0, max(n, 1), stride)):
-                if start >= n:
-                    break
-                out_id.append(did)
-                out_no.append(no)
-                out_text.append(t[start : start + window])
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "chunk_no": pa.array(out_no, pa.int64()),
-                "chunk_text": pa.array(out_text, pa.string()),
-                "chunk_chars": pa.array(
-                    [len(c) for c in out_text], pa.int64()
-                ),
-            }
-        )
+        # loop over CHUNK INDEX (bounded by ceil(max_len/stride), ~7 for
+        # 1k-char docs), each iteration one vectorized Arrow slice over
+        # every still-alive document — no per-doc Python, and a document's
+        # text is never replicated ×chunks before slicing
+        # (pc.utf8_slice_codeunits slices by code points = Python slicing)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(lens) == 0 or lens.max() == 0:
+            return empty
+        max_chunks = int((int(lens.max()) + stride - 1) // stride)
+        outs = []
+        for i in range(max_chunks):
+            start = i * stride
+            idx = np.flatnonzero(lens > start)
+            sl = pc.utf8_slice_codeunits(
+                texts.take(pa.array(idx)), start=start, stop=start + window
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[idx], pa.int64()),
+                        "chunk_no": pa.array(
+                            np.full(len(idx), i, np.int64), pa.int64()
+                        ),
+                        "chunk_text": sl,
+                        "chunk_chars": pc.utf8_length(sl).cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
 
     return ds.map_batches(chunks, batch_format="pyarrow")
 

