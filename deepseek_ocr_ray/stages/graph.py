@@ -31,6 +31,7 @@ that corpus.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -199,3 +200,213 @@ def connected_components(
         "(component diameter exceeds the bound — raise max_iters or use a "
         "star-contraction variant)"
     )
+
+
+def _check_node_sets(edges, src_col: str, dst_col: str):
+    from .agg import bucket_groupby_agg
+
+    both = edges.select_columns([src_col]).union(
+        edges.select_columns([dst_col]).rename_columns({dst_col: src_col})
+    )
+    n_union = bucket_groupby_agg(
+        both, [src_col], [(None, "count", "c")]
+    ).count()
+    n_dst = bucket_groupby_agg(
+        edges.select_columns([dst_col]), [dst_col], [(None, "count", "c")]
+    ).count()
+    return n_union, n_dst
+
+
+def pagerank_int(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_iters: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+    approx_bytes: int | None = None,
+    assume_symmetric: bool = False,
+) -> ray.data.Dataset:
+    """Integer-exact PageRank power iteration — ``(node, rank_scaled)``.
+
+    All arithmetic is int64 (``r0 = scale``; each round
+    ``r'(v) = base + (damping · Σ_{u→v} r(u)//outdeg(u)) // 100`` with
+    ``base = ((100−damping)·scale)//100``), so sums are associative and
+    order-independent: the result is parallelism-invariant by construction
+    AND expressible as unrolled SQL CTEs — a float PageRank's summation
+    order would sit under the driver's bit-exact hash gate.  The floor
+    divisions leak ≤1 mass unit per edge per round; at ``scale = 1e6``
+    ranking order is unaffected for any realistic graph.
+
+    Every node must appear as a source (i.e. have outdeg ≥ 1) — true for
+    symmetrized edge lists, which also guarantees indegree ≥ 1, so no
+    dangling-mass redistribution or left-outer join is needed (raises if
+    the node sets diverge).  Duplicate input edges are deduplicated
+    internally (a multigraph would double-count shares).
+
+    Shape: the setup is ONE exchange — edges are map-side distincted and
+    bucketed BY SOURCE, so each bucket holds every edge of its sources
+    and the finalize emits the globally-distinct edge list with outdeg
+    already attached (``pc.index_in`` against the in-bucket degree table);
+    no separate degree aggregation, no edges ⋈ outdeg join.  The rank
+    table inits from per-block distinct sources of that result (sources
+    never split across buckets).  A round is one ``ranks ⋈ edges`` join
+    (broadcast below the plasma cap, hash exchange above — the same
+    auto-select convention as the dedup/CC operators) plus one
+    coarse-bucket sum.  Skew note: bucketing by source sends a
+    celebrity node's whole adjacency to one bucket — at 64+ buckets this
+    bounds skew to max-degree/total-edges, the usual salting candidate.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash64_columns
+    from .agg import bucket_groupby_agg
+
+    if num_iters < 1:
+        raise ValueError("num_iters must be >= 1")
+    base = ((100 - damping_pct) * scale) // 100
+    N_BUCKETS = 64
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([src_col, dst_col])
+            .group_by([src_col, dst_col])
+            .aggregate([])
+        )
+        bucket = hash64_columns(t, [src_col]) % np.uint64(N_BUCKETS)
+        return t.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def fin(group: pa.Table) -> pa.Table:
+        g = group.group_by([src_col, dst_col]).aggregate([])
+        d = g.group_by(src_col).aggregate([([], "count_all")])
+        srcs = d[src_col]
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        pos = pc.index_in(g[src_col], value_set=srcs)
+        deg = d["count_all"].take(pos)
+        return pa.table(
+            {
+                src_col: g[src_col],
+                dst_col: g[dst_col],
+                "deg": deg.cast(pa.int64())
+                if not isinstance(deg, pa.ChunkedArray)
+                else deg.combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    edges_deg = (
+        edges.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fin, batch_format="pyarrow")
+        .materialize()
+    )
+    # exact volume for the per-round joins: the static joined edge list
+    # (3 int64 columns) dominates the rank side
+    round_bytes = edges_deg.count() * 24
+
+    # block-local distinct src == globally distinct: each source's run is
+    # confined to one bucket (and bucket groups are never split mid-run)
+    def block_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {src_col: pc.unique(batch[src_col].combine_chunks()
+                                if isinstance(batch[src_col], pa.ChunkedArray)
+                                else batch[src_col])}
+        )
+
+    node_ds = edges_deg.map_batches(
+        block_nodes, batch_format="pyarrow"
+    ).materialize()
+    n_nodes = node_ds.count()
+    if assume_symmetric:
+        n_union = n_dst = n_nodes  # caller just symmetrized; skip 2 scans
+    else:
+        n_union, n_dst = _check_node_sets(edges, src_col, dst_col)
+    # SET (not count) equality both ways: dst ⊆ src via
+    # |distinct(src) ∪ distinct(dst)| == |distinct(src)|, and src ⊆ dst
+    # via the same union count equalling |distinct(dst)| — a node missing
+    # on either side would silently drop out of the rank table mid-run
+    if n_union != n_nodes or n_union != n_dst:
+        raise ValueError(
+            "pagerank_int: source and destination node sets differ — "
+            "symmetrize the edge list (add reverse edges) first"
+        )
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch[src_col],
+                "r": pa.array(
+                    np.full(batch.num_rows, scale, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks = node_ds.map_batches(init_rank, batch_format="pyarrow")
+
+    # below the broadcast cap the rank table (16 B/node) ships once to
+    # plasma per round and the join is a zero-exchange streaming map over
+    # the static edge list; above it (web-scale node counts) every round
+    # is a hash exchange — same auto-select convention as the dedup/CC
+    # operators, and both plans share every other code path
+    from ..cluster import BROADCAST_MAX_BYTES
+
+    small_ranks = n_nodes * 16 <= BROADCAST_MAX_BYTES // 4
+
+    for _ in range(num_iters):
+        if small_ranks:
+            joined = equi_join(
+                edges_deg,
+                ranks,
+                on=src_col,
+                right_on="node",
+                left_cols=[dst_col, "deg"],
+                right_cols=["r"],
+                strategy="broadcast",
+            )
+        else:
+            joined = equi_join(
+                ranks,
+                edges_deg,
+                on="node",
+                right_on=src_col,
+                left_cols=["r"],
+                right_cols=[dst_col, "deg"],
+                approx_bytes=round_bytes,
+            )
+
+        def shares(batch: pa.Table) -> pa.Table:
+            r = batch["r"].to_numpy(zero_copy_only=False)
+            d = batch["deg"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch[dst_col],
+                    "share": pa.array(r // d, pa.int64()),
+                }
+            )
+
+        summed = bucket_groupby_agg(
+            joined.map_batches(shares, batch_format="pyarrow"),
+            ["node"],
+            [("share", "sum", "share")],
+        )
+
+        def next_rank(batch: pa.Table) -> pa.Table:
+            s = batch["share"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "r": pa.array(
+                        base + (damping_pct * s) // 100, pa.int64()
+                    ),
+                }
+            )
+
+        # no explicit materialize: the auto-strategy join above runs
+        # eagerly, so each round's lineage is at most (join output -> map
+        # -> agg -> map) — re-execution of prior rounds cannot compound
+        ranks = summed.map_batches(next_rank, batch_format="pyarrow")
+
+    return ranks.rename_columns({"r": "rank_scaled"})

@@ -1,0 +1,76 @@
+"""Integer-exact PageRank (stages/graph.pagerank_int)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_ray.stages.graph import pagerank_int
+
+
+def _edges_tab(pairs):
+    return pa.table(
+        {
+            "src": pa.array([p[0] for p in pairs], pa.int64()),
+            "dst": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
+def _naive(pairs, iters, scale=1_000_000, damping=85):
+    nodes = sorted({u for u, _ in pairs})
+    deg = {}
+    for u, _ in pairs:
+        deg[u] = deg.get(u, 0) + 1
+    base = ((100 - damping) * scale) // 100
+    r = {u: scale for u in nodes}
+    for _ in range(iters):
+        inc = {u: 0 for u in nodes}
+        for u, v in pairs:
+            inc[v] += r[u] // deg[u]
+        r = {u: base + (damping * inc[u]) // 100 for u in nodes}
+    return r
+
+
+def test_pagerank_matches_naive_on_random_symmetric_graph(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    und = {tuple(sorted(p)) for p in rng.randint(0, 40, (120, 2)) if p[0] != p[1]}
+    pairs = [(int(u), int(v)) for u, v in und] + [
+        (int(v), int(u)) for u, v in und
+    ]
+    want = _naive(pairs, 3)
+    for parts in (1, 7):
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_int(
+                ray.data.from_arrow(_edges_tab(pairs)).repartition(parts),
+                num_iters=3,
+            ).take_all()
+        }
+        assert got == want
+
+
+def test_pagerank_star_graph_center_dominates(ray_session):
+    import ray.data
+
+    pairs = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_int(
+            ray.data.from_arrow(_edges_tab(pairs)), num_iters=4
+        ).take_all()
+    }
+    assert got[0] > max(got[i] for i in range(1, 6))
+    assert len({got[i] for i in range(1, 6)}) == 1  # leaves symmetric
+
+
+def test_pagerank_rejects_asymmetric_node_sets(ray_session):
+    import ray.data
+
+    with pytest.raises(Exception, match="symmetrize"):
+        pagerank_int(
+            ray.data.from_arrow(_edges_tab([(1, 2), (2, 3)])), num_iters=1
+        ).take_all()
