@@ -232,3 +232,65 @@ def group_quantile_disc(
         .groupby("bucket")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def _first_per_key(tab: pa.Table, keys: list[str], order_by: list) -> pa.Table:
+    """First row of each key group after an Arrow C++ sort by
+    ``keys + order_by`` — run boundaries via exact dictionary codes."""
+    if tab.num_rows == 0:
+        return tab
+    s = tab.sort_by([(k, "ascending") for k in keys] + order_by)
+    n = s.num_rows
+
+    def _codes(col) -> np.ndarray:
+        enc = pa.compute.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    changed = np.zeros(n - 1, bool)
+    for k in keys:
+        c = _codes(s[k])
+        changed |= c[1:] != c[:-1]
+    starts = np.flatnonzero(np.r_[True, changed])
+    return s.take(pa.array(starts))
+
+
+def latest_by_key(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    order_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """CDC-style compaction: the single LATEST row per key — max
+    ``(order_col, tiebreak_col)`` wins, ties impossible if the tiebreak is
+    unique (SQL ``row_number() OVER (PARTITION BY keys ORDER BY order
+    DESC, tiebreak DESC) = 1``).
+
+    Map side reduces each block to one candidate row per key (C++ sort +
+    dictionary-code run walk — the winner for a key in a block beats every
+    other row of that key in the block, so dropping the rest is safe);
+    ONE keyed exchange moves only those candidates; the finalize repeats
+    the same reduction per bucket.  The whole winning ROW rides through,
+    so arbitrary payload columns survive byte-exact — this is the
+    compaction an event-log → current-state table needs.
+    """
+    order_by = [(order_col, "descending"), (tiebreak_col, "descending")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _first_per_key(batch, keys, order_by)
+        bucket = hash64_columns(t, keys) % np.uint64(n_buckets)
+        return t.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return _first_per_key(group.drop_columns(["bucket"]), keys, order_by)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

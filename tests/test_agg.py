@@ -224,3 +224,39 @@ def test_group_quantile_disc_validation(ray_session):
     tab = pa.table({"k": [1], "v": [1]})
     with pytest.raises(ValueError, match="q must be"):
         group_quantile_disc(ray.data.from_arrow(tab), ["k"], "v", 1.5)
+
+
+def test_latest_by_key_vs_naive(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import latest_by_key
+
+    rng = np.random.RandomState(31)
+    n = 3000
+    tab = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 200, n).tolist(), pa.int64()),
+            "t": pa.array(rng.randint(0, 50, n).tolist(), pa.int64()),
+            "id": pa.array(rng.permutation(n).tolist(), pa.int64()),
+            "payload": pa.array(
+                [f"p{v}" for v in rng.randint(0, 9, n)], pa.string()
+            ),
+        }
+    )
+    want = {}
+    for i in range(n):
+        k = tab["k"][i].as_py()
+        row = (tab["t"][i].as_py(), tab["id"][i].as_py(), tab["payload"][i].as_py())
+        if k not in want or row[:2] > want[k][:2]:
+            want[k] = row
+    for parts in (1, 8):
+        got = {
+            r["k"]: (r["t"], r["id"], r["payload"])
+            for r in latest_by_key(
+                ray.data.from_arrow(tab).repartition(parts),
+                ["k"],
+                order_col="t",
+                tiebreak_col="id",
+            ).take_all()
+        }
+        assert got == want
