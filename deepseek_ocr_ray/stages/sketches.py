@@ -608,3 +608,113 @@ def mg_topk(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def group_ddsketch_quantiles(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    *,
+    alpha: float = 0.01,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-GROUP DDSketch quantiles — one ``(keys..., q, est)`` row per
+    group×quantile, with the same α relative-error guarantee and
+    parallelism-invariance as :func:`ddsketch_quantiles` (counter-addition
+    merges), so outputs fixture-pin like the global sketch.
+
+    The partial pass is fully vectorized even across groups: sign/bin are
+    computed per ROW (numpy), then ONE C++ ``group_by(keys, sign, bin)``
+    per block reduces to counter rows; the exchange carries
+    groups × bins per block (bins bounded by the value range, ~2k at
+    α=0.01 over 12 decades — row-count-independent).  The finalize walks
+    each group's merged counters (bounded per-group loop over sorted
+    runs; the interior is the shared ``dd_quantiles``)."""
+    from ..hashing import hash64_columns
+
+    log_gamma = np.log(_dd_gamma(alpha))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        sign = np.zeros(len(x), np.int64)
+        sign[x > DD_ZERO_EPS] = 1
+        sign[x < -DD_ZERO_EPS] = -1
+        bn = np.zeros(len(x), np.int64)
+        nz = sign != 0
+        bn[nz] = np.ceil(np.log(np.abs(x[nz])) / log_gamma).astype(np.int64)
+        t = pa.table(
+            {
+                **{k: batch[k] for k in keys},
+                "sign": pa.array(sign),
+                "bin": pa.array(bn),
+            }
+        ).filter(pa.array(ok))
+        g = t.group_by(keys + ["sign", "bin"]).aggregate([([], "count_all")])
+        cols = {k: g[k] for k in keys}
+        cols["sign"] = g["sign"]
+        cols["bin"] = g["bin"]
+        cols["n"] = g["count_all"].cast(pa.int64())
+        out = pa.table(cols)
+        bucket = hash64_columns(out, keys) % np.uint64(n_buckets)
+        return out.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.group_by(keys + ["sign", "bin"]).aggregate([("n", "sum")])
+        g = g.sort_by([(k, "ascending") for k in keys])
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: g[k] for k in keys},
+                    "q": pa.array([], pa.float64()),
+                    "est": pa.array([], pa.float64()),
+                }
+            )
+        changed = np.zeros(n - 1, bool)
+        for k in keys:  # exact run boundaries: any key column changes
+            enc = pa.compute.dictionary_encode(g[k])
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            c = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            changed |= c[1:] != c[:-1]
+        starts = np.flatnonzero(np.r_[True, changed])
+        ends = np.r_[starts[1:], n]
+        outs = []
+        for s, e in zip(starts, ends):  # bounded: one iteration per group
+            sub = g.slice(s, e - s)
+            est = dd_quantiles(
+                pa.table(
+                    {"sign": sub["sign"], "bin": sub["bin"],
+                     "n": sub["n_sum"]}
+                ),
+                qs,
+                alpha,
+            )
+            key_cols = {
+                k: pa.concat_arrays(
+                    [sub[k].combine_chunks().slice(0, 1)] * est.num_rows
+                )
+                for k in keys
+            }
+            outs.append(
+                pa.table({**key_cols, "q": est["q"], "est": est["est"]})
+            )
+        if not outs:
+            return pa.table(
+                {
+                    **{k: g[k] for k in keys},
+                    "q": pa.array([], pa.float64()),
+                    "est": pa.array([], pa.float64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -215,7 +215,7 @@ def main() -> None:
     # deterministic + parallelism-invariant (counter-addition merges), so
     # their outputs pin like the HLL estimate; the error BOUNDS are
     # established in tests/test_sketches.py against exact answers
-    qs_rows, cms_rows = [], []
+    qs_rows, cms_rows, gqs_rows = [], [], []
     for sf_dir in SF_DIRS:
         tag = corpus_tag(sf_dir)
         t = _to_df(q["price_quantiles_sketch"](sf_dir))
@@ -229,6 +229,18 @@ def main() -> None:
             )
         )
         print(f"{sf_dir} price_quantiles_sketch: {t.to_pydict()}")
+        t = _to_df(q["value_quantiles_by_type"](sf_dir))
+        gqs_rows.append(
+            pa.table(
+                {
+                    "corpus_tag": pa.array([tag] * t.num_rows, pa.int64()),
+                    "event_type": t["event_type"],
+                    "q": t["q"],
+                    "est": t["est"],
+                }
+            )
+        )
+        print(f"{sf_dir} value_quantiles_by_type: {t.num_rows} rows")
         t = _to_df(q["token_freq_cms"](sf_dir))
         cms_rows.append(
             pa.table(
@@ -248,6 +260,10 @@ def main() -> None:
     pq.write_table(
         pa.concat_tables(cms_rows),
         os.path.join(OUT_DIR, "expected_token_cms.parquet"),
+    )
+    pq.write_table(
+        pa.concat_tables(gqs_rows),
+        os.path.join(OUT_DIR, "expected_group_quantile_sketch.parquet"),
     )
 
     print("fixtures written to", OUT_DIR)

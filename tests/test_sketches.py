@@ -336,3 +336,65 @@ def test_mg_topk_parallelism_invariant(ray_session):
         ).take_all()
         outs.append([(r["token"], r["n"]) for r in got])
     assert outs[0] == outs[1]
+
+
+def test_group_ddsketch_matches_per_group_global_sketch(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.sketches import (
+        ddsketch_quantiles,
+        group_ddsketch_quantiles,
+    )
+
+    rng = np.random.RandomState(13)
+    n = 6000
+    g = rng.choice(["a", "b", "c"], n)
+    v = np.where(g == "a", rng.lognormal(3, 1, n), rng.normal(0, 50, n))
+    tab = pa.table(
+        {"g": pa.array(g, pa.string()), "v": pa.array(v, pa.float64())}
+    )
+    qs = (0.25, 0.5, 0.9)
+    got = group_ddsketch_quantiles(
+        ray.data.from_arrow(tab).repartition(7), ["g"], "v", qs
+    ).take_all()
+    assert len(got) == 3 * len(qs)
+    for key in ("a", "b", "c"):
+        sub = tab.filter(pa.compute.equal(tab["g"], key))
+        want = {
+            r["q"]: r["est"]
+            for r in ddsketch_quantiles(
+                ray.data.from_arrow(sub), "v", qs
+            ).take_all()
+        }
+        for r in got:
+            if r["g"] == key:
+                assert r["est"] == want[r["q"]], (key, r)
+        # relative-error bound vs exact (positive-valued group only)
+        if key == "a":
+            vals = np.sort(sub["v"].to_numpy(zero_copy_only=False))
+            for r in got:
+                if r["g"] != key:
+                    continue
+                exact = vals[int(np.floor(r["q"] * (len(vals) - 1)))]
+                assert abs(r["est"] - exact) / abs(exact) < 0.025
+
+
+def test_group_ddsketch_parallelism_invariant(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.sketches import group_ddsketch_quantiles
+
+    rng = np.random.RandomState(2)
+    tab = pa.table(
+        {
+            "g": pa.array(rng.choice(["x", "y"], 3000), pa.string()),
+            "v": pa.array(rng.normal(10, 5, 3000), pa.float64()),
+        }
+    )
+    outs = []
+    for parts in (1, 9):
+        rows = group_ddsketch_quantiles(
+            ray.data.from_arrow(tab).repartition(parts), ["g"], "v"
+        ).take_all()
+        outs.append(sorted((r["g"], r["q"], r["est"]) for r in rows))
+    assert outs[0] == outs[1]
