@@ -938,3 +938,126 @@ GROUP BY 1
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def source_overlap_matrix(
+    sf_dir: str, *, ngram: int = 3, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """How much do corpus sources share verbatim text? — the pairwise
+    contamination matrix: for every source pair (a < b), the number of
+    DISTINCT word ``ngram``-shingles present in both.  The go/no-go
+    analysis before mixing corpora ("is source X a re-crawl of Y?").
+
+    Shape: per block, docs → n-grams (the shared vectorized
+    ``ngram_rows``) → per-block distinct (gram, source) in C++, bucketed
+    on a gram hash; ONE exchange, so each bucket holds every source of
+    its grams; per bucket the gram runs are sorted and source PAIRS are
+    emitted with the same slice-offset trick as ``ngram_rows`` (loop
+    bounded by max sources per gram, not gram count), pre-counted in C++;
+    a tiny final groupby sums the ≤ |sources|² partial rows.  Shingle
+    payloads never leave the first exchange."""
+    from ..hashing import string_hash64
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def gram_source(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        grams, gparent = ngram_rows(flat, parent, ngram)
+        src = batch["source"].take(pa.array(gparent))
+        t = (
+            pa.table({"g": grams, "source": src})
+            .group_by(["g", "source"])
+            .aggregate([])
+        )
+        bucket = (
+            string_hash64(t["g"].combine_chunks()
+                          if isinstance(t["g"], pa.ChunkedArray) else t["g"])
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = (
+            group.group_by(["g", "source"]).aggregate([])
+            .sort_by([("g", "ascending"), ("source", "ascending")])
+        )
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        enc = pc.dictionary_encode(g["g"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        run = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        src = g["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        # within a run sources are sorted + distinct, so offset-d pairs
+        # are automatically (a < b); d is bounded by sources-per-gram
+        outs = []
+        d = 1
+        while d < n:
+            valid = run[: n - d] == run[d:]
+            if not valid.any():
+                break
+            mask = pa.array(valid)
+            outs.append(
+                pa.table(
+                    {
+                        "source_a": src.slice(0, n - d).filter(mask),
+                        "source_b": src.slice(d, n - d).filter(mask),
+                    }
+                )
+            )
+            d += 1
+        if not outs:
+            return empty
+        t = pa.concat_tables(outs)
+        c = t.group_by(["source_a", "source_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source_a": c["source_a"],
+                "source_b": c["source_b"],
+                "n": c["count_all"].cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(gram_source, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "shared_ngrams"})
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+ng AS (
+  SELECT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+  FROM toks, unnest(generate_series(1, len(tk)-2)) AS t(i)
+),
+sg AS (SELECT DISTINCT source, g FROM ng)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
