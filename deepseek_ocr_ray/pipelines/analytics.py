@@ -1323,3 +1323,26 @@ WHERE l_orderkey IN (
 )
 ORDER BY 1, 2
 """
+
+
+def parquet_column_max(sf_dir: str, table: str, col: str) -> int:
+    """Column max straight from the parquet footer's row-group statistics —
+    zero data read, no Ray execution.  The metadata-only replacement for
+    ``ds.max(col)`` when the input is a parquet table (falls back with a
+    loud error if any row group lacks stats)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    md = pq.read_metadata(path)
+    idx = md.schema.names.index(col)
+    best = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError(
+                f"{path} row group {rg} has no statistics for {col!r}"
+            )
+        best = st.max if best is None else max(best, st.max)
+    if best is None:
+        raise ValueError(f"{path} has no row groups")
+    return int(best)

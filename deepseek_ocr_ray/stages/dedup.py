@@ -685,10 +685,23 @@ def incremental_minhash_dedup(
         # block-local distinct: a near-dup pair collides in MANY bands
         return pa.table({"nid": hit["nid"]}).group_by("nid").aggregate([])
 
-    contaminated = cand.map_batches(verify, batch_format="pyarrow")
     # anti join keeps exactly the new ids with NO verified near-dup;
     # duplicate right keys are harmless to anti semantics.  right_types
     # covers the no-duplicates case (empty computed dataset → no schema).
+    # The contaminated set is near-dup ids only — usually a small fraction
+    # of the crawl — so below the broadcast cap the anti join is a
+    # zero-exchange streaming filter over the new side; the count is free
+    # because the verify output has to materialize for the join anyway.
+    contaminated = cand.map_batches(
+        verify, batch_format="pyarrow"
+    ).materialize()
+    from ..cluster import BROADCAST_MAX_BYTES
+
+    strategy = (
+        "broadcast"
+        if contaminated.count() * 16 <= BROADCAST_MAX_BYTES // 4
+        else "auto"
+    )
     return equi_join(
         new_ds.select_columns([id_col]),
         contaminated,
@@ -697,6 +710,7 @@ def incremental_minhash_dedup(
         join_type="left_anti",
         left_cols=[id_col],
         right_types={"nid": id_type},
+        strategy=strategy,
     )
 
 
