@@ -408,3 +408,238 @@ class IVFIndex:
         return local.groupby("query_id").map_groups(
             _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
         )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) — compressed ANN codes
+# ---------------------------------------------------------------------------
+
+
+def _pq_sample(
+    ds: ray.data.Dataset, id_col: str, vec_col: str, sample_size: int
+) -> np.ndarray:
+    """Deterministic corpus sample (same contract as IVFIndex.build: id
+    hash-filter → sort by id → truncate — membership and order fixed)."""
+    proj = ds.select_columns([id_col, vec_col])
+    n_total = proj.count()
+    if n_total <= sample_size:
+        rows = proj.take_all()
+    else:
+        from ..hashing import splitmix_bucket
+
+        buckets = max(1, n_total // (2 * sample_size))
+
+        def hash_filter(batch):
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return batch.filter(pa.array(splitmix_bucket(ids, buckets) == 0))
+
+        rows = proj.map_batches(hash_filter, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    rows = rows[:sample_size]
+    return np.asarray([r[vec_col] for r in rows], dtype=np.float32)
+
+
+def _pq_kmeans_subspace(
+    x: np.ndarray, ks: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Euclidean Lloyd's on one subspace slice (NOT normalized — subvector
+    geometry is euclidean even when the full vectors are cosine-normalized);
+    fixed seed + iteration count → deterministic codebooks."""
+    rng = np.random.RandomState(seed)
+    init = rng.choice(len(x), size=min(ks, len(x)), replace=False)
+    c = x[np.sort(init)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
+class PQIndex:
+    """Product-quantized ANN: vectors compress to ``m`` uint8 codes
+    (1 byte per subspace — 64× smaller than float64 at dim 64/m 8) and
+    queries score by Asymmetric Distance Computation: per query, one
+    (m × ks) inner-product table against the codebooks, then scores are
+    pure TABLE LOOKUPS summed over subspaces — no float vector ever
+    leaves the build pass.
+
+    Exact inner-product decomposition: on normalized vectors,
+    ``q·x ≈ Σ_m q_m · c_m[code_m(x)]`` with error bounded by the
+    per-subspace quantization residual — recall vs the brute-force oracle
+    is asserted in tests, and the seeded build + float32 table arithmetic
+    make results deterministic (fixture-pinnable).
+
+    Scale shape: the encode is one streamed pass (codes are ~m bytes/row);
+    search is one streamed pass over the CODE column only + the standard
+    local-top-k → tiny final reduce.  Compose with IVF cells for the
+    probe-pruned variant (orthogonal: PQ compresses payload, IVF prunes
+    rows)."""
+
+    def __init__(
+        self,
+        m: int = 8,
+        ks: int = 32,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+        sample_size: int = 2048,
+    ):
+        self.m = m
+        self.ks = ks
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.seed = seed
+        self.sample_size = sample_size
+        self.codebooks: np.ndarray | None = None  # (m, ks, d/m)
+        self.encoded: ray.data.Dataset | None = None
+        self._source: ray.data.Dataset | None = None  # for exact rerank
+
+    def build(self, ds: ray.data.Dataset) -> "PQIndex":
+        sample = _normalize(
+            _pq_sample(ds, self.id_col, self.vec_col, self.sample_size)
+        )
+        d = sample.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        sub = d // self.m
+        self.codebooks = np.stack(
+            [
+                _pq_kmeans_subspace(
+                    sample[:, i * sub : (i + 1) * sub],
+                    self.ks,
+                    self.seed + i,
+                )
+                for i in range(self.m)
+            ]
+        )
+        cref = ray.put(self.codebooks)
+        vec_col, id_col, m = self.vec_col, self.id_col, self.m
+
+        def encode(batch: pa.Table) -> pa.Table:
+            cb = ray.get(cref)
+            vecs = _normalize(
+                np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+            )
+            n, d_ = vecs.shape
+            sub_ = d_ // m
+            codes = np.empty((n, m), np.uint8)
+            for i in range(m):  # bounded by m; interior fully vectorized
+                x = vecs[:, i * sub_ : (i + 1) * sub_]
+                d2 = (
+                    (x**2).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cb[i].T)
+                    + (cb[i] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, i] = np.argmin(d2, axis=1).astype(np.uint8)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "code": pa.array(
+                        list(codes.tobytes()[j * m : (j + 1) * m]
+                             for j in range(n)),
+                        pa.binary(m),
+                    ),
+                }
+            )
+
+        self.encoded = ds.map_batches(encode, batch_format="pyarrow")
+        self._source = ds
+        return self
+
+    def search(
+        self,
+        queries: np.ndarray,
+        query_ids: np.ndarray,
+        *,
+        k: int = 10,
+        exclude_self: bool = True,
+        rerank: int = 0,
+    ) -> ray.data.Dataset:
+        """``rerank = 0``: pure ADC scores over codes.  ``rerank = o > 0``:
+        the classic two-pass — ADC shortlists ``k·o`` candidates per query
+        (bounded driver state: Q·k·o ids), then ONE exact-cosine pass over
+        the original vector column scores ONLY shortlisted pairs, so the
+        full-precision matmul touches an o·k-row fraction of the corpus
+        per query while recall approaches brute force."""
+        assert self.codebooks is not None and self.encoded is not None
+        if rerank:
+            short = self.search(
+                queries, query_ids, k=k * rerank,
+                exclude_self=exclude_self, rerank=0,
+            ).take_all()  # bounded: Q * k * rerank rows
+            per_q: dict = {}
+            for r in short:
+                per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+            qn_ = _normalize(np.asarray(queries, dtype=np.float64))
+            qi_ = np.asarray(query_ids, np.int64)
+            sets = {qid: np.sort(np.asarray(ids, np.int64))
+                    for qid, ids in per_q.items()}
+            sref = ray.put((qn_, qi_, sets))
+            vec_col, id_col = self.vec_col, self.id_col
+            assert self._source is not None
+
+            def exact_local(batch: pa.Table) -> pa.Table:
+                qn2, qi2, sh = ray.get(sref)
+                ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+                vecs = _normalize(
+                    np.asarray(batch[vec_col].to_pylist(), np.float64)
+                )
+                sims = (qn2 @ vecs.T).astype(np.float64)
+                for qi3, qid in enumerate(qi2):  # bounded by Q
+                    allow = sh.get(int(qid))
+                    if allow is None:
+                        sims[qi3, :] = -np.inf
+                        continue
+                    pos = np.searchsorted(allow, ids)
+                    pos = np.clip(pos, 0, len(allow) - 1)
+                    sims[qi3, ~(allow[pos] == ids)] = -np.inf
+                return _topk_rows(sims, ids, qi2, k)
+
+            local = self._source.map_batches(
+                exact_local, batch_format="pyarrow"
+            )
+            return local.groupby("query_id").map_groups(
+                _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
+            )
+        qn = _normalize(np.asarray(queries, dtype=np.float32))
+        Q, d = qn.shape
+        m, ks = self.m, self.ks
+        sub = d // m
+        # (Q, m, ks) inner-product lookup tables — float32 end to end
+        tables = np.einsum(
+            "qms,mks->qmk",
+            qn.reshape(Q, m, sub),
+            self.codebooks,
+            dtype=np.float32,
+        ).astype(np.float32)
+        tref = ray.put((tables, np.asarray(query_ids, np.int64)))
+        id_col = self.id_col
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            tabs, qi = ray.get(tref)
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            code_col = batch["code"]
+            if isinstance(code_col, pa.ChunkedArray):
+                code_col = code_col.combine_chunks()
+            buf = np.frombuffer(
+                code_col.buffers()[-1], np.uint8
+            )[code_col.offset * m : (code_col.offset + len(code_col)) * m]
+            codes = buf.reshape(-1, m).astype(np.int64)  # (b, m)
+            # ADC: scores[q, b] = Σ_i tabs[q, i, codes[b, i]]
+            b = codes.shape[0]
+            sims = np.zeros((len(qi), b), np.float32)
+            for i in range(m):  # bounded by m; gather is vectorized
+                sims += tabs[:, i, codes[:, i]]
+            sims = sims.astype(np.float64)
+            if exclude_self:
+                sims[qi[:, None] == ids[None, :]] = -np.inf
+            return _topk_rows(sims, ids, qi, k)
+
+        local = self.encoded.map_batches(local_topk, batch_format="pyarrow")
+        return local.groupby("query_id").map_groups(
+            _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
+        )

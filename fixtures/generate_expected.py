@@ -55,6 +55,7 @@ def main() -> None:
     kept_rows = {"query": [], "corpus_tag": [], "id": []}
     lang_rows = {"corpus_tag": [], "doc_id": [], "lang_pred": []}
     ivf_rows = []
+    pq_rows = []
 
     for sf_dir in SF_DIRS:
         tag = corpus_tag(sf_dir)
@@ -91,6 +92,13 @@ def main() -> None:
         ivf_rows.append(pa.Table.from_pandas(ivf, preserve_index=False))
         print(f"{sf_dir} ann_ivf: {len(ivf)} rows")
 
+        pqr = q["ann_pq"](sf_dir).to_pandas().sort_values(
+            ["query_id", "rank"]
+        ).reset_index(drop=True)
+        pqr.insert(0, "corpus_tag", tag)
+        pq_rows.append(pa.Table.from_pandas(pqr, preserve_index=False))
+        print(f"{sf_dir} ann_pq: {len(pqr)} rows")
+
     pq.write_table(
         pa.table(
             {
@@ -114,6 +122,10 @@ def main() -> None:
     pq.write_table(
         pa.concat_tables(ivf_rows),
         os.path.join(OUT_DIR, "expected_ann_ivf.parquet"),
+    )
+    pq.write_table(
+        pa.concat_tables(pq_rows),
+        os.path.join(OUT_DIR, "expected_ann_pq.parquet"),
     )
 
     # sf-INDEPENDENT deterministic queries (synthetic interleaved corpus /

@@ -199,3 +199,91 @@ def test_ivf_prefer_persisted_false_serves_live_assignment(
         live.sort_values(["query_id", "rank"]).neighbor_id.tolist()
         == explicit.sort_values(["query_id", "rank"]).neighbor_id.tolist()
     )
+
+
+def test_pq_recall_and_rerank(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.similarity import PQIndex, brute_force_topk
+
+    rng = np.random.RandomState(6)
+    n, d = 600, 64
+    vecs = rng.normal(0, 1, (n, d))
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tab).repartition(5)
+    q = vecs[:5]
+    qids = np.arange(5)
+    brute = brute_force_topk(ds, q, qids, k=10, dtype=np.float64).take_all()
+    bm = {}
+    for r in brute:
+        bm.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    idx = PQIndex(m=16, ks=32).build(ds)
+
+    def recall(rows):
+        pm = {}
+        for r in rows:
+            pm.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return np.mean([len(bm[k] & pm[k]) / 10 for k in bm])
+
+    adc = recall(idx.search(q, qids, k=10).take_all())
+    rr = recall(idx.search(q, qids, k=10, rerank=4).take_all())
+    assert adc >= 0.4
+    assert rr >= 0.85
+    assert rr >= adc
+
+
+def test_pq_deterministic_and_parallelism_invariant(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.similarity import PQIndex
+
+    rng = np.random.RandomState(9)
+    n, d = 300, 32
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in rng.normal(0, 1, (n, d)).astype(np.float32)]
+            ),
+        }
+    )
+    q = rng.normal(0, 1, (3, d))
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tab).repartition(parts)
+        idx = PQIndex(m=8, ks=16).build(ds)
+        rows = idx.search(q, np.arange(3) + 1000, k=5, rerank=2).take_all()
+        outs.append(
+            sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+                   for r in rows)
+        )
+    assert outs[0] == outs[1]
+
+
+def test_pq_codes_are_m_bytes(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.similarity import PQIndex
+
+    rng = np.random.RandomState(1)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in rng.normal(0, 1, (50, 64)).astype(np.float32)]
+            ),
+        }
+    )
+    idx = PQIndex(m=16, ks=32).build(ray.data.from_arrow(tab))
+    enc = idx.encoded.take_all()
+    assert all(len(r["code"]) == 16 for r in enc)
+    with pytest.raises(ValueError, match="not divisible"):
+        PQIndex(m=7).build(ray.data.from_arrow(tab))
