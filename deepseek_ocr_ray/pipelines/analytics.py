@@ -921,6 +921,63 @@ def deterministic_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    weight_col: str,
+    cap: int,
+    scale_bp: int = 10000,
+    salt: str = "w42",
+) -> ray.data.Dataset:
+    """Deterministic probability-proportional-to-size sampling: a row
+    survives iff ``md5(salt:id) % scale_bp < min(weight, cap) · scale_bp
+    / cap`` (integer arithmetic, so the per-row inclusion threshold is
+    exactly ``min(weight, cap) * scale_bp // cap`` on both sides) — the
+    size-biased sample corpus curation uses to weight long documents
+    without a second pass, with all of ``deterministic_sample``'s
+    properties (parallelism-invariant, resumable, salt-composable).
+
+    One streaming map; the only per-row cost is the md5 SQL-parity hash —
+    swap to the vectorized engine hash exactly as ``deterministic_sample
+    (method="fast")`` does when not oracle-checking."""
+    import hashlib as _h
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        thr = np.minimum(w, cap) * scale_bp // cap
+        sp = f"{salt}:".encode()
+        md5 = _h.md5
+        hv = np.fromiter(
+            (
+                int.from_bytes(md5(sp + str(v).encode()).digest()[:4], "big")
+                for v in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        return batch.filter(pa.array(hv % scale_bp < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def documents_sample_weighted(sf_dir: str) -> ray.data.Dataset:
+    """PPS sample of documents: inclusion probability n_chars/2000 capped
+    at 1 — long docs (≥2000 chars) always survive, short ones
+    proportionally."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, id_col="doc_id", weight_col="n_chars", cap=2000)
+
+
+DOCUMENTS_SAMPLE_WEIGHTED_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5('w42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      % 10000 < (LEAST(n_chars, 2000) * 10000) // 2000
+ORDER BY doc_id
+"""
+
+
 def documents_sample(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return deterministic_sample(ds, id_col="doc_id", fraction=0.2, method="md5")
