@@ -432,3 +432,85 @@ def funnel_conversions(
         .groupby("bucket")
         .map_groups(walk, batch_format="pyarrow")
     )
+
+
+def group_rank(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    rank_col: str = "rnk",
+    pct_col: str | None = "pct",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``rank()`` (ties share the rank, gaps after) and
+    ``percent_rank()`` per group — the window-function primitive behind
+    per-language quality percentiles and leaderboards.
+
+    One coarse-bucket exchange on the group keys (a group's rows land in
+    one bucket), then a zero-Python in-group pass: C++ sort by
+    keys+order, run boundaries and tie boundaries from exact dictionary
+    codes, ranks via a cummax over tie-group starts.  ``percent_rank`` is
+    ``(rank−1)/(n−1)`` in float64 — one deterministic division per row,
+    bit-identical to DuckDB's.  Output = input columns + rank (+ pct).
+
+    Partitioning assumption: one GROUP fits in one bucket's memory — the
+    same contract as ``sessionize``; for a single giant group use the
+    histogram quantile (``agg.group_quantile_disc``) instead of full
+    ranking.
+    """
+    from ..hashing import hash64_columns
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(col) -> np.ndarray:
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys] + list(order_cols)
+        )
+        n = g.num_rows
+        if n == 0:
+            out = {c: g[c] for c in g.column_names}
+            out[rank_col] = pa.array([], pa.int64())
+            if pct_col:
+                out[pct_col] = pa.array([], pa.float64())
+            return pa.table(out)
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        new_tie = new_run.copy()
+        for c_name, _dir in order_cols:
+            c = _codes(g[c_name])
+            new_tie[1:] |= c[1:] != c[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.where(new_run, idx, 0)
+        run_start = np.maximum.accumulate(run_start)
+        tie_start = np.where(new_tie, idx, 0)
+        tie_start = np.maximum.accumulate(tie_start)
+        rnk = tie_start - run_start + 1
+        out = {c: g[c] for c in g.column_names}
+        out[rank_col] = pa.array(rnk, pa.int64())
+        if pct_col:
+            starts = np.flatnonzero(new_run)
+            lens = np.diff(np.r_[starts, n])
+            n_run = np.repeat(lens, lens).astype(np.float64)
+            denom = np.maximum(n_run - 1.0, 1.0)
+            out[pct_col] = pa.array((rnk - 1) / denom, pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )

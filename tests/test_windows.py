@@ -318,3 +318,42 @@ def test_funnel_window_boundaries_are_strict_open_closed(ray_session):
         for r in funnel_conversions(ray.data.from_arrow(tab)).take_all()
     }
     assert got == {1: 0, 2: 1, 3: 0}
+
+
+def test_group_rank_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_rank
+
+    rng = np.random.RandomState(19)
+    n = 2500
+    tab = pa.table(
+        {
+            "g": pa.array([f"g{v}" for v in rng.randint(0, 12, n)], pa.string()),
+            "v": pa.array(rng.randint(0, 30, n).tolist(), pa.int64()),  # many ties
+            "id": pa.array(rng.permutation(n).tolist(), pa.int64()),
+        }
+    )
+    # plus a single-row group (percent_rank edge: (1-1)/max(n-1,1) = 0)
+    tab = pa.concat_tables(
+        [tab, pa.table({"g": ["solo"], "v": [7], "id": [999999]})]
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = {
+        (r["g"], r["id"]): (r["rnk"], r["pct"])
+        for r in con.execute(
+            "SELECT g, id, CAST(rank() OVER w AS BIGINT) AS rnk, "
+            "percent_rank() OVER w AS pct FROM t "
+            "WINDOW w AS (PARTITION BY g ORDER BY v DESC, id)"
+        ).arrow().to_pylist()
+    }
+    got_rows = group_rank(
+        ray.data.from_arrow(tab).repartition(6),
+        keys=["g"],
+        order_cols=[("v", "descending"), ("id", "ascending")],
+    ).take_all()
+    assert len(got_rows) == len(want)
+    for r in got_rows:
+        assert (r["rnk"], r["pct"]) == want[(r["g"], r["id"])], r
