@@ -509,3 +509,159 @@ def equi_join_multi(
         return batch.select(list(dict.fromkeys(list(on) + lcols)) + rcols)
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# skew-aware (salted) inner join
+# ---------------------------------------------------------------------------
+
+
+def detect_hot_keys(
+    ds: "ray.data.Dataset",
+    key: str,
+    *,
+    top_per_block: int = 8,
+    threshold_rows: int | None = None,
+) -> tuple[list, int]:
+    """Deterministic HOT-KEY candidates of one column: each block
+    contributes its ``top_per_block`` most frequent keys (C++ group count
+    + one vectorized argpartition), candidates are summed across blocks
+    (an under-count — keys missing from a block's top-k lose that block's
+    contribution, which only makes the filter CONSERVATIVE), and keys
+    whose summed count exceeds the threshold come back.  A superset or
+    subset of the true hot set is safe for salting: extra salting costs a
+    little replication, a missed warm key just stays on the normal path.
+
+    Returns ``(hot_keys, total_rows)``; default threshold = 2% of rows.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([([], "count_all")])
+        cnt = g["count_all"].to_numpy(zero_copy_only=False)
+        k = min(top_per_block, len(cnt))
+        if k == 0:
+            return pa.table(
+                {key: g[key], "n": g["count_all"].cast(pa.int64()),
+                 "rows": pa.array([], pa.int64())}
+            )
+        top = np.argpartition(cnt, -k)[-k:]
+        t = g.take(pa.array(np.sort(top)))
+        return pa.table(
+            {
+                key: t[key],
+                "n": t["count_all"].cast(pa.int64()),
+                # block row count rides along so total is exact
+                "rows": pa.array(
+                    [batch.num_rows] + [0] * (len(t) - 1), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        ds.select_columns([key])
+        .map_batches(block_top, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("n"), Sum("rows"))
+        .take_all()
+    )  # bounded: ≤ top_per_block × blocks candidates
+    total = sum(r["sum(rows)"] for r in rows)
+    thr = (
+        threshold_rows
+        if threshold_rows is not None
+        else max(1, total // 50)
+    )
+    hot = sorted(r[key] for r in rows if r["sum(n)"] > thr)
+    return hot, total
+
+
+def salted_inner_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str,
+    right_on: str | None = None,
+    left_cols: list[str],
+    right_cols: list[str],
+    salts: int = 8,
+    hot_keys: list | None = None,
+    salt_source: str | None = None,
+    **kw,
+) -> "ray.data.Dataset":
+    """Inner equi-join that defuses KEY SKEW by salting: rows of the few
+    hot keys get a salt in [0, salts) on the left (derived from
+    ``salt_source``, another column, so it is deterministic AND spreads),
+    the right side replicates ONLY its hot-key rows ×salts, and the join
+    runs on the composite (key, salt) through ``equi_join_multi`` — a hot
+    key's rows now land on ``salts`` partitions instead of one.  Cold keys
+    ride salt 0 unreplicated, so the extra exchange volume is
+    ``salts × |right hot rows|`` (usually a handful of rows).
+
+    Inner only: replication breaks outer/semi/anti multiplicity.  Pass
+    ``hot_keys`` explicitly or let :func:`detect_hot_keys` find them on
+    the left (one cheap candidate pass).  ``salt_source`` defaults to the
+    first left column that isn't the key.
+    """
+    import numpy as np
+
+    from .hashing import hash64_array
+
+    r_on = right_on if right_on is not None else on
+    if hot_keys is None:
+        hot_keys, _ = detect_hot_keys(left, on)
+    if salt_source is None:
+        salt_source = next(c for c in left_cols if c != on)
+    if not hot_keys:
+        return equi_join(
+            left, right, on=on, right_on=r_on, join_type="inner",
+            left_cols=left_cols, right_cols=right_cols, **kw,
+        )
+    key_type = left.schema().base_schema.field(on).type
+    hot_arr = pa.array(hot_keys, key_type)
+    hot_ref = ray.put(hot_arr)
+    n_salts = int(salts)
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        is_hot = pa.compute.is_in(batch[on], value_set=hot).to_numpy(
+            zero_copy_only=False
+        )
+        salt = np.zeros(batch.num_rows, np.int64)
+        if is_hot.any():
+            spread = hash64_array(batch[salt_source]) % np.uint64(n_salts)
+            salt[is_hot] = spread.astype(np.int64)[is_hot]
+        return batch.append_column("__salt", pa.array(salt, pa.int64()))
+
+    def salt_right(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        is_hot = pa.compute.is_in(batch[r_on], value_set=hot).to_numpy(
+            zero_copy_only=False
+        )
+        cold = batch.filter(pa.array(~is_hot)).append_column(
+            "__salt", pa.array(np.zeros(int((~is_hot).sum()), np.int64))
+        )
+        hot_rows = batch.filter(pa.array(is_hot))
+        if hot_rows.num_rows == 0:
+            return cold
+        reps = [
+            hot_rows.append_column(
+                "__salt",
+                pa.array(np.full(hot_rows.num_rows, s, np.int64)),
+            )
+            for s in range(n_salts)
+        ]
+        return pa.concat_tables([cold] + reps)
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow")
+    rsalted = right.map_batches(salt_right, batch_format="pyarrow")
+    return equi_join_multi(
+        lsalted,
+        rsalted,
+        on=[on, "__salt"],
+        right_on=[r_on, "__salt"],
+        left_cols=left_cols,
+        right_cols=right_cols,
+        **kw,
+    )

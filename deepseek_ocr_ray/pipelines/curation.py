@@ -1061,3 +1061,84 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def doc_token_weight_join(sf_dir: str) -> ray.data.Dataset:
+    """Per-document sum of global token frequencies via the SHUFFLE-JOIN
+    plan — the at-scale alternative to ``token_rank_stats``'s broadcast
+    vocab (a web-corpus vocabulary doesn't fit in plasma): token
+    occurrences join the vocabulary aggregate on the token itself, and
+    because natural-language tokens are zipf-distributed the join is
+    salted (``cluster.salted_inner_join``) — 'the'-class hot tokens are
+    detected in one candidate pass and spread across 8 salt partitions
+    with only the vocab's hot rows replicated.  Per-doc partial combine
+    precedes the final (doc) aggregation, so the second exchange carries
+    one row per (doc, block)."""
+    from ..cluster import salted_inner_join
+    from ..stages.agg import bucket_groupby_sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def occ(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(pa.array(parent)), "tok": flat})
+
+    # materialized once: three consumers (vocab, hot-key scan, join left);
+    # two int/string columns, ~2 bytes/corpus-char — object-store spill
+    # handles web scale, recomputing the tokenize 3× would not
+    occurrences = ds.map_batches(occ, batch_format="pyarrow").materialize()
+    vocab = bucket_groupby_sum(
+        occurrences.select_columns(["tok"]), ["tok"], [], count_col="n"
+    ).materialize()
+    # the vocab already holds EXACT counts — hot keys fall out of a
+    # filter over it, no separate candidate pass
+    total = vocab.sum("n")
+    hot = [
+        r["tok"]
+        for r in vocab.filter(expr=f"n > {max(1, total // 50)}").take_all()
+    ]  # bounded: keys above 2% of the corpus
+    joined = salted_inner_join(
+        occurrences,
+        vocab,
+        on="tok",
+        left_cols=["doc_id", "tok"],
+        right_cols=["n"],
+        salts=8,
+        hot_keys=hot,
+        salt_source="doc_id",
+    )
+
+    def per_doc_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["doc_id"]).aggregate(
+            [([], "count_all"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["count_all"].cast(pa.int64()),
+                "sum_freq": g["n_sum"].cast(pa.int64()),
+            }
+        )
+
+    return bucket_groupby_sum(
+        joined.map_batches(per_doc_partial, batch_format="pyarrow"),
+        ["doc_id"],
+        ["n_tokens", "sum_freq"],
+    )
+
+
+DOC_TOKEN_WEIGHT_JOIN_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(v.n) AS BIGINT) AS sum_freq
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY 1 ORDER BY 1
+"""

@@ -337,3 +337,70 @@ def test_equi_join_broadcast_empty_right(ray_session):
         strategy="broadcast",
     ).to_pandas()
     assert sorted(got.lv.tolist()) == list(range(90))
+
+
+def test_detect_hot_keys_finds_the_zipf_head(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.cluster import detect_hot_keys
+
+    rng = np.random.RandomState(4)
+    keys = np.where(rng.rand(5000) < 0.4, 7, rng.randint(100, 2000, 5000))
+    tab = pa.table({"k": pa.array(keys.astype(np.int64), pa.int64()),
+                    "v": pa.array(np.arange(5000), pa.int64())})
+    hot, total = detect_hot_keys(ray.data.from_arrow(tab).repartition(6), "k")
+    assert total == 5000
+    assert 7 in hot
+    assert len(hot) < 10
+
+
+def test_salted_inner_join_equals_plain_join_under_skew(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.cluster import equi_join, salted_inner_join
+
+    rng = np.random.RandomState(12)
+    n = 4000
+    # one key is ~half of all left rows; right has duplicate keys too
+    lk = np.where(rng.rand(n) < 0.5, 3, rng.randint(0, 50, n)).astype(np.int64)
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(rng.randint(0, 9, n).tolist(), pa.int64())})
+    rk = rng.randint(0, 50, 200).astype(np.int64)
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "rv": pa.array(rng.randint(0, 999, 200).tolist(), pa.int64())})
+
+    def rows(res):
+        return sorted((r["k"], r["lv"], r["rv"]) for r in res.take_all())
+
+    plain = rows(equi_join(
+        ray.data.from_arrow(left).repartition(5),
+        ray.data.from_arrow(right).repartition(3),
+        on="k", join_type="inner", left_cols=["k", "lv"], right_cols=["rv"],
+    ))
+    for hot in (None, [3], []):
+        salted = rows(salted_inner_join(
+            ray.data.from_arrow(left).repartition(5),
+            ray.data.from_arrow(right).repartition(3),
+            on="k", left_cols=["k", "lv"], right_cols=["rv"],
+            salts=4, hot_keys=hot,
+        ))
+        assert salted == plain, hot
+
+
+def test_salted_join_spreads_hot_key_across_salts(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.cluster import salted_inner_join
+
+    n = 2000
+    left = pa.table({"k": pa.array(np.full(n, 1, np.int64), pa.int64()),
+                     "lv": pa.array(np.arange(n), pa.int64())})
+    right = pa.table({"k": pa.array([1], pa.int64()),
+                      "rv": pa.array([5], pa.int64())})
+    out = salted_inner_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right),
+        on="k", left_cols=["k", "lv"], right_cols=["rv"],
+        salts=4, hot_keys=[1],
+    )
+    assert out.count() == n  # replication did not duplicate matches
