@@ -1403,3 +1403,67 @@ def parquet_column_max(sf_dir: str, table: str, col: str) -> int:
     if best is None:
         raise ValueError(f"{path} has no row groups")
     return int(best)
+
+
+def sample_k_per_group(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "k42",
+) -> ray.data.Dataset:
+    """EXACTLY k rows per group, deterministically — the balanced-eval-set
+    primitive ("3 held-out docs per language").  Each row's md5 priority
+    (SQL-replicable, like the samplers) makes the winners a pure function
+    of ids: re-runs, resumes, and any parallelism pick the same rows.
+    Reuses ``windows.grouped_topk`` — per-block local top-k, so the
+    exchange carries ≤ k rows per group per block."""
+    import hashlib as _h
+
+    from ..stages.windows import grouped_topk
+
+    sp = f"{salt}:".encode()
+
+    def prio(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        md5 = _h.md5
+        h = np.fromiter(
+            (
+                int.from_bytes(md5(sp + str(v).encode()).digest()[:4], "big")
+                for v in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        return batch.append_column("__prio", pa.array(h, pa.int64()))
+
+    return grouped_topk(
+        ds.map_batches(prio, batch_format="pyarrow"),
+        group_col=group_col,
+        value_col="__prio",
+        id_col=id_col,
+        k=k,
+    )
+
+
+def documents_k_per_lang(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = sample_k_per_group(ds, group_col="lang", id_col="doc_id", k=k)
+    return out.select_columns(["lang", "doc_id", "rank"])
+
+
+DOCUMENTS_K_PER_LANG_SQL = """
+SELECT lang, doc_id, rnk AS "rank"
+FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('k42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) DESC,
+                    doc_id
+         ) AS INT) AS rnk
+  FROM documents
+)
+WHERE rnk <= 3
+ORDER BY lang, rnk
+"""
