@@ -294,3 +294,97 @@ def latest_by_key(
         .groupby("bucket")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def rollup_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    *,
+    count_col: str = "n",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)``: aggregates at every prefix level
+    (full keys → …, first key → grand total), rolled-up key columns null.
+
+    The corpus is scanned ONCE: the finest level runs through
+    :func:`bucket_groupby_sum`, is materialized (it is already reduced to
+    one row per key combination), and every coarser level re-aggregates
+    the PREVIOUS level's output — each rollup step costs an exchange over
+    group-count rows, never a second corpus pass.  Sums/counts are int64
+    partials, so every level is exact and parallelism-invariant.
+    """
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    base = bucket_groupby_sum(
+        ds, keys, sum_cols, count_col=count_col, n_buckets=n_buckets
+    ).materialize()
+    value_cols = list(sum_cols) + [count_col]
+    base_schema = base.schema().base_schema
+    key_types = {k: base_schema.field(k).type for k in keys}
+
+    def _null_fill(t: pa.Table, present: list[str]) -> pa.Table:
+        cols = {}
+        for k in keys:
+            if k in present:
+                cols[k] = t[k]
+            else:
+                cols[k] = pa.nulls(t.num_rows, key_types[k])
+        for c in value_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    levels = [
+        base.map_batches(
+            lambda b: _null_fill(b, keys), batch_format="pyarrow"
+        )
+    ]
+    prev = base
+    for depth in range(len(keys) - 1, -1, -1):
+        sub = keys[:depth]
+        if sub:
+            nxt = bucket_groupby_sum(
+                prev.select_columns(sub + value_cols),
+                sub,
+                value_cols,
+                n_buckets=n_buckets,
+            ).materialize()
+        else:
+            # grand total: one associative global sum per value column
+            import ray as _ray
+
+            def total(batch: pa.Table, _vc=tuple(value_cols)) -> pa.Table:
+                g = pa.table({c: batch[c] for c in _vc})
+                return pa.table(
+                    {
+                        c: pa.array(
+                            [pa.compute.sum(g[c]).as_py() or 0], pa.int64()
+                        )
+                        for c in _vc
+                    }
+                )
+
+            parts = prev.select_columns(value_cols).map_batches(
+                total, batch_format="pyarrow"
+            ).take_all()  # bounded: one row per block
+            nxt = ray.data.from_arrow(
+                pa.table(
+                    {
+                        c: pa.array(
+                            [sum(r[c] for r in parts)], pa.int64()
+                        )
+                        for c in value_cols
+                    }
+                )
+            )
+        levels.append(
+            nxt.map_batches(
+                lambda b, _p=tuple(sub): _null_fill(b, list(_p)),
+                batch_format="pyarrow",
+            )
+        )
+        prev = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -260,3 +260,35 @@ def test_latest_by_key_vs_naive(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_rollup_sum_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import rollup_sum
+
+    rng = np.random.RandomState(44)
+    n = 3000
+    tab = pa.table(
+        {
+            "a": pa.array([f"a{v}" for v in rng.randint(0, 4, n)], pa.string()),
+            "b": pa.array([f"b{v}" for v in rng.randint(0, 6, n)], pa.string()),
+            "v": pa.array(rng.randint(-20, 80, n).tolist(), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = {
+        (r["a"], r["b"]): (r["sv"], r["n"])
+        for r in con.execute(
+            "SELECT a, b, CAST(sum(v) AS BIGINT) AS sv, "
+            "CAST(count(*) AS BIGINT) AS n FROM t GROUP BY ROLLUP (a, b)"
+        ).arrow().to_pylist()
+    }
+    got_rows = rollup_sum(
+        ray.data.from_arrow(tab).repartition(5), ["a", "b"], ["v"]
+    ).take_all()
+    got = {(r["a"], r["b"]): (r["v"], r["n"]) for r in got_rows}
+    assert got == want
+    assert (None, None) in got  # grand total present
