@@ -514,3 +514,68 @@ def group_rank(
         .groupby("bucket")
         .map_groups(walk, batch_format="pyarrow")
     )
+
+
+def debounce(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    window_sec: float = 3600.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Stream debounce with SQL ``lag()`` semantics: a row survives iff it
+    is the first of its key group or the PREVIOUS row of the same key
+    (ordered by ts, tiebreak) is more than ``window_sec`` older — the
+    rapid-repeat suppressor for event logs (double-clicks, retry storms).
+
+    One coarse-bucket exchange on the first key's hash (all rows of a key
+    land together), then a zero-Python walk: C++ sort by keys+ts+tiebreak,
+    run boundaries from exact dictionary codes, one vectorized diff
+    against the previous row.  Full rows survive byte-exact."""
+    from ..hashing import hash64_columns
+
+    window_us = int(round(window_sec * 1e6))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, [keys[0]]) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(col) -> np.ndarray:
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys]
+            + [(ts_col, "ascending"), (tiebreak_col, "ascending")]
+        )
+        n = g.num_rows
+        if n == 0:
+            return g
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        ts = (
+            g[ts_col]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keep = new_run.copy()
+        keep[1:] |= (ts[1:] - ts[:-1]) > window_us
+        return g.filter(pa.array(keep))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )

@@ -357,3 +357,47 @@ def test_group_rank_vs_duckdb(ray_session):
     assert len(got_rows) == len(want)
     for r in got_rows:
         assert (r["rnk"], r["pct"]) == want[(r["g"], r["id"])], r
+
+
+def test_debounce_vs_duckdb_lag(ray_session):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import debounce
+
+    rng = np.random.RandomState(33)
+    n = 3000
+    base = np.datetime64("2024-01-01", "us")
+    tab = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "u": pa.array(rng.randint(0, 40, n).astype(np.int64), pa.int64()),
+            "t": pa.array(
+                base + rng.randint(0, 86400, n).astype("timedelta64[s]").astype(
+                    "timedelta64[us]"
+                ),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("e", tab)
+    want = sorted(
+        r["event_id"]
+        for r in con.execute(
+            "SELECT event_id FROM (SELECT event_id, t, "
+            "lag(t) OVER (PARTITION BY u ORDER BY t, event_id) AS p FROM e) "
+            "WHERE p IS NULL OR t - p > INTERVAL 17 MINUTE"
+        ).arrow().to_pylist()
+    )
+    for parts in (1, 8):
+        got = sorted(
+            r["event_id"]
+            for r in debounce(
+                ray.data.from_arrow(tab).repartition(parts),
+                keys=["u"],
+                ts_col="t",
+                window_sec=17 * 60,
+            ).take_all()
+        )
+        assert got == want
