@@ -1467,3 +1467,49 @@ FROM (
 WHERE rnk <= 3
 ORDER BY lang, rnk
 """
+
+
+def events_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured payload extraction: pull the integer ``k`` field
+    out of the JSON ``props`` column with ONE vectorized RE2 kernel
+    (``pc.extract_regex`` — no per-row json.loads on the hot path; the
+    regex approach is exact for flat non-escaped fields and mirrors the
+    SQL oracle's ``regexp_extract`` byte-for-byte), then aggregate per
+    event type through the C++ bucket plan."""
+    from ..stages.agg import bucket_groupby_agg
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        props = batch["props"]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, pattern=r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    return bucket_groupby_agg(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        [
+            (None, "count", "n"),
+            ("k", "sum", "sum_k"),
+            ("k", "min", "min_k"),
+            ("k", "max", "max_k"),
+        ],
+    )
+
+
+EVENTS_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+GROUP BY 1 ORDER BY 1
+"""
