@@ -665,3 +665,20 @@ def salted_inner_join(
         right_cols=right_cols,
         **kw,
     )
+
+
+def collect_table(ds: "ray.data.Dataset") -> pa.Table | None:
+    """Materialize a (small, bounded) Dataset into ONE pa.Table robustly:
+    zero-row blocks are dropped BEFORE concatenation (a computed empty
+    block can be schema-less or schema-divergent — ``pa.concat_tables``
+    over raw block refs crashes on it, a bug this helper exists to
+    prevent), and survivors are cast to the first block's schema.
+    Returns None when every block is empty.  Only for results the caller
+    KNOWS are bounded (thresholded edge lists, per-block summaries)."""
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return None
+    target = tabs[0].schema
+    return pa.concat_tables(
+        [t if t.schema == target else t.cast(target) for t in tabs]
+    )

@@ -1214,8 +1214,12 @@ def embedding_dup_pairs_brute(
     """
     import ray
 
-    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
-    full = pa.concat_tables(ray.get(refs))
+    from ..cluster import collect_table
+
+    full = collect_table(ds.select_columns([id_col, vec_col]))
+    if full is None:
+        full = pa.table({id_col: pa.array([], pa.int64()),
+                         vec_col: pa.array([], pa.list_(pa.float32()))})
     ids_all = np.asarray(full[id_col].to_pylist())
     vecs_all = np.asarray(full[vec_col].to_pylist(), dtype=dtype)
     vecs_all /= np.maximum(np.linalg.norm(vecs_all, axis=1, keepdims=True), 1e-12)

@@ -123,7 +123,14 @@ def connected_components(
         if strategy == "local" or n_rows <= local_threshold:
             import numpy as np
 
-            etbl = pa.concat_tables(_ray.get(edges2.to_arrow_refs()))
+            from ..cluster import collect_table
+
+            etbl = collect_table(edges2)
+            if etbl is None:
+                etbl = pa.table(
+                    {"eu": pa.array([], pa.int64()),
+                     "ev": pa.array([], pa.int64())}
+                )
             u = etbl["eu"].to_numpy(zero_copy_only=False)
             v = etbl["ev"].to_numpy(zero_copy_only=False)
             # solve components ONCE over the edge endpoints; the broadcast
