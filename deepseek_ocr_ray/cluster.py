@@ -191,6 +191,7 @@ def equi_join(
     left_types: dict[str, pa.DataType] | None = None,
     right_types: dict[str, pa.DataType] | None = None,
     broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    key_out: str | None = None,
     _drop_anchor: bool = False,
 ) -> "ray.data.Dataset":
     """Engine-owned equi-join planner — ALL repo equi-joins go through here.
@@ -242,10 +243,19 @@ def equi_join(
     schema anchors so an empty-first-block arrival is guaranteed, proving
     the ``auto`` fallback end-to-end.
     """
-    assert join_type in ("inner", "left_outer", "left_semi", "left_anti"), join_type
+    assert join_type in (
+        "inner", "left_outer", "right_outer", "full_outer",
+        "left_semi", "left_anti",
+    ), join_type
     r_on = right_on if right_on is not None else on
     strategy = strategy or os.environ.get("DSOR_JOIN_STRATEGY", "auto")
     assert strategy in ("auto", "hash", "bucket", "broadcast"), strategy
+    if join_type in ("right_outer", "full_outer") and strategy != "bucket":
+        # only the keyed-exchange plan keeps right-only rows exact (each
+        # key is complete in ONE bucket); the hash plan's anchor sentinels
+        # would surface as output rows and broadcast would replicate
+        # right-only rows per left batch — route outer variants here.
+        strategy = "bucket"
 
     def _side_schema(
         ds: "ray.data.Dataset", override: dict | None, side: str
@@ -298,8 +308,15 @@ def equi_join(
             n_buckets=n_buckets,
             left_types=l_schema,
             right_types=r_schema,
+            key_out=key_out,
         )
 
+    if key_out is not None and strategy != "bucket":
+        raise ValueError(
+            "equi_join: key_out (the COALESCE'd join key column) is only "
+            "produced by the bucket plan — pass strategy='bucket' or use a "
+            "full/right outer join_type (auto-routed there)"
+        )
     if strategy == "bucket":
         return bucket_plan()
 

@@ -335,6 +335,7 @@ def bucket_join(
     n_buckets: int = 64,
     left_types: dict | None = None,
     right_types: dict | None = None,
+    key_out: str | None = None,
 ) -> ray.data.Dataset:
     """Distributed equi-join built ONLY on groupby + per-group pyarrow
     acero joins — the engine-owned alternative to ``Dataset.join``.
@@ -354,12 +355,24 @@ def bucket_join(
     exchange is Ray's sort-based shuffle (slower than the hash shuffle at
     equal scale) — use this when robustness beats peak throughput.
 
-    ``how``: inner | left_outer | left_semi | left_anti.
+    ``how``: inner | left_outer | right_outer | full_outer | left_semi |
+    left_anti.  The outer variants are exact here because bucketing by the
+    key hash co-locates every occurrence of a key in ONE group — a
+    right-only key surfaces exactly once (broadcast joins cannot offer
+    this: the right side is complete per task, so right-only rows would
+    replicate per left batch).
+
     Output columns: left_cols + right_cols (key columns included only if
-    listed).  Right key values must be unique for left_outer (acero
-    replicates matches otherwise, same as SQL).
+    listed — but a listed left key is null on right-only rows of a
+    full/right outer join; pass ``key_out`` to additionally emit the
+    COALESCE(left key, right key) column acero produces, under that name,
+    as the first output column).  Right key values must be unique for
+    left_outer (acero replicates matches otherwise, same as SQL).
     """
-    assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
+    assert how in (
+        "inner", "left_outer", "right_outer", "full_outer",
+        "left_semi", "left_anti",
+    ), how
 
     def _types(ds, override, side):
         # Dataset.schema() is None for a computed dataset that turns out
@@ -389,6 +402,10 @@ def bucket_join(
             "bucket_join: left_cols and right_cols must be disjoint; "
             f"colliding column(s): {clash} — rename one side first"
         )
+    if key_out is not None and key_out in set(lcols) | set(rcols):
+        raise ValueError(
+            f"bucket_join: key_out={key_out!r} collides with a payload column"
+        )
 
     l_schema = {c: l_types[c] for c in set(lcols) | {left_on}}
     r_schema = {c: r_types[c] for c in set(rcols) | {right_on}}
@@ -403,12 +420,18 @@ def bucket_join(
                     _key_buckets(batch[key], n_buckets), pa.int64()
                 ),
             }
-            out["__lkey" if side == 0 else "__rkey"] = batch[key].cast(
-                l_schema[left_on] if side == 0 else r_schema[right_on]
+            # fixed field order on BOTH sides so the union's block schemas
+            # agree exactly (divergent order is tolerated by the sort-based
+            # exchange but trips Ray's schema-consistency warnings)
+            out["__lkey"] = (
+                batch[key].cast(l_schema[left_on])
+                if side == 0
+                else pa.nulls(batch.num_rows, l_schema[left_on])
             )
-            out["__rkey" if side == 0 else "__lkey"] = pa.nulls(
-                batch.num_rows,
-                r_schema[right_on] if side == 0 else l_schema[left_on],
+            out["__rkey"] = (
+                pa.nulls(batch.num_rows, r_schema[right_on])
+                if side == 0
+                else batch[key].cast(r_schema[right_on])
             )
             for c in lcols:
                 out[f"l_{c}"] = (
@@ -433,6 +456,8 @@ def bucket_join(
     out_fields = [(c, l_schema[c]) for c in lcols] + [
         (c, r_schema[c]) for c in rcols
     ]
+    if key_out is not None:
+        out_fields = [(key_out, l_schema[left_on])] + out_fields
 
     def merge(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -454,6 +479,8 @@ def bucket_join(
         how_arrow = {
             "inner": "inner",
             "left_outer": "left outer",
+            "right_outer": "right outer",
+            "full_outer": "full outer",
             "left_semi": "left semi",
             "left_anti": "left anti",
         }[how]
@@ -464,6 +491,15 @@ def bucket_join(
             join_type=how_arrow,
         )
         cols = {}
+        if key_out is not None:
+            # acero coalesces COALESCE(left key, right key) into the left
+            # key column for full outer; right outer keeps the right key
+            key_col = (
+                right_on + "__k"
+                if how == "right_outer" and right_on + "__k" in joined.column_names
+                else left_on + "__k"
+            )
+            cols[key_out] = joined[key_col].cast(l_schema[left_on])
         for c in lcols:
             cols[c] = joined[f"l_{c}"]
         for c in rcols:

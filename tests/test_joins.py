@@ -446,3 +446,74 @@ def test_bucket_join_rejects_colliding_output_columns(ray_session):
             left, right, left_on="k", right_on="rk",
             left_cols=["k", "v"], right_cols=["v"],
         )
+
+
+def _outer_tabs(seed=5, n=400):
+    rng = np.random.RandomState(seed)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 60, n).tolist(), pa.int64()),
+        "lv": pa.array(rng.randint(0, 1000, n).tolist(), pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array((rng.randint(0, 60, n) + 30).tolist(), pa.int64()),
+        "rv": pa.array(rng.randint(0, 1000, n).tolist(), pa.int64()),
+    })
+    return left, right
+
+
+@pytest.mark.parametrize("how,sql", [
+    ("full_outer", "FULL OUTER"),
+    ("right_outer", "RIGHT OUTER"),
+])
+def test_bucket_join_outer_vs_duckdb(ray_session, how, sql):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.joins import bucket_join
+
+    left, right = _outer_tabs()
+    got = bucket_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        left_on="k", right_on="rk", how=how,
+        left_cols=["lv"], right_cols=["rv"], key_out="k",
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        f"SELECT COALESCE(l.k, r.rk) AS k, l.lv, r.rv "
+        f"FROM l {sql} JOIN r ON l.k = r.rk"
+    ).fetch_df()
+    key = ["k", "lv", "rv"]
+    g = got.sort_values(key, na_position="last").reset_index(drop=True)
+    w = want.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(g) == len(w)
+    assert g[key].astype("Float64").equals(w[key].astype("Float64"))
+
+
+def test_equi_join_routes_outer_to_bucket(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.cluster import equi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()), "lv": pa.array([10, 20], pa.int64())
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3], pa.int64()), "rv": pa.array([200, 300], pa.int64())
+    }))
+    rows = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in equi_join(
+            left, right, on="k", join_type="full_outer",
+            left_cols=["lv"], right_cols=["rv"], key_out="k",
+        ).take_all()
+    )
+    assert rows == [(1, 10, None), (2, 20, 200), (3, None, 300)]
+    with pytest.raises(ValueError, match="key_out"):
+        equi_join(
+            left, right, on="k", join_type="inner",
+            left_cols=["lv"], right_cols=["rv"], key_out="k",
+            strategy="hash",
+        )
