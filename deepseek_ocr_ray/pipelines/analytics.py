@@ -962,6 +962,107 @@ def weighted_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def shuffle_shards(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    n_shards: int,
+    salt: str = "sh42",
+    keep_cols: list[str] | None = None,
+    method: str = "fast",
+) -> ray.data.Dataset:
+    """Deterministic global shuffle + sharding for training export: every
+    row gets ``shard = hash(salt, id) % n_shards`` and ``pos`` = its rank
+    within the shard by ``(hash, id)`` — a pseudo-random global order that
+    is a pure function of ids, so re-runs, resumes, and any parallelism
+    produce the SAME shard files (unlike ``Dataset.random_shuffle``, whose
+    output depends on execution order).  Disjoint salts give independent
+    epoch orders; the pos column lets a loader seek mid-shard.
+
+    Plan: one streaming map computes (shard, priority), ONE keyed exchange
+    co-locates each shard, and the per-shard finalize is a C++ sort +
+    arange.  At scale, ``n_shards`` is chosen so a shard is one training
+    file (~256 MB–1 GB) — 10^5–10^6 shards at 100 TB — so the per-group
+    sort is bounded by design, and each finalized shard streams straight
+    to its own output file (resumable per shard).
+
+    ``method="fast"`` (default): vectorized engine hash.  ``method="md5"``:
+    the SQL-parity rule (``md5(salt:id)`` high 32 bits) so DuckDB's
+    ``row_number() OVER (PARTITION BY shard ORDER BY h, id)`` replicates
+    shard AND pos exactly."""
+    import hashlib as _h
+
+    from ..hashing import hash64_array, mix64
+
+    if method not in ("fast", "md5"):
+        raise ValueError(f"unknown shuffle method {method!r}")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    salt_h = _salt_hash(salt)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if method == "fast":
+            h = mix64(hash64_array(batch[id_col]) ^ salt_h)
+            shard = (h % np.uint64(n_shards)).astype(np.int64)
+            prio = h.view(np.int64)  # deterministic (not uint-order) rank
+        else:
+            sp = f"{salt}:".encode()
+            md5 = _h.md5
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        md5(sp + str(v).encode()).digest()[:4], "big"
+                    )
+                    for v in batch[id_col].to_pylist()
+                ),
+                np.int64,
+                count=batch.num_rows,
+            )
+            shard = h % n_shards
+            prio = h
+        out = batch.select(keep_cols) if keep_cols else batch
+        return out.append_column(
+            "shard", pa.array(shard, pa.int64())
+        ).append_column("__prio", pa.array(prio, pa.int64()))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            group,
+            sort_keys=[("__prio", "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(idx).drop_columns(["__prio"])
+        return g.append_column(
+            "pos", pa.array(np.arange(g.num_rows, dtype=np.int64))
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def documents_shuffle_shards(sf_dir: str) -> ray.data.Dataset:
+    """Training-export shuffle: documents → 8 deterministic shards with
+    an in-shard pseudo-random position (md5 method for the SQL oracle)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return shuffle_shards(ds, id_col="doc_id", n_shards=8, method="md5")
+
+
+DOCUMENTS_SHUFFLE_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('sh42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, lang, CAST(hv % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h ORDER BY shard, pos
+"""
+
+
 def documents_sample_weighted(sf_dir: str) -> ray.data.Dataset:
     """PPS sample of documents: inclusion probability n_chars/2000 capped
     at 1 — long docs (≥2000 chars) always survive, short ones

@@ -401,3 +401,100 @@ def test_debounce_vs_duckdb_lag(ray_session):
             ).take_all()
         )
         assert got == want
+
+
+# --- shuffle_shards (training export) ---
+
+
+def _docs_tab(n=600):
+    import numpy as np
+    rng = np.random.RandomState(9)
+    return pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "lang": pa.array([f"l{v}" for v in rng.randint(0, 4, n)], pa.string()),
+    })
+
+
+def test_shuffle_shards_partition_and_positions(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.analytics import shuffle_shards
+
+    tab = _docs_tab()
+    out = shuffle_shards(
+        ray.data.from_arrow(tab).repartition(5),
+        id_col="doc_id", n_shards=7,
+    ).take_all()
+    assert len(out) == tab.num_rows
+    assert {r["doc_id"] for r in out} == set(range(tab.num_rows))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(7))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # contiguous 0..n-1
+
+
+def test_shuffle_shards_parallelism_invariant(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.analytics import shuffle_shards
+
+    tab = _docs_tab()
+    outs = []
+    for nb in (1, 8):
+        rows = shuffle_shards(
+            ray.data.from_arrow(tab).repartition(nb),
+            id_col="doc_id", n_shards=4,
+        ).take_all()
+        outs.append(sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows))
+    assert outs[0] == outs[1]
+
+
+def test_shuffle_shards_salts_give_different_orders(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.analytics import shuffle_shards
+
+    tab = _docs_tab()
+    orders = []
+    for salt in ("e1", "e2"):
+        rows = shuffle_shards(
+            ray.data.from_arrow(tab), id_col="doc_id", n_shards=1, salt=salt,
+        ).take_all()
+        orders.append([r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])])
+    assert orders[0] != orders[1]          # epochs see different orders
+    assert sorted(orders[0]) == sorted(orders[1])
+
+
+def test_shuffle_shards_md5_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.analytics import shuffle_shards
+
+    tab = _docs_tab(300)
+    got = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(
+            ray.data.from_arrow(tab).repartition(3),
+            id_col="doc_id", n_shards=8, method="md5",
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = sorted(
+        tuple(r) for r in con.execute("""
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('sh42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) AS hv
+          FROM t
+        )
+        SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM h
+        """).fetchall()
+    )
+    assert got == want
