@@ -170,8 +170,44 @@ def group_quantile_disc(
     bounded (scores, lengths, cents); for unbounded doubles use the
     DDSketch quantiles in ``stages/sketches.py`` instead.
     """
+    return _group_quantile(
+        ds, keys, value_col, q, "disc", out_col=out_col, n_buckets=n_buckets
+    )
+
+
+def group_quantile_cont(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    q: float,
+    *,
+    out_col: str = "quantile",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT per-group INTERPOLATED quantile (SQL ``percentile_cont`` /
+    DuckDB ``quantile_cont``), same histogram plan as
+    ``group_quantile_disc``.  Output is float64, computed with DuckDB's
+    own interpolation form ``v_lo·(⌈h⌉−h) + v_hi·(h−⌊h⌋)`` at
+    ``h = q·(n−1)`` — the exact float expression, so results are
+    bit-identical to the SQL oracle."""
+    return _group_quantile(
+        ds, keys, value_col, q, "cont", out_col=out_col, n_buckets=n_buckets
+    )
+
+
+def _group_quantile(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    q: float,
+    mode: str,
+    *,
+    out_col: str,
+    n_buckets: int,
+) -> ray.data.Dataset:
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
+    assert mode in ("disc", "cont"), mode
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(keys + [value_col]).aggregate([([], "count_all")])
@@ -192,7 +228,11 @@ def group_quantile_disc(
             return pa.table(
                 {
                     **{k: g[k] for k in keys},
-                    out_col: g[value_col],
+                    out_col: (
+                        g[value_col]
+                        if mode == "disc"
+                        else g[value_col].cast(pa.float64())
+                    ),
                 }
             )
         # sort histogram rows by (group, value) using EXACT per-column
@@ -218,13 +258,27 @@ def group_quantile_disc(
         csum = np.cumsum(cnt_s)
         run_base = np.where(starts > 0, csum[starts - 1], 0)
         run_tot = csum[ends - 1] - run_base
-        # zero-indexed target rank within the run: floor(q * (n_g - 1))
-        target = np.floor(q * (run_tot - 1)).astype(np.int64)
+        # zero-indexed target rank within the run: h = q * (n_g - 1)
+        h = q * (run_tot - 1).astype(np.float64)
+        frn = np.floor(h).astype(np.int64)
         # first histogram row whose cumulative count exceeds the rank
-        pick = np.searchsorted(csum, run_base + target, side="right")
-        out_rows = order[pick]
-        out_cols = {k: g[k].take(pa.array(out_rows)) for k in keys}
-        out_cols[out_col] = g[value_col].take(pa.array(out_rows))
+        pick_lo = np.searchsorted(csum, run_base + frn, side="right")
+        lo_rows = order[pick_lo]
+        out_cols = {k: g[k].take(pa.array(lo_rows)) for k in keys}
+        if mode == "disc":
+            out_cols[out_col] = g[value_col].take(pa.array(lo_rows))
+        else:
+            # DuckDB's quantile_cont interpolation, term for term:
+            # v_lo*(CRN - h) + v_hi*(h - FRN), v_lo when CRN == FRN
+            crn = np.ceil(h).astype(np.int64)
+            pick_hi = np.searchsorted(csum, run_base + crn, side="right")
+            vals_f = val.astype(np.float64)
+            vlo = vals_f[order][pick_lo]
+            vhi = vals_f[order][pick_hi]
+            out = np.where(
+                crn == frn, vlo, vlo * (crn - h) + vhi * (h - frn)
+            )
+            out_cols[out_col] = pa.array(out, pa.float64())
         return pa.table(out_cols)
 
     return (

@@ -292,3 +292,47 @@ def test_rollup_sum_vs_duckdb(ray_session):
     got = {(r["a"], r["b"]): (r["v"], r["n"]) for r in got_rows}
     assert got == want
     assert (None, None) in got  # grand total present
+
+
+@pytest.mark.parametrize("q", [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0])
+def test_group_quantile_cont_bitexact_vs_duckdb(ray_session, q):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_quantile_cont
+
+    rng = np.random.RandomState(23)
+    n = 4000
+    tab = pa.table(
+        {
+            "k": pa.array([f"g{v}" for v in rng.randint(0, 9, n)], pa.string()),
+            "v": pa.array(rng.randint(0, 40, n).tolist(), pa.int64()),
+        }
+    )
+    got = {
+        r["k"]: r["quantile"]
+        for r in group_quantile_cont(
+            ray.data.from_arrow(tab).repartition(6), ["k"], "v", q
+        ).take_all()
+    }
+    want = {
+        k: t
+        for k, t in duckdb.connect()
+        .execute("SELECT k, quantile_cont(v, ?) FROM tab GROUP BY 1", [q])
+        .fetchall()
+    }
+    assert set(got) == set(want)
+    for k in want:  # bit-exact, not approx: same float expression
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_group_quantile_cont_single_row_group(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_quantile_cont
+
+    tab = pa.table({"k": pa.array(["a"]), "v": pa.array([7], pa.int64())})
+    out = group_quantile_cont(
+        ray.data.from_arrow(tab), ["k"], "v", 0.5
+    ).take_all()
+    assert out == [{"k": "a", "quantile": 7.0}]
