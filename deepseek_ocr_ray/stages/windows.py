@@ -516,6 +516,84 @@ def group_rank(
     )
 
 
+def group_ntile(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    n_tiles: int,
+    tile_col: str = "tile",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``ntile(k)`` per group: rows are split into ``k`` buckets as
+    equal as possible, the first ``n % k`` buckets one row larger — the
+    quartile/decile assignment used for stratifying corpora by quality or
+    length.  Same single coarse-bucket exchange and zero-Python in-group
+    walk as ``group_rank``.
+
+    ``order_cols`` MUST be a total order within each group (include a
+    unique id as the last column): ntile numbers ROWS, not tie groups, so
+    a non-total order would make the assignment execution-dependent —
+    here and in any SQL engine.  Output = input columns + ``tile_col``.
+    """
+    from ..hashing import hash64_columns
+
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(col) -> np.ndarray:
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys] + list(order_cols)
+        )
+        n = g.num_rows
+        if n == 0:
+            out = {c: g[c] for c in g.column_names}
+            out[tile_col] = pa.array([], pa.int64())
+            return pa.table(out)
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, n])
+        n_g = np.repeat(lens, lens)          # group size per row
+        i = idx - run_start                  # 0-based row number in group
+        small = n_g // n_tiles               # rows per small tile
+        big = n_g % n_tiles                  # number of one-larger tiles
+        cut = big * (small + 1)              # rows covered by big tiles
+        # small == 0 (fewer rows than tiles): each row its own tile i+1;
+        # the big-branch formula i // (small+1) + 1 == i + 1 covers it.
+        tile = np.where(
+            (i < cut) | (small == 0),
+            i // np.maximum(small + 1, 1) + 1,
+            big + (i - cut) // np.maximum(small, 1) + 1,
+        )
+        out = {c: g[c] for c in g.column_names}
+        out[tile_col] = pa.array(tile.astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+
+
 def debounce(
     ds: ray.data.Dataset,
     *,

@@ -498,3 +498,60 @@ def test_shuffle_shards_md5_vs_duckdb(ray_session):
         """).fetchall()
     )
     assert got == want
+
+
+# --- group_ntile ---
+
+
+@pytest.mark.parametrize("k", [1, 3, 4, 7, 50])
+def test_group_ntile_vs_duckdb(ray_session, k):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_ntile
+
+    rng = np.random.RandomState(31)
+    n = 2000
+    tab = pa.table({
+        "g": pa.array([f"g{v}" for v in rng.randint(0, 8, n)], pa.string()),
+        "v": pa.array(rng.randint(0, 100, n).tolist(), pa.int64()),
+        "id": pa.array(list(range(n)), pa.int64()),
+    })
+    got = sorted(
+        (r["id"], r["tile"])
+        for r in group_ntile(
+            ray.data.from_arrow(tab).repartition(5),
+            keys=["g"],
+            order_cols=[("v", "descending"), ("id", "ascending")],
+            n_tiles=k,
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = sorted(
+        tuple(r) for r in con.execute(
+            "SELECT id, CAST(ntile(?) OVER (PARTITION BY g "
+            "ORDER BY v DESC, id) AS BIGINT) FROM t", [k]
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_group_ntile_fewer_rows_than_tiles(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_ntile
+
+    tab = pa.table({
+        "g": pa.array(["a", "a", "b"]),
+        "id": pa.array([1, 2, 3], pa.int64()),
+    })
+    rows = {
+        r["id"]: r["tile"]
+        for r in group_ntile(
+            ray.data.from_arrow(tab), keys=["g"],
+            order_cols=[("id", "ascending")], n_tiles=5,
+        ).take_all()
+    }
+    assert rows == {1: 1, 2: 2, 3: 1}
