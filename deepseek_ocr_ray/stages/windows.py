@@ -516,6 +516,106 @@ def group_rank(
     )
 
 
+def gap_stats(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Inter-event gap statistics per key — count / mean / max of
+    ``ts − lag(ts)`` within each key group, the cadence metric behind
+    session health and crawler-politeness checks.  Keys with a single
+    event have no gap and are excluded (SQL ``WHERE gap IS NOT NULL``).
+
+    ONE coarse-bucket exchange co-locates each key's rows, then a
+    zero-Python walk: C++ sort by keys+ts+tiebreak, run boundaries from
+    exact dictionary codes, one vectorized int64 microsecond diff, and
+    per-run ``np.add/maximum.reduceat`` aggregation — the finalize emits
+    final per-key rows directly (gaps are integer microseconds, so the
+    sum is associative and the single float64 division per key matches
+    DuckDB's BIGINT avg bit-exactly).
+
+    Output: keys + ``n_gaps:int64, avg_gap_us:float64, max_gap_us:int64``.
+    """
+    from ..hashing import hash64_columns
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(col) -> np.ndarray:
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys]
+            + [(ts_col, "ascending"), (tiebreak_col, "ascending")]
+        )
+        n = g.num_rows
+        empty = pa.table(
+            {
+                **{k: pa.array([], g.schema.field(k).type) for k in keys},
+                "n_gaps": pa.array([], pa.int64()),
+                "avg_gap_us": pa.array([], pa.float64()),
+                "max_gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        ts = (
+            g[ts_col]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        # gap[i] pairs row i with row i+1 of the SAME run
+        gap = ts[1:] - ts[:-1]
+        in_run = ~new_run[1:]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, n])
+        keep_run = lens > 1  # single-event keys have no gaps
+        if not keep_run.any():
+            return empty
+        # segment boundaries in gap-index space: run starting at row s with
+        # L rows owns gaps [s, s+L-1) — reduceat over kept runs only
+        seg = starts[keep_run]
+        gl = (lens - 1)[keep_run]
+        valid_gap = gap[in_run]
+        # reindex: gaps of kept runs are contiguous after dropping the
+        # cross-run diffs; their segment starts are cumsum of lengths
+        seg_starts = np.r_[0, np.cumsum(gl)[:-1]]
+        n_gaps = gl.astype(np.int64)
+        sums = np.add.reduceat(valid_gap, seg_starts)
+        maxs = np.maximum.reduceat(valid_gap, seg_starts)
+        first_rows = pa.array(seg)
+        out = {k: g[k].take(first_rows) for k in keys}
+        out["n_gaps"] = pa.array(n_gaps, pa.int64())
+        out["avg_gap_us"] = pa.array(
+            sums.astype(np.float64) / n_gaps.astype(np.float64), pa.float64()
+        )
+        out["max_gap_us"] = pa.array(maxs, pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+
+
 def group_ntile(
     ds: ray.data.Dataset,
     *,

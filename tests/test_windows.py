@@ -555,3 +555,72 @@ def test_group_ntile_fewer_rows_than_tiles(ray_session):
         ).take_all()
     }
     assert rows == {1: 1, 2: 2, 3: 1}
+
+
+# --- gap_stats ---
+
+
+def test_gap_stats_vs_duckdb(ray_session):
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import gap_stats
+
+    rng = np.random.RandomState(41)
+    n = 3000
+    base = dt.datetime(2025, 1, 1)
+    tab = pa.table({
+        "user_id": pa.array(rng.randint(0, 80, n).tolist(), pa.int64()),
+        "ts": pa.array(
+            [base + dt.timedelta(seconds=int(s))
+             for s in rng.randint(0, 10_000_000, n)],
+            pa.timestamp("us"),
+        ),
+        "event_id": pa.array(list(range(n)), pa.int64()),
+    })
+    got = sorted(
+        (r["user_id"], r["n_gaps"], r["avg_gap_us"], r["max_gap_us"])
+        for r in gap_stats(
+            ray.data.from_arrow(tab).repartition(6), keys=["user_id"]
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = sorted(
+        tuple(r) for r in con.execute("""
+        WITH d AS (
+          SELECT user_id,
+                 epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS g
+          FROM t
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT), avg(g),
+               CAST(max(g) AS BIGINT)
+        FROM d WHERE g IS NOT NULL GROUP BY 1
+        """).fetchall()
+    )
+    assert got == want  # bit-exact incl. the float64 avg
+
+
+def test_gap_stats_drops_single_event_keys(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import gap_stats
+
+    base = dt.datetime(2025, 1, 1)
+    tab = pa.table({
+        "user_id": pa.array([1, 2, 2], pa.int64()),
+        "ts": pa.array(
+            [base, base, base + dt.timedelta(seconds=5)], pa.timestamp("us")
+        ),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+    })
+    rows = gap_stats(ray.data.from_arrow(tab), keys=["user_id"]).take_all()
+    assert [(r["user_id"], r["n_gaps"], r["max_gap_us"]) for r in rows] == [
+        (2, 1, 5_000_000)
+    ]
