@@ -350,6 +350,108 @@ def latest_by_key(
     )
 
 
+def _grand_total(prev: ray.data.Dataset, value_cols: list[str]) -> ray.data.Dataset:
+    """Associative global int64 sum of ``value_cols`` over an already-
+    reduced dataset: per-block partial sums (one row per block, bounded
+    driver state), summed on the driver."""
+
+    def total(batch: pa.Table, _vc=tuple(value_cols)) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array(
+                    [pa.compute.sum(batch[c]).as_py() or 0], pa.int64()
+                )
+                for c in _vc
+            }
+        )
+
+    parts = prev.select_columns(value_cols).map_batches(
+        total, batch_format="pyarrow"
+    ).take_all()  # bounded: one row per block
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                c: pa.array([sum(r[c] for r in parts)], pa.int64())
+                for c in value_cols
+            }
+        )
+    )
+
+
+def cube_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    *,
+    count_col: str = "n",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(keys...)``: aggregates at EVERY subset of the
+    key columns (2^k levels), absent key columns null.
+
+    Same one-corpus-pass lattice strategy as :func:`rollup_sum`: the
+    finest level runs through :func:`bucket_groupby_sum` and is
+    materialized; every other subset re-aggregates an already-computed
+    superset ONE key larger (any such parent gives the same exact result
+    — int64 partials are associative), so each of the 2^k−1 derived
+    levels costs an exchange over group-count rows, never a second scan.
+    ``len(keys)`` is capped at 4 (16 levels) — beyond that GROUPING SETS
+    explosions are a modeling problem, not an engine one.
+    """
+    from itertools import combinations
+
+    if not keys:
+        raise ValueError("cube needs at least one key")
+    if len(keys) > 4:
+        raise ValueError("cube_sum supports at most 4 keys (16 levels)")
+    base = bucket_groupby_sum(
+        ds, keys, sum_cols, count_col=count_col, n_buckets=n_buckets
+    ).materialize()
+    value_cols = list(sum_cols) + [count_col]
+    base_schema = base.schema().base_schema
+    key_types = {k: base_schema.field(k).type for k in keys}
+
+    def _null_fill(t: pa.Table, present: list[str]) -> pa.Table:
+        cols = {}
+        for k in keys:
+            cols[k] = (
+                t[k] if k in present else pa.nulls(t.num_rows, key_types[k])
+            )
+        for c in value_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    computed: dict[tuple, ray.data.Dataset] = {tuple(keys): base}
+    levels = [
+        base.map_batches(lambda b: _null_fill(b, keys), batch_format="pyarrow")
+    ]
+    for depth in range(len(keys) - 1, -1, -1):
+        for sub in combinations(keys, depth):
+            parent = next(
+                p for p in computed if len(p) == depth + 1 and set(sub) <= set(p)
+            )
+            if sub:
+                nxt = bucket_groupby_sum(
+                    computed[parent].select_columns(list(sub) + value_cols),
+                    list(sub),
+                    value_cols,
+                    n_buckets=n_buckets,
+                ).materialize()
+            else:
+                nxt = _grand_total(computed[parent], value_cols)
+            computed[sub] = nxt
+            levels.append(
+                nxt.map_batches(
+                    lambda b, _p=sub: _null_fill(b, list(_p)),
+                    batch_format="pyarrow",
+                )
+            )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def rollup_sum(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -404,33 +506,7 @@ def rollup_sum(
                 n_buckets=n_buckets,
             ).materialize()
         else:
-            # grand total: one associative global sum per value column
-            import ray as _ray
-
-            def total(batch: pa.Table, _vc=tuple(value_cols)) -> pa.Table:
-                g = pa.table({c: batch[c] for c in _vc})
-                return pa.table(
-                    {
-                        c: pa.array(
-                            [pa.compute.sum(g[c]).as_py() or 0], pa.int64()
-                        )
-                        for c in _vc
-                    }
-                )
-
-            parts = prev.select_columns(value_cols).map_batches(
-                total, batch_format="pyarrow"
-            ).take_all()  # bounded: one row per block
-            nxt = ray.data.from_arrow(
-                pa.table(
-                    {
-                        c: pa.array(
-                            [sum(r[c] for r in parts)], pa.int64()
-                        )
-                        for c in value_cols
-                    }
-                )
-            )
+            nxt = _grand_total(prev, value_cols)
         levels.append(
             nxt.map_batches(
                 lambda b, _p=tuple(sub): _null_fill(b, list(_p)),

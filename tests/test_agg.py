@@ -336,3 +336,48 @@ def test_group_quantile_cont_single_row_group(ray_session):
         ray.data.from_arrow(tab), ["k"], "v", 0.5
     ).take_all()
     assert out == [{"k": "a", "quantile": 7.0}]
+
+
+@pytest.mark.parametrize("nkeys", [2, 3])
+def test_cube_sum_vs_duckdb(ray_session, nkeys):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import cube_sum
+
+    rng = np.random.RandomState(47)
+    n = 2500
+    cols = {
+        "a": pa.array([f"a{v}" for v in rng.randint(0, 3, n)], pa.string()),
+        "b": pa.array([f"b{v}" for v in rng.randint(0, 4, n)], pa.string()),
+        "c": pa.array(rng.randint(0, 2, n).tolist(), pa.int64()),
+        "v": pa.array(rng.randint(-20, 80, n).tolist(), pa.int64()),
+    }
+    keys = ["a", "b", "c"][:nkeys]
+    tab = pa.table({k: cols[k] for k in keys + ["v"]})
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = {
+        tuple(r[k] for k in keys): (r["sv"], r["n"])
+        for r in con.execute(
+            f"SELECT {', '.join(keys)}, CAST(sum(v) AS BIGINT) AS sv, "
+            f"CAST(count(*) AS BIGINT) AS n FROM t GROUP BY CUBE ({', '.join(keys)})"
+        ).arrow().to_pylist()
+    }
+    got_rows = cube_sum(
+        ray.data.from_arrow(tab).repartition(5), keys, ["v"]
+    ).take_all()
+    got = {tuple(r[k] for k in keys): (r["v"], r["n"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(want)  # no duplicate levels
+
+
+def test_cube_sum_rejects_too_many_keys(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import cube_sum
+
+    ds = ray.data.from_arrow(pa.table({c: pa.array([1], pa.int64())
+                                       for c in "abcdev"}))
+    with pytest.raises(ValueError, match="at most 4"):
+        cube_sum(ds, ["a", "b", "c", "d", "e"], ["v"])
