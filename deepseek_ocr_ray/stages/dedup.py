@@ -319,6 +319,7 @@ def _band_rows(
     keys: np.ndarray,
     payload: pa.Array | pa.ChunkedArray,
     n_buckets: int,
+    extras: dict[str, pa.Array | pa.ChunkedArray] | None = None,
 ) -> pa.Table:
     """Assemble the (doc × band) LSH rows without per-row Python.
 
@@ -335,17 +336,20 @@ def _band_rows(
         ids = ids.combine_chunks()
     if isinstance(payload, pa.ChunkedArray):
         payload = payload.combine_chunks()
-    return pa.table(
-        {
-            id_col: ids.take(rep),
-            "band": pa.array(band_arr, pa.uint64()),
-            "band_key": pa.array(key_arr, pa.uint64()),
-            "payload": payload.take(rep),
-            "lsh_group": pa.array(
-                _stable_group(band_arr, key_arr, n_buckets), pa.int64()
-            ),
-        }
-    )
+    cols = {
+        id_col: ids.take(rep),
+        "band": pa.array(band_arr, pa.uint64()),
+        "band_key": pa.array(key_arr, pa.uint64()),
+        "payload": payload.take(rep),
+        "lsh_group": pa.array(
+            _stable_group(band_arr, key_arr, n_buckets), pa.int64()
+        ),
+    }
+    for name, col in (extras or {}).items():
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[name] = col.take(rep)
+    return pa.table(cols)
 
 
 def _matrix_from_binary(
@@ -520,6 +524,7 @@ class MinHashBandStage:
         n_buckets: int = 64,
         carry_text: bool = False,
         carry_payload: bool = True,
+        carry_cols: list[str] | None = None,
     ):
         assert num_perm % bands == 0
         self.hasher = MinHasher(num_perm, shingle_k, seed)
@@ -532,6 +537,10 @@ class MinHashBandStage:
         # the verify-by-join plan needs only bucket keys, no payload —
         # skip the per-band signature bytes to shrink shuffle #1
         self.carry_payload = carry_payload
+        # extra per-doc columns fanned out to the band rows (C++ take on
+        # the same repeat vector as the id) — e.g. a side tag for the
+        # incremental new-vs-existing plan
+        self.carry_cols = list(carry_cols or [])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # whole-batch signatures: one sliding-window hash over the Arrow
@@ -554,7 +563,12 @@ class MinHashBandStage:
                 np.empty((sigs.shape[0], 0), np.uint8)
             )
         return _band_rows(
-            self.id_col, batch[self.id_col], keys, payload, self.n_buckets
+            self.id_col,
+            batch[self.id_col],
+            keys,
+            payload,
+            self.n_buckets,
+            extras={c: batch[c] for c in self.carry_cols},
         )
 
 
@@ -626,13 +640,17 @@ def incremental_minhash_dedup(
     across runs by construction) against EVERY existing document is below
     ``threshold``.  The near-dup companion of ``incremental_exact_dedup``.
 
-    Dataflow: both sides → banded signature rows (one ``MinHashBandStage``
-    pool each); the new side equi-joins the existing side on the mixed
-    (band, band_key) — ONE keyed exchange where only colliding bands meet;
-    each joined row verifies vectorized (whole-batch uint32 matrix
-    compare, no per-pair Python); contaminated new ids leave via the
-    planner's distributed ``left_anti`` join.  Nothing is ever broadcast
-    or materialized on the driver.
+    Dataflow: tag each side with a 0/1 ``__side`` column and union — ONE
+    ``MinHashBandStage`` pool computes every signature (two pools halved
+    the stage's share of the cluster and could deadlock small sessions);
+    ONE keyed exchange on the stable (band, band_key) bucket co-locates
+    colliding bands of both sides; the per-bucket finalize builds the
+    (new × existing) pair INDEX per equal-key run with segmented-arange
+    arithmetic (no pair tables — signatures are gathered once into two
+    numpy matrices and compared whole-bucket), emitting only contaminated
+    new ids.  Those leave via the planner's ``left_anti`` join (broadcast
+    below the plasma cap, distributed above).  Nothing corpus-sized is
+    ever broadcast or driver-materialized.
 
     Duplicates WITHIN the new batch are not removed here — compose with
     ``minhash_dedup(new_ds)`` for that; the existing corpus stays the
@@ -641,49 +659,75 @@ def incremental_minhash_dedup(
     kw = dict(
         text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, seed=seed, n_buckets=n_buckets,
+        carry_cols=["__side"],
     )
-
-    def bandify(ds: ray.data.Dataset, out_id: str, out_sig: str):
-        rows = ds.map_batches(
-            MinHashBandStage, fn_constructor_kwargs=kw,
-            batch_format="pyarrow", concurrency=concurrency,
-        )
-
-        def prep(batch: pa.Table) -> pa.Table:
-            band = batch["band"].to_numpy(zero_copy_only=False)
-            key = batch["band_key"].to_numpy(zero_copy_only=False)
-            ck = mix64(
-                key.astype(np.uint64)
-                ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            ).view(np.int64)
-            return pa.table(
-                {
-                    "bk": pa.array(ck),
-                    out_id: batch[id_col],
-                    out_sig: batch["payload"],
-                }
-            )
-
-        return rows.map_batches(prep, batch_format="pyarrow")
-
-    nb = bandify(new_ds, "nid", "nsig")
-    eb = bandify(existing_ds, "eid", "esig")
-    cand = equi_join(
-        nb, eb, on="bk",
-        left_cols=["nid", "nsig"], right_cols=["eid", "esig"],
-    )
-
     id_type = new_ds.schema().base_schema.field(id_col).type
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"nid": pa.array([], id_type)})
-        a = _matrix_from_binary(batch["nsig"], np.uint32)
-        b = _matrix_from_binary(batch["esig"], np.uint32)
-        dup = (a == b).mean(axis=1) >= threshold
-        hit = batch.filter(pa.array(dup))
+    def _tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side, np.int8))
+            )
+
+        return fn
+
+    both = new_ds.map_batches(_tag(0), batch_format="pyarrow").union(
+        existing_ds.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    rows = both.map_batches(
+        MinHashBandStage, fn_constructor_kwargs=kw,
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        empty = pa.table({"nid": pa.array([], id_type)})
+        if group.num_rows == 0 or "band_key" not in group.column_names:
+            return empty
+        band = group["band"].to_numpy(zero_copy_only=False)
+        key = group["band_key"].to_numpy(zero_copy_only=False)
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        ck = mix64(
+            key.astype(np.uint64)
+            ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        )
+        # sort by (combined key, side): each equal-key run holds its new
+        # rows (side 0) first, then its existing rows
+        order = np.lexsort((side, ck))
+        ck_s, side_s = ck[order], side[order]
+        n = len(ck_s)
+        new_run = np.r_[True, ck_s[1:] != ck_s[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        n_runs = run_id[-1] + 1
+        n_new = np.bincount(run_id, weights=(side_s == 0), minlength=n_runs).astype(np.int64)
+        n_ex = np.bincount(run_id, weights=(side_s == 1), minlength=n_runs).astype(np.int64)
+        run_start = np.flatnonzero(new_run)
+        # per NEW row: its run's existing-rows segment
+        new_rows = np.flatnonzero(side_s == 0)
+        if new_rows.size == 0:
+            return empty
+        r_of_new = run_id[new_rows]
+        seg_len = n_ex[r_of_new]
+        have = seg_len > 0
+        if not have.any():
+            return empty
+        new_rows, seg_len, r_of_new = new_rows[have], seg_len[have], r_of_new[have]
+        ex_start = run_start[r_of_new] + n_new[r_of_new]
+        P = int(seg_len.sum())
+        a_idx = np.repeat(new_rows, seg_len)
+        cum0 = np.r_[0, np.cumsum(seg_len)[:-1]]
+        b_idx = np.repeat(ex_start, seg_len) + (
+            np.arange(P, dtype=np.int64) - np.repeat(cum0, seg_len)
+        )
+        sigs = _matrix_from_binary(
+            group["payload"].take(pa.array(order)), np.uint32
+        )
+        dup = (sigs[a_idx] == sigs[b_idx]).mean(axis=1) >= threshold
+        if not dup.any():
+            return empty
+        ids_sorted = group[id_col].take(pa.array(order))
+        hit = ids_sorted.take(pa.array(a_idx[dup]))
         # block-local distinct: a near-dup pair collides in MANY bands
-        return pa.table({"nid": hit["nid"]}).group_by("nid").aggregate([])
+        return pa.table({"nid": hit}).group_by("nid").aggregate([])
 
     # anti join keeps exactly the new ids with NO verified near-dup;
     # duplicate right keys are harmless to anti semantics.  right_types
@@ -692,9 +736,11 @@ def incremental_minhash_dedup(
     # of the crawl — so below the broadcast cap the anti join is a
     # zero-exchange streaming filter over the new side; the count is free
     # because the verify output has to materialize for the join anyway.
-    contaminated = cand.map_batches(
-        verify, batch_format="pyarrow"
-    ).materialize()
+    contaminated = (
+        rows.groupby("lsh_group")
+        .map_groups(verify, batch_format="pyarrow")
+        .materialize()
+    )
     from ..cluster import BROADCAST_MAX_BYTES
 
     strategy = (
