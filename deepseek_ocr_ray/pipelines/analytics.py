@@ -325,6 +325,69 @@ GROUP BY 1 ORDER BY n DESC, token LIMIT 100
 """
 
 
+def bigram_counts(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    """Corpus collocations: global top-k most frequent adjacent token
+    pairs — the co-occurrence statistic behind phrase mining and PMI.
+
+    Same wide-aggregation shape as :func:`token_vocab` (per-block C++
+    combine → token-hash aggregate → sort+limit), with the bigram
+    construction fully vectorized: tokens stay flat Arrow arrays, a doc-id
+    repeat vector marks document boundaries, and the pair join is one
+    ``binary_join_element_wise`` over shifted takes — pairs never cross a
+    document (empties from boundary whitespace are dropped BEFORE pairing,
+    matching the oracle's filtered-list indexing)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.values
+        offs = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(len(split), dtype=np.int64), np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        kt = flat.filter(pa.array(keep))
+        kd = doc[keep]
+        if len(kd) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        adj = np.flatnonzero(kd[1:] == kd[:-1])  # i and i+1 in same doc
+        left = kt.take(pa.array(adj))
+        right = kt.take(pa.array(adj + 1))
+        bg = pc.binary_join_element_wise(left, right, " ")
+        g = pa.table({"bigram": bg}).group_by("bigram").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"bigram": g["bigram"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(local_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "n"})
+    )
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+BIGRAM_COUNTS_SQL = """
+WITH l AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), b AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM l
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
 def lang_source_stats(sf_dir: str) -> ray.data.Dataset:
     """documents grouped by (lang, source): doc count + total chars."""
     ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])

@@ -438,3 +438,37 @@ def test_corpus_filter_each_flag_has_a_designated_failure(ray_session, tmp_path)
     assert out.loc[4, "flag_unique"] == 0 and out.loc[4, "keep"] == 0
     assert out.loc[1, "flag_unique"] == 1
     assert out.loc[5, "flag_clean"] == 0 and out.loc[5, "keep"] == 0
+
+
+def test_bigram_counts_vs_duckdb(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines.analytics import (
+        BIGRAM_COUNTS_SQL, bigram_counts,
+    )
+
+    tab = pa.table({
+        "text": pa.array([
+            "The quick brown fox  jumps",
+            "  the quick brown  ",
+            "one",
+            "",
+            "the quick the quick the",
+        ]),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = [
+        (r["bigram"], r["n"])
+        for r in bigram_counts(str(tmp_path), k=50).take_all()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(BIGRAM_COUNTS_SQL).fetchall()
+    assert got == want
+    assert ("the quick", 4) in got          # crosses no doc boundary
+    assert all(" one" not in b and "one " not in b for b, _ in got)
