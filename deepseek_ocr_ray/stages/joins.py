@@ -42,11 +42,20 @@ def asof_join(
     right_cols: list[str],
     n_buckets: int = 64,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
     """Inner as-of join; output columns = left_cols + right_cols.
 
     Timestamps may be Arrow timestamps or numerics; they are compared as
     int64 (microseconds for timestamps).
+
+    ``direction``: ``"backward"`` (default) matches each left row with the
+    LATEST right row at-or-before its ts (SQL ``ASOF ... ON l.ts >=
+    r.ts``); ``"forward"`` with the EARLIEST right row at-or-after (``ON
+    l.ts <= r.ts`` — time-to-next-event queries).  Forward is the same
+    algorithm on NEGATED int64 timestamps (max at-or-before of −ts ≡ min
+    at-or-after of ts), so both directions share one code path and one
+    test surface; ``right_tiebreak`` still picks the max on equal-ts ties.
 
     ``right_tiebreak``: name of an int right payload column used to break
     ties when several right rows share (key, ts) — the match picks the row
@@ -82,6 +91,9 @@ def asof_join(
             f"right_tiebreak {right_tiebreak!r} must be one of right_cols "
             f"{right_cols} — only those columns ride the exchange"
         )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    ts_sign = np.int64(-1 if direction == "forward" else 1)
 
     lk = _kind(left.schema().base_schema.field(left_ts).type)
     rk = _kind(right.schema().base_schema.field(right_ts).type)
@@ -98,7 +110,7 @@ def asof_join(
             out = {
                 "side": pa.array(np.full(len(keys), side, np.int8)),
                 "jkey": pa.array(keys, pa.int64()),
-                "jts": pa.array(_ts_i64(batch[ts])[0], pa.int64()),
+                "jts": pa.array(ts_sign * _ts_i64(batch[ts])[0], pa.int64()),
                 "bucket": pa.array(_bucket_i64(keys, n_buckets), pa.int64()),
             }
             # side-specific payload columns ride along, null on the other side

@@ -517,3 +517,64 @@ def test_equi_join_routes_outer_to_bucket(ray_session):
             left_cols=["lv"], right_cols=["rv"], key_out="k",
             strategy="hash",
         )
+
+
+def test_asof_join_forward_vs_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.RandomState(53)
+    n = 800
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 25, n).tolist(), pa.int64()),
+        "t": pa.array(rng.randint(0, 1000, n).tolist(), pa.int64()),
+        "lid": pa.array(list(range(n)), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(rng.randint(0, 25, n).tolist(), pa.int64()),
+        "t": pa.array(rng.randint(0, 1000, n).tolist(), pa.int64()),
+        "v": pa.array(rng.randint(0, 10**6, n).tolist(), pa.int64()),
+    })
+    got = sorted(
+        (r["lid"], r["v"])
+        for r in asof_join(
+            _ds(left, 4), _ds(right, 3),
+            left_key="k", right_key="k", left_ts="t", right_ts="t",
+            left_cols=["lid"], right_cols=["v"],
+            right_tiebreak="v", direction="forward",
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = sorted(
+        tuple(x) for x in con.execute("""
+        WITH rr AS (SELECT k, t, max(v) AS v FROM r GROUP BY 1, 2)
+        SELECT l.lid, rr.v FROM l ASOF JOIN rr
+          ON l.k = rr.k AND l.t <= rr.t
+        """).fetchall()
+    )
+    assert got == want
+
+
+def test_asof_join_forward_picks_earliest_future(ray_session):
+    left = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "t": pa.array([10, 25, 99], pa.int64()),
+        "lid": pa.array([0, 1, 2], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "t": pa.array([9, 12, 20], pa.int64()),
+        "v": pa.array([50, 100, 200], pa.int64()),
+    })
+    got = sorted(
+        (r["lid"], r["v"])
+        for r in asof_join(
+            _ds(left, 1), _ds(right, 1),
+            left_key="k", right_key="k", left_ts="t", right_ts="t",
+            left_cols=["lid"], right_cols=["v"], direction="forward",
+        ).take_all()
+    )
+    # lid 0 -> nearest future t=12; lid 1 -> none (max right t=20 < 25? no:
+    # 20 >= 25 is false) ... t=25 has no right ts >= 25 -> dropped; lid 2 dropped
+    assert got == [(0, 100)]
