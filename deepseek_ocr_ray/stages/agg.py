@@ -350,6 +350,61 @@ def latest_by_key(
     )
 
 
+def pivot_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    *,
+    value_col: str | None = None,
+    prefix: str = "n_",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL PIVOT — one output column per ``pivot_values`` entry holding
+    the per-key COUNT of rows with that pivot value (or the SUM of
+    ``value_col`` over them), i.e. ``SUM(CASE WHEN pivot_col = v THEN …
+    END)`` for each v.
+
+    ``pivot_values`` is explicit by design: at 10^12 rows, discovering
+    the column set from the data is a separate (cheap) distinct pass the
+    caller runs first — an implicit discovery hidden inside the operator
+    would make the output schema data-dependent and the shuffle
+    unplannable.  Unlisted pivot values are ignored, like SQL PIVOT IN.
+
+    Plan: one streaming map materializes the CASE columns (a boolean cast
+    / masked multiply per pivot value, all Arrow C++), then the standard
+    coarse-bucket aggregate — the exchange carries one partial row per
+    (block, key), with ``len(pivot_values)`` int64 columns."""
+    if not pivot_values:
+        raise ValueError("pivot_values must be non-empty")
+    out_names = [f"{prefix}{v}" for v in pivot_values]
+    clash = set(out_names) & set(keys)
+    if clash:
+        raise ValueError(f"pivot output columns collide with keys: {clash}")
+
+    def widen(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {k: batch[k] for k in keys}
+        pv = batch[pivot_col]
+        for v, out in zip(pivot_values, out_names):
+            mask = pc.cast(pc.equal(pv, v), pa.int64())
+            # NULL pivot values compare to null — count them as 0, like
+            # SQL's CASE WHEN NULL THEN ... ELSE 0
+            mask = pc.fill_null(mask, 0)
+            if value_col is not None:
+                mask = pc.multiply(mask, batch[value_col].cast(pa.int64()))
+            cols[out] = mask
+        return pa.table(cols)
+
+    return bucket_groupby_agg(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        keys,
+        [(c, "sum", c) for c in out_names],
+        n_buckets=n_buckets,
+    )
+
+
 def _grand_total(prev: ray.data.Dataset, value_cols: list[str]) -> ray.data.Dataset:
     """Associative global int64 sum of ``value_cols`` over an already-
     reduced dataset: per-block partial sums (one row per block, bounded

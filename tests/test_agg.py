@@ -381,3 +381,49 @@ def test_cube_sum_rejects_too_many_keys(ray_session):
                                        for c in "abcdev"}))
     with pytest.raises(ValueError, match="at most 4"):
         cube_sum(ds, ["a", "b", "c", "d", "e"], ["v"])
+
+
+def test_pivot_sum_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import pivot_sum
+
+    rng = np.random.RandomState(59)
+    n = 3000
+    types = ["a", "b", "c", "zz"]
+    tab = pa.table({
+        "k": pa.array(rng.randint(0, 50, n).tolist(), pa.int64()),
+        "p": pa.array([types[i] for i in rng.randint(0, 4, n)], pa.string()),
+        "v": pa.array(rng.randint(0, 100, n).tolist(), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", tab)
+    # counts (value_col=None); 'zz' deliberately NOT in pivot_values
+    got = sorted(
+        (r["k"], r["n_a"], r["n_b"], r["n_c"])
+        for r in pivot_sum(
+            ray.data.from_arrow(tab).repartition(5), ["k"], "p", ["a", "b", "c"]
+        ).take_all()
+    )
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT k, CAST(sum(CASE WHEN p='a' THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN p='b' THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN p='c' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM t GROUP BY 1
+    """).fetchall())
+    assert got == want
+    # sums over a value column
+    got2 = sorted(
+        (r["k"], r["n_a"], r["n_b"])
+        for r in pivot_sum(
+            ray.data.from_arrow(tab).repartition(3), ["k"], "p", ["a", "b"],
+            value_col="v",
+        ).take_all()
+    )
+    want2 = sorted(tuple(r) for r in con.execute("""
+        SELECT k, CAST(sum(CASE WHEN p='a' THEN v ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN p='b' THEN v ELSE 0 END) AS BIGINT)
+        FROM t GROUP BY 1
+    """).fetchall())
+    assert got2 == want2
