@@ -992,35 +992,48 @@ def weighted_sample(
     cap: int,
     scale_bp: int = 10000,
     salt: str = "w42",
+    method: str = "fast",
 ) -> ray.data.Dataset:
     """Deterministic probability-proportional-to-size sampling: a row
-    survives iff ``md5(salt:id) % scale_bp < min(weight, cap) · scale_bp
+    survives iff ``hash(salt, id) % scale_bp < min(weight, cap) · scale_bp
     / cap`` (integer arithmetic, so the per-row inclusion threshold is
     exactly ``min(weight, cap) * scale_bp // cap`` on both sides) — the
     size-biased sample corpus curation uses to weight long documents
     without a second pass, with all of ``deterministic_sample``'s
     properties (parallelism-invariant, resumable, salt-composable).
 
-    One streaming map; the only per-row cost is the md5 SQL-parity hash —
-    swap to the vectorized engine hash exactly as ``deterministic_sample
-    (method="fast")`` does when not oracle-checking."""
+    One streaming map.  ``method="fast"`` (default) is the vectorized
+    engine hash (no per-row Python on this full-corpus scan);
+    ``method="md5"`` is the SQL-parity rule DuckDB replicates exactly —
+    keep it for oracle-checked runs, not for 10^12-row corpora."""
     import hashlib as _h
 
+    from ..hashing import hash64_array, mix64
+
+    if method not in ("fast", "md5"):
+        raise ValueError(f"unknown sample method {method!r}")
+    salt_h = _salt_hash(salt)
+
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
         w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
         thr = np.minimum(w, cap) * scale_bp // cap
-        sp = f"{salt}:".encode()
-        md5 = _h.md5
-        hv = np.fromiter(
-            (
-                int.from_bytes(md5(sp + str(v).encode()).digest()[:4], "big")
-                for v in ids
-            ),
-            np.int64,
-            count=len(ids),
-        )
-        return batch.filter(pa.array(hv % scale_bp < thr))
+        if method == "fast":
+            hv = (
+                mix64(hash64_array(batch[id_col]) ^ salt_h)
+                % np.uint64(scale_bp)
+            ).astype(np.int64)
+        else:
+            sp = f"{salt}:".encode()
+            md5 = _h.md5
+            hv = np.fromiter(
+                (
+                    int.from_bytes(md5(sp + str(v).encode()).digest()[:4], "big")
+                    for v in batch[id_col].to_pylist()
+                ),
+                np.int64,
+                count=batch.num_rows,
+            ) % scale_bp
+        return batch.filter(pa.array(hv < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -1130,6 +1143,15 @@ def documents_sample_weighted(sf_dir: str) -> ray.data.Dataset:
     """PPS sample of documents: inclusion probability n_chars/2000 capped
     at 1 — long docs (≥2000 chars) always survive, short ones
     proportionally."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample(
+        ds, id_col="doc_id", weight_col="n_chars", cap=2000, method="md5"
+    )
+
+
+def documents_sample_weighted_fast(sf_dir: str) -> ray.data.Dataset:
+    """The production PPS sampling path (vectorized engine hash);
+    fixture-oracled because the hash is not SQL-expressible."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return weighted_sample(ds, id_col="doc_id", weight_col="n_chars", cap=2000)
 

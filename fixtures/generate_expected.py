@@ -70,6 +70,7 @@ def main() -> None:
             # non-SQL-expressible engine hash
             ("documents_sample_fast", "doc_id"),
             ("documents_sample_by_lang_fast", "doc_id"),
+            ("documents_sample_weighted_fast", "doc_id"),
         ]:
             ids = sorted(r[id_col] for r in q[name](sf_dir).take_all())
             kept_rows["query"].extend([name] * len(ids))
