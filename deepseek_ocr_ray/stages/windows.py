@@ -441,11 +441,14 @@ def group_rank(
     order_cols: list[tuple[str, str]],
     rank_col: str = "rnk",
     pct_col: str | None = "pct",
+    cume_col: str | None = None,
     n_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """SQL ``rank()`` (ties share the rank, gaps after) and
-    ``percent_rank()`` per group — the window-function primitive behind
-    per-language quality percentiles and leaderboards.
+    """SQL ``rank()`` (ties share the rank, gaps after), ``percent_rank()``
+    and optionally ``cume_dist()`` per group — the window-function
+    primitives behind per-language quality percentiles and leaderboards.
+    ``cume_dist`` is (rows ordered ≤ current, ties inclusive) / group size
+    — one float64 division per row, DuckDB-bit-identical.
 
     One coarse-bucket exchange on the group keys (a group's rows land in
     one bucket), then a zero-Python in-group pass: C++ sort by
@@ -483,6 +486,8 @@ def group_rank(
             out[rank_col] = pa.array([], pa.int64())
             if pct_col:
                 out[pct_col] = pa.array([], pa.float64())
+            if cume_col:
+                out[cume_col] = pa.array([], pa.float64())
             return pa.table(out)
         new_run = np.zeros(n, bool)
         new_run[0] = True
@@ -501,12 +506,103 @@ def group_rank(
         rnk = tie_start - run_start + 1
         out = {c: g[c] for c in g.column_names}
         out[rank_col] = pa.array(rnk, pa.int64())
-        if pct_col:
+        if pct_col or cume_col:
             starts = np.flatnonzero(new_run)
             lens = np.diff(np.r_[starts, n])
             n_run = np.repeat(lens, lens).astype(np.float64)
+        if pct_col:
             denom = np.maximum(n_run - 1.0, 1.0)
             out[pct_col] = pa.array((rnk - 1) / denom, pa.float64())
+        if cume_col:
+            # rows ≤ current incl. ties = end of the current tie group,
+            # relative to the run start
+            tie_starts = np.flatnonzero(new_tie)
+            tie_lens = np.diff(np.r_[tie_starts, n])
+            tie_end = np.repeat(tie_starts + tie_lens, tie_lens)
+            out[cume_col] = pa.array(
+                (tie_end - run_start).astype(np.float64) / n_run, pa.float64()
+            )
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+
+
+def with_lag(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    col: str,
+    out_col: str,
+    offset: int = 1,
+    lead: bool = False,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``lag(col, offset)`` / ``lead(col, offset)`` OVER (PARTITION BY
+    keys ORDER BY order_cols) materialized as a column — the window
+    navigation primitive (previous URL, next status, delta bases).  Rows
+    with no offset-neighbour in their group get null, like SQL.
+
+    One coarse-bucket exchange co-locates each key group; the walk is a
+    C++ sort + one shifted take with run-boundary nulls (a row's neighbour
+    must share its group's dictionary-code run).  Output = input columns +
+    ``out_col``; full rows survive byte-exact.  ``order_cols`` should be a
+    total order (include a unique id) — SQL's lag is equally
+    order-sensitive.
+    """
+    from ..hashing import hash64_columns
+
+    if offset < 1:
+        raise ValueError("offset must be >= 1")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(c) -> np.ndarray:
+        enc = pc.dictionary_encode(c)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys] + list(order_cols)
+        )
+        n = g.num_rows
+        if n == 0:
+            out = {c: g[c] for c in g.column_names}
+            out[out_col] = pa.array([], g.schema.field(col).type)
+            return pa.table(out)
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        if lead:
+            src = idx + offset
+            # a lead neighbour must belong to the same run: its run start
+            # equals ours
+            ok = src < n
+            ok[ok] &= run_start[src[ok]] == run_start[idx[ok]]
+        else:
+            src = idx - offset
+            ok = src >= run_start  # same run by construction
+        src_safe = np.where(ok, src, 0)
+        vals = g[col].take(pa.array(src_safe, pa.int64()))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        out_vals = pc.if_else(pa.array(ok), vals, pa.nulls(n, g.schema.field(col).type))
+        out = {c: g[c] for c in g.column_names}
+        out[out_col] = out_vals
         return pa.table(out)
 
     return (

@@ -624,3 +624,70 @@ def test_gap_stats_drops_single_event_keys(ray_session):
     assert [(r["user_id"], r["n_gaps"], r["max_gap_us"]) for r in rows] == [
         (2, 1, 5_000_000)
     ]
+
+
+# --- cume_dist + with_lag ---
+
+
+def test_group_rank_cume_dist_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_rank
+
+    rng = np.random.RandomState(61)
+    n = 2000
+    tab = pa.table({
+        "g": pa.array([f"g{v}" for v in rng.randint(0, 7, n)], pa.string()),
+        "v": pa.array(rng.randint(0, 30, n).tolist(), pa.int64()),  # many ties
+        "id": pa.array(list(range(n)), pa.int64()),
+    })
+    got = sorted(
+        (r["id"], r["rnk"], r["cume"])
+        for r in group_rank(
+            ray.data.from_arrow(tab).repartition(4),
+            keys=["g"], order_cols=[("v", "descending")], cume_col="cume",
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT id, CAST(rank() OVER w AS BIGINT), cume_dist() OVER w
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY v DESC)
+    """).fetchall())
+    assert got == want  # bit-exact float64
+
+
+@pytest.mark.parametrize("lead,offset", [(False, 1), (False, 2), (True, 1), (True, 3)])
+def test_with_lag_vs_duckdb(ray_session, lead, offset):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import with_lag
+
+    rng = np.random.RandomState(67)
+    n = 1500
+    tab = pa.table({
+        "g": pa.array(rng.randint(0, 40, n).tolist(), pa.int64()),
+        "o": pa.array(rng.randint(0, 10**6, n).tolist(), pa.int64()),
+        "v": pa.array(rng.randint(0, 100, n).tolist(), pa.int64()),
+        "id": pa.array(list(range(n)), pa.int64()),
+    })
+    fn = "lead" if lead else "lag"
+    got = sorted(
+        (r["id"], r["prev"])
+        for r in with_lag(
+            ray.data.from_arrow(tab).repartition(5),
+            keys=["g"], order_cols=[("o", "ascending"), ("id", "ascending")],
+            col="v", out_col="prev", offset=offset, lead=lead,
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = sorted(tuple(r) for r in con.execute(f"""
+        SELECT id, {fn}(v, {offset}) OVER (PARTITION BY g ORDER BY o, id)
+        FROM t
+    """).fetchall())
+    assert got == want
