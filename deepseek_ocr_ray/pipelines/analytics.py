@@ -1046,6 +1046,7 @@ def shuffle_shards(
     salt: str = "sh42",
     keep_cols: list[str] | None = None,
     method: str = "fast",
+    _sink=None,
 ) -> ray.data.Dataset:
     """Deterministic global shuffle + sharding for training export: every
     row gets ``shard = hash(salt, id) % n_shards`` and ``pos`` = its rank
@@ -1107,15 +1108,94 @@ def shuffle_shards(
             sort_keys=[("__prio", "ascending"), (id_col, "ascending")],
         )
         g = group.take(idx).drop_columns(["__prio"])
-        return g.append_column(
+        g = g.append_column(
             "pos", pa.array(np.arange(g.num_rows, dtype=np.int64))
         )
+        # _sink (export_shards): write the finalized shard INSIDE the
+        # distributed task and emit a manifest row instead of the rows
+        return _sink(g) if _sink is not None else g
 
     return (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def export_shards(
+    ds: ray.data.Dataset,
+    out_root: str,
+    *,
+    id_col: str,
+    n_shards: int,
+    salt: str = "sh42",
+    keep_cols: list[str] | None = None,
+    method: str = "fast",
+) -> "pa.Table":
+    """Resumable training-shard export: :func:`shuffle_shards` where each
+    per-shard finalize WRITES its shard to ``out_root/shard=K/data.parquet``
+    atomically (tmp + rename, inside the distributed task — nothing
+    corpus-sized touches the driver) and emits a one-row manifest.
+
+    Because a shard's content is a pure function of (corpus, salt), a
+    re-run may safely SKIP any shard whose final file already exists —
+    crash recovery recomputes only missing shards.  Returns the manifest
+    table (shard, n_rows, path, skipped), ≤ ``n_shards`` rows."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_root, exist_ok=True)
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "shard": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "path": pa.array([], pa.string()),
+                "skipped": pa.array([], pa.bool_()),
+            }
+        )
+        if group.num_rows == 0 or "shard" not in group.column_names:
+            return empty
+        shard = int(group["shard"][0].as_py())
+        sdir = os.path.join(out_root, f"shard={shard}")
+        final = os.path.join(sdir, "data.parquet")
+        skipped = os.path.exists(final)
+        if not skipped:
+            os.makedirs(sdir, exist_ok=True)
+            tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(group, tmp)
+            os.replace(tmp, final)  # atomic publish
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "n_rows": pa.array([group.num_rows], pa.int64()),
+                "path": pa.array([final], pa.string()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            }
+        )
+
+    shuffled = shuffle_shards(
+        ds, id_col=id_col, n_shards=n_shards, salt=salt,
+        keep_cols=keep_cols, method=method, _sink=write_shard,
+    )
+    # the manifest is bounded (one row per shard) — collecting it is the
+    # one legitimate driver materialization here
+    parts = [t for t in ray.get(shuffled.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "shard": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "path": pa.array([], pa.string()),
+                "skipped": pa.array([], pa.bool_()),
+            }
+        )
+    return pa.concat_tables(
+        [t.cast(parts[0].schema) for t in parts]
+    ).sort_by("shard")
 
 
 def documents_shuffle_shards(sf_dir: str) -> ray.data.Dataset:

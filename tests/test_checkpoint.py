@@ -168,3 +168,48 @@ def test_lance_round_trip_and_resume(ray_session, tmp_path):
 
     ds = read_partition(out, 0)
     assert ds.count() > 0
+
+
+# --- export_shards resume ---
+
+
+def test_export_shards_resume_recomputes_only_missing(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.analytics import export_shards
+
+    tab = pa.table({
+        "doc_id": pa.array(list(range(900)), pa.int64()),
+        "lang": pa.array([f"l{i % 3}" for i in range(900)], pa.string()),
+    })
+    out = str(tmp_path / "shards")
+    ds = ray.data.from_arrow(tab).repartition(4)
+    m1 = export_shards(ds, out, id_col="doc_id", n_shards=6)
+    assert m1.num_rows == 6
+    assert not any(m1["skipped"].to_pylist())
+    assert sum(m1["n_rows"].to_pylist()) == 900
+    before = {
+        s: pq.read_table(p)
+        for s, p in zip(m1["shard"].to_pylist(), m1["path"].to_pylist())
+    }
+
+    # crash simulation: two shard files vanish
+    os.remove(os.path.join(out, "shard=1", "data.parquet"))
+    os.remove(os.path.join(out, "shard=4", "data.parquet"))
+    m2 = export_shards(ds, out, id_col="doc_id", n_shards=6)
+    skipped = dict(zip(m2["shard"].to_pylist(), m2["skipped"].to_pylist()))
+    assert skipped == {0: True, 1: False, 2: True, 3: True, 4: False, 5: True}
+    after = {
+        s: pq.read_table(p)
+        for s, p in zip(m2["shard"].to_pylist(), m2["path"].to_pylist())
+    }
+    for s in range(6):  # recomputed shards are byte-identical
+        assert after[s].equals(before[s])
+    # positions are contiguous inside every shard file
+    for s, t in after.items():
+        assert t["pos"].to_pylist() == list(range(t.num_rows))
+        assert set(t["shard"].to_pylist()) == {s}
