@@ -58,11 +58,16 @@ def set_op(
         raise ValueError(f"set_op: how={how!r} must be one of {HOW}")
     if not keys:
         raise ValueError("set_op: keys must be non-empty")
+    # the exchange concatenates blocks of both sides — pin the right side's
+    # key types to the left's so an int32-vs-int64 mismatch casts (or fails
+    # LOUDLY here) instead of corrupting the union downstream
+    l_base = left.schema().base_schema
+    key_schema = pa.schema([(k, l_base.field(k).type) for k in keys])
 
     def _tag(side: int):
         def partial(batch: pa.Table) -> pa.Table:
             t = batch.group_by(keys).aggregate([])
-            t = t.select(keys)
+            t = t.select(keys).cast(key_schema)
             bucket = hash64_columns(t, keys) % np.uint64(n_buckets)
             return t.append_column(
                 "side", pa.array(np.full(t.num_rows, side, np.int64))

@@ -442,13 +442,16 @@ def group_rank(
     rank_col: str = "rnk",
     pct_col: str | None = "pct",
     cume_col: str | None = None,
+    dense_col: str | None = None,
     n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """SQL ``rank()`` (ties share the rank, gaps after), ``percent_rank()``
-    and optionally ``cume_dist()`` per group — the window-function
-    primitives behind per-language quality percentiles and leaderboards.
-    ``cume_dist`` is (rows ordered ≤ current, ties inclusive) / group size
-    — one float64 division per row, DuckDB-bit-identical.
+    and optionally ``cume_dist()`` / ``dense_rank()`` per group — the
+    window-function primitives behind per-language quality percentiles and
+    leaderboards.  ``cume_dist`` is (rows ordered ≤ current, ties
+    inclusive) / group size — one float64 division per row,
+    DuckDB-bit-identical; ``dense_rank`` is the tie-group ordinal (no
+    gaps), a cumsum of tie boundaries within each run.
 
     One coarse-bucket exchange on the group keys (a group's rows land in
     one bucket), then a zero-Python in-group pass: C++ sort by
@@ -488,6 +491,8 @@ def group_rank(
                 out[pct_col] = pa.array([], pa.float64())
             if cume_col:
                 out[cume_col] = pa.array([], pa.float64())
+            if dense_col:
+                out[dense_col] = pa.array([], pa.int64())
             return pa.table(out)
         new_run = np.zeros(n, bool)
         new_run[0] = True
@@ -521,6 +526,14 @@ def group_rank(
             tie_end = np.repeat(tie_starts + tie_lens, tie_lens)
             out[cume_col] = pa.array(
                 (tie_end - run_start).astype(np.float64) / n_run, pa.float64()
+            )
+        if dense_col:
+            # tie-group ordinal within the run: cumulative tie boundaries,
+            # rebased so each run starts at 1
+            tie_no = np.cumsum(new_tie)
+            run_base = np.maximum.accumulate(np.where(new_run, tie_no, 0))
+            out[dense_col] = pa.array(
+                (tie_no - run_base + 1).astype(np.int64), pa.int64()
             )
         return pa.table(out)
 

@@ -97,3 +97,19 @@ def test_set_op_rejects_bad_args(ray_session):
         set_op(ds, ds, ["k"], "minus")
     with pytest.raises(ValueError, match="non-empty"):
         set_op(ds, ds, [], "except")
+
+
+def test_set_op_casts_right_key_types_to_left(ray_session):
+    import ray.data
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "s": pa.array(["a", "b", "c"])})
+    right = pa.table({"k": pa.array([2, 9], pa.int32()),  # narrower type
+                      "s": pa.array(["b", "z"])})
+    got = _collect(
+        set_op(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            ["k", "s"], "except",
+        )
+    )
+    assert got == {(1, "a"), (3, "c")}

@@ -691,3 +691,33 @@ def test_with_lag_vs_duckdb(ray_session, lead, offset):
         FROM t
     """).fetchall())
     assert got == want
+
+
+def test_group_rank_dense_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_rank
+
+    rng = np.random.RandomState(71)
+    n = 1500
+    tab = pa.table({
+        "g": pa.array([f"g{v}" for v in rng.randint(0, 6, n)], pa.string()),
+        "v": pa.array(rng.randint(0, 20, n).tolist(), pa.int64()),
+        "id": pa.array(list(range(n)), pa.int64()),
+    })
+    got = sorted(
+        (r["id"], r["drnk"])
+        for r in group_rank(
+            ray.data.from_arrow(tab).repartition(4),
+            keys=["g"], order_cols=[("v", "descending")], dense_col="drnk",
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT id, CAST(dense_rank() OVER (PARTITION BY g ORDER BY v DESC)
+                        AS BIGINT) FROM t
+    """).fetchall())
+    assert got == want
