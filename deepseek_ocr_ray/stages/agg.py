@@ -405,6 +405,49 @@ def pivot_sum(
     )
 
 
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_col: str = "variable",
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """SQL UNPIVOT — the inverse of :func:`pivot_sum`: each input row
+    fans out to one output row per ``value_cols`` entry, carrying the id
+    columns, the source column's NAME (``var_col``) and its value
+    (``val_col``).
+
+    Pure vectorized flat-map, zero exchange: per column, the constant
+    name array is a C++ ``pa.repeat`` and the values ride zero-copy; the
+    per-column tables concatenate inside the batch.  All ``value_cols``
+    must share one type (cast first if not) — like SQL UNPIVOT."""
+    if not value_cols:
+        raise ValueError("melt: value_cols must be non-empty")
+    base = ds.schema().base_schema
+    vtypes = {c: base.field(c).type for c in value_cols}
+    if len(set(map(str, vtypes.values()))) > 1:
+        raise ValueError(
+            f"melt: value_cols must share one type, got {vtypes} — cast first"
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = [
+            pa.table(
+                {
+                    **{k: batch[k] for k in id_cols},
+                    var_col: pa.repeat(pa.scalar(c), n),
+                    val_col: batch[c],
+                }
+            )
+            for c in value_cols
+        ]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _grand_total(prev: ray.data.Dataset, value_cols: list[str]) -> ray.data.Dataset:
     """Associative global int64 sum of ``value_cols`` over an already-
     reduced dataset: per-block partial sums (one row per block, bounded

@@ -427,3 +427,31 @@ def test_pivot_sum_vs_duckdb(ray_session):
         FROM t GROUP BY 1
     """).fetchall())
     assert got2 == want2
+
+
+def test_melt_roundtrips_pivot(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import melt
+
+    tab = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "a": pa.array([10, 20], pa.int64()),
+        "b": pa.array([30, 40], pa.int64()),
+    })
+    rows = sorted(
+        (r["k"], r["variable"], r["value"])
+        for r in melt(
+            ray.data.from_arrow(tab).repartition(2), ["k"], ["a", "b"]
+        ).take_all()
+    )
+    assert rows == [(1, "a", 10), (1, "b", 30), (2, "a", 20), (2, "b", 40)]
+    with pytest.raises(ValueError, match="share one type"):
+        melt(
+            ray.data.from_arrow(
+                pa.table({"k": pa.array([1], pa.int64()),
+                          "a": pa.array([1], pa.int64()),
+                          "b": pa.array(["x"])})
+            ),
+            ["k"], ["a", "b"],
+        )
