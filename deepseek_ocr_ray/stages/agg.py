@@ -405,6 +405,74 @@ def pivot_sum(
     )
 
 
+def group_count_distinct(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    distinct_cols: list[str],
+    *,
+    column_col: str = "column",
+    out_col: str = "n_distinct",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Grouped multi-column COUNT(DISTINCT …) — exact, one exchange.
+
+    The classic shuffle-heavy aggregate: for each target column, the map
+    side reduces a block to its distinct (keys, value) pairs in C++ and
+    tags them with the column's ordinal; ONE keyed exchange (bucketed on
+    the key hash, so every column's pairs for a key co-locate) then
+    re-distincts per bucket and counts pairs per (key, column) — all in
+    C++.  Exchange volume is Σ_c (block-distinct pairs of c), independent
+    of row count.  Values are normalized to strings for the tagged union
+    (exactness is unaffected — distinctness is preserved by any injective
+    cast).  For approximate counts at extreme cardinality use
+    ``sketches.group_hll_distinct``.
+
+    Output is LONG format — keys + ``column`` (source column name) +
+    ``n_distinct`` — so the schema never depends on len(distinct_cols);
+    pivot with :func:`pivot_sum` if a wide layout is wanted.
+    """
+    if not distinct_cols:
+        raise ValueError("group_count_distinct: distinct_cols is empty")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for ci, c in enumerate(distinct_cols):
+            g = batch.select(keys + [c]).group_by(keys + [c]).aggregate([])
+            t = pa.table(
+                {
+                    **{k: g[k] for k in keys},
+                    "__col": pa.repeat(pa.scalar(ci, pa.int32()), g.num_rows),
+                    "__val": pa.compute.cast(g[c], pa.string()),
+                }
+            )
+            parts.append(t)
+        out = pa.concat_tables(parts)
+        bucket = hash64_columns(out, keys) % np.uint64(n_buckets)
+        return out.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    name_lookup = pa.array(distinct_cols, pa.string())
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.group_by(keys + ["__col", "__val"]).aggregate([])
+        counts = g.group_by(keys + ["__col"]).aggregate([([], "count_all")])
+        names = name_lookup.take(counts["__col"])
+        return pa.table(
+            {
+                **{k: counts[k] for k in keys},
+                column_col: names,
+                out_col: counts["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
 def melt(
     ds: ray.data.Dataset,
     id_cols: list[str],

@@ -455,3 +455,32 @@ def test_melt_roundtrips_pivot(ray_session):
             ),
             ["k"], ["a", "b"],
         )
+
+
+def test_group_count_distinct_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_count_distinct
+
+    rng = np.random.RandomState(73)
+    n = 4000
+    tab = pa.table({
+        "g": pa.array([f"g{v}" for v in rng.randint(0, 6, n)], pa.string()),
+        "x": pa.array(rng.randint(0, 200, n).tolist(), pa.int64()),
+        "y": pa.array([f"s{v}" for v in rng.randint(0, 37, n)], pa.string()),
+    })
+    got = sorted(
+        (r["g"], r["column"], r["n_distinct"])
+        for r in group_count_distinct(
+            ray.data.from_arrow(tab).repartition(6), ["g"], ["x", "y"]
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT g, 'x', CAST(count(DISTINCT x) AS BIGINT) FROM t GROUP BY 1
+        UNION ALL
+        SELECT g, 'y', CAST(count(DISTINCT y) AS BIGINT) FROM t GROUP BY 1
+    """).fetchall())
+    assert got == want
