@@ -122,8 +122,12 @@ def test_query_matches_oracle(ray_session, name):
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
         if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            # equal_nan: SQL NULLs surface as NaN through pandas — outer
+            # joins / lag() legitimately produce them, and null-position
+            # equality IS part of the contract (both sides must agree)
             assert np.allclose(
-                g.astype(np.float64), w.astype(np.float64), atol=1e-9, rtol=0
+                g.astype(np.float64), w.astype(np.float64),
+                atol=1e-9, rtol=0, equal_nan=True,
             ), f"{name}.{c} float mismatch"
         else:
             eq = (g == w)
