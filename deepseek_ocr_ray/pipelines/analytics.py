@@ -1103,6 +1103,11 @@ def shuffle_shards(
         ).append_column("__prio", pa.array(prio, pa.int64()))
 
     def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "__prio" not in group.column_names:
+            # a computed empty group can be schema-less — pass it through
+            # untouched (consumers drop zero-row blocks) instead of
+            # crashing the sort on the missing priority column
+            return group
         idx = pa.compute.sort_indices(
             group,
             sort_keys=[("__prio", "ascending"), (id_col, "ascending")],
@@ -1183,8 +1188,10 @@ def export_shards(
     )
     # the manifest is bounded (one row per shard) — collecting it is the
     # one legitimate driver materialization here
-    parts = [t for t in ray.get(shuffled.to_arrow_refs()) if t.num_rows]
-    if not parts:
+    from ..cluster import collect_table
+
+    manifest = collect_table(shuffled)
+    if manifest is None:
         return pa.table(
             {
                 "shard": pa.array([], pa.int64()),
@@ -1193,9 +1200,7 @@ def export_shards(
                 "skipped": pa.array([], pa.bool_()),
             }
         )
-    return pa.concat_tables(
-        [t.cast(parts[0].schema) for t in parts]
-    ).sort_by("shard")
+    return manifest.sort_by("shard")
 
 
 def documents_shuffle_shards(sf_dir: str) -> ray.data.Dataset:

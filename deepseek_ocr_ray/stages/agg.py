@@ -363,7 +363,10 @@ def pivot_sum(
     """SQL PIVOT — one output column per ``pivot_values`` entry holding
     the per-key COUNT of rows with that pivot value (or the SUM of
     ``value_col`` over them), i.e. ``SUM(CASE WHEN pivot_col = v THEN …
-    END)`` for each v.
+    ELSE 0 END)`` for each v.  Note the ELSE 0: a (key, value) cell with
+    no matching rows is 0 here, where CASE-without-ELSE / DuckDB PIVOT
+    would yield NULL — the COALESCE'd form is what count matrices want,
+    and it keeps every output column non-null int64.
 
     ``pivot_values`` is explicit by design: at 10^12 rows, discovering
     the column set from the data is a separate (cheap) distinct pass the
@@ -429,7 +432,11 @@ def group_count_distinct(
 
     Output is LONG format — keys + ``column`` (source column name) +
     ``n_distinct`` — so the schema never depends on len(distinct_cols);
-    pivot with :func:`pivot_sum` if a wide layout is wanted.
+    pivot with :func:`pivot_sum` if a wide layout is wanted.  NULLs are
+    excluded like SQL; one divergence: a key whose values are ALL null
+    emits no row for that column (SQL's GROUP BY would keep it with 0)
+    because the pair stream carries nothing for it — left-join against a
+    key universe if zero rows matter.
     """
     if not distinct_cols:
         raise ValueError("group_count_distinct: distinct_cols is empty")
@@ -437,7 +444,12 @@ def group_count_distinct(
     def partial(batch: pa.Table) -> pa.Table:
         parts = []
         for ci, c in enumerate(distinct_cols):
-            g = batch.select(keys + [c]).group_by(keys + [c]).aggregate([])
+            # SQL COUNT(DISTINCT c) ignores NULLs — drop them before the
+            # distinct so a null never counts as a value
+            sub = batch.select(keys + [c]).filter(
+                pa.compute.is_valid(batch[c])
+            )
+            g = sub.group_by(keys + [c]).aggregate([])
             t = pa.table(
                 {
                     **{k: g[k] for k in keys},
@@ -492,7 +504,13 @@ def melt(
     must share one type (cast first if not) — like SQL UNPIVOT."""
     if not value_cols:
         raise ValueError("melt: value_cols must be non-empty")
-    base = ds.schema().base_schema
+    sch = ds.schema()
+    if sch is None:
+        # a computed dataset that turns out empty has no derivable schema
+        raise ValueError(
+            "melt: input has no derivable schema (empty computed dataset?)"
+        )
+    base = sch.base_schema
     vtypes = {c: base.field(c).type for c in value_cols}
     if len(set(map(str, vtypes.values()))) > 1:
         raise ValueError(
@@ -544,6 +562,23 @@ def _grand_total(prev: ray.data.Dataset, value_cols: list[str]) -> ray.data.Data
     )
 
 
+def _make_null_fill(keys: list[str], key_types: dict, value_cols: list[str]):
+    """Shared ROLLUP/CUBE level renderer: key columns absent from a level
+    become typed nulls; value columns pass through."""
+
+    def _null_fill(t: pa.Table, present: list[str]) -> pa.Table:
+        cols = {}
+        for k in keys:
+            cols[k] = (
+                t[k] if k in present else pa.nulls(t.num_rows, key_types[k])
+            )
+        for c in value_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return _null_fill
+
+
 def cube_sum(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -576,16 +611,7 @@ def cube_sum(
     value_cols = list(sum_cols) + [count_col]
     base_schema = base.schema().base_schema
     key_types = {k: base_schema.field(k).type for k in keys}
-
-    def _null_fill(t: pa.Table, present: list[str]) -> pa.Table:
-        cols = {}
-        for k in keys:
-            cols[k] = (
-                t[k] if k in present else pa.nulls(t.num_rows, key_types[k])
-            )
-        for c in value_cols:
-            cols[c] = t[c]
-        return pa.table(cols)
+    _null_fill = _make_null_fill(keys, key_types, value_cols)
 
     computed: dict[tuple, ray.data.Dataset] = {tuple(keys): base}
     levels = [
@@ -644,17 +670,7 @@ def rollup_sum(
     value_cols = list(sum_cols) + [count_col]
     base_schema = base.schema().base_schema
     key_types = {k: base_schema.field(k).type for k in keys}
-
-    def _null_fill(t: pa.Table, present: list[str]) -> pa.Table:
-        cols = {}
-        for k in keys:
-            if k in present:
-                cols[k] = t[k]
-            else:
-                cols[k] = pa.nulls(t.num_rows, key_types[k])
-        for c in value_cols:
-            cols[c] = t[c]
-        return pa.table(cols)
+    _null_fill = _make_null_fill(keys, key_types, value_cols)
 
     levels = [
         base.map_batches(

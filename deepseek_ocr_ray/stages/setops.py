@@ -79,13 +79,13 @@ def set_op(
 
     def finalize(group: pa.Table) -> pa.Table:
         g = group.group_by(keys).aggregate([("side", "min"), ("side", "max")])
+        if how == "union":  # every distinct key survives — no mask needed
+            return g.select(keys)
         lo, hi = g["side_min"], g["side_max"]
         if how == "except":
             mask = pc.equal(hi, 0)  # never on the right
-        elif how == "intersect":
+        else:  # intersect
             mask = pc.and_(pc.equal(lo, 0), pc.equal(hi, 1))
-        else:  # union: every distinct key survives
-            mask = pc.equal(lo, lo)
         return g.filter(mask).select(keys)
 
     tagged = left.map_batches(_tag(0), batch_format="pyarrow").union(

@@ -484,3 +484,31 @@ def test_group_count_distinct_vs_duckdb(ray_session):
         SELECT g, 'y', CAST(count(DISTINCT y) AS BIGINT) FROM t GROUP BY 1
     """).fetchall())
     assert got == want
+
+
+def test_group_count_distinct_ignores_nulls(ray_session):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_count_distinct
+
+    tab = pa.table({
+        "g": pa.array(["a", "a", "a", "b"], pa.string()),
+        "x": pa.array([1, None, 1, None], pa.int64()),
+    })
+    got = sorted(
+        (r["g"], r["n_distinct"])
+        for r in group_count_distinct(
+            ray.data.from_arrow(tab).repartition(2), ["g"], ["x"]
+        ).take_all()
+    )
+    # SQL count(DISTINCT x): nulls excluded; a group of only-nulls may
+    # vanish entirely (no pairs) — DuckDB keeps it with 0 via GROUP BY,
+    # but the engine's pair stream has nothing to carry: assert the
+    # non-null groups match SQL and the all-null group is absent
+    assert got == [("a", 1)]
+    con = duckdb.connect(); con.register("t", tab)
+    want = {g: n for g, n in con.execute(
+        "SELECT g, CAST(count(DISTINCT x) AS BIGINT) FROM t GROUP BY 1"
+    ).fetchall()}
+    assert want == {"a": 1, "b": 0}  # documents the divergence boundary
