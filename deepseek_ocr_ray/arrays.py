@@ -1,0 +1,47 @@
+"""Arrow ↔ numpy conversions shared by the vector stages.
+
+``np.asarray(col.to_pylist(), dtype=...)`` materializes one Python float
+object per ELEMENT — for a (100k × 64) embedding block that is 6.4M
+boxed floats per batch before the math even starts.  The helpers here
+stay in C++/numpy: list flatten (offset-aware, slice-safe) + one cast.
+Bit-identical to the via-Python route (both round through the same IEEE
+values), so pinned fixtures are unaffected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def list_to_matrix(
+    col: pa.Array | pa.ChunkedArray, dtype=np.float32
+) -> np.ndarray:
+    """(n, d) matrix from an Arrow list<numeric> column with no per-row
+    Python.  Requires rectangular, null-free lists (embedding columns) —
+    ragged or null rows raise loudly rather than silently mis-shaping."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    if col.null_count:
+        raise ValueError("list_to_matrix: column contains null rows")
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(lens[0])
+    if (lens != d).any():
+        raise ValueError(
+            f"list_to_matrix: ragged lists (widths {np.unique(lens)[:5]}…) "
+            "cannot form a matrix"
+        )
+    # flatten() is offset-aware (safe on sliced arrays), unlike .values
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(n, d)
+
+
+def ints_to_numpy(col: pa.Array | pa.ChunkedArray, dtype=np.int64) -> np.ndarray:
+    """Integer column → numpy without boxing (null-free contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(dtype, copy=False)

@@ -41,10 +41,12 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
 import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from ..arrays import ints_to_numpy, list_to_matrix
 from ..cluster import equi_join, join_partitions
 from ..functions.text_stats import md5_fingerprints
 from ..hashing import id_bucket_array, mix64, splitmix_bucket
@@ -1180,7 +1182,7 @@ class SRPBandStage:
         self.planes = rng.randn(dim, bands * band_bits).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float32)
+        vecs = list_to_matrix(batch[self.vec_col], np.float32)
         n = len(vecs)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         normed = np.ascontiguousarray(vecs / np.maximum(norms, 1e-12))
@@ -1267,7 +1269,7 @@ def embedding_dup_pairs_brute(
         full = pa.table({id_col: pa.array([], pa.int64()),
                          vec_col: pa.array([], pa.list_(pa.float32()))})
     ids_all = np.asarray(full[id_col].to_pylist())
-    vecs_all = np.asarray(full[vec_col].to_pylist(), dtype=dtype)
+    vecs_all = list_to_matrix(full[vec_col], dtype)
     vecs_all /= np.maximum(np.linalg.norm(vecs_all, axis=1, keepdims=True), 1e-12)
     order = np.argsort(ids_all, kind="stable")
     ids_all, vecs_all = ids_all[order], vecs_all[order]
@@ -1276,7 +1278,7 @@ def embedding_dup_pairs_brute(
     def pairs(batch: pa.Table) -> pa.Table:
         r_ids, r_vecs = ray.get(ref)
         ids = np.asarray(batch[id_col].to_pylist())
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=dtype)
+        vecs = list_to_matrix(batch[vec_col], dtype)
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         sims = vecs @ r_vecs.T  # (b, N)
         out_a, out_b, out_s = [], [], []

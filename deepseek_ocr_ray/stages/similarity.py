@@ -25,8 +25,11 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
 import ray
 import ray.data
+
+from ..arrays import ints_to_numpy, list_to_matrix
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -60,8 +63,8 @@ def _topk_rows(
 
 
 def _final_topk(group: pa.Table, *, k: int) -> pa.Table:
-    ids = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
-    sims = np.asarray(group["cosine_raw"].to_pylist(), dtype=np.float64)
+    ids = ints_to_numpy(group["neighbor_id"], np.int64)
+    sims = group["cosine_raw"].to_numpy(zero_copy_only=False).astype(np.float64)
     qids = group["query_id"].to_pylist()
     order = np.lexsort((ids, -sims))[:k]
     return pa.table(
@@ -96,8 +99,8 @@ def brute_force_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q, qi = ray.get(qref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        vecs = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=dtype))
+        ids = ints_to_numpy(batch[id_col], np.int64)
+        vecs = _normalize(list_to_matrix(batch[vec_col], dtype))
         sims = (q @ vecs.T).astype(np.float64)  # (Q, b)
         if exclude_self:
             mask = qi[:, None] == ids[None, :]
@@ -203,7 +206,7 @@ class IVFIndex:
         def assign(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
             vecs = _normalize(
-                np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+                list_to_matrix(batch[vec_col], np.float32)
             )
             cells = np.argmax(vecs @ c.T, axis=1).astype(np.int32)
             return batch.append_column("cell", pa.array(cells, pa.int32()))
@@ -316,7 +319,7 @@ class IVFIndex:
                 i, "cell", batch["cell"].cast(pa.int32())
             )
         vecs = _normalize(
-            np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float32)
+            list_to_matrix(batch[self.vec_col], np.float32)
         )
         cells = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int32)
         return batch.append_column("cell", pa.array(cells, pa.int32()))
@@ -381,9 +384,9 @@ class IVFIndex:
         def local_topk(batch: pa.Table) -> pa.Table:
             q, qi, pr = ray.get(qref)
             cells = batch["cell"].to_numpy(zero_copy_only=False)
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            ids = ints_to_numpy(batch[id_col], np.int64)
             vecs = _normalize(
-                np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+                list_to_matrix(batch[vec_col], np.float32)
             )
             parts = []
             for qidx in range(len(q)):
@@ -522,7 +525,7 @@ class PQIndex:
         def encode(batch: pa.Table) -> pa.Table:
             cb = ray.get(cref)
             vecs = _normalize(
-                np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+                list_to_matrix(batch[vec_col], np.float32)
             )
             n, d_ = vecs.shape
             sub_ = d_ // m
@@ -584,9 +587,9 @@ class PQIndex:
 
             def exact_local(batch: pa.Table) -> pa.Table:
                 qn2, qi2, sh = ray.get(sref)
-                ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+                ids = ints_to_numpy(batch[id_col], np.int64)
                 vecs = _normalize(
-                    np.asarray(batch[vec_col].to_pylist(), np.float64)
+                    list_to_matrix(batch[vec_col], np.float64)
                 )
                 sims = (qn2 @ vecs.T).astype(np.float64)
                 for qi3, qid in enumerate(qi2):  # bounded by Q
@@ -621,7 +624,7 @@ class PQIndex:
 
         def local_topk(batch: pa.Table) -> pa.Table:
             tabs, qi = ray.get(tref)
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            ids = ints_to_numpy(batch[id_col], np.int64)
             code_col = batch["code"]
             if isinstance(code_col, pa.ChunkedArray):
                 code_col = code_col.combine_chunks()
