@@ -115,15 +115,20 @@ def incremental_exact_dedup(
     # reuses the same execution instead of re-running hash+groupby
     existing_hashes = existing_hashes.materialize()
     if existing_hashes.count() <= broadcast_threshold:
-        seen = set(
-            r["text_hash"] for r in existing_hashes.take_all()
+        from ..cluster import collect_table
+
+        seen_tab = collect_table(existing_hashes.select_columns(["text_hash"]))
+        seen_arr = (
+            seen_tab["text_hash"].combine_chunks()
+            if seen_tab is not None
+            else pa.array([], pa.string())
         )
-        sref = ray.put(seen)
+        sref = ray.put(seen_arr)
 
         def anti(batch: pa.Table) -> pa.Table:
-            s = ray.get(sref)
-            hashes = batch["text_hash"].to_pylist()
-            mask = pa.array([h not in s for h in hashes])
+            # C++ membership probe (one hash set build per batch, zero
+            # per-row Python) — the seen set ships once via plasma
+            mask = pc.invert(pc.is_in(batch["text_hash"], value_set=ray.get(sref)))
             return pa.table({id_col: pc.filter(batch[id_col], mask)})
 
         return new_hashed.map_batches(anti, batch_format="pyarrow")
