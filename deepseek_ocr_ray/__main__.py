@@ -99,6 +99,35 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export_shards(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.analytics import export_shards
+
+    ds = ray.data.read_parquet(args.input, columns=args.columns or None)
+    manifest = export_shards(
+        ds,
+        args.output,
+        id_col=args.id_col,
+        n_shards=args.shards,
+        salt=args.salt,
+        method=args.method,
+    )
+    print(
+        json.dumps(
+            {
+                "shards": manifest.num_rows,
+                "rows": sum(manifest["n_rows"].to_pylist()),
+                "skipped": sum(
+                    1 for s in manifest["skipped"].to_pylist() if s
+                ),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deepseek_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -134,6 +163,21 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("--docs", type=int, default=6000)
     pb.add_argument("--num-cpus", type=int, default=None)
     pb.set_defaults(fn=cmd_bench)
+
+    px = sub.add_parser(
+        "export-shards",
+        help="deterministic resumable shuffle of a parquet table into "
+        "training shards (re-submit after a crash: finished shards skip)",
+    )
+    px.add_argument("--input", required=True, help="parquet file or dir")
+    px.add_argument("--output", required=True)
+    px.add_argument("--id-col", default="doc_id")
+    px.add_argument("--shards", type=int, required=True)
+    px.add_argument("--salt", default="sh42", help="epoch salt — one per epoch")
+    px.add_argument("--method", default="fast", choices=["fast", "md5"])
+    px.add_argument("--columns", nargs="*", default=None)
+    px.add_argument("--num-cpus", type=int, default=None)
+    px.set_defaults(fn=cmd_export_shards)
 
     args = p.parse_args(argv)
     rc = args.fn(args)
