@@ -60,14 +60,23 @@ def set_op(
         raise ValueError("set_op: keys must be non-empty")
     # the exchange concatenates blocks of both sides — pin the right side's
     # key types to the left's so an int32-vs-int64 mismatch casts (or fails
-    # LOUDLY here) instead of corrupting the union downstream
-    l_base = left.schema().base_schema
-    key_schema = pa.schema([(k, l_base.field(k).type) for k in keys])
+    # LOUDLY here) instead of corrupting the union downstream.  A computed
+    # dataset that turns out empty has no derivable schema (Dataset.schema()
+    # is None) — then there is nothing to pin: no rows will reach the
+    # exchange from that side, so skip the cast rather than crash.
+    l_sch = left.schema()
+    key_schema = (
+        pa.schema([(k, l_sch.base_schema.field(k).type) for k in keys])
+        if l_sch is not None
+        else None
+    )
 
     def _tag(side: int):
         def partial(batch: pa.Table) -> pa.Table:
             t = batch.group_by(keys).aggregate([])
-            t = t.select(keys).cast(key_schema)
+            t = t.select(keys)
+            if key_schema is not None:
+                t = t.cast(key_schema)
             bucket = hash64_columns(t, keys) % np.uint64(n_buckets)
             return t.append_column(
                 "side", pa.array(np.full(t.num_rows, side, np.int64))

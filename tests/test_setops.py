@@ -113,3 +113,37 @@ def test_set_op_casts_right_key_types_to_left(ray_session):
         )
     )
     assert got == {(1, "a"), (3, "c")}
+
+
+# --- algebraic identities (hypothesis) ---
+
+from hypothesis import given, settings, strategies as st
+
+_keys = st.lists(
+    st.tuples(st.integers(0, 30), st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=60,
+)
+
+
+def _as_tab(rows):
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+@settings(max_examples=8, deadline=None)
+@given(_keys, _keys)
+def test_set_op_identities(ray_session, lrows, rrows):
+    """EXCEPT ⊎ INTERSECT partitions distinct(L); UNION = set(L) ∪ set(R)."""
+    import ray.data
+
+    l, r = _as_tab(lrows), _as_tab(rrows)
+    ld = ray.data.from_arrow(l).repartition(2)
+    rd = ray.data.from_arrow(r).repartition(3)
+    exc = _collect(set_op(ld, rd, ["k", "s"], "except"))
+    inter = _collect(set_op(ld, rd, ["k", "s"], "intersect"))
+    uni = _collect(set_op(ld, rd, ["k", "s"], "union"))
+    lset, rset = set(lrows), set(rrows)
+    assert exc | inter == lset and not (exc & inter)
+    assert uni == lset | rset
