@@ -36,12 +36,24 @@ def list_to_matrix(
             "cannot form a matrix"
         )
     # flatten() is offset-aware (safe on sliced arrays), unlike .values
-    flat = col.flatten().to_numpy(zero_copy_only=False)
+    flat_arr = col.flatten()
+    if flat_arr.null_count:
+        # element-level nulls would silently become NaN and poison every
+        # downstream cosine — reject loudly like row-level nulls
+        raise ValueError("list_to_matrix: lists contain null elements")
+    flat = flat_arr.to_numpy(zero_copy_only=False)
+    # NOTE: when dtype matches storage this is a zero-copy READ-ONLY view
+    # of the Arrow buffer — callers must not mutate in place (divide
+    # out-of-place, as the vector stages do)
     return flat.astype(dtype, copy=False).reshape(n, d)
 
 
 def ints_to_numpy(col: pa.Array | pa.ChunkedArray, dtype=np.int64) -> np.ndarray:
-    """Integer column → numpy without boxing (null-free contract)."""
+    """Integer column → numpy without boxing.  Nulls raise loudly — the
+    via-NaN float path would otherwise turn a null id into INT64_MIN and
+    let it flow into results as a legitimate-looking value."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("ints_to_numpy: column contains nulls")
     return col.to_numpy(zero_copy_only=False).astype(dtype, copy=False)

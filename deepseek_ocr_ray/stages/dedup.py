@@ -1273,18 +1273,23 @@ def embedding_dup_pairs_brute(
     if full is None:
         full = pa.table({id_col: pa.array([], pa.int64()),
                          vec_col: pa.array([], pa.list_(pa.float32()))})
-    ids_all = np.asarray(full[id_col].to_pylist())
+    ids_all = ints_to_numpy(full[id_col], np.int64)
     vecs_all = list_to_matrix(full[vec_col], dtype)
-    vecs_all /= np.maximum(np.linalg.norm(vecs_all, axis=1, keepdims=True), 1e-12)
+    # out-of-place: list_to_matrix may hand back a read-only Arrow view
+    vecs_all = vecs_all / np.maximum(
+        np.linalg.norm(vecs_all, axis=1, keepdims=True), 1e-12
+    )
     order = np.argsort(ids_all, kind="stable")
     ids_all, vecs_all = ids_all[order], vecs_all[order]
     ref = ray.put((ids_all, vecs_all))
 
     def pairs(batch: pa.Table) -> pa.Table:
         r_ids, r_vecs = ray.get(ref)
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = ints_to_numpy(batch[id_col], np.int64)
         vecs = list_to_matrix(batch[vec_col], dtype)
-        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+        )
         sims = vecs @ r_vecs.T  # (b, N)
         out_a, out_b, out_s = [], [], []
         for i in range(len(ids)):

@@ -43,3 +43,32 @@ def test_ints_to_numpy_chunked():
     ch = pa.chunked_array([pa.array([1, 2], pa.int32()), pa.array([3], pa.int32())])
     out = ints_to_numpy(ch)
     assert out.dtype == np.int64 and out.tolist() == [1, 2, 3]
+
+
+def test_list_to_matrix_rejects_element_nulls():
+    with pytest.raises(ValueError, match="null element"):
+        list_to_matrix(pa.array([[1.0, None]], pa.list_(pa.float32())))
+
+
+def test_ints_to_numpy_rejects_nulls():
+    with pytest.raises(ValueError, match="nulls"):
+        ints_to_numpy(pa.array([1, None], pa.int64()))
+
+
+def test_brute_pairs_float32_dtype_no_readonly_crash(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.dedup import embedding_dup_pairs_brute
+
+    tab = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [1.0, 0.001], [0.0, 1.0]], pa.list_(pa.float32())
+        ),
+    })
+    # dtype=float32 matches storage → list_to_matrix returns a read-only
+    # zero-copy view; the normalize must not mutate it in place
+    out = embedding_dup_pairs_brute(
+        ray.data.from_arrow(tab), threshold=0.9, dtype=__import__("numpy").float32
+    ).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}

@@ -146,4 +146,5 @@ def test_set_op_identities(ray_session, lrows, rrows):
     uni = _collect(set_op(ld, rd, ["k", "s"], "union"))
     lset, rset = set(lrows), set(rrows)
     assert exc | inter == lset and not (exc & inter)
+    assert inter == lset & rset  # pins intersect against the RIGHT side too
     assert uni == lset | rset
