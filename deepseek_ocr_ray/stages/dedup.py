@@ -479,6 +479,44 @@ def _walk_buckets(group: pa.Table, id_col: str, verify_pair) -> pa.Table:
     )
 
 
+def _walk_buckets_vec(group: pa.Table, id_col: str, batch_verify) -> pa.Table:
+    """Vectorized ``_walk_buckets`` for fixed-width BINARY payloads: same
+    keep-min semantics (each non-keeper verifies against its bucket's
+    min-id doc), but the verify runs ONCE over a gathered byte matrix —
+    ``batch_verify(payload_sorted, keeper_idx, cand_idx) -> bool[n]`` over
+    the sorted payload column — instead of one Python call per candidate.
+    Exact integer comparisons (signature equality, Hamming) are
+    bit-identical to the per-pair walk by construction."""
+    g = group.sort_by(
+        [("band", "ascending"), ("band_key", "ascending"), (id_col, "ascending")]
+    )
+    n = g.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                id_col: g[id_col],
+                _DEC_SCHEMA_DROPPED: pa.array([], pa.int64()),
+            }
+        )
+    bands = g["band"].to_numpy(zero_copy_only=False)
+    keys = g["band_key"].to_numpy(zero_copy_only=False)
+    new_run = np.r_[True, (bands[1:] != bands[:-1]) | (keys[1:] != keys[:-1])]
+    idx = np.arange(n, dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+    dropped = np.zeros(n, np.int64)
+    nk = ~new_run
+    if nk.any():
+        dropped[nk] = batch_verify(
+            g["payload"], run_start[nk], idx[nk]
+        ).astype(np.int64)
+    return pa.table(
+        {
+            id_col: g[id_col],
+            _DEC_SCHEMA_DROPPED: pa.array(dropped, pa.int64()),
+        }
+    )
+
+
 def _bucket_pairs(group: pa.Table, id_col: str) -> pa.Table:
     """Same bucket walk as ``_walk_buckets`` but emits UNVERIFIED candidate
     pairs ``(a_id=keeper, b_id=candidate)`` instead of decisions — the
@@ -600,14 +638,11 @@ def minhash_dedup(
     """
 
     def verify(group: pa.Table) -> pa.Table:
-        return _walk_buckets(
-            group,
-            id_col,
-            lambda a, b: est_jaccard(
-                np.frombuffer(a, np.uint32), np.frombuffer(b, np.uint32)
-            )
-            >= threshold,
-        )
+        def batch_est_jaccard(payload, ki, ci) -> np.ndarray:
+            sigs = _matrix_from_binary(payload, np.uint32)
+            return (sigs[ki] == sigs[ci]).mean(axis=1) >= threshold
+
+        return _walk_buckets_vec(group, id_col, batch_est_jaccard)
 
     return _lsh_dedup(
         ds,
@@ -1137,9 +1172,12 @@ def simhash_dedup(
     """Kept doc ids after SimHash near-dedup (Hamming ≤ max_hamming)."""
 
     def verify(group: pa.Table) -> pa.Table:
-        return _walk_buckets(
-            group, id_col, lambda a, b: hamming64(a, b) <= max_hamming
-        )
+        def batch_hamming(payload, ki, ci) -> np.ndarray:
+            sh = payload.to_numpy(zero_copy_only=False).astype(np.uint64)
+            x = (sh[ki] ^ sh[ci]).view(np.uint8).reshape(len(ki), 8)
+            return np.unpackbits(x, axis=1).sum(axis=1) <= max_hamming
+
+        return _walk_buckets_vec(group, id_col, batch_hamming)
 
     return _lsh_dedup(
         ds,
@@ -1222,14 +1260,14 @@ def embedding_dedup(
     """Kept vec ids after cosine near-dedup via SRP-LSH + exact verify."""
 
     def verify(group: pa.Table) -> pa.Table:
-        return _walk_buckets(
-            group,
-            id_col,
-            lambda a, b: float(
-                np.dot(np.frombuffer(a, np.float32), np.frombuffer(b, np.float32))
-            )
-            >= threshold,
-        )
+        def batch_cosine(payload, ki, ci) -> np.ndarray:
+            # float64 accumulation over the float32 normalized vectors —
+            # deterministic and at least as precise as the old per-pair
+            # np.dot; the pinned fixture gates any boundary movement
+            vecs = _matrix_from_binary(payload, np.float32).astype(np.float64)
+            return np.einsum("ij,ij->i", vecs[ki], vecs[ci]) >= threshold
+
+        return _walk_buckets_vec(group, id_col, batch_cosine)
 
     return _lsh_dedup(
         ds,
