@@ -152,3 +152,96 @@ def test_latest_by_key_differential_vs_duckdb(ray_session):
         ).take_all()
         got_t = pa.Table.from_pylist(got, schema=want.schema)
         assert _sorted_rows(got_t) == _sorted_rows(want), seed
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_new_agg_family_differential_vs_duckdb(ray_session, seed):
+    """Seeded random-table differential for the late-round aggregate family:
+    CUBE, PIVOT, grouped COUNT DISTINCT, interpolated quantile, ntile, and
+    set ops — engine must match SQL semantics row-for-row."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import (
+        cube_sum, group_count_distinct, group_quantile_cont, pivot_sum,
+    )
+    from deepseek_ocr_ray.stages.setops import set_op
+    from deepseek_ocr_ray.stages.windows import group_ntile
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(200, 1200))
+    tab = pa.table({
+        "a": pa.array([f"a{v}" for v in (rng.zipf(1.6, n) % 5)], pa.string()),
+        "b": pa.array([f"b{v}" for v in rng.randint(0, 4, n)], pa.string()),
+        "v": pa.array(rng.randint(-30, 70, n).tolist(), pa.int64()),
+        "id": pa.array(list(range(n)), pa.int64()),
+    })
+    ds = ray.data.from_arrow(tab).repartition(int(rng.randint(1, 7)))
+    con = duckdb.connect()
+    con.register("t", tab)
+
+    got = {
+        (r["a"], r["b"]): (r["v"], r["n"])
+        for r in cube_sum(ds, ["a", "b"], ["v"]).take_all()
+    }
+    want = {
+        (r["a"], r["b"]): (r["sv"], r["n"])
+        for r in con.execute(
+            "SELECT a, b, CAST(sum(v) AS BIGINT) sv, CAST(count(*) AS BIGINT) n "
+            "FROM t GROUP BY CUBE (a, b)"
+        ).arrow().to_pylist()
+    }
+    assert got == want
+
+    got = sorted(
+        (r["a"], r["n_b0"], r["n_b2"])
+        for r in pivot_sum(ds, ["a"], "b", ["b0", "b2"], value_col="v").take_all()
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        "SELECT a, CAST(sum(CASE WHEN b='b0' THEN v ELSE 0 END) AS BIGINT), "
+        "CAST(sum(CASE WHEN b='b2' THEN v ELSE 0 END) AS BIGINT) FROM t GROUP BY 1"
+    ).fetchall())
+    assert got == want
+
+    got = sorted(
+        (r["a"], r["column"], r["n_distinct"])
+        for r in group_count_distinct(ds, ["a"], ["b", "v"]).take_all()
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        "SELECT a, 'b', CAST(count(DISTINCT b) AS BIGINT) FROM t GROUP BY 1 "
+        "UNION ALL SELECT a, 'v', CAST(count(DISTINCT v) AS BIGINT) FROM t GROUP BY 1"
+    ).fetchall())
+    assert got == want
+
+    q = float(rng.choice([0.1, 0.37, 0.5, 0.93]))
+    got = {
+        r["a"]: r["quantile"]
+        for r in group_quantile_cont(ds, ["a"], "v", q).take_all()
+    }
+    want = dict(con.execute(
+        "SELECT a, quantile_cont(v, ?) FROM t GROUP BY 1", [q]
+    ).fetchall())
+    assert got == want  # bit-exact
+
+    k = int(rng.randint(1, 9))
+    got = sorted(
+        (r["id"], r["tile"])
+        for r in group_ntile(
+            ds, keys=["a"], order_cols=[("v", "descending"), ("id", "ascending")],
+            n_tiles=k,
+        ).take_all()
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        f"SELECT id, CAST(ntile({k}) OVER (PARTITION BY a ORDER BY v DESC, id) "
+        "AS BIGINT) FROM t"
+    ).fetchall())
+    assert got == want
+
+    half = ray.data.from_arrow(tab.slice(0, n // 2)).repartition(2)
+    got = sorted(
+        (r["a"], r["b"])
+        for r in set_op(ds, half, ["a", "b"], "except").take_all()
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        f"SELECT a, b FROM t EXCEPT SELECT a, b FROM (SELECT * FROM t LIMIT {n // 2})"
+    ).fetchall())
+    assert got == want
