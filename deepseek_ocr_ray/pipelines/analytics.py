@@ -342,9 +342,11 @@ def bigram_counts(sf_dir: str, k: int = 50) -> ray.data.Dataset:
         split = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
         if isinstance(split, pa.ChunkedArray):
             split = split.combine_chunks()
-        flat = split.values
-        offs = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        doc = np.repeat(np.arange(len(split), dtype=np.int64), np.diff(offs))
+        # flatten() + list_value_length are offset-aware (slice-safe),
+        # unlike .values / raw offsets
+        flat = split.flatten()
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(split), dtype=np.int64), lens)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         kt = flat.filter(pa.array(keep))
         kd = doc[keep]
