@@ -434,6 +434,119 @@ def funnel_conversions(
     )
 
 
+def funnel3_conversions(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    step_a: str = "view",
+    step_b: str = "click",
+    step_c: str = "purchase",
+    window_ab_sec: float = 3600.0,
+    window_bc_sec: float = 3600.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Three-step funnel A→B→C: per user, how many ``step_a`` events were
+    followed by the EARLIEST ``step_b`` strictly within ``(tA, tA+W1]``
+    which itself was followed by any ``step_c`` strictly within
+    ``(tB, tB+W2]`` — the standard product-analytics chain semantics
+    (each step anchors on the previous step's first occurrence).
+
+    Same single-exchange, zero-Python shape as ``funnel_conversions``:
+    per-user combined int64 codes, one searchsorted against the B-only
+    code array to find each A's earliest B, one searchsorted pair against
+    the C-only codes for the final window."""
+    w1 = int(round(window_ab_sec * 1e6))
+    w2 = int(round(window_bc_sec * 1e6))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch[type_col],
+            value_set=pa.array([step_a, step_b, step_c], pa.string()),
+        )
+        out = batch.select([user_col, ts_col, type_col]).filter(keep)
+        users = out[user_col].to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "bucket", pa.array(_bucket_i64(users, n_buckets), pa.int64())
+        )
+
+    empty = pa.table(
+        {
+            user_col: pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_conv": pa.array([], pa.int64()),
+        }
+    )
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return empty
+        users = g[user_col].to_numpy(zero_copy_only=False)
+        ts_us = (
+            g[ts_col]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        types = g[type_col]
+        is_a = pc.equal(types, step_a).to_numpy(zero_copy_only=False)
+        is_b = pc.equal(types, step_b).to_numpy(zero_copy_only=False)
+        is_c = pc.equal(types, step_c).to_numpy(zero_copy_only=False)
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        urank = np.cumsum(new_user) - 1
+        dt = ts_us - ts_us.min()
+        # T must cover BOTH windows so a chained code never wraps users
+        T = int(dt.max()) + w1 + w2 + 2
+        if (int(urank[-1]) + 1) * T >= 2**63:
+            raise OverflowError(
+                "funnel3_conversions: users-per-bucket x time-range too "
+                "large for the int64 combined key — raise n_buckets"
+            )
+        comb = urank * np.int64(T) + dt
+        code_a = comb[is_a]
+        comb_b = comb[is_b]
+        comb_c = comb[is_c]
+        # earliest B strictly after A within (tA, tA+W1] — same user by
+        # construction of the combined code
+        bcode = np.zeros(len(code_a), np.int64)
+        if len(comb_b):
+            k = np.searchsorted(comb_b, code_a, side="right")
+            has_b = k < len(comb_b)
+            bcode[has_b] = comb_b[k[has_b]]
+            has_b &= bcode <= code_a + w1
+        else:
+            has_b = np.zeros(len(code_a), bool)
+        # any C strictly after that B within (tB, tB+W2]
+        m1 = np.searchsorted(comb_c, bcode, side="right")
+        m2 = np.searchsorted(comb_c, bcode + w2, side="right")
+        conv = has_b & (m2 > m1)
+        ua = urank[is_a]
+        n_users = int(urank[-1]) + 1
+        n_a = np.bincount(ua, minlength=n_users)
+        n_conv = np.bincount(ua, weights=conv.astype(np.int64), minlength=n_users)
+        first_rows = np.flatnonzero(new_user)
+        keep = n_a > 0
+        return pa.table(
+            {
+                user_col: pa.array(users[first_rows][keep], pa.int64()),
+                "n_a": pa.array(n_a[keep].astype(np.int64), pa.int64()),
+                "n_conv": pa.array(n_conv[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+
+
 def group_rank(
     ds: ray.data.Dataset,
     *,

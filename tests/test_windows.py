@@ -721,3 +721,84 @@ def test_group_rank_dense_vs_duckdb(ray_session):
                         AS BIGINT) FROM t
     """).fetchall())
     assert got == want
+
+
+# --- funnel3 ---
+
+
+def test_funnel3_vs_duckdb(ray_session):
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import funnel3_conversions
+
+    rng = np.random.RandomState(79)
+    n = 4000
+    base = dt.datetime(2025, 3, 1)
+    tab = pa.table({
+        "user_id": pa.array(rng.randint(0, 60, n).tolist(), pa.int64()),
+        "ts": pa.array(
+            [base + dt.timedelta(seconds=int(s))
+             for s in rng.randint(0, 2_000_000, n)],
+            pa.timestamp("us"),
+        ),
+        "event_type": pa.array(
+            [["view", "click", "purchase", "other"][i]
+             for i in rng.randint(0, 4, n)],
+            pa.string(),
+        ),
+    })
+    got = sorted(
+        (r["user_id"], r["n_a"], r["n_conv"])
+        for r in funnel3_conversions(
+            ray.data.from_arrow(tab).repartition(5),
+            window_ab_sec=1800.0, window_bc_sec=900.0,
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = sorted(tuple(r) for r in con.execute("""
+        WITH v AS (SELECT user_id, ts FROM t WHERE event_type='view'),
+        b AS (SELECT user_id, ts FROM t WHERE event_type='click'),
+        c AS (SELECT user_id, ts FROM t WHERE event_type='purchase'),
+        vb AS (
+          SELECT v.user_id, v.ts AS vts,
+                 (SELECT min(b.ts) FROM b
+                  WHERE b.user_id = v.user_id AND b.ts > v.ts
+                    AND b.ts <= v.ts + INTERVAL 30 MINUTE) AS bts
+          FROM v
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN bts IS NOT NULL AND EXISTS (
+                 SELECT 1 FROM c WHERE c.user_id = vb.user_id
+                   AND c.ts > vb.bts AND c.ts <= vb.bts + INTERVAL 15 MINUTE
+               ) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM vb GROUP BY 1
+    """).fetchall())
+    assert got == want
+
+
+def test_funnel3_chain_anchors_on_earliest_b(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import funnel3_conversions
+
+    base = dt.datetime(2025, 1, 1)
+    sec = lambda s: base + dt.timedelta(seconds=s)
+    # A at 0; Bs at 10 and 50; C at 70.  W1=60, W2=30.
+    # Earliest B is 10 → C window (10, 40] misses C@70 → NOT converted,
+    # even though the LATER B@50 would have caught it (chain semantics).
+    tab = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([sec(0), sec(10), sec(50), sec(70)], pa.timestamp("us")),
+        "event_type": pa.array(["view", "click", "click", "purchase"]),
+    })
+    out = funnel3_conversions(
+        ray.data.from_arrow(tab), window_ab_sec=60.0, window_bc_sec=30.0,
+    ).take_all()
+    assert [(r["user_id"], r["n_a"], r["n_conv"]) for r in out] == [(1, 1, 0)]
