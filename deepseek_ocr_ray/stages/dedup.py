@@ -812,22 +812,22 @@ def ngram_jaccard_dedup(
     seed: int = 42,
     n_buckets: int = 64,
     concurrency=(2, 8),
-    verify: str = "carry",
+    verify: str = "join",
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidates + EXACT word n-gram Jaccard verification.
 
     Two physical plans, identical results (tested equal):
 
-    - ``verify="carry"`` — texts ride along in the bucket rows
-      (``carry_text=True``).  One fewer exchange, but every document's full
-      text is replicated ×bands through shuffle #1 (32× byte amplification)
-      — the small-corpus plan.
-    - ``verify="join"`` — bucket rows carry NO payload; buckets emit
-      distinct candidate pairs, texts are joined back by id
+    - ``verify="join"`` (default) — bucket rows carry NO payload; buckets
+      emit distinct candidate pairs, texts are joined back by id
       (``Dataset.join``), pairs verify vectorized, and kept ids come from a
       left-anti join.  Text moves once per candidate pair instead of once
       per band row — the 10^12-row plan.
+    - ``verify="carry"`` — texts ride along in the bucket rows
+      (``carry_text=True``).  One fewer exchange, but every document's full
+      text is replicated ×bands through shuffle #1 (32× byte amplification)
+      — explicit opt-in for tiny corpora / SQL-parity experiments only.
     """
     if verify == "join":
         # the join plan holds the signature pool AND two aggregator pools

@@ -90,14 +90,14 @@ def sessionize(
                 pa.array(ts, pa.timestamp("us")), unit="second"
             ).cast(pa.timestamp("s")),
             format="%Y-%m-%d %H:%M:%S",
-        ).to_pylist()
+        )
         return pa.table(
             {
                 user_col: pa.array(out_users, pa.int64()),
                 "session_no": pa.array(out_no, pa.int64()),
                 "n_events": pa.array(out_count, pa.int64()),
-                "session_start": pa.array([fmt[i] for i in starts], pa.string()),
-                "session_end": pa.array([fmt[i] for i in ends], pa.string()),
+                "session_start": pc.take(fmt, pa.array(starts, pa.int64())),
+                "session_end": pc.take(fmt, pa.array(ends, pa.int64())),
             }
         )
 
