@@ -122,6 +122,14 @@ def _burn_probe() -> float:
     return time.perf_counter() - t0
 
 
+# Healthy-window single-process burn time on this host (seconds for the
+# 30M-iteration loop, measured repeatedly across rounds: 1.16-1.4 s healthy
+# vs up to 2.8 s throttled).  Normalized times are raw * HEALTHY / measured
+# so a throttled driver window can't masquerade as a code regression; the
+# probe runs before AND after the timed section and uses the mean.
+HEALTHY_BURN_SEC = 1.16
+
+
 def main_bench() -> None:
     hw_burn = _burn_probe()
     _init_ray(NUM_CPUS)
@@ -140,6 +148,12 @@ def main_bench() -> None:
     failed = sorted(n for n, t in qtimes.items() if t < 0)
     total = -1.0 if failed else dt + sum(qtimes.values())
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    hw_burn_post = _burn_probe()
+    burn_mean = (hw_burn + hw_burn_post) / 2.0
+    # >1 means this window is throttled; divide raw times by it to compare
+    # across rounds (see HEALTHY_BURN_SEC)
+    throttle = burn_mean / HEALTHY_BURN_SEC
+    norm = lambda t: t if t < 0 else round(t / throttle, 3)  # noqa: E731
     print(
         json.dumps(
             {
@@ -156,6 +170,15 @@ def main_bench() -> None:
                 "num_cpus": NUM_CPUS,
                 "failed_queries": failed,
                 "hw_burn_sec": round(hw_burn, 2),
+                "hw_burn_sec_post": round(hw_burn_post, 2),
+                "hw_throttle_factor": round(throttle, 3),
+                "value_normalized": norm(total),
+                "queries_normalized": {
+                    "extract_headline": norm(dt),
+                    "extract_docs_per_sec": round(n_docs / dt * throttle, 1),
+                    "extract_spans_per_sec": round(n_spans / dt * throttle, 1),
+                    **{k: norm(v) for k, v in qtimes.items()},
+                },
             }
         )
     )

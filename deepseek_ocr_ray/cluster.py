@@ -117,6 +117,48 @@ def join_partitions_for_bytes(
     return min(cpu_cap, need)
 
 
+# target bytes of exploded-unit payload per assembly shuffle group — one
+# map_groups task comfortably assembles this much in heap (the group holds
+# the units' text payload plus the assembled output)
+ASSEMBLY_TARGET_GROUP_BYTES = 64 << 20
+
+
+def assembly_buckets_for_bytes(
+    approx_bytes: int | None = None, floor: int = 64
+) -> int:
+    """Assembly-exchange group count sized to BOTH the cluster and input.
+
+    Unlike joins (standing aggregator actors, so MORE partitions cost
+    memory), the assembly groupby is a sort exchange — group count is free,
+    and too FEW groups is the failure mode: each ``map_groups`` task
+    receives corpus/n_buckets bytes, so a fixed count is a per-task memory
+    cliff and a parallelism cap at 100× scale.  The count grows with input
+    volume (``ceil(bytes / 64 MiB)``) and never drops below
+    ``max(floor, 4 × cluster CPUs)`` so small inputs still spread across
+    the cluster.
+    """
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    lo = max(floor, 4 * cpus)
+    if approx_bytes is None:
+        return lo
+    return max(lo, math.ceil(approx_bytes / ASSEMBLY_TARGET_GROUP_BYTES))
+
+
+def dataset_size_estimate(ds: ray.data.Dataset) -> int | None:
+    """Cheap (metadata-only) byte estimate of a lazy Dataset, or None.
+
+    ``Dataset.size_bytes()`` EXECUTES the plan when metadata is missing —
+    never acceptable mid-pipeline-build — so this consults the logical
+    plan's inferred metadata only and returns None when unknown."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
 def table_file_bytes(sf_dir: str, *names: str) -> int:
     """On-disk bytes of benchmark parquet tables — the cheap (metadata-only)
     volume estimate call sites feed to :func:`join_partitions_for_bytes`."""

@@ -50,15 +50,29 @@ def auto_pool_size(cfg: PipelineConfig, total_cpus: int) -> int:
     mem_est = max(1, seqs // max(1, cfg.ocr_batch_size))
     return max(1, min(cpu_est, mem_est))
 
-# groups per assembly shuffle — bounded group count so 10^12 docs never mean
-# 10^12 Python group calls; each group assembles many docs vectorized.
+# legacy floor for the assembly group count — the actual count is sized
+# from input volume via cluster.assembly_buckets_for_bytes when callers
+# leave assembly_buckets=None (a fixed count is a per-task memory cliff and
+# a parallelism cap at 100× scale; see that function's docstring).
 DEFAULT_ASSEMBLY_BUCKETS = 64
+
+
+def _resolve_assembly_buckets(
+    ds: ray.data.Dataset, assembly_buckets: int | None
+) -> int:
+    if assembly_buckets is not None:
+        return assembly_buckets
+    from ..cluster import assembly_buckets_for_bytes, dataset_size_estimate
+
+    return assembly_buckets_for_bytes(
+        dataset_size_estimate(ds), floor=DEFAULT_ASSEMBLY_BUCKETS
+    )
 
 
 def extract_dataset(
     ds: ray.data.Dataset,
     config: PipelineConfig | None = None,
-    assembly_buckets: int = DEFAULT_ASSEMBLY_BUCKETS,
+    assembly_buckets: int | None = None,
     exchange: str = "none",
 ) -> ray.data.Dataset:
     """Interleaved doc Dataset → extracted doc Dataset (OUT_SCHEMA rows).
@@ -129,10 +143,11 @@ def extract_dataset(
             merge_salted_partials,
         )
 
+        n_buckets = _resolve_assembly_buckets(ds, assembly_buckets)
         salted = parsed.map_batches(
             functools.partial(
                 add_salted_bucket,
-                n_buckets=assembly_buckets,
+                n_buckets=n_buckets,
                 salt_span=cfg.salt_span,
             ),
             batch_format="pyarrow",
@@ -143,7 +158,7 @@ def extract_dataset(
             batch_format="pyarrow",
         )
         bucketed2 = partials.map_batches(
-            functools.partial(add_doc_bucket, n_buckets=assembly_buckets),
+            functools.partial(add_doc_bucket, n_buckets=n_buckets),
             batch_format="pyarrow",
             batch_size=None,
         )
@@ -159,7 +174,9 @@ def extract_dataset(
     # measured 31s of a 50s 24k-doc run, which is why doc-per-row sources
     # should use exchange="none"
     bucketed = parsed.map_batches(
-        functools.partial(add_bucket, n_buckets=assembly_buckets),
+        functools.partial(
+            add_bucket, n_buckets=_resolve_assembly_buckets(ds, assembly_buckets)
+        ),
         batch_format="pyarrow",
         batch_size=None,
     )

@@ -404,3 +404,33 @@ def test_salted_join_spreads_hot_key_across_salts(ray_session):
         salts=4, hot_keys=[1],
     )
     assert out.count() == n  # replication did not duplicate matches
+
+
+def test_assembly_buckets_grow_with_volume(ray_session):
+    """Assembly exchange sizing: the group count must GROW with input bytes
+    (a fixed count is a per-task memory cliff at 100x scale) and never drop
+    below the cluster floor for small inputs."""
+    floor = cluster.assembly_buckets_for_bytes(None)
+    assert floor >= 64  # small inputs still spread across the cluster
+    small = cluster.assembly_buckets_for_bytes(1 << 20)
+    big = cluster.assembly_buckets_for_bytes(1 << 40)  # 1 TiB
+    huge = cluster.assembly_buckets_for_bytes(100 << 40)  # 100 TiB
+    assert small == floor
+    assert big > small
+    assert huge > big
+    # 64 MiB per group at 1 TiB -> 16384 groups
+    assert big == (1 << 40) // cluster.ASSEMBLY_TARGET_GROUP_BYTES
+
+
+def test_extract_resolves_buckets_from_metadata(ray_session):
+    """extract_dataset with assembly_buckets=None sizes the exchange from
+    the dataset's metadata estimate without executing the plan."""
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.extract import _resolve_assembly_buckets
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    n = _resolve_assembly_buckets(ds, None)
+    assert n >= 64
+    # explicit count always wins
+    assert _resolve_assembly_buckets(ds, 5) == 5
