@@ -96,6 +96,11 @@ class PipelineConfig:
     # drop pages whose generation hit max_tokens without EOS
     # (reference SKIP_REPEAT, DSV/config.py:16; DSV/run_dpsk_ocr_pdf.py:295-299)
     skip_repeat: bool = True
+    # OCR model backend: "stub" (deterministic sandbox stand-in) or "vllm"
+    # (real engine, import-gated — stages/model_vllm.py); model_path points
+    # at the DeepSeek-OCR weights directory (reference DSV/config.py MODEL_PATH)
+    model_backend: str = "stub"
+    model_path: str = ""
 
     # --- Ray execution ---
     # media (OCR) actor pool: int (fixed pool), (min, max) (autoscaling), or

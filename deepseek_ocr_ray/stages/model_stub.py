@@ -18,9 +18,11 @@ batch-out ``__call__``.  The stub's output is a pure function of
 - a ~3% no-EOS tail (generation "ran to max_tokens repeating"; SKIP_REPEAT
   drops such pages, DSV/run_dpsk_ocr_pdf.py:295-299).
 
-Swapping in the real model = replacing ``StubOcrModel.generate`` with a vLLM
-``llm.generate`` call and ``fake_decode_dims`` with a real rasterizer/decoder;
-every other stage is production code.
+Swapping in the real model is a CONFIG switch, not a code edit:
+``PipelineConfig(model_backend="vllm", model_path=...)`` dispatches
+``OcrStage`` to :class:`~.model_vllm.VllmOcrModel` — the import-gated real
+engine wrapper with this stub's exact interface (tested with a mocked
+engine in tests/test_model_vllm.py); every other stage is production code.
 """
 
 from __future__ import annotations
@@ -263,7 +265,13 @@ class OcrStage:
         progress_stream=None,
     ):
         self.config = config or PipelineConfig()
-        self.model = StubOcrModel(self.config)
+        if self.config.model_backend == "vllm":
+            # real-model dispatch (import-gated; see stages/model_vllm.py)
+            from .model_vllm import VllmOcrModel
+
+            self.model = VllmOcrModel(self.config)
+        else:
+            self.model = StubOcrModel(self.config)
         # W6 sink: opt-in actor-side streaming of each unit's text as it is
         # produced (the stub generates whole pages, so each unit arrives as
         # one delta; a token-streaming model feeds the same printer
