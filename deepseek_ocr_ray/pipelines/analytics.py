@@ -1938,13 +1938,35 @@ def basket_pairs(sf_dir: str, k: int = 20, n_buckets: int = 64) -> ray.data.Data
             {"p1": t["p1"], "p2": t["p2"], "n_orders": t["count_all"].cast(pa.int64())}
         )
 
-    return (
+    from ..stages.agg import bucket_groupby_agg
+
+    counts = bucket_groupby_agg(
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(expand, batch_format="pyarrow")
-        .groupby(["p1", "p2"])
-        .aggregate(Sum("n_orders"))
-        .rename_columns({"sum(n_orders)": "n_orders"})
+        .map_groups(expand, batch_format="pyarrow"),
+        ["p1", "p2"],
+        [("n_orders", "sum", "n_orders")],
+        n_buckets=n_buckets,
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # pair counts are global after the bucket aggregate (a pair lives in
+        # exactly one bucket), so the global top-k is a subset of per-block
+        # top-ks under the (n desc, p1, p2) total order — the final sort
+        # sees blocks×k rows, never the ~unique-pair-count row universe
+        if batch.num_rows <= k:
+            return batch
+        order = np.lexsort(
+            (
+                batch["p2"].to_numpy(zero_copy_only=False),
+                batch["p1"].to_numpy(zero_copy_only=False),
+                -batch["n_orders"].to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        return batch.take(pa.array(order))
+
+    return (
+        counts.map_batches(local_topk, batch_format="pyarrow")
         .sort(["n_orders", "p1", "p2"], descending=[True, False, False])
         .limit(k)
     )
@@ -2124,77 +2146,93 @@ def pmi_bigrams(
 
     ds = read_table(sf_dir, "documents", columns=["text"])
 
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        from .curation import tokens_flat
-
-        flat, _parent = tokens_flat(batch["text"])
-        g = pa.table({"token": flat}).group_by("token").aggregate(
-            [([], "count_all")]
-        )
-        return pa.table(
-            {"token": g["token"], "c1": g["count_all"].cast(pa.int64())}
-        )
-
-    def big_partial(batch: pa.Table) -> pa.Table:
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        """ONE tokenize per batch feeding BOTH count families: unigrams ride
+        as kind=0 rows (key = token), bigrams as kind=1 (key = "l r")."""
         from .curation import tokens_flat
 
         flat, parent = tokens_flat(batch["text"])
-        if len(parent) < 2:
-            return pa.table(
+        keys = [flat]
+        kinds = [np.zeros(len(flat), np.int8)]
+        if len(parent) >= 2:
+            adj = np.flatnonzero(parent[1:] == parent[:-1])
+            if len(adj):
+                lt = flat.take(pa.array(adj))
+                rt = flat.take(pa.array(adj + 1))
+                keys.append(pc.binary_join_element_wise(lt, rt, " "))
+                kinds.append(np.ones(len(adj), np.int8))
+        g = (
+            pa.table(
                 {
-                    "bigram": pa.array([], pa.string()),
-                    "left": pa.array([], pa.string()),
-                    "right": pa.array([], pa.string()),
-                    "c12": pa.array([], pa.int64()),
+                    "kind": pa.array(np.concatenate(kinds), pa.int8()),
+                    "key": pa.concat_arrays(
+                        [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in keys]
+                    ),
                 }
             )
-        adj = np.flatnonzero(parent[1:] == parent[:-1])
-        lt = flat.take(pa.array(adj))
-        rt = flat.take(pa.array(adj + 1))
-        bg = pc.binary_join_element_wise(lt, rt, " ")
-        g = (
-            pa.table({"bigram": bg, "left": lt, "right": rt})
-            .group_by(["bigram", "left", "right"])
+            .group_by(["kind", "key"])
             .aggregate([([], "count_all")])
         )
         return pa.table(
             {
-                "bigram": g["bigram"],
-                "left": g["left"],
-                "right": g["right"],
-                "c12": g["count_all"].cast(pa.int64()),
+                "kind": g["kind"],
+                "key": g["key"],
+                "c": g["count_all"].cast(pa.int64()),
             }
         )
 
-    uni = (
-        ds.map_batches(uni_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("c1"))
-        .rename_columns({"sum(c1)": "c1"})
-        .materialize()  # vocab-bounded
+    counts = (
+        ds.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(Sum("c"))
+        .rename_columns({"sum(c)": "c"})
+        .materialize()  # (vocab + bigram-vocab)-bounded
     )
-    big = (
-        ds.map_batches(big_partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("c12"), Min("left"), Min("right"))
-        .rename_columns(
-            {"sum(c12)": "c12", "min(left)": "left", "min(right)": "right"}
-        )
-        .materialize()  # bigram-vocab-bounded
-    )
+    uni = counts.filter(expr="kind == 0").rename_columns(
+        {"key": "token", "c": "c1"}
+    ).select_columns(["token", "c1"])
+    big_all = counts.filter(expr="kind == 1")
     t1 = int(uni.sum("c1"))
-    t2 = int(big.sum("c12"))
+    t2 = int(big_all.sum("c"))
 
-    cand = big.filter(expr=f"c12 >= {int(min_count)}")
+    def split_bigram(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["key"], " ", max_splits=1)
+        flat = pc.list_flatten(parts)
+        return pa.table(
+            {
+                "bigram": batch["key"],
+                "left": flat.take(
+                    pa.array(np.arange(0, 2 * batch.num_rows, 2), pa.int64())
+                ),
+                "right": flat.take(
+                    pa.array(np.arange(1, 2 * batch.num_rows, 2), pa.int64())
+                ),
+                "c12": batch["c"],
+            }
+        )
+
+    cand = big_all.filter(expr=f"c >= {int(min_count)}").map_batches(
+        split_bigram, batch_format="pyarrow"
+    )
+    # the unigram side is vocab-bounded and already materialized: when it
+    # fits the plasma cap the joins go broadcast (zero exchange, no
+    # aggregator actors); an oversized vocab falls back to the planner's
+    # default shuffle strategy
+    from ..cluster import BROADCAST_MAX_BYTES
+
+    uni_bytes = counts.size_bytes() or 0
+    strat = "broadcast" if uni_bytes <= BROADCAST_MAX_BYTES else None
     j1 = equi_join(
         cand,
         uni.rename_columns({"token": "left", "c1": "c1_left"}),
         on="left",
+        strategy=strat,
     )
     j2 = equi_join(
         j1,
         uni.rename_columns({"token": "right", "c1": "c1_right"}),
         on="right",
+        strategy=strat,
     )
 
     def score(batch: pa.Table) -> pa.Table:
