@@ -2281,3 +2281,180 @@ JOIN uc u2 ON u2.token = split_part(f.bigram, ' ', 2)
 CROSS JOIN t1 CROSS JOIN t2
 ORDER BY lift_milli DESC, bigram LIMIT 50
 """
+
+
+def train_val_test_split(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split42",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    method: str = "fast",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment — the split every training
+    corpus needs, with the properties random splits lack: reproducible at
+    any parallelism, resumable, and stable under corpus growth (a document's
+    split never changes when other documents are added, because it depends
+    only on (salt, id)).
+
+    ``bucket = hash(salt:id) % 100``; ``< train_pct`` → train,
+    ``< train_pct+val_pct`` → val, else test.  ``method="fast"`` uses the
+    engine's vectorized 64-bit hash (production, zero per-row Python);
+    ``method="md5"`` is the SQL-parity rule DuckDB replicates exactly.
+    Zero-shuffle: one map over the corpus."""
+    import hashlib as _h
+
+    from ..hashing import hash64_array, mix64
+
+    if method not in ("fast", "md5"):
+        raise ValueError(f"unknown split method {method!r}")
+    cut1, cut2 = int(train_pct), int(train_pct) + int(val_pct)
+    salt_h = _salt_hash(salt)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if method == "fast":
+            b = (mix64(hash64_array(batch[id_col]) ^ salt_h) % np.uint64(100)).astype(
+                np.int64
+            )
+        else:
+            sp = f"{salt}:".encode()
+            md5 = _h.md5
+            b = np.array(
+                [
+                    int.from_bytes(md5(sp + str(v).encode()).digest()[:4], "big")
+                    % 100
+                    for v in batch[id_col].to_pylist()
+                ],
+                np.int64,
+            )
+        split = np.where(b < cut1, "train", np.where(b < cut2, "val", "test"))
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def documents_split(sf_dir: str) -> ray.data.Dataset:
+    """Driver query: the md5 SQL-parity split over the documents table."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return train_val_test_split(ds, method="md5")
+
+
+DOCUMENTS_SPLIT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN CAST(('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS UBIGINT) % 100 < 80 THEN 'train'
+       WHEN CAST(('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS UBIGINT) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def source_top_terms(
+    sf_dir: str, k: int = 5, min_count: int = 10, scale: int = 1_000_000
+) -> ray.data.Dataset:
+    """Characteristic terms per corpus source (c-TF-IDF-style): for each
+    (source, token) with at least ``min_count`` occurrences, the SHARE of
+    the token's corpus occurrences captured by that source
+    (``share_ppm = tf_source · 10⁶ // tf_total``), ranked per source — the
+    "what makes this source different" report.  Integer-exact.
+
+    Scale: one tokenize pass → map-side (source, token) partials → one
+    coarse-bucket exchange (the per-source token distributions, vocab ×
+    sources bounded); token totals derive from the SAME aggregate (no
+    second corpus pass); the per-source top-k runs on the shortlist."""
+    from ..stages.agg import bucket_groupby_agg
+    from ..stages.windows import grouped_topk
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def st_partial(batch: pa.Table) -> pa.Table:
+        from .curation import tokens_flat
+
+        flat, parent = tokens_flat(batch["text"])
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = (
+            pa.table({"source": src.take(pa.array(parent)), "token": flat})
+            .group_by(["source", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "token": g["token"],
+                "tf": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    st = bucket_groupby_agg(
+        ds.map_batches(st_partial, batch_format="pyarrow"),
+        ["source", "token"],
+        [("tf", "sum", "tf")],
+    ).materialize()  # (sources × vocab)-bounded
+    totals = bucket_groupby_agg(st, ["token"], [("tf", "sum", "tf_total")])
+
+    from ..cluster import BROADCAST_MAX_BYTES, equi_join
+
+    strat = (
+        "broadcast" if (st.size_bytes() or 0) <= BROADCAST_MAX_BYTES else None
+    )
+    joined = equi_join(
+        st.filter(expr=f"tf >= {int(min_count)}"),
+        totals,
+        on="token",
+        strategy=strat,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        tot = batch["tf_total"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "token": batch["token"],
+                "tf": batch["tf"],
+                "share_ppm": pa.array((tf * scale) // tot, pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    # per-source top-k by (share desc, token asc): encode share with the
+    # grouped_topk value/tiebreak contract (value desc, id asc)
+    return grouped_topk(
+        scored, group_col="source", value_col="share_ppm", id_col="token", k=k
+    )
+
+
+SOURCE_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT source, t.tok AS token
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS tf_total FROM st GROUP BY 1
+), scored AS (
+  SELECT st.source, st.token, st.tf,
+         CAST((st.tf * 1000000) // tot.tf_total AS BIGINT) AS share_ppm
+  FROM st JOIN tot USING (token)
+  WHERE st.tf >= 10
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY share_ppm DESC, token) AS rank
+  FROM scored
+)
+SELECT source, token, share_ppm, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY source, rank
+"""
