@@ -1450,3 +1450,85 @@ def keep_best_dedup(
         )
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+class Hash64BandStage:
+    """Band rows from a PRECOMPUTED 64-bit hash column (SimHash banding
+    minus the text hashing) — the LSH front end for any 64-bit
+    fingerprint: perceptual image hashes, SimHashes computed upstream,
+    document fingerprints."""
+
+    BITS = 64
+
+    def __init__(
+        self,
+        *,
+        hash_col: str,
+        id_col: str,
+        bands: int = 4,
+        n_buckets: int = 64,
+    ):
+        assert self.BITS % bands == 0
+        self.hash_col = hash_col
+        self.id_col = id_col
+        self.bands = bands
+        self.band_bits = self.BITS // bands
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shs = (
+            batch[self.hash_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        mask = np.uint64((1 << self.band_bits) - 1)
+        shifts = (
+            np.arange(self.bands, dtype=np.uint64) * np.uint64(self.band_bits)
+        )
+        keys = (shs[:, None] >> shifts[None, :]) & mask
+        return _band_rows(
+            self.id_col,
+            batch[self.id_col],
+            keys,
+            pa.array(shs, pa.uint64()),
+            self.n_buckets,
+        )
+
+
+def hash64_hamming_dedup(
+    ds: ray.data.Dataset,
+    *,
+    hash_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    n_buckets: int = 64,
+    concurrency=(2, 8),
+) -> ray.data.Dataset:
+    """Kept ids after Hamming-distance near-dedup over a precomputed
+    64-bit fingerprint column — the same banded-LSH + batched
+    xor-popcount verify as :func:`simhash_dedup`, reusable for image
+    pHashes and any other 64-bit signature.  Recall guarantee by
+    pigeonhole: a pair at Hamming distance ≤ bands−1 cannot differ in
+    every band, so it always shares a bucket — full recall holds whenever
+    ``max_hamming ≤ bands − 1`` (the defaults: 3 ≤ 4−1)."""
+
+    def verify(group: pa.Table) -> pa.Table:
+        def batch_hamming(payload, ki, ci) -> np.ndarray:
+            sh = payload.to_numpy(zero_copy_only=False).astype(np.uint64)
+            x = (sh[ki] ^ sh[ci]).view(np.uint8).reshape(len(ki), 8)
+            return np.unpackbits(x, axis=1).sum(axis=1) <= max_hamming
+
+        return _walk_buckets_vec(group, id_col, batch_hamming)
+
+    return _lsh_dedup(
+        ds,
+        Hash64BandStage,
+        verify,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        concurrency=concurrency,
+        stage_kwargs=dict(
+            hash_col=hash_col, id_col=id_col, bands=bands, n_buckets=n_buckets
+        ),
+    )

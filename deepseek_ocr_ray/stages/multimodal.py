@@ -284,3 +284,83 @@ def crop_region_jpegs(
         except Exception:
             out.append(None)  # reference-style: a bad box never aborts
     return out  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (near-dup detection for media columns)
+# ---------------------------------------------------------------------------
+
+def _dct_basis(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the classic pHash transform)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    x = np.arange(n)[None, :].astype(np.float64)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    c[0, :] /= np.sqrt(2.0)
+    return c
+
+
+_DCT32 = _dct_basis(32)
+
+
+def fake_decode_gray(payload: bytes, size: int = 32) -> np.ndarray:
+    """Deterministic fake grayscale decode: a seeded pseudo-pixel grid that
+    is a pure function of the payload bytes — identical payloads give
+    identical grids (so exact-duplicate media collapse under pHash), and
+    the real-codec path below produces the same shape from real images."""
+    rng = _payload_rng(payload + b"#gray")
+    return rng.randint(0, 256, size=(size, size)).astype(np.float64)
+
+
+def phash64_batch(grids: np.ndarray) -> np.ndarray:
+    """64-bit perceptual hashes for a stack of 32×32 grayscale grids.
+
+    Standard pHash: 2-D DCT-II, keep the 8×8 low-frequency block, threshold
+    each coefficient against the median of the 63 AC coefficients, pack
+    MSB-first.  Vectorized over the batch (two matmuls + one median)."""
+    if grids.ndim == 2:
+        grids = grids[None]
+    d = np.einsum("ij,njk,lk->nil", _DCT32, grids.astype(np.float64), _DCT32)
+    block = d[:, :8, :8].reshape(len(grids), 64)
+    med = np.median(block[:, 1:], axis=1, keepdims=True)
+    bits = (block > med).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+class PHashStage:
+    """Actor-pool stage: payload bytes → 64-bit perceptual hash column.
+
+    Fake codec by default (deterministic grid per payload); with
+    ``use_real_codec=True`` (import-gated) the grid is the real PIL
+    grayscale 32×32 resize — the standard pHash front end."""
+
+    def __init__(self, *, payload_col: str = "payload", use_real_codec: bool = False):
+        self.payload_col = payload_col
+        self.use_real_codec = use_real_codec
+        if use_real_codec:
+            import importlib
+
+            if importlib.util.find_spec("PIL") is None:  # pragma: no cover
+                raise NotImplementedError(
+                    "use_real_codec=True needs Pillow; install PIL or use "
+                    "the deterministic fake codec"
+                )
+
+    def _grid(self, payload: bytes) -> np.ndarray:
+        if self.use_real_codec:  # pragma: no cover - no PIL in sandbox
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload)).convert("L").resize((32, 32))
+            return np.asarray(img, dtype=np.float64)
+        return fake_decode_gray(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        if payloads:
+            grids = np.stack([self._grid(p) for p in payloads])
+            hashes = phash64_batch(grids)
+        else:
+            hashes = np.empty(0, np.uint64)
+        return batch.append_column("phash", pa.array(hashes, pa.uint64()))

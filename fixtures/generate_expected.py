@@ -152,6 +152,8 @@ def main() -> None:
         "extract_then_dedup",
         "multimodal_decode",
         "frame_sample",
+        "image_phash",
+        "image_phash_dedup",
     ]:
         tbl = _to_df(q[name]("/root/testdata/sf0.001"))
         df = tbl.to_pandas()

@@ -180,3 +180,79 @@ def test_events_anomaly_integer_ztest():
     z = (n - n.mean()) / n.std()
     assert ((num > 4 * den) == (z**2 > 4)).all()
     assert (num > 4 * den).tolist() == [False] * 5 + [True]
+
+
+def test_phash_properties():
+    """pHash determinism + robustness: identical grids → distance 0; a
+    small local perturbation stays within a few bits; unrelated grids
+    land far apart (brute check over a seeded set)."""
+    from deepseek_ocr_ray.stages.multimodal import fake_decode_gray, phash64_batch
+
+    g = fake_decode_gray(b"payload-1")
+    h = phash64_batch(np.stack([g, g]))
+    assert h[0] == h[1]
+    bumped = g.copy()
+    bumped[3, 7] += 4.0  # tiny local edit
+    hb = phash64_batch(bumped)[0]
+    assert bin(int(h[0] ^ hb)).count("1") <= 3
+    other = fake_decode_gray(b"payload-2")
+    ho = phash64_batch(other)[0]
+    assert bin(int(h[0] ^ ho)).count("1") > 10
+
+
+def test_hash64_hamming_dedup_keeper_semantics(ray_session):
+    """Banded Hamming dedup follows the engine's keep-first LSH rule (the
+    same rule as simhash_dedup): a row is dropped iff it verifies within
+    max_hamming against its bucket's MIN-ID keeper — checked on hashes
+    engineered at distances 0, 2, 3, 5 and far from the keeper, and
+    invariant to block layout."""
+    from deepseek_ocr_ray.stages.dedup import hash64_hamming_dedup
+
+    base = 0x0123456789ABCDEF
+    hashes = [
+        base,               # 0: keeper
+        base,               # 1: distance 0 → dropped
+        base ^ 0b11,        # 2: distance 2 → dropped
+        base ^ 0b10101,     # 3: distance 3 → dropped
+        base ^ 0b11111,     # 4: distance 5 from the keeper → kept
+        0xFEDCBA9876543210, # 5: far → kept
+    ]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(len(hashes)), pa.int64()),
+            "phash": pa.array(np.array(hashes, np.uint64), pa.uint64()),
+        }
+    )
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(tbl)
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        got = sorted(
+            r["media_id"]
+            for r in hash64_hamming_dedup(
+                ds, hash_col="phash", id_col="media_id", max_hamming=3
+            ).take_all()
+        )
+        assert got == [0, 4, 5], blocks
+
+
+def test_train_val_test_split_properties(ray_session):
+    """Fast and md5 modes both: deterministic, exhaustive (every row gets
+    exactly one split), stable under corpus growth (a doc's split doesn't
+    depend on other rows), roughly 80/10/10."""
+    from deepseek_ocr_ray.pipelines.analytics import train_val_test_split
+
+    tbl = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    for method in ("fast", "md5"):
+        out = train_val_test_split(
+            ray.data.from_arrow(tbl), method=method
+        ).to_pandas()
+        assert len(out) == 2000
+        frac = out.split.value_counts(normalize=True)
+        assert 0.7 < frac["train"] < 0.9
+        # growth stability: half the corpus assigns identically
+        half = train_val_test_split(
+            ray.data.from_arrow(tbl.slice(0, 1000)), method=method
+        ).to_pandas()
+        merged = out.merge(half, on="doc_id", suffixes=("_full", "_half"))
+        assert (merged.split_full == merged.split_half).all()
