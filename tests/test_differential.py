@@ -245,3 +245,116 @@ def test_new_agg_family_differential_vs_duckdb(ray_session, seed):
         f"SELECT a, b FROM t EXCEPT SELECT a, b FROM (SELECT * FROM t LIMIT {n // 2})"
     ).fetchall())
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_basket_pairs_differential_vs_duckdb(ray_session, seed, tmp_path):
+    """Random basket tables (skewed order sizes, duplicate items) through
+    basket_pairs must equal the DISTINCT-self-join SQL, including the
+    (count desc, p1, p2) top-k tiebreak."""
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines.analytics import BASKET_PAIRS_SQL, basket_pairs
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(200, 900))
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(
+                (rng.zipf(1.4, n) % 60).astype(np.int64), pa.int64()
+            ),
+            "l_partkey": pa.array(
+                rng.randint(0, 25, n).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+    d = tmp_path / f"bp{seed}"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "lineitem.parquet"))
+    got = basket_pairs(str(d), k=20).to_pandas()
+    con = duckdb.connect()
+    con.register("lineitem", tbl)
+    want = con.sql(BASKET_PAIRS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_user_rfm_differential_vs_duckdb(ray_session, seed, tmp_path):
+    """Random event streams (negative values, microsecond timestamps)
+    through user_rfm must match the SQL recency/frequency/monetary."""
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines.analytics import USER_RFM_SQL, user_rfm
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(300, 1200))
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.randint(0, 90 * 86_400_000_000, n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.randint(0, 40, n).astype(np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(rng.uniform(-50, 500, n), pa.float64()),
+        }
+    )
+    d = tmp_path / f"rfm{seed}"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    got = (
+        user_rfm(str(d)).to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.sql(USER_RFM_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_keep_best_differential_vs_duckdb(ray_session, seed):
+    """Random near-duplicate corpora through keep_best_dedup must match the
+    SQL order-encoded argmax."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.dedup import keep_best_dedup
+
+    rng = np.random.RandomState(seed)
+    base_texts = [f"base text number {i} with words" for i in range(10)]
+    rows = []
+    for i in range(120):
+        t = base_texts[int(rng.randint(0, 10))]
+        # random trivial edits: case flips, punctuation, padding
+        if rng.rand() < 0.5:
+            t = t.upper()
+        if rng.rand() < 0.5:
+            t = t + "!" * int(rng.randint(0, 4))
+        if rng.rand() < 0.3:
+            t = "  " + t
+        rows.append((i, t, len(t)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = (
+        keep_best_dedup(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.sql("""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'), ' ')) AS norm_hash,
+       CAST(4294967295 - (max(n_chars*4294967296 + 4294967295 - doc_id)
+            % 4294967296) AS BIGINT) AS doc_id,
+       CAST(max(n_chars*4294967296 + 4294967295 - doc_id) // 4294967296
+            AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1 ORDER BY 2
+""").df()
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    assert got.values.tolist() == want.values.tolist()
