@@ -2458,3 +2458,100 @@ SELECT source, token, share_ppm, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 5
 ORDER BY source, rank
 """
+
+
+def event_transitions(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Markov transition counts over per-user event streams: for every
+    consecutive (by ts, tie-broken by event_id) pair of events of one user,
+    count (from_type → to_type) — the navigation-flow / next-action matrix.
+
+    ONE keyed exchange co-locates each user's events (hash bucket of
+    user_id); the per-bucket walk is a lexsort + adjacent-compare + one C++
+    group count; the second exchange carries partial (from, to, n) rows —
+    |event_types|² bounded."""
+    from ..hashing import splitmix_bucket
+    from ..stages.agg import bucket_groupby_agg
+
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(splitmix_bucket(u, n_buckets), pa.int64())
+        )
+
+    empty = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def walk(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            group["ts"]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            if isinstance(group["ts"], pa.ChunkedArray)
+            else group["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        et = et.take(pa.array(order))
+        us = u[order]
+        adj = np.flatnonzero(us[1:] == us[:-1])
+        if not len(adj):
+            return empty
+        g = (
+            pa.table(
+                {
+                    "from_type": et.take(pa.array(adj)),
+                    "to_type": et.take(pa.array(adj + 1)),
+                }
+            )
+            .group_by(["from_type", "to_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "from_type": g["from_type"],
+                "to_type": g["to_type"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return bucket_groupby_agg(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow"),
+        ["from_type", "to_type"],
+        [("n", "sum", "n")],
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
