@@ -1828,6 +1828,9 @@ def user_rfm(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    # the anchor max(ts) is derivable from the reduced per-user aggregate
+    # (global max == max of per-user maxima) — materialize the user-bounded
+    # result once instead of re-scanning the corpus for one scalar
     per_user = bucket_groupby_agg(
         ds.map_batches(prep, batch_format="pyarrow"),
         ["user_id"],
@@ -1836,8 +1839,8 @@ def user_rfm(sf_dir: str) -> ray.data.Dataset:
             (None, "count", "frequency"),
             ("cents", "sum", "monetary_cents"),
         ],
-    )
-    anchor = read_table(sf_dir, "events", columns=["ts"]).max("ts")
+    ).materialize()
+    anchor = per_user.max("last_ts")
     anchor_us = int(pa.scalar(anchor).cast(pa.timestamp("us")).value)
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -2019,16 +2022,11 @@ def events_anomaly(sf_dir: str) -> ray.data.Dataset:
         num = (n * d - s) ** 2
         den = np.full(len(n), q * d - s * s, np.int64)
         keep = num > 4 * den
+        mask = pa.array(keep)
         return pa.table(
             {
-                "event_type": group["event_type"].combine_chunks().filter(
-                    pa.array(keep)
-                )
-                if isinstance(group["event_type"], pa.ChunkedArray)
-                else group["event_type"].filter(pa.array(keep)),
-                "day": group["day"].combine_chunks().filter(pa.array(keep))
-                if isinstance(group["day"], pa.ChunkedArray)
-                else group["day"].filter(pa.array(keep)),
+                "event_type": group["event_type"].filter(mask),
+                "day": group["day"].filter(mask),
                 "n": pa.array(n[keep], pa.int64()),
                 "zsq_num": pa.array(num[keep], pa.int64()),
                 "zsq_den": pa.array(den[keep], pa.int64()),
@@ -2093,6 +2091,12 @@ def doc_char_stats(sf_dir: str) -> ray.data.Dataset:
         distinct = (cnt > 0).sum(axis=1).astype(np.int64)
         sumsq = (cnt * cnt).sum(axis=1)
         hhi = np.where(lens > 0, (sumsq * 1_000_000) // np.maximum(lens * lens, 1), 0)
+        # int64 headroom: sumsq·10⁶ wraps silently past ~3.04M chars (where
+        # the BIGINT oracle would error instead) — recompute the rare long
+        # documents with exact Python ints (result ≤ 10⁶ always fits)
+        big = np.flatnonzero(lens > 3_000_000)
+        for i in big:
+            hhi[i] = int(sumsq[i]) * 1_000_000 // (int(lens[i]) * int(lens[i]))
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
@@ -2119,8 +2123,8 @@ SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars_ascii,
        CAST(coalesce(agg.distinct_chars, 0) AS BIGINT) AS distinct_chars,
        CAST(CASE WHEN length(d.text) > 0
-                 THEN (coalesce(agg.sumsq, 0) * 1000000)
-                      // (CAST(length(d.text) AS BIGINT)*length(d.text))
+                 THEN (CAST(coalesce(agg.sumsq, 0) AS HUGEINT) * 1000000)
+                      // (CAST(length(d.text) AS HUGEINT)*length(d.text))
                  ELSE 0 END AS BIGINT) AS hhi_ppm
 FROM documents d LEFT JOIN agg USING (doc_id)
 ORDER BY d.doc_id
@@ -2135,6 +2139,8 @@ def pmi_bigrams(
     score stays integer-exact under the driver hash gate).  The staged
     floor divisions ``((c12·T1)//c1 · T1)//c2 · scale//T2`` are replicated
     verbatim in the SQL oracle, so both sides lose precision identically.
+    Exact up to ~2·10⁸ corpus tokens in int64 (guarded loudly — beyond
+    that the staging needs 128-bit intermediates on both sides).
 
     Scale: unigram and bigram counts reduce map-side (vocab-bounded
     aggregates, the same shape as token_vocab/bigram_counts); candidates
@@ -2188,12 +2194,25 @@ def pmi_bigrams(
         .rename_columns({"sum(c)": "c"})
         .materialize()  # (vocab + bigram-vocab)-bounded
     )
-    uni = counts.filter(expr="kind == 0").rename_columns(
-        {"key": "token", "c": "c1"}
-    ).select_columns(["token", "c1"])
+    uni = (
+        counts.filter(expr="kind == 0")
+        .rename_columns({"key": "token", "c": "c1"})
+        .select_columns(["token", "c1"])
+        .materialize()  # the actual (vocab-bounded) broadcast side
+    )
     big_all = counts.filter(expr="kind == 1")
     t1 = int(uni.sum("c1"))
     t2 = int(big_all.sum("c"))
+    # int64 headroom for the staged arithmetic below: the worst
+    # intermediate is s2·scale ≤ (T1²/min_count)·scale, which wraps
+    # silently past T1 ≈ 2.1e8 (the BIGINT oracle would error instead) —
+    # fail loudly; corpora beyond this need the 128-bit staging (HUGEINT
+    # in SQL, object-int batches here), not silent wraparound.
+    if t1 > 200_000_000:
+        raise ValueError(
+            f"pmi_bigrams int64 staging is exact only to 2e8 corpus tokens "
+            f"(got {t1}); use a 128-bit staging for larger corpora"
+        )
 
     def split_bigram(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch["key"], " ", max_splits=1)
@@ -2220,7 +2239,7 @@ def pmi_bigrams(
     # default shuffle strategy
     from ..cluster import BROADCAST_MAX_BYTES
 
-    uni_bytes = counts.size_bytes() or 0
+    uni_bytes = uni.size_bytes() or 0
     strat = "broadcast" if uni_bytes <= BROADCAST_MAX_BYTES else None
     j1 = equi_join(
         cand,
@@ -2399,12 +2418,16 @@ def source_top_terms(
         ["source", "token"],
         [("tf", "sum", "tf")],
     ).materialize()  # (sources × vocab)-bounded
-    totals = bucket_groupby_agg(st, ["token"], [("tf", "sum", "tf_total")])
+    totals = bucket_groupby_agg(
+        st, ["token"], [("tf", "sum", "tf_total")]
+    ).materialize()  # vocab-bounded — the actual broadcast side
 
     from ..cluster import BROADCAST_MAX_BYTES, equi_join
 
     strat = (
-        "broadcast" if (st.size_bytes() or 0) <= BROADCAST_MAX_BYTES else None
+        "broadcast"
+        if (totals.size_bytes() or 0) <= BROADCAST_MAX_BYTES
+        else None
     )
     joined = equi_join(
         st.filter(expr=f"tf >= {int(min_count)}"),
@@ -2497,14 +2520,9 @@ def event_transitions(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         u = group["user_id"].to_numpy(zero_copy_only=False)
         ts = (
             group["ts"]
-            .combine_chunks()
             .cast(pa.timestamp("us"))
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)
-            if isinstance(group["ts"], pa.ChunkedArray)
-            else group["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
         )
         eid = group["event_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts, u))

@@ -1030,7 +1030,10 @@ def search_bm25(
         num = idf[None, :] * 44_000 * tf
         den = 20_000 * tf + 6_000 + 18 * r[:, None]
         s = np.where(tf > 0, num // den, 0).sum(axis=1)
-        keep = s > 0
+        # keep every doc with a query-term HIT, even at floor-truncated
+        # score 0 (an extreme-length outlier) — the SQL oracle returns
+        # those rows, so an s>0 filter would diverge on row membership
+        keep = tf.sum(axis=1) > 0
         t = pa.table(
             {
                 "doc_id": batch["doc_id"].filter(pa.array(keep)),

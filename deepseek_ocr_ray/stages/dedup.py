@@ -1508,10 +1508,17 @@ def hash64_hamming_dedup(
     """Kept ids after Hamming-distance near-dedup over a precomputed
     64-bit fingerprint column — the same banded-LSH + batched
     xor-popcount verify as :func:`simhash_dedup`, reusable for image
-    pHashes and any other 64-bit signature.  Recall guarantee by
-    pigeonhole: a pair at Hamming distance ≤ bands−1 cannot differ in
-    every band, so it always shares a bucket — full recall holds whenever
-    ``max_hamming ≤ bands − 1`` (the defaults: 3 ≤ 4−1)."""
+    pHashes and any other 64-bit signature.
+
+    Recall semantics (same as simhash_dedup): candidate GENERATION is
+    lossless for ``max_hamming ≤ bands − 1`` (pigeonhole — a pair with ≤3
+    differing bits cannot differ in all 4 bands, so it always shares a
+    bucket), but the verify follows keep-first keeper semantics: a row is
+    dropped iff it verifies against its bucket's MIN-ID row.  A bucket
+    whose smallest id is a band-key-colliding foreign row can therefore
+    mask a true near-dup pair — rare at 16-bit band keys but nonzero at
+    extreme scale; exhaustive recall needs the pair-join plan
+    (``ngram_jaccard_dedup(verify="join")``-style), not keeper walks."""
 
     def verify(group: pa.Table) -> pa.Table:
         def batch_hamming(payload, ki, ci) -> np.ndarray:

@@ -46,15 +46,29 @@ def test_basket_pair_expansion_matches_brute(ray_session, tmp_path):
     )
     import pyarrow.parquet as pq
 
-    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
     brute = _pairs_brute(rows)
     want = sorted(
         ((n, p1, p2) for (p1, p2), n in brute.items()),
         key=lambda t: (-t[0], t[1], t[2]),
     )[:20]
 
+    # block-layout invariance for real: one single-file layout, one 7-file
+    # layout (orders straddle file boundaries → different Ray blocks)
     for blocks in (1, 7):
-        got = basket_pairs(str(tmp_path), k=20).to_pandas()
+        d = tmp_path / f"layout{blocks}"
+        d.mkdir()
+        if blocks == 1:
+            pq.write_table(tbl, str(d / "lineitem.parquet"))
+        else:
+            part_dir = d / "lineitem.parquet"
+            part_dir.mkdir()
+            n = tbl.num_rows
+            step = (n + blocks - 1) // blocks
+            for j in range(blocks):
+                pq.write_table(
+                    tbl.slice(j * step, step), str(part_dir / f"part{j}.parquet")
+                )
+        got = basket_pairs(str(d), k=20).to_pandas()
         rowsg = list(zip(got.n_orders, got.p1, got.p2))
         assert rowsg == want, blocks
 
