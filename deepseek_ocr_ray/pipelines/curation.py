@@ -45,6 +45,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..cluster import collect_table
 from .analytics import read_table
 
 # ---------------------------------------------------------------------------
@@ -1287,4 +1288,279 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(v.n) AS BIGINT) AS sum_freq
 FROM toks t JOIN vocab v USING (tok)
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the n-gram-posting formulation)
+# ---------------------------------------------------------------------------
+
+
+def dup_gram_ref(ds: ray.data.Dataset, ngram: int, min_count: int):
+    """Global duplicated-``ngram``-gram set: word n-grams whose TOTAL
+    occurrence count across the corpus (within- and cross-document) is
+    ``>= min_count``, broadcast once via ``ray.put``.
+
+    Scale shape: per-block partial counts (``pa.Table.group_by`` — the
+    exchange carries one row per distinct gram per block, not one per
+    occurrence), one hash aggregate, then the >=min_count survivors are
+    collected and broadcast.  The broadcast side is bounded by the number
+    of DISTINCT duplicated grams — typically orders of magnitude below
+    corpus size; when it outgrows plasma the probe should be routed
+    through the planner semi-join on gram hash instead (the same
+    escalation ``incremental_exact_dedup`` documents)."""
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        g, _ = ngram_rows(flat, parent, ngram)
+        t = pa.table({"g": g}).group_by("g").aggregate([([], "count_all")])
+        return pa.table({"g": t["g"], "n": t["count_all"].cast(pa.int64())})
+
+    agg = (
+        ds.map_batches(local_counts, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n"))
+    )
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["sum(n)"], min_count)
+        return pa.table({"g": batch.filter(keep)["g"]})
+
+    dup = agg.map_batches(only_dups, batch_format="pyarrow")
+    tab = collect_table(dup)
+    arr = (
+        pa.array([], pa.string())
+        if tab is None
+        else tab["g"].combine_chunks()
+    )
+    return ray.put(arr)
+
+
+def _token_positions(parent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-token in-document position and per-run flat start offset for a
+    flattened token stream (tokens of one document are contiguous).
+    Returns ``(pos, row_flat_start)`` where ``row_flat_start`` maps a batch
+    row index to the flat index of its first token (0 for token-less
+    rows, which by construction never own a span)."""
+    L = len(parent)
+    if not L:
+        return np.array([], np.int64), np.array([], np.int64)
+    newrun = np.r_[True, parent[1:] != parent[:-1]]
+    run_id = np.cumsum(newrun) - 1
+    run_start = np.flatnonzero(newrun)
+    pos = np.arange(L, dtype=np.int64) - run_start[run_id]
+    row_flat_start = np.zeros(int(parent.max()) + 1, np.int64)
+    row_flat_start[parent[run_start]] = run_start
+    return pos, row_flat_start
+
+
+def _batch_dup_spans(
+    batch: pa.Table, dup_arr: pa.Array, ngram: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Block-local span machinery shared by find and scrub: probe the
+    batch's n-grams against the broadcast duplicated-gram set and merge
+    hit windows ``[pos, pos+n)`` into maximal covered token runs per
+    document.  Everything is numpy / Arrow C++ — no per-row Python.
+
+    Returns ``(flat_tokens, parent, span_row, span_start, span_end,
+    row_flat_start)`` with spans in (row, start) stream order."""
+    flat, parent = tokens_flat(batch["text"])
+    pos, row_flat_start = _token_positions(parent)
+    L = len(flat)
+    w = L - ngram + 1
+    empty = (np.array([], np.int64),) * 3
+    if w <= 0:
+        return (flat, parent, *empty, row_flat_start)
+    cols = [flat.slice(k, w) for k in range(ngram)]
+    g = pc.binary_join_element_wise(*cols, " ")
+    valid = parent[:w] == parent[ngram - 1 :]
+    hit = pc.is_in(g, value_set=dup_arr).to_numpy(zero_copy_only=False)
+    m = valid & hit
+    hp = parent[:w][m]
+    hpos = pos[:w][m]
+    if not len(hp):
+        return (flat, parent, *empty, row_flat_start)
+    # windows arrive in (row, pos) stream order; a window opens a new
+    # span iff it leaves the previous window's covered range [p, p+n)
+    new = np.r_[True, (hp[1:] != hp[:-1]) | (hpos[1:] > hpos[:-1] + ngram)]
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], len(hp)] - 1
+    return (
+        flat,
+        parent,
+        hp[starts],
+        hpos[starts],
+        hpos[ends] + ngram,
+        row_flat_start,
+    )
+
+
+def substring_dup_spans(
+    sf_dir: str, *, ngram: int = 5, min_count: int = 2
+) -> ray.data.Dataset:
+    """Exact duplicated-substring spans: for every document, the maximal
+    token runs covered by word ``ngram``-grams that occur ``>= min_count``
+    times in the whole corpus — the span-level (not document-level) exact
+    dedup of Lee et al. 2022, reformulated as n-gram postings so it runs
+    as two streaming passes instead of a suffix array.
+
+    Scale shape: pass 1 is the bounded gram-count aggregate behind
+    ``dup_gram_ref`` (map-side combined); pass 2 re-scans the corpus and
+    is a PURE MAP — the probe set ships once via plasma, window hits and
+    the interval merge (equal-length intervals ⇒ islands split where
+    ``pos > prev_pos + n``) are batch-local because a document is one row.
+    No exchange ever carries per-occurrence rows.
+
+    Output: one row per span ``(doc_id, span_start, span_end, span_tokens,
+    span_text)`` with token-index bounds (end exclusive) over the
+    lowercased whitespace tokenization shared with every text oracle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dup_ref = dup_gram_ref(ds, ngram, min_count)
+
+    def find(batch: pa.Table) -> pa.Table:
+        flat, _, srow, sstart, send, rfs = _batch_dup_spans(
+            batch, ray.get(dup_ref), ngram
+        )
+        lens = send - sstart
+        abs0 = (rfs[srow] + sstart) if len(srow) else np.array([], np.int64)
+        total = int(lens.sum())
+        # segmented arange: flat token indices of every span, in order
+        idx = np.repeat(abs0, lens) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        toks = pc.take(flat, pa.array(idx, pa.int64()))
+        offsets = pa.array(
+            np.r_[np.int32(0), np.cumsum(lens).astype(np.int32)]
+        )
+        text = pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
+        doc_ids = pc.take(batch["doc_id"], pa.array(srow, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "span_start": pa.array(sstart, pa.int64()),
+                "span_end": pa.array(send, pa.int64()),
+                "span_tokens": pa.array(lens, pa.int64()),
+                "span_text": text,
+            }
+        )
+
+    return ds.map_batches(find, batch_format="pyarrow").sort(
+        ["doc_id", "span_start"]
+    )
+
+
+def substring_dup_scrub(
+    sf_dir: str, *, ngram: int = 5, min_count: int = 2
+) -> ray.data.Dataset:
+    """Remove every duplicated-substring span found by
+    ``substring_dup_spans`` and re-join the surviving tokens: one row per
+    document ``(doc_id, clean_text, n_tokens, n_removed)`` (documents with
+    no duplicated span pass through with their full tokenization; fully
+    covered documents come out empty).  Same two-pass scale shape as the
+    finder — the scrub itself is batch-local mask algebra."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dup_ref = dup_gram_ref(ds, ngram, min_count)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        flat, parent, srow, sstart, send, rfs = _batch_dup_spans(
+            batch, ray.get(dup_ref), ngram
+        )
+        L = len(flat)
+        n_rows = batch.num_rows
+        cov = np.zeros(L + 1, np.int64)
+        if len(srow):
+            np.add.at(cov, rfs[srow] + sstart, 1)
+            np.add.at(cov, rfs[srow] + send, -1)
+        keep = np.cumsum(cov[:L]) == 0
+        n_tokens = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        kept = (
+            np.bincount(parent[keep], minlength=n_rows).astype(np.int64)
+            if L
+            else np.zeros(n_rows, np.int64)
+        )
+        toks = flat.filter(pa.array(keep)) if L else flat
+        offsets = pa.array(
+            np.r_[np.int32(0), np.cumsum(kept).astype(np.int32)]
+        )
+        clean = pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_tokens": pa.array(n_tokens),
+                "n_removed": pa.array(n_tokens - kept),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+
+def _substring_spans_cte(ngram: int, min_count: int) -> str:
+    """Shared oracle CTE chain: tokens → positioned grams → duplicated
+    grams → hit windows merged into maximal spans (same island rule)."""
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i : i + {ngram - 1}], ' ') AS g
+  FROM toks, unnest(generate_series(1, len(tk) - {ngram - 1})) AS t(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_count}),
+hits AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM grams JOIN dup USING (g)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_pos IS NULL OR pos > prev_pos + {ngram}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {ngram} AS span_end
+  FROM isl GROUP BY doc_id, island
+)"""
+
+
+SUBSTRING_DUP_SPANS_SQL = f"""
+WITH {_substring_spans_cte(5, 2)}
+SELECT s.doc_id,
+       CAST(s.span_start AS BIGINT) AS span_start,
+       CAST(s.span_end AS BIGINT) AS span_end,
+       CAST(s.span_end - s.span_start AS BIGINT) AS span_tokens,
+       array_to_string(tk[s.span_start + 1 : s.span_end], ' ') AS span_text
+FROM spans s JOIN toks USING (doc_id)
+ORDER BY s.doc_id, s.span_start
+"""
+
+
+SUBSTRING_DUP_SCRUB_SQL = f"""
+WITH {_substring_spans_cte(5, 2)},
+covered AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end - 1)) AS pos
+  FROM spans
+),
+tokpos AS (
+  SELECT doc_id, tk[i] AS tok, i - 1 AS pos
+  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+         count(*) AS n_kept
+  FROM tokpos t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(len(t.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
 """

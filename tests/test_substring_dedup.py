@@ -1,0 +1,231 @@
+"""Exact duplicated-substring span dedup (Lee et al. 2022 formulation):
+engineered corpora with known repeated passages, a brute-force Python
+oracle, interval-merge edge cases, block-layout invariance, and a DuckDB
+differential over random skewed corpora."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from deepseek_ocr_ray.pipelines import curation
+
+
+def _write_corpus(tmp_path, texts, files: int = 1) -> str:
+    """Write a documents table across ``files`` parquet fragments so block
+    layout actually varies (one fragment → one or more read blocks)."""
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    os.makedirs(str(tmp_path), exist_ok=True)
+    if files == 1:
+        pq.write_table(tab, os.path.join(str(tmp_path), "documents.parquet"))
+    else:
+        d = os.path.join(str(tmp_path), "documents.parquet")
+        os.makedirs(d, exist_ok=True)
+        bounds = np.linspace(0, len(texts), files + 1).astype(int)
+        for i, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+            pq.write_table(tab.slice(a, b - a), os.path.join(d, f"p{i}.parquet"))
+    return str(tmp_path)
+
+
+def _brute_spans(texts, n: int, min_count: int):
+    """Reference implementation: count every n-gram occurrence corpus-wide,
+    mark windows of duplicated grams, merge per doc into maximal covered
+    token runs."""
+    toks = [[w for w in t.lower().split() if w] for t in texts]
+    counts = Counter()
+    for tk in toks:
+        for i in range(len(tk) - n + 1):
+            counts[" ".join(tk[i : i + n])] += 1
+    spans = []
+    for doc_id, tk in enumerate(toks):
+        covered = np.zeros(len(tk), bool)
+        for i in range(len(tk) - n + 1):
+            if counts[" ".join(tk[i : i + n])] >= min_count:
+                covered[i : i + n] = True
+        i = 0
+        while i < len(tk):
+            if covered[i]:
+                j = i
+                while j < len(tk) and covered[j]:
+                    j += 1
+                spans.append(
+                    (doc_id, i, j, j - i, " ".join(tk[i:j]))
+                )
+                i = j
+            else:
+                i += 1
+    return spans
+
+
+def _brute_scrub(texts, n: int, min_count: int):
+    spans = _brute_spans(texts, n, min_count)
+    by_doc: dict[int, list] = {}
+    for d, s, e, *_ in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    out = []
+    for doc_id, t in enumerate(texts):
+        tk = [w for w in t.lower().split() if w]
+        drop = np.zeros(len(tk), bool)
+        for s, e in by_doc.get(doc_id, []):
+            drop[s:e] = True
+        kept = [w for w, d in zip(tk, drop) if not d]
+        out.append((doc_id, " ".join(kept), len(tk), int(drop.sum())))
+    return out
+
+
+def _run(tmp, ngram=3, min_count=2):
+    spans = [
+        tuple(r)
+        for r in curation.substring_dup_spans(tmp, ngram=ngram, min_count=min_count)
+        .to_pandas()[
+            ["doc_id", "span_start", "span_end", "span_tokens", "span_text"]
+        ]
+        .itertuples(index=False)
+    ]
+    scrub = [
+        tuple(r)
+        for r in curation.substring_dup_scrub(tmp, ngram=ngram, min_count=min_count)
+        .to_pandas()[["doc_id", "clean_text", "n_tokens", "n_removed"]]
+        .itertuples(index=False)
+    ]
+    return spans, scrub
+
+
+def test_injected_passage(ray_session, tmp_path):
+    """A passage pasted into three documents is found in each, with exact
+    token bounds; unique text survives the scrub untouched."""
+    passage = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        f"unique one two three {passage} tail4 tail5",
+        f"{passage} something else entirely here",
+        f"lead in words then {passage}",
+        "totally unrelated content with no repeats at all",
+    ]
+    tmp = _write_corpus(tmp_path, texts)
+    spans, scrub = _run(tmp, ngram=4)
+    assert spans == _brute_spans(texts, 4, 2)
+    # every doc containing the passage reports exactly one 6-token span
+    assert [s for s in spans if s[3] == 6] == spans and len(spans) == 3
+    assert spans[0][1:3] == (4, 10)  # doc 0: tokens 4..10
+    assert spans[1][1:3] == (0, 6)  # doc 1: at the start
+    assert spans[2][1:3] == (4, 10)  # doc 2: at the end
+    assert all(s[4] == passage for s in spans)
+    assert scrub == _brute_scrub(texts, 4, 2)
+    assert scrub[3][1] == texts[3]  # untouched doc passes through verbatim
+    assert scrub[1][1] == "something else entirely here"
+
+
+def test_within_doc_repetition_counts(ray_session, tmp_path):
+    """min_count totals occurrences corpus-wide INCLUDING within one doc:
+    a phrase repeated twice inside a single document is duplicated."""
+    texts = ["a b c x y a b c", "completely different words here"]
+    tmp = _write_corpus(tmp_path, texts)
+    spans, scrub = _run(tmp, ngram=3)
+    assert spans == [(0, 0, 3, 3, "a b c"), (0, 5, 8, 3, "a b c")]
+    assert scrub[0][1] == "x y"
+    assert scrub[0][2:] == (8, 6)
+
+
+def test_adjacent_and_overlapping_windows_merge(ray_session, tmp_path):
+    """Overlapping hit windows merge into one maximal span; windows whose
+    covered ranges merely touch (next start == prev start + n) also merge
+    — spans are maximal contiguous covered runs."""
+    # doc0/doc1 share "p q r s" (overlapping 3-gram windows "p q r","q r s")
+    # and, disjointly, "u v w" + "x y z" adjacent in doc0 ("u v w x y z"
+    # never repeats as a 6-gram, but both 3-gram halves do).
+    texts = [
+        "p q r s gap1 u v w x y z",
+        "p q r s other filler",
+        "u v w more filler words",
+        "x y z yet more filler",
+    ]
+    tmp = _write_corpus(tmp_path, texts)
+    spans, _ = _run(tmp, ngram=3)
+    assert spans == _brute_spans(texts, 3, 2)
+    d0 = [s for s in spans if s[0] == 0]
+    assert d0 == [
+        (0, 0, 4, 4, "p q r s"),
+        (0, 5, 11, 6, "u v w x y z"),
+    ]
+
+
+def test_fully_covered_and_empty_docs(ray_session, tmp_path):
+    """A doc that is one big duplicated span scrubs to ''; token-less and
+    sub-n docs pass through with zero spans."""
+    texts = ["dup run of words", "dup run of words", "", "  ", "tiny"]
+    tmp = _write_corpus(tmp_path, texts)
+    spans, scrub = _run(tmp, ngram=4)
+    assert spans == [(0, 0, 4, 4, "dup run of words"),
+                     (1, 0, 4, 4, "dup run of words")]
+    assert scrub == [(0, "", 4, 4), (1, "", 4, 4),
+                     (2, "", 0, 0), (3, "", 0, 0), (4, "tiny", 1, 0)]
+
+
+def test_min_count_threshold(ray_session, tmp_path):
+    """min_count=3 ignores grams occurring only twice."""
+    texts = ["t u v w", "t u v w", "t u v w x", "m n o p", "m n o p"]
+    tmp = _write_corpus(tmp_path, texts)
+    spans, _ = _run(tmp, ngram=4, min_count=3)
+    assert spans == _brute_spans(texts, 4, 3)
+    assert {s[0] for s in spans} == {0, 1, 2}  # the pair at min_count=2 drops
+
+
+def test_block_layout_invariance(ray_session, tmp_path):
+    """Global dup counts must not depend on how documents land in blocks:
+    1-file and 7-file layouts of the same corpus agree exactly."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 30)))
+        for _ in range(120)
+    ]
+    a = _run(_write_corpus(tmp_path / "a", texts, files=1), ngram=3)
+    b = _run(_write_corpus(tmp_path / "b", texts, files=7), ngram=3)
+    assert a == b
+    assert a[0] == _brute_spans(texts, 3, 2)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_differential_vs_duckdb(ray_session, tmp_path, seed):
+    """Random zipf-skewed corpora (heavy gram collisions) against the
+    shipped SQL oracles, multi-fragment layout."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"t{i}" for i in range(25)])
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 40), p=p))
+        for _ in range(int(rng.integers(50, 200)))
+    ]
+    tmp = _write_corpus(tmp_path, texts, files=int(rng.integers(1, 6)))
+    con = duckdb.connect()
+    path = os.path.join(tmp, "documents.parquet")
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    got = (
+        curation.substring_dup_spans(tmp)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = con.sql(curation.SUBSTRING_DUP_SPANS_SQL).df()
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    got2 = curation.substring_dup_scrub(tmp).to_pandas().reset_index(drop=True)
+    want2 = con.sql(curation.SUBSTRING_DUP_SCRUB_SQL).df()
+    assert got2[sorted(got2.columns)].equals(want2[sorted(want2.columns)])
