@@ -1297,19 +1297,23 @@ GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
-def dup_gram_ref(ds: ray.data.Dataset, ngram: int, min_count: int):
-    """Global duplicated-``ngram``-gram set: word n-grams whose TOTAL
-    occurrence count across the corpus (within- and cross-document) is
-    ``>= min_count``, broadcast once via ``ray.put``.
+def _dup_gram_dataset(
+    ds: ray.data.Dataset, ngram: int, min_count: int
+) -> ray.data.Dataset:
+    """Materialized global duplicated-``ngram``-gram set: word n-grams
+    whose TOTAL occurrence count across the corpus (within- and
+    cross-document) is ``>= min_count``.
 
-    Scale shape: per-block partial counts (``pa.Table.group_by`` — the
-    exchange carries one row per distinct gram per block, not one per
-    occurrence), one hash aggregate, then the >=min_count survivors are
-    collected and broadcast.  The broadcast side is bounded by the number
-    of DISTINCT duplicated grams — typically orders of magnitude below
-    corpus size; when it outgrows plasma the probe should be routed
-    through the planner semi-join on gram hash instead (the same
-    escalation ``incremental_exact_dedup`` documents)."""
+    Per-block partial counts (``pa.Table.group_by`` — the exchange carries
+    one row per distinct gram per block, not one per occurrence) into the
+    coarse-bucket C++ aggregate (``bucket_groupby_sum``; a
+    ``Dataset.groupby`` over hundreds of thousands of distinct string keys
+    is an order of magnitude slower), then the >=min_count survivors.
+    Materialized because both probe plans need it whole (broadcast ships
+    it; the join plan's planner sizes partitions from it) and it is the
+    REDUCED set — bounded by distinct duplicated grams, typically orders
+    of magnitude below corpus size."""
+    from ..stages.agg import bucket_groupby_sum
 
     def local_counts(batch: pa.Table) -> pa.Table:
         flat, parent = tokens_flat(batch["text"])
@@ -1317,17 +1321,20 @@ def dup_gram_ref(ds: ray.data.Dataset, ngram: int, min_count: int):
         t = pa.table({"g": g}).group_by("g").aggregate([([], "count_all")])
         return pa.table({"g": t["g"], "n": t["count_all"].cast(pa.int64())})
 
-    agg = (
-        ds.map_batches(local_counts, batch_format="pyarrow")
-        .groupby("g")
-        .aggregate(Sum("n"))
+    agg = bucket_groupby_sum(
+        ds.map_batches(local_counts, batch_format="pyarrow"), ["g"], ["n"]
     )
 
     def only_dups(batch: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(batch["sum(n)"], min_count)
+        keep = pc.greater_equal(batch["n"], min_count)
         return pa.table({"g": batch.filter(keep)["g"]})
 
-    dup = agg.map_batches(only_dups, batch_format="pyarrow")
+    return agg.map_batches(only_dups, batch_format="pyarrow").materialize()
+
+
+def dup_gram_ref(dup: ray.data.Dataset):
+    """Collect the (reduced, bounded) duplicated-gram set and broadcast it
+    once via ``ray.put`` for the ``pc.is_in`` probe."""
     tab = collect_table(dup)
     arr = (
         pa.array([], pa.string())
@@ -1355,49 +1362,198 @@ def _token_positions(parent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return pos, row_flat_start
 
 
-def _batch_dup_spans(
-    batch: pa.Table, dup_arr: pa.Array, ngram: int
-) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Block-local span machinery shared by find and scrub: probe the
-    batch's n-grams against the broadcast duplicated-gram set and merge
-    hit windows ``[pos, pos+n)`` into maximal covered token runs per
-    document.  Everything is numpy / Arrow C++ — no per-row Python.
-
-    Returns ``(flat_tokens, parent, span_row, span_start, span_end,
-    row_flat_start)`` with spans in (row, start) stream order."""
+def _batch_windows(batch: pa.Table, ngram: int):
+    """Valid n-gram windows of one batch: ``(flat_tokens, parent,
+    row_flat_start, grams, window_row, window_pos)`` — a window is valid
+    iff its first and last token share a document row."""
     flat, parent = tokens_flat(batch["text"])
-    pos, row_flat_start = _token_positions(parent)
-    L = len(flat)
-    w = L - ngram + 1
-    empty = (np.array([], np.int64),) * 3
+    pos, rfs = _token_positions(parent)
+    w = len(flat) - ngram + 1
     if w <= 0:
-        return (flat, parent, *empty, row_flat_start)
+        return (
+            flat,
+            parent,
+            rfs,
+            pa.array([], pa.string()),
+            np.array([], np.int64),
+            np.array([], np.int64),
+        )
     cols = [flat.slice(k, w) for k in range(ngram)]
     g = pc.binary_join_element_wise(*cols, " ")
     valid = parent[:w] == parent[ngram - 1 :]
-    hit = pc.is_in(g, value_set=dup_arr).to_numpy(zero_copy_only=False)
-    m = valid & hit
-    hp = parent[:w][m]
-    hpos = pos[:w][m]
-    if not len(hp):
-        return (flat, parent, *empty, row_flat_start)
-    # windows arrive in (row, pos) stream order; a window opens a new
-    # span iff it leaves the previous window's covered range [p, p+n)
-    new = np.r_[True, (hp[1:] != hp[:-1]) | (hpos[1:] > hpos[:-1] + ngram)]
-    starts = np.flatnonzero(new)
-    ends = np.r_[starts[1:], len(hp)] - 1
     return (
         flat,
         parent,
-        hp[starts],
-        hpos[starts],
-        hpos[ends] + ngram,
-        row_flat_start,
+        rfs,
+        g.filter(pa.array(valid)),
+        parent[:w][valid],
+        pos[:w][valid],
     )
 
 
+def _merge_windows(
+    hp: np.ndarray, hpos: np.ndarray, ngram: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge duplicated windows ``[pos, pos+n)`` — already lex-sorted by
+    (doc, pos) — into maximal covered runs: ``(doc, start, end)``.  A
+    window opens a new span iff it leaves the previous window's covered
+    range (equal-length intervals ⇒ split where ``pos > prev_pos + n``)."""
+    if not len(hp):
+        e = np.array([], np.int64)
+        return e, e, e
+    new = np.r_[True, (hp[1:] != hp[:-1]) | (hpos[1:] > hpos[:-1] + ngram)]
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], len(hp)] - 1
+    return hp[starts], hpos[starts], hpos[ends] + ngram
+
+
+def _batch_dup_spans(batch: pa.Table, dup_arr: pa.Array, ngram: int):
+    """Broadcast-probe span machinery shared by find and scrub: probe the
+    batch's n-grams against the broadcast duplicated-gram set and merge
+    hit windows per document.  Everything is numpy / Arrow C++ — no
+    per-row Python.
+
+    Returns ``(flat_tokens, parent, span_row, span_start, span_end,
+    row_flat_start)`` with spans in (row, start) stream order."""
+    flat, parent, rfs, g, wrow, wpos = _batch_windows(batch, ngram)
+    hit = pc.is_in(g, value_set=dup_arr).to_numpy(zero_copy_only=False)
+    srow, sstart, send = _merge_windows(wrow[hit], wpos[hit], ngram)
+    return flat, parent, srow, sstart, send, rfs
+
+
+def _span_text(flat: pa.Array, abs_start: np.ndarray, lens: np.ndarray):
+    """Join the tokens of each span ``[abs_start, abs_start+len)`` (flat
+    stream indices) back into one string per span: one segmented-arange
+    take + one C++ ``binary_join``."""
+    total = int(lens.sum())
+    idx = np.repeat(abs_start, lens) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    )
+    toks = pc.take(flat, pa.array(idx, pa.int64()))
+    offsets = pa.array(np.r_[np.int32(0), np.cumsum(lens).astype(np.int32)])
+    return pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
+
+
+# span lists ride the doc-keyed join as CSV strings — acero rejects
+# list-typed non-key payload columns; encode/decode stay in Arrow C++
+# (cast→binary_join / split_pattern→cast).
+_DOC_SPANS_TYPES = {
+    "doc_id": pa.int64(),
+    "starts": pa.string(),
+    "ends": pa.string(),
+}
+
+
+def _doc_spans_join(
+    ds: ray.data.Dataset,
+    dup: ray.data.Dataset,
+    ngram: int,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Join-plan span discovery — the at-scale escalation when the
+    duplicated-gram set outgrows plasma: window occurrences
+    ``(doc_id, pos, g)`` semi-join the dup set on the gram (planner
+    bucket join — lazy, corpus-sized output allowed), survivors re-key
+    by doc hash so each document's hit windows land in one group, and a
+    vectorized lexsort + island walk merges them.  One row per document
+    that owns at least one span: ``(doc_id, starts list, ends list)``."""
+    from ..cluster import equi_join
+    from ..hashing import hash64_columns
+
+    def occ(batch: pa.Table) -> pa.Table:
+        _, _, _, g, wrow, wpos = _batch_windows(batch, ngram)
+        doc = pc.take(batch["doc_id"], pa.array(wrow, pa.int64()))
+        return pa.table(
+            {"doc_id": doc, "pos": pa.array(wpos, pa.int64()), "g": g}
+        )
+
+    hits = equi_join(
+        ds.map_batches(occ, batch_format="pyarrow"),
+        dup,
+        on="g",
+        join_type="left_semi",
+        left_cols=["doc_id", "pos"],
+        strategy="bucket",
+        left_types={"doc_id": pa.int64(), "pos": pa.int64(), "g": pa.string()},
+        right_types={"g": pa.string()},
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = hash64_columns(batch, ["doc_id"]) % np.uint64(n_buckets)
+        return batch.append_column("_b", pa.array(b.astype(np.int64)))
+
+    def merge(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, d))
+        sd, ss, se = _merge_windows(d[order], p[order], ngram)
+        doc_new = np.r_[True, sd[1:] != sd[:-1]] if len(sd) else np.array([], bool)
+        di = np.flatnonzero(doc_new)
+        counts = np.diff(np.r_[di, len(sd)])
+        offsets = pa.array(
+            np.r_[np.int32(0), np.cumsum(counts).astype(np.int32)]
+        )
+
+        def csv(vals: np.ndarray) -> pa.Array:
+            strs = pc.cast(pa.array(vals, pa.int64()), pa.string())
+            return pc.binary_join(
+                pa.ListArray.from_arrays(offsets, strs), ","
+            )
+
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[di], pa.int64()),
+                "starts": csv(ss),
+                "ends": csv(se),
+            }
+        )
+
+    return (
+        hits.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _flatten_span_lists(batch: pa.Table):
+    """Explode per-doc ``starts``/``ends`` CSV columns (nulls — unmatched
+    outer-join rows — contribute nothing): ``(span_row, start, end)``."""
+
+    def parse(col) -> tuple[np.ndarray, np.ndarray]:
+        tl = pc.split_pattern(col.combine_chunks(), ",")
+        row = (
+            pc.list_parent_indices(tl)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vals = (
+            pc.cast(pc.list_flatten(tl), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return row, vals
+
+    srow, ss = parse(batch["starts"])
+    _, se = parse(batch["ends"])
+    return srow, ss, se
+
+
+def _resolve_probe(probe: str, dup: ray.data.Dataset) -> str:
+    from ..cluster import BROADCAST_MAX_BYTES, dataset_size_estimate
+
+    if probe != "auto":
+        return probe
+    sz = dataset_size_estimate(dup)
+    return "broadcast" if sz is None or sz <= BROADCAST_MAX_BYTES else "join"
+
+
 def substring_dup_spans(
-    sf_dir: str, *, ngram: int = 5, min_count: int = 2
+    sf_dir: str,
+    *,
+    ngram: int = 5,
+    min_count: int = 2,
+    probe: str = "auto",
 ) -> ray.data.Dataset:
     """Exact duplicated-substring spans: for every document, the maximal
     token runs covered by word ``ngram``-grams that occur ``>= min_count``
@@ -1405,74 +1561,126 @@ def substring_dup_spans(
     dedup of Lee et al. 2022, reformulated as n-gram postings so it runs
     as two streaming passes instead of a suffix array.
 
-    Scale shape: pass 1 is the bounded gram-count aggregate behind
-    ``dup_gram_ref`` (map-side combined); pass 2 re-scans the corpus and
-    is a PURE MAP — the probe set ships once via plasma, window hits and
-    the interval merge (equal-length intervals ⇒ islands split where
-    ``pos > prev_pos + n``) are batch-local because a document is one row.
-    No exchange ever carries per-occurrence rows.
+    Probe plans (``probe``: ``auto | broadcast | join``):
+
+    - ``broadcast`` — the duplicated-gram set ships once via plasma and
+      pass 2 is a PURE MAP: window hits and the interval merge
+      (equal-length intervals ⇒ islands split where ``pos > prev_pos+n``)
+      are batch-local because a document is one row.  No exchange ever
+      carries per-occurrence rows.  Correct whenever the dup set fits the
+      object store — the overwhelmingly common case.
+    - ``join`` — the at-scale escalation: occurrences semi-join the dup
+      set through the planner (bucket strategy, lazy), merge after one
+      doc-keyed exchange, and the bounded per-doc span lists join back to
+      the corpus for text assembly.  Three exchanges, none of which holds
+      the dup set in one heap.
+    - ``auto`` — ``broadcast`` while the materialized dup set's estimate
+      fits the planner's broadcast cap, else ``join``.
 
     Output: one row per span ``(doc_id, span_start, span_end, span_tokens,
     span_text)`` with token-index bounds (end exclusive) over the
     lowercased whitespace tokenization shared with every text oracle."""
+    from ..cluster import equi_join
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    dup_ref = dup_gram_ref(ds, ngram, min_count)
+    dup = _dup_gram_dataset(ds, ngram, min_count)
+    plan = _resolve_probe(probe, dup)
 
-    def find(batch: pa.Table) -> pa.Table:
-        flat, _, srow, sstart, send, rfs = _batch_dup_spans(
-            batch, ray.get(dup_ref), ngram
-        )
-        lens = send - sstart
-        abs0 = (rfs[srow] + sstart) if len(srow) else np.array([], np.int64)
-        total = int(lens.sum())
-        # segmented arange: flat token indices of every span, in order
-        idx = np.repeat(abs0, lens) + (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(np.cumsum(lens) - lens, lens)
-        )
-        toks = pc.take(flat, pa.array(idx, pa.int64()))
-        offsets = pa.array(
-            np.r_[np.int32(0), np.cumsum(lens).astype(np.int32)]
-        )
-        text = pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
-        doc_ids = pc.take(batch["doc_id"], pa.array(srow, pa.int64()))
-        return pa.table(
-            {
-                "doc_id": doc_ids,
-                "span_start": pa.array(sstart, pa.int64()),
-                "span_end": pa.array(send, pa.int64()),
-                "span_tokens": pa.array(lens, pa.int64()),
-                "span_text": text,
-            }
+    if plan == "broadcast":
+        dup_ref = dup_gram_ref(dup)
+
+        def find(batch: pa.Table) -> pa.Table:
+            flat, _, srow, sstart, send, rfs = _batch_dup_spans(
+                batch, ray.get(dup_ref), ngram
+            )
+            lens = send - sstart
+            abs0 = (
+                (rfs[srow] + sstart) if len(srow) else np.array([], np.int64)
+            )
+            return pa.table(
+                {
+                    "doc_id": pc.take(
+                        batch["doc_id"], pa.array(srow, pa.int64())
+                    ),
+                    "span_start": pa.array(sstart, pa.int64()),
+                    "span_end": pa.array(send, pa.int64()),
+                    "span_tokens": pa.array(lens, pa.int64()),
+                    "span_text": _span_text(flat, abs0, lens),
+                }
+            )
+
+        out = ds.map_batches(find, batch_format="pyarrow")
+    else:
+        doc_spans = _doc_spans_join(ds, dup, ngram)
+        joined = equi_join(
+            ds,
+            doc_spans,
+            on="doc_id",
+            join_type="inner",
+            left_cols=["doc_id", "text"],
+            right_cols=["starts", "ends"],
+            strategy="bucket",
+            right_types=_DOC_SPANS_TYPES,
         )
 
-    return ds.map_batches(find, batch_format="pyarrow").sort(
-        ["doc_id", "span_start"]
-    )
+        def find_joined(batch: pa.Table) -> pa.Table:
+            flat, parent = tokens_flat(batch["text"])
+            _, rfs = _token_positions(parent)
+            srow, ss, se = _flatten_span_lists(batch)
+            lens = se - ss
+            abs0 = (rfs[srow] + ss) if len(srow) else np.array([], np.int64)
+            return pa.table(
+                {
+                    "doc_id": pc.take(
+                        batch["doc_id"], pa.array(srow, pa.int64())
+                    ),
+                    "span_start": pa.array(ss, pa.int64()),
+                    "span_end": pa.array(se, pa.int64()),
+                    "span_tokens": pa.array(lens, pa.int64()),
+                    "span_text": _span_text(flat, abs0, lens),
+                }
+            )
+
+        out = joined.map_batches(find_joined, batch_format="pyarrow")
+
+    return out.sort(["doc_id", "span_start"])
 
 
 def substring_dup_scrub(
-    sf_dir: str, *, ngram: int = 5, min_count: int = 2
+    sf_dir: str,
+    *,
+    ngram: int = 5,
+    min_count: int = 2,
+    probe: str = "auto",
 ) -> ray.data.Dataset:
     """Remove every duplicated-substring span found by
     ``substring_dup_spans`` and re-join the surviving tokens: one row per
     document ``(doc_id, clean_text, n_tokens, n_removed)`` (documents with
     no duplicated span pass through with their full tokenization; fully
-    covered documents come out empty).  Same two-pass scale shape as the
-    finder — the scrub itself is batch-local mask algebra."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    dup_ref = dup_gram_ref(ds, ngram, min_count)
+    covered documents come out empty).  Same probe plans as the finder
+    (broadcast pass 2 is batch-local mask algebra; the join plan
+    left-outer-joins the bounded per-doc span lists back to the corpus)."""
+    from ..cluster import equi_join
 
-    def scrub(batch: pa.Table) -> pa.Table:
-        flat, parent, srow, sstart, send, rfs = _batch_dup_spans(
-            batch, ray.get(dup_ref), ngram
-        )
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dup = _dup_gram_dataset(ds, ngram, min_count)
+    plan = _resolve_probe(probe, dup)
+
+    def _scrub_cols(
+        batch: pa.Table,
+        flat: pa.Array,
+        parent: np.ndarray,
+        rfs: np.ndarray,
+        srow: np.ndarray,
+        ss: np.ndarray,
+        se: np.ndarray,
+    ) -> pa.Table:
         L = len(flat)
         n_rows = batch.num_rows
         cov = np.zeros(L + 1, np.int64)
         if len(srow):
-            np.add.at(cov, rfs[srow] + sstart, 1)
-            np.add.at(cov, rfs[srow] + send, -1)
+            np.add.at(cov, rfs[srow] + ss, 1)
+            np.add.at(cov, rfs[srow] + se, -1)
         keep = np.cumsum(cov[:L]) == 0
         n_tokens = np.bincount(parent, minlength=n_rows).astype(np.int64)
         kept = (
@@ -1494,7 +1702,38 @@ def substring_dup_scrub(
             }
         )
 
-    return ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+    if plan == "broadcast":
+        dup_ref = dup_gram_ref(dup)
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            flat, parent, srow, ss, se, rfs = _batch_dup_spans(
+                batch, ray.get(dup_ref), ngram
+            )
+            return _scrub_cols(batch, flat, parent, rfs, srow, ss, se)
+
+        out = ds.map_batches(scrub, batch_format="pyarrow")
+    else:
+        doc_spans = _doc_spans_join(ds, dup, ngram)
+        joined = equi_join(
+            ds,
+            doc_spans,
+            on="doc_id",
+            join_type="left_outer",
+            left_cols=["doc_id", "text"],
+            right_cols=["starts", "ends"],
+            strategy="bucket",
+            right_types=_DOC_SPANS_TYPES,
+        )
+
+        def scrub_joined(batch: pa.Table) -> pa.Table:
+            flat, parent = tokens_flat(batch["text"])
+            _, rfs = _token_positions(parent)
+            srow, ss, se = _flatten_span_lists(batch)
+            return _scrub_cols(batch, flat, parent, rfs, srow, ss, se)
+
+        out = joined.map_batches(scrub_joined, batch_format="pyarrow")
+
+    return out.sort("doc_id")
 
 
 def _substring_spans_cte(ngram: int, min_count: int) -> str:

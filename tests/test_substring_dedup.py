@@ -229,3 +229,51 @@ def test_differential_vs_duckdb(ray_session, tmp_path, seed):
     got2 = curation.substring_dup_scrub(tmp).to_pandas().reset_index(drop=True)
     want2 = con.sql(curation.SUBSTRING_DUP_SCRUB_SQL).df()
     assert got2[sorted(got2.columns)].equals(want2[sorted(want2.columns)])
+
+
+def test_join_probe_equals_broadcast(ray_session, tmp_path):
+    """The at-scale join plan (occurrence semi-join + doc-keyed merge +
+    span-list join-back) makes decisions byte-identical to the broadcast
+    plan, for both the finder and the scrub, on a skewed random corpus."""
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"t{i}" for i in range(20)])
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 35), p=p))
+        for _ in range(150)
+    ]
+    tmp = _write_corpus(tmp_path, texts, files=4)
+    for fn in (curation.substring_dup_spans, curation.substring_dup_scrub):
+        a = fn(tmp, ngram=3, probe="broadcast").to_pandas()
+        b = fn(tmp, ngram=3, probe="join").to_pandas()
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert len(a) == len(texts)
+
+
+def test_probe_auto_resolution(ray_session, tmp_path):
+    """auto picks broadcast while the dup-gram set fits the cap and join
+    beyond it (exercised by shrinking the cap via monkeypatched estimate)."""
+    from deepseek_ocr_ray.pipelines.curation import _resolve_probe
+
+    tmp = _write_corpus(tmp_path, ["a b c d", "a b c d"])
+    dup = curation._dup_gram_dataset(
+        __import__("deepseek_ocr_ray.pipelines.analytics", fromlist=["read_table"])
+        .read_table(tmp, "documents", columns=["doc_id", "text"]),
+        2,
+        2,
+    )
+    assert _resolve_probe("auto", dup) == "broadcast"  # tiny set
+    assert _resolve_probe("join", dup) == "join"
+
+    class Tiny:
+        pass
+
+    import deepseek_ocr_ray.cluster as cluster_mod
+
+    real = cluster_mod.dataset_size_estimate
+    try:
+        cluster_mod.dataset_size_estimate = lambda _ds: 10**12
+        assert _resolve_probe("auto", dup) == "join"
+    finally:
+        cluster_mod.dataset_size_estimate = real
