@@ -1803,3 +1803,85 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN kept k USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+def decontaminate_spans(
+    sf_dir: str, *, ngram: int = 4, bench_mod: int = 41
+) -> ray.data.Dataset:
+    """Span-level benchmark decontamination: WHERE the contamination sits.
+    For every training document (``doc_id % bench_mod != 0``), the maximal
+    token runs covered by word ``ngram``-grams that appear anywhere in the
+    held-out benchmark split (``doc_id % bench_mod == 0``) — the positional
+    companion to :func:`decontaminate`'s per-doc flags, so contaminated
+    passages can be excised (or audited) instead of dropping whole
+    documents.
+
+    Scale shape: identical to ``substring_dup_spans``'s broadcast plan
+    with the benchmark gram set (small by construction — benchmarks are
+    thousands of documents) standing in for the duplicated-gram set: the
+    set ships once via plasma and the probe + interval merge is a pure
+    batch-local map.  Output matches the finder's schema
+    ``(doc_id, span_start, span_end, span_tokens, span_text)``."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_ref = bench_ngram_ref(ds, ngram, bench_mod)
+
+    def find(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy() % bench_mod != 0
+        sub = batch.filter(pa.array(keep))
+        flat, _, rfs, g, wrow, wpos = _batch_windows(sub, ngram)
+        hit = pc.is_in(g, value_set=ray.get(bench_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        srow, ss, se = _merge_windows(wrow[hit], wpos[hit], ngram)
+        lens = se - ss
+        abs0 = (rfs[srow] + ss) if len(srow) else np.array([], np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.take(sub["doc_id"], pa.array(srow, pa.int64())),
+                "span_start": pa.array(ss, pa.int64()),
+                "span_end": pa.array(se, pa.int64()),
+                "span_tokens": pa.array(lens, pa.int64()),
+                "span_text": _span_text(flat, abs0, lens),
+            }
+        )
+
+    return ds.map_batches(find, batch_format="pyarrow").sort(
+        ["doc_id", "span_start"]
+    )
+
+
+DECONTAMINATE_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i : i + 3], ' ') AS g
+  FROM toks, unnest(generate_series(1, len(tk) - 3)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),
+hits AS (
+  SELECT g.doc_id, g.pos,
+         lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev_pos
+  FROM grams g JOIN bench USING (g) WHERE g.doc_id % 41 <> 0
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_pos IS NULL OR pos > prev_pos + 4
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+  FROM isl GROUP BY doc_id, island
+)
+SELECT s.doc_id,
+       CAST(s.span_start AS BIGINT) AS span_start,
+       CAST(s.span_end AS BIGINT) AS span_end,
+       CAST(s.span_end - s.span_start AS BIGINT) AS span_tokens,
+       array_to_string(tk[s.span_start + 1 : s.span_end], ' ') AS span_text
+FROM spans s JOIN toks USING (doc_id)
+ORDER BY s.doc_id, s.span_start
+"""

@@ -277,3 +277,58 @@ def test_probe_auto_resolution(ray_session, tmp_path):
         assert _resolve_probe("auto", dup) == "join"
     finally:
         cluster_mod.dataset_size_estimate = real
+
+
+def test_decontaminate_spans(ray_session, tmp_path):
+    """Span-level decontamination: spans in train docs covered by 4-grams
+    the benchmark split (doc_id % 41 == 0) contains; brute-checked, and
+    consistent with decontaminate's per-doc flags."""
+    bench = "held out benchmark question about the capital of france"
+    texts = ["filler"] * 83
+    texts[0] = bench                          # doc 0 → benchmark split
+    texts[41] = "padding words " + bench      # doc 41 → benchmark split too
+    texts[5] = f"train doc leaks the capital of france question here"
+    texts[7] = f"clean training document with original content only"
+    texts[50] = bench + " copied verbatim into training"
+    tmp = _write_corpus(tmp_path, texts)
+    got = [
+        tuple(r)
+        for r in curation.decontaminate_spans(tmp, ngram=4)
+        .to_pandas()
+        .itertuples(index=False)
+    ]
+    # brute: bench grams from docs 0 and 41; probe the rest
+    toks = [[w for w in t.lower().split() if w] for t in texts]
+    bg = set()
+    for d in (0, 41):
+        tk = toks[d]
+        for i in range(len(tk) - 3):
+            bg.add(" ".join(tk[i : i + 4]))
+    want = []
+    for doc_id, tk in enumerate(toks):
+        if doc_id % 41 == 0:
+            continue
+        covered = np.zeros(len(tk), bool)
+        for i in range(len(tk) - 3):
+            if " ".join(tk[i : i + 4]) in bg:
+                covered[i : i + 4] = True
+        i = 0
+        while i < len(tk):
+            if covered[i]:
+                j = i
+                while j < len(tk) and covered[j]:
+                    j += 1
+                want.append((doc_id, i, j, j - i, " ".join(tk[i:j])))
+                i = j
+            else:
+                i += 1
+    assert got == want
+    touched = {g[0] for g in got}
+    assert 50 in touched and 5 in touched and 7 not in touched
+    # doc 50's leading 9 tokens are exactly the benchmark passage
+    d50 = [g for g in got if g[0] == 50]
+    assert d50[0][1:3] == (0, 9) and d50[0][4] == bench
+    # per-doc flags agree: flagged docs == docs owning at least one span
+    flags = curation.decontaminate(tmp, ngram=4).to_pandas()
+    flagged = set(flags[flags.flag_contaminated == 1].doc_id)
+    assert flagged == touched
