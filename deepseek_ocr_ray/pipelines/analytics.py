@@ -2573,3 +2573,114 @@ SELECT event_type AS from_type, next_type AS to_type,
 FROM s WHERE next_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped sufficient statistics / correlation
+# ---------------------------------------------------------------------------
+
+
+def lineitem_corr_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-return-flag Pearson correlation of (quantity, discount) via
+    SINGLE-PASS mergeable sufficient statistics — the canonical
+    distributed-statistics shape: each block contributes exact integer
+    moments (n, Σx, Σy, Σx², Σy², Σxy), one coarse-bucket aggregate merges
+    them, and the correlation is derived ONLY at the end from the reduced
+    per-group table.
+
+    Exactness contract (the driver hash gate): x = round-half-up quantity,
+    y = round-half-up discount basis points, so every moment is an exact
+    int64 through the exchange (Σy² headroom ≈ 9e12 rows per group; the
+    horizon guard below trips loudly long before).  The final products
+    (n·Σxy − Σx·Σy etc.) need 128 bits at scale — they run in exact Python
+    ints on the reduced table (one row per group, so per-row Python is
+    O(groups), not O(corpus)), mirroring the oracle's HUGEINT arithmetic;
+    the one float step is the pinned
+    ``float(cov) / sqrt(float(varx) * float(vary))`` both sides share
+    (zero-variance groups → NaN/NULL, compared equal_nan by the gate)."""
+    import math
+
+    from ..stages.agg import bucket_groupby_agg
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        q = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        d = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "x": pa.array(q),
+                "y": pa.array(d),
+                "xx": pa.array(q * q),
+                "yy": pa.array(d * d),
+                "xy": pa.array(q * d),
+            }
+        )
+
+    agg = bucket_groupby_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [
+            ("x", "sum", "sum_x"),
+            ("y", "sum", "sum_y"),
+            ("xx", "sum", "sum_xx"),
+            ("yy", "sum", "sum_yy"),
+            ("xy", "sum", "sum_xy"),
+            (None, "count", "n"),
+        ],
+    )
+
+    def corr(batch: pa.Table) -> pa.Table:
+        # reduced table: one row per group — exact big-int products here
+        n = batch["n"].to_pylist()
+        sx, sy = batch["sum_x"].to_pylist(), batch["sum_y"].to_pylist()
+        sxx, syy = batch["sum_xx"].to_pylist(), batch["sum_yy"].to_pylist()
+        sxy = batch["sum_xy"].to_pylist()
+        out = []
+        for i in range(batch.num_rows):
+            cov = n[i] * sxy[i] - sx[i] * sy[i]
+            varx = n[i] * sxx[i] - sx[i] * sx[i]
+            vary = n[i] * syy[i] - sy[i] * sy[i]
+            if varx == 0 or vary == 0:
+                out.append(float("nan"))
+            else:
+                out.append(float(cov) / math.sqrt(float(varx) * float(vary)))
+        return batch.append_column("corr_xy", pa.array(out, pa.float64()))
+
+    return agg.map_batches(corr, batch_format="pyarrow").sort("l_returnflag")
+
+
+LINEITEM_CORR_STATS_SQL = """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM d GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+       CAST(sxx AS BIGINT) AS sum_xx, CAST(syy AS BIGINT) AS sum_yy,
+       CAST(sxy AS BIGINT) AS sum_xy, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS corr_xy
+FROM m ORDER BY l_returnflag
+"""

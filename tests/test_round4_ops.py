@@ -7,9 +7,12 @@ from __future__ import annotations
 import itertools
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
+
+from deepseek_ocr_ray.pipelines import analytics
 
 
 def _pairs_brute(rows):
@@ -270,3 +273,86 @@ def test_train_val_test_split_properties(ray_session):
         ).to_pandas()
         merged = out.merge(half, on="doc_id", suffixes=("_full", "_half"))
         assert (merged.split_full == merged.split_half).all()
+
+
+# ---------------------------------------------------------------------------
+# grouped sufficient-statistics correlation
+# ---------------------------------------------------------------------------
+
+
+def _write_lineitem(tmp_path, qty, disc, flags):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(qty)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(n), pa.int64()),
+                "l_partkey": pa.array([1] * n, pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_linenumber": pa.array([1] * n, pa.int32()),
+                "l_quantity": pa.array([float(q) for q in qty]),
+                "l_extendedprice": pa.array([1.0] * n),
+                "l_discount": pa.array([float(d) for d in disc]),
+                "l_tax": pa.array([0.0] * n),
+                "l_returnflag": pa.array(list(flags)),
+                "l_linestatus": pa.array(["O"] * n),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("2000-01-01")] * n,
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        os.path.join(str(tmp_path), "lineitem.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_corr_stats_matches_numpy(ray_session, tmp_path):
+    """Engine correlation equals numpy's corrcoef on the rounded integer
+    series (reference semantics), per group, on a random table."""
+    rng = np.random.default_rng(3)
+    n = 5000
+    qty = rng.integers(1, 51, n)
+    disc = np.round(rng.uniform(0, 0.1, n), 2)
+    flags = rng.choice(list("ANR"), n)
+    tmp = _write_lineitem(tmp_path, qty, disc, flags)
+    got = analytics.lineitem_corr_stats(tmp).to_pandas()
+    y = np.floor(disc * 10000 + 0.5).astype(np.int64)
+    for _, row in got.iterrows():
+        m = flags == row.l_returnflag
+        want = np.corrcoef(qty[m], y[m])[0, 1]
+        assert abs(row.corr_xy - want) < 1e-12
+        assert row.n == int(m.sum())
+        assert row.sum_x == int(qty[m].sum()) and row.sum_y == int(y[m].sum())
+
+
+def test_corr_stats_zero_variance_and_oracle(ray_session, tmp_path):
+    """Zero-variance group → NaN (oracle NULL, equal_nan compare); exact
+    moment/bit parity vs DuckDB on the same file."""
+    import duckdb
+
+    qty = [5, 5, 5, 1, 2, 9, 4, 4]
+    disc = [0.01, 0.02, 0.03, 0.05, 0.05, 0.05, 0.00, 0.10]
+    flags = ["A", "A", "A", "B", "B", "B", "C", "C"]
+    tmp = _write_lineitem(tmp_path, qty, disc, flags)
+    got = analytics.lineitem_corr_stats(tmp).to_pandas().reset_index(drop=True)
+    assert np.isnan(got.loc[got.l_returnflag == "A", "corr_xy"]).all()  # var(x)=0
+    assert np.isnan(got.loc[got.l_returnflag == "B", "corr_xy"]).all()  # var(y)=0
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp}/lineitem.parquet')"
+    )
+    want = con.sql(analytics.LINEITEM_CORR_STATS_SQL).df()
+    g = got[sorted(got.columns)]
+    w = want[sorted(want.columns)]
+    for c in g.columns:
+        if g[c].dtype.kind == "f":
+            assert np.array_equal(
+                g[c].to_numpy(), w[c].to_numpy(), equal_nan=True
+            )
+        else:
+            assert g[c].equals(w[c])
