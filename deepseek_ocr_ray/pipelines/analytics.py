@@ -2684,3 +2684,108 @@ SELECT l_returnflag,
        END AS corr_xy
 FROM m ORDER BY l_returnflag
 """
+
+
+def user_paths(
+    sf_dir: str, *, k: int = 3, top: int = 50, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Top user journeys: each user's FIRST ``k`` events (by ts, tie-broken
+    by event_id) joined into a ``a>b>c`` path string, counted across users
+    — the early-journey mining behind onboarding/funnel exploration.
+
+    Scale shape: the first-``k``-per-user prefix is a MERGEABLE partial
+    (min-k by sort key survives unioning), so every block prunes to at
+    most ``k`` rows per (user, block) BEFORE the keyed exchange; the
+    per-bucket walk re-ranks, builds path strings with one per-user
+    ``binary_join``, and emits block-local (path, n) partial counts; the
+    second exchange is the coarse-bucket path aggregate over those
+    partials.  Each path lives in exactly one final bucket, so the
+    per-bucket top-``top`` before the global sort+limit is exact."""
+    from ..hashing import splitmix_bucket
+    from ..stages.agg import bucket_groupby_sum
+
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def _first_k(batch: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        """Sort by (user, ts, event_id), keep rank < k; returns the pruned
+        sorted table and its user column as numpy."""
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        newu = np.r_[True, us[1:] != us[:-1]] if len(us) else np.array([], bool)
+        run_start = np.flatnonzero(newu)
+        run_id = np.cumsum(newu) - 1
+        rank = np.arange(len(us), dtype=np.int64) - run_start[run_id]
+        keep = rank < k
+        idx = order[keep]
+        return batch.take(pa.array(idx, pa.int64())), us[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pruned, us = _first_k(batch)
+        return pruned.append_column(
+            "bucket", pa.array(splitmix_bucket(us, n_buckets), pa.int64())
+        )
+
+    def paths(group: pa.Table) -> pa.Table:
+        pruned, us = _first_k(group)
+        newu = np.r_[True, us[1:] != us[:-1]] if len(us) else np.array([], bool)
+        lens = np.diff(np.r_[np.flatnonzero(newu), len(us)])
+        offsets = pa.array(
+            np.r_[np.int32(0), np.cumsum(lens).astype(np.int32)]
+        )
+        et = pruned["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        path = pc.binary_join(pa.ListArray.from_arrays(offsets, et), ">")
+        g = (
+            pa.table({"path": path})
+            .group_by("path")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"path": g["path"], "n_users": g["count_all"].cast(pa.int64())}
+        )
+
+    agg = bucket_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(paths, batch_format="pyarrow"),
+        ["path"],
+        ["n_users"],
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        n = batch["n_users"].to_numpy(zero_copy_only=False)
+        p = batch["path"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -n))[:top]
+        return batch.take(pa.array(np.sort(order), pa.int64()))
+
+    return (
+        agg.map_batches(local_top, batch_format="pyarrow")
+        .sort(["n_users", "path"], descending=[True, False])
+        .limit(top)
+    )
+
+
+USER_PATHS_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 50
+"""

@@ -356,3 +356,88 @@ def test_corr_stats_zero_variance_and_oracle(ray_session, tmp_path):
             )
         else:
             assert g[c].equals(w[c])
+
+
+# ---------------------------------------------------------------------------
+# user journey paths (first-k prefix mining)
+# ---------------------------------------------------------------------------
+
+
+def _write_events(tmp_path, rows, files=1):
+    """rows: list of (user_id, ts_us, event_id, event_type)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(str(tmp_path), exist_ok=True)
+
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp(r[1], unit="us") for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    if files == 1:
+        pq.write_table(tab, os.path.join(str(tmp_path), "events.parquet"))
+    else:
+        d = os.path.join(str(tmp_path), "events.parquet")
+        os.makedirs(d, exist_ok=True)
+        bounds = np.linspace(0, len(rows), files + 1).astype(int)
+        for i, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+            pq.write_table(tab.slice(a, b - a), os.path.join(d, f"p{i}.parquet"))
+    return str(tmp_path)
+
+
+def _brute_paths(rows, k=3, top=50):
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, ts, eid, et in rows:
+        per_user[u].append((ts, eid, et))
+    cnt = defaultdict(int)
+    for evs in per_user.values():
+        evs.sort()
+        cnt[">".join(e[2] for e in evs[:k])] += 1
+    ranked = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:top]
+    return [(p, n) for p, n in ranked]
+
+
+def test_user_paths_brute_and_layout(ray_session, tmp_path):
+    """first-k prefix mining equals the brute oracle, including ts ties
+    broken by event_id, and is invariant to file/block layout (the
+    first-k partial must be mergeable across blocks)."""
+    rng = np.random.default_rng(5)
+    types = ["view", "click", "buy"]
+    rows = []
+    eid = 0
+    for u in range(60):
+        for _ in range(int(rng.integers(1, 9))):
+            # coarse ts grid → plenty of ties, broken by event_id
+            rows.append(
+                (u, int(rng.integers(0, 4)) * 1000, eid, types[rng.integers(3)])
+            )
+            eid += 1
+    # scatter rows so one user's events span fragments
+    rng.shuffle(rows)
+    want = _brute_paths(rows)
+    a1 = [
+        tuple(r)
+        for r in analytics.user_paths(_write_events(tmp_path / "a", rows, 1))
+        .to_pandas()
+        .itertuples(index=False)
+    ]
+    b5 = [
+        tuple(r)
+        for r in analytics.user_paths(_write_events(tmp_path / "b", rows, 5))
+        .to_pandas()
+        .itertuples(index=False)
+    ]
+    assert a1 == want
+    assert b5 == want
