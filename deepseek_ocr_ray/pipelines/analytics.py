@@ -2789,3 +2789,105 @@ p AS (
 SELECT path, CAST(count(*) AS BIGINT) AS n_users
 FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 50
 """
+
+
+def corpus_report(sf_dir: str) -> ray.data.Dataset:
+    """One-row corpus data card: document/token/char volume, exact distinct
+    text count (the dup-rate numerator), language and source cardinality,
+    and the doc-token extremes — the summary block a training-data release
+    ships with.
+
+    Scale shape: three column-pruned passes, each reducing before anything
+    moves — (1) per-block scalar partials (one row per block to the
+    driver, the ``pack_documents`` pattern), (2) per-block DISTINCT md5
+    text hashes into a coarse-bucket exchange whose buckets emit one count
+    row each (the ``exact_dedup`` shape — only 16-byte hashes travel),
+    (3) per-block distinct lang/source pairs (tiny by construction) into
+    one re-distinct.  Nothing corpus-sized ever lands in one task."""
+    from ..functions.text_stats import md5_fingerprints
+    from ..hashing import id_bucket_array
+
+    ds = read_table(
+        sf_dir, "documents",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+    def scalars(batch: pa.Table) -> pa.Table:
+        ntok = pc.count_substring_regex(batch["text"], r"\S+").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_chars": pa.array(
+                    [int(pc.sum(batch["n_chars"]).as_py() or 0)], pa.int64()
+                ),
+                "n_tokens": pa.array([int(ntok.sum())], pa.int64()),
+                "max_doc_tokens": pa.array([int(ntok.max())], pa.int64()),
+                "min_doc_tokens": pa.array([int(ntok.min())], pa.int64()),
+            }
+        )
+
+    def block_hashes(batch: pa.Table) -> pa.Table:
+        h = pa.table({"h": md5_fingerprints(batch["text"])})
+        g = h.group_by("h").aggregate([])
+        return g.append_column("bucket", id_bucket_array(g["h"], 64))
+
+    def bucket_count(group: pa.Table) -> pa.Table:
+        g = group.group_by("h").aggregate([])
+        return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.select(["lang", "source"]).group_by(
+            ["lang", "source"]
+        ).aggregate([])
+
+    from ..cluster import collect_table
+
+    sc = collect_table(ds.map_batches(scalars, batch_format="pyarrow"))
+    uq = collect_table(
+        ds.map_batches(block_hashes, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_count, batch_format="pyarrow")
+    )
+    pr = collect_table(ds.map_batches(pairs, batch_format="pyarrow"))
+    if sc is None:
+        row = {
+            "n_docs": 0, "n_unique_texts": 0, "n_langs": 0, "n_sources": 0,
+            "n_chars": 0, "n_tokens": 0,
+            "max_doc_tokens": None, "min_doc_tokens": None,
+        }
+    else:
+        langs = set(pr["lang"].to_pylist())
+        sources = set(pr["source"].to_pylist())
+        row = {
+            "n_docs": int(pc.sum(sc["n_docs"]).as_py()),
+            "n_unique_texts": int(pc.sum(uq["n"]).as_py() or 0),
+            "n_langs": len(langs),
+            "n_sources": len(sources),
+            "n_chars": int(pc.sum(sc["n_chars"]).as_py()),
+            "n_tokens": int(pc.sum(sc["n_tokens"]).as_py()),
+            "max_doc_tokens": int(pc.max(sc["max_doc_tokens"]).as_py()),
+            "min_doc_tokens": int(pc.min(sc["min_doc_tokens"]).as_py()),
+        }
+    return ray.data.from_arrow(
+        pa.table({k: pa.array([v], pa.int64()) for k, v in row.items()})
+    )
+
+
+CORPUS_REPORT_SQL = """
+WITH t AS (
+  SELECT text, lang, source, n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_tok
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_doc_tokens,
+       CAST(min(n_tok) AS BIGINT) AS min_doc_tokens
+FROM t
+"""

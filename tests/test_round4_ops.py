@@ -441,3 +441,38 @@ def test_user_paths_brute_and_layout(ray_session, tmp_path):
     ]
     assert a1 == want
     assert b5 == want
+
+
+# ---------------------------------------------------------------------------
+# corpus data card
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_report_with_dups(ray_session, tmp_path):
+    """The data-card row is exact on an engineered corpus with injected
+    exact duplicates, multiple langs/sources, and an empty doc."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    texts = ["same doc twice", "same doc twice", "another one", "", "x y z"]
+    langs = ["en", "en", "es", "fr", "en"]
+    srcs = ["a", "b", "a", "c", "a"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+                "source": pa.array(srcs),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    row = analytics.corpus_report(str(tmp_path)).to_pandas().iloc[0]
+    assert row.n_docs == 5 and row.n_unique_texts == 4
+    assert row.n_langs == 3 and row.n_sources == 3
+    assert row.n_chars == sum(len(t) for t in texts)
+    assert row.n_tokens == 3 + 3 + 2 + 0 + 3
+    assert row.max_doc_tokens == 3 and row.min_doc_tokens == 0
