@@ -2813,6 +2813,12 @@ def corpus_report(sf_dir: str) -> ray.data.Dataset:
     )
 
     def scalars(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:  # a computed block can be empty
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("n_docs", "n_chars", "n_tokens",
+                           "max_doc_tokens", "min_doc_tokens")}
+            )
         ntok = pc.count_substring_regex(batch["text"], r"\S+").to_numpy(
             zero_copy_only=False
         )
