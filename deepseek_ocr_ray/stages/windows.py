@@ -979,3 +979,123 @@ def debounce(
         .groupby("bucket")
         .map_groups(walk, batch_format="pyarrow")
     )
+
+
+def rolling_distinct_daily(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Rolling-window DISTINCT cardinality: for every observed day, the
+    exact number of distinct ids active in the trailing ``window_days``
+    days (current day inclusive) — the DAU/WAU-style metric a rolling SUM
+    cannot answer because distinctness does not pre-aggregate.
+
+    Plan: (1) a tiny ts-only pass collects the OBSERVED day set (bounded
+    by the calendar) and broadcasts its sorted ordinals; (2) blocks reduce
+    to distinct (id, day) pairs before ONE id-keyed exchange; (3) each
+    bucket re-distincts, fans every pair out to the observed window days
+    it contributes to (searchsorted against the broadcast ordinals — at
+    most ``window_days`` rows each, RANGE-frame semantics: absent days
+    don't emit rows but are still looked through), re-distincts the
+    (id, window-day) pairs — exact because ALL of one id's pairs live in
+    this bucket — and emits per-day partial counts; (4) the final
+    exchange sums 64 partial rows per day.  Nothing bigger than the
+    distinct-pair stream ever moves."""
+    import ray
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        od = np.floor_divide(
+            ts.to_numpy(zero_copy_only=False), 86_400_000_000
+        )
+        t = pa.table({"id": batch[id_col], "od": pa.array(od, pa.int64())})
+        return t.group_by(["id", "od"]).aggregate([])
+
+    def days_only(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        od = np.floor_divide(
+            ts.to_numpy(zero_copy_only=False), 86_400_000_000
+        )
+        return pa.table({"od": pa.array(od, pa.int64())}).group_by(
+            "od"
+        ).aggregate([])
+
+    from ..cluster import collect_table
+
+    obs = collect_table(ds.map_batches(days_only, batch_format="pyarrow"))
+    if obs is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {"day": pa.array([], pa.string()),
+                 "n_distinct": pa.array([], pa.int64())}
+            )
+        )
+    ods = np.unique(obs["od"].to_numpy(zero_copy_only=False))
+    obs_ref = ray.put(ods)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        from ..hashing import id_bucket_array
+
+        return batch.append_column(
+            "bucket", id_bucket_array(ids, n_buckets)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        g = group.select(["id", "od"]).group_by(["id", "od"]).aggregate([])
+        od = g["od"].to_numpy(zero_copy_only=False)
+        days = ray.get(obs_ref)
+        lo = np.searchsorted(days, od, "left")
+        hi = np.searchsorted(days, od + window_days, "left")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        # segmented arange over the observed-day slots each pair covers
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        wod = days[np.repeat(lo, cnt) + offs]
+        ids = g["id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_rep = ids.take(
+            pa.array(np.repeat(np.arange(len(od), dtype=np.int64), cnt))
+        )
+        pairs = pa.table(
+            {"id": ids_rep, "wod": pa.array(wod, pa.int64())}
+        ).group_by(["id", "wod"]).aggregate([])
+        counts = pairs.group_by("wod").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "wod": counts["wod"],
+                "n": counts["count_all"].cast(pa.int64()),
+            }
+        )
+
+    from .agg import bucket_groupby_sum
+
+    agg = bucket_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["wod"],
+        ["n"],
+    )
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        # wod is epoch DAYS; scale to seconds before the timestamp cast
+        od = pc.multiply(batch["wod"], 86_400).cast(pa.timestamp("s"))
+        return pa.table(
+            {
+                "day": pc.strftime(od, format="%Y-%m-%d"),
+                "n_distinct": batch["n"],
+            }
+        )
+
+    return agg.map_batches(to_day, batch_format="pyarrow").sort("day")

@@ -802,3 +802,51 @@ def test_funnel3_chain_anchors_on_earliest_b(ray_session):
         ray.data.from_arrow(tab), window_ab_sec=60.0, window_bc_sec=30.0,
     ).take_all()
     assert [(r["user_id"], r["n_a"], r["n_conv"]) for r in out] == [(1, 1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# rolling DISTINCT cardinality
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_distinct_daily_brute(ray_session):
+    """Exact trailing-7-day distinct ids vs a brute per-day set union,
+    including gaps (absent days emit no row but are looked through) and
+    users active on several days of one window (counted once)."""
+    import pandas as pd
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import rolling_distinct_daily
+
+    rows = [  # (user, day-offset)
+        (1, 0), (1, 1), (1, 2), (2, 0), (3, 2),
+        (2, 9), (4, 9), (1, 10), (4, 15), (4, 15),
+    ]
+    base = pd.Timestamp("2024-03-01")
+    tab = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array(
+                [base + pd.Timedelta(days=d, hours=u % 3) for u, d in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    got = [
+        tuple(r)
+        for r in rolling_distinct_daily(ray.data.from_arrow(tab))
+        .to_pandas()
+        .itertuples(index=False)
+    ]
+    days = sorted({d for _, d in rows})
+    want = []
+    for d in days:
+        active = {u for u, dd in rows if d - 6 <= dd <= d}
+        want.append(
+            ((base + pd.Timedelta(days=d)).strftime("%Y-%m-%d"), len(active))
+        )
+    assert got == want
+    # spot semantics: day 9 window [3..9] sees users 2 and 4 only
+    assert dict(got)[
+        (base + pd.Timedelta(days=9)).strftime("%Y-%m-%d")
+    ] == 2
