@@ -2638,7 +2638,16 @@ def lineitem_corr_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
     def corr(batch: pa.Table) -> pa.Table:
-        # reduced table: one row per group — exact big-int products here
+        # reduced table: one row per group — exact big-int products here.
+        # Loud int64-moment horizon (the pmi_bigrams pattern): y² ≤ 1e8 per
+        # row, so sum_yy stays exact below ~9e10 rows/group; past it the
+        # C++ sum would have wrapped silently upstream.
+        if batch.num_rows and max(batch["n"].to_pylist()) > 90_000_000_000:
+            raise ValueError(
+                "lineitem_corr_stats: a group exceeds the int64 moment "
+                "horizon (~9e10 rows at y≤10000); stage the Σy² moment "
+                "through decimal128 before trusting these sums"
+            )
         n = batch["n"].to_pylist()
         sx, sy = batch["sum_x"].to_pylist(), batch["sum_y"].to_pylist()
         sxx, syy = batch["sum_xx"].to_pylist(), batch["sum_yy"].to_pylist()
@@ -2797,20 +2806,22 @@ def corpus_report(sf_dir: str) -> ray.data.Dataset:
     and the doc-token extremes — the summary block a training-data release
     ships with.
 
-    Scale shape: three column-pruned passes, each reducing before anything
-    moves — (1) per-block scalar partials (one row per block to the
-    driver, the ``pack_documents`` pattern), (2) per-block DISTINCT md5
-    text hashes into a coarse-bucket exchange whose buckets emit one count
-    row each (the ``exact_dedup`` shape — only 16-byte hashes travel),
+    Scale shape: three column-pruned passes (each reads ONLY its columns
+    — text is decoded twice, lang/source once), each reducing before
+    anything moves — (1) per-block scalar partials (one row per block to
+    the driver, the ``pack_documents`` pattern), (2) per-block DISTINCT
+    md5 text hashes into a coarse-bucket exchange whose buckets emit one
+    count row each (the ``exact_dedup`` shape — only hex hashes travel),
     (3) per-block distinct lang/source pairs (tiny by construction) into
     one re-distinct.  Nothing corpus-sized ever lands in one task."""
     from ..functions.text_stats import md5_fingerprints
     from ..hashing import id_bucket_array
 
-    ds = read_table(
-        sf_dir, "documents",
-        columns=["doc_id", "text", "lang", "source", "n_chars"],
-    )
+    # per-pass pruned reads: the text column (the corpus' bulk) is decoded
+    # by exactly the two passes that need it
+    ds_scal = read_table(sf_dir, "documents", columns=["text", "n_chars"])
+    ds_text = read_table(sf_dir, "documents", columns=["text"])
+    ds_dims = read_table(sf_dir, "documents", columns=["lang", "source"])
 
     def scalars(batch: pa.Table) -> pa.Table:
         if not batch.num_rows:  # a computed block can be empty
@@ -2850,13 +2861,13 @@ def corpus_report(sf_dir: str) -> ray.data.Dataset:
 
     from ..cluster import collect_table
 
-    sc = collect_table(ds.map_batches(scalars, batch_format="pyarrow"))
+    sc = collect_table(ds_scal.map_batches(scalars, batch_format="pyarrow"))
     uq = collect_table(
-        ds.map_batches(block_hashes, batch_format="pyarrow")
+        ds_text.map_batches(block_hashes, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_count, batch_format="pyarrow")
     )
-    pr = collect_table(ds.map_batches(pairs, batch_format="pyarrow"))
+    pr = collect_table(ds_dims.map_batches(pairs, batch_format="pyarrow"))
     if sc is None:
         row = {
             "n_docs": 0, "n_unique_texts": 0, "n_langs": 0, "n_sources": 0,

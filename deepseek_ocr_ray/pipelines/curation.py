@@ -353,8 +353,11 @@ def bench_ngram_ref(ds: ray.data.Dataset, ngram: int, bench_mod: int):
         g, _ = ngram_rows(flat, parent, ngram)
         return pa.table({"g": g}).group_by("g").aggregate([])
 
+    # unique() yields None when the split is empty (e.g. a shard whose
+    # doc_ids skip every multiple of bench_mod) — an empty probe set, not
+    # an error
     bench = ds.map_batches(bench_grams, batch_format="pyarrow").unique("g")
-    return ray.put(pa.array(sorted(bench), pa.string()))
+    return ray.put(pa.array(sorted(bench or []), pa.string()))
 
 
 def overlap_arrays(
@@ -1435,6 +1438,29 @@ def _span_text(flat: pa.Array, abs_start: np.ndarray, lens: np.ndarray):
     return pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
 
 
+def _span_table(
+    batch: pa.Table,
+    flat: pa.Array,
+    rfs: np.ndarray,
+    srow: np.ndarray,
+    sstart: np.ndarray,
+    send: np.ndarray,
+) -> pa.Table:
+    """The finder output block shared by every span reporter:
+    ``(doc_id, span_start, span_end, span_tokens, span_text)``."""
+    lens = send - sstart
+    abs0 = (rfs[srow] + sstart) if len(srow) else np.array([], np.int64)
+    return pa.table(
+        {
+            "doc_id": pc.take(batch["doc_id"], pa.array(srow, pa.int64())),
+            "span_start": pa.array(sstart, pa.int64()),
+            "span_end": pa.array(send, pa.int64()),
+            "span_tokens": pa.array(lens, pa.int64()),
+            "span_text": _span_text(flat, abs0, lens),
+        }
+    )
+
+
 # span lists ride the doc-keyed join as CSV strings — acero rejects
 # list-typed non-key payload columns; encode/decode stay in Arrow C++
 # (cast→binary_join / split_pattern→cast).
@@ -1593,21 +1619,7 @@ def substring_dup_spans(
             flat, _, srow, sstart, send, rfs = _batch_dup_spans(
                 batch, ray.get(dup_ref), ngram
             )
-            lens = send - sstart
-            abs0 = (
-                (rfs[srow] + sstart) if len(srow) else np.array([], np.int64)
-            )
-            return pa.table(
-                {
-                    "doc_id": pc.take(
-                        batch["doc_id"], pa.array(srow, pa.int64())
-                    ),
-                    "span_start": pa.array(sstart, pa.int64()),
-                    "span_end": pa.array(send, pa.int64()),
-                    "span_tokens": pa.array(lens, pa.int64()),
-                    "span_text": _span_text(flat, abs0, lens),
-                }
-            )
+            return _span_table(batch, flat, rfs, srow, sstart, send)
 
         out = ds.map_batches(find, batch_format="pyarrow")
     else:
@@ -1627,19 +1639,7 @@ def substring_dup_spans(
             flat, parent = tokens_flat(batch["text"])
             _, rfs = _token_positions(parent)
             srow, ss, se = _flatten_span_lists(batch)
-            lens = se - ss
-            abs0 = (rfs[srow] + ss) if len(srow) else np.array([], np.int64)
-            return pa.table(
-                {
-                    "doc_id": pc.take(
-                        batch["doc_id"], pa.array(srow, pa.int64())
-                    ),
-                    "span_start": pa.array(ss, pa.int64()),
-                    "span_end": pa.array(se, pa.int64()),
-                    "span_tokens": pa.array(lens, pa.int64()),
-                    "span_text": _span_text(flat, abs0, lens),
-                }
-            )
+            return _span_table(batch, flat, rfs, srow, ss, se)
 
         out = joined.map_batches(find_joined, batch_format="pyarrow")
 
@@ -1828,22 +1828,10 @@ def decontaminate_spans(
     def find(batch: pa.Table) -> pa.Table:
         keep = batch["doc_id"].to_numpy() % bench_mod != 0
         sub = batch.filter(pa.array(keep))
-        flat, _, rfs, g, wrow, wpos = _batch_windows(sub, ngram)
-        hit = pc.is_in(g, value_set=ray.get(bench_ref)).to_numpy(
-            zero_copy_only=False
+        flat, _, srow, ss, se, rfs = _batch_dup_spans(
+            sub, ray.get(bench_ref), ngram
         )
-        srow, ss, se = _merge_windows(wrow[hit], wpos[hit], ngram)
-        lens = se - ss
-        abs0 = (rfs[srow] + ss) if len(srow) else np.array([], np.int64)
-        return pa.table(
-            {
-                "doc_id": pc.take(sub["doc_id"], pa.array(srow, pa.int64())),
-                "span_start": pa.array(ss, pa.int64()),
-                "span_end": pa.array(se, pa.int64()),
-                "span_tokens": pa.array(lens, pa.int64()),
-                "span_text": _span_text(flat, abs0, lens),
-            }
-        )
+        return _span_table(sub, flat, rfs, srow, ss, se)
 
     return ds.map_batches(find, batch_format="pyarrow").sort(
         ["doc_id", "span_start"]

@@ -266,9 +266,6 @@ def test_probe_auto_resolution(ray_session, tmp_path):
     assert _resolve_probe("auto", dup) == "broadcast"  # tiny set
     assert _resolve_probe("join", dup) == "join"
 
-    class Tiny:
-        pass
-
     import deepseek_ocr_ray.cluster as cluster_mod
 
     real = cluster_mod.dataset_size_estimate
@@ -332,3 +329,22 @@ def test_decontaminate_spans(ray_session, tmp_path):
     flags = curation.decontaminate(tmp, ngram=4).to_pandas()
     flagged = set(flags[flags.flag_contaminated == 1].doc_id)
     assert flagged == touched
+
+
+def test_decontaminate_spans_empty_bench_split(ray_session, tmp_path):
+    """A shard with NO benchmark-split doc (no doc_id % 41 == 0) probes
+    against an empty gram set: zero spans, no crash."""
+    import pyarrow.parquet as pq
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d e", "a b c d e", "f g h i j"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([9, 9, 9], pa.int64()),
+        }
+    )
+    pq.write_table(tab, os.path.join(str(tmp_path), "documents.parquet"))
+    out = curation.decontaminate_spans(str(tmp_path), ngram=3).to_pandas()
+    assert len(out) == 0
