@@ -1461,6 +1461,44 @@ def _span_table(
     )
 
 
+def _scrub_table(
+    batch: pa.Table,
+    flat: pa.Array,
+    parent: np.ndarray,
+    rfs: np.ndarray,
+    srow: np.ndarray,
+    ss: np.ndarray,
+    se: np.ndarray,
+) -> pa.Table:
+    """The scrub output block shared by every span remover: drop covered
+    tokens (diff/cumsum mask over the flat stream) and re-join survivors —
+    ``(doc_id, clean_text, n_tokens, n_removed)``, one row per input row."""
+    L = len(flat)
+    n_rows = batch.num_rows
+    cov = np.zeros(L + 1, np.int64)
+    if len(srow):
+        np.add.at(cov, rfs[srow] + ss, 1)
+        np.add.at(cov, rfs[srow] + se, -1)
+    keep = np.cumsum(cov[:L]) == 0
+    n_tokens = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    kept = (
+        np.bincount(parent[keep], minlength=n_rows).astype(np.int64)
+        if L
+        else np.zeros(n_rows, np.int64)
+    )
+    toks = flat.filter(pa.array(keep)) if L else flat
+    offsets = pa.array(np.r_[np.int32(0), np.cumsum(kept).astype(np.int32)])
+    clean = pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "clean_text": clean,
+            "n_tokens": pa.array(n_tokens),
+            "n_removed": pa.array(n_tokens - kept),
+        }
+    )
+
+
 # span lists ride the doc-keyed join as CSV strings — acero rejects
 # list-typed non-key payload columns; encode/decode stay in Arrow C++
 # (cast→binary_join / split_pattern→cast).
@@ -1666,42 +1704,6 @@ def substring_dup_scrub(
     dup = _dup_gram_dataset(ds, ngram, min_count)
     plan = _resolve_probe(probe, dup)
 
-    def _scrub_cols(
-        batch: pa.Table,
-        flat: pa.Array,
-        parent: np.ndarray,
-        rfs: np.ndarray,
-        srow: np.ndarray,
-        ss: np.ndarray,
-        se: np.ndarray,
-    ) -> pa.Table:
-        L = len(flat)
-        n_rows = batch.num_rows
-        cov = np.zeros(L + 1, np.int64)
-        if len(srow):
-            np.add.at(cov, rfs[srow] + ss, 1)
-            np.add.at(cov, rfs[srow] + se, -1)
-        keep = np.cumsum(cov[:L]) == 0
-        n_tokens = np.bincount(parent, minlength=n_rows).astype(np.int64)
-        kept = (
-            np.bincount(parent[keep], minlength=n_rows).astype(np.int64)
-            if L
-            else np.zeros(n_rows, np.int64)
-        )
-        toks = flat.filter(pa.array(keep)) if L else flat
-        offsets = pa.array(
-            np.r_[np.int32(0), np.cumsum(kept).astype(np.int32)]
-        )
-        clean = pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "clean_text": clean,
-                "n_tokens": pa.array(n_tokens),
-                "n_removed": pa.array(n_tokens - kept),
-            }
-        )
-
     if plan == "broadcast":
         dup_ref = dup_gram_ref(dup)
 
@@ -1709,7 +1711,7 @@ def substring_dup_scrub(
             flat, parent, srow, ss, se, rfs = _batch_dup_spans(
                 batch, ray.get(dup_ref), ngram
             )
-            return _scrub_cols(batch, flat, parent, rfs, srow, ss, se)
+            return _scrub_table(batch, flat, parent, rfs, srow, ss, se)
 
         out = ds.map_batches(scrub, batch_format="pyarrow")
     else:
@@ -1729,7 +1731,7 @@ def substring_dup_scrub(
             flat, parent = tokens_flat(batch["text"])
             _, rfs = _token_positions(parent)
             srow, ss, se = _flatten_span_lists(batch)
-            return _scrub_cols(batch, flat, parent, rfs, srow, ss, se)
+            return _scrub_table(batch, flat, parent, rfs, srow, ss, se)
 
         out = joined.map_batches(scrub_joined, batch_format="pyarrow")
 
@@ -1872,4 +1874,79 @@ SELECT s.doc_id,
        array_to_string(tk[s.span_start + 1 : s.span_end], ' ') AS span_text
 FROM spans s JOIN toks USING (doc_id)
 ORDER BY s.doc_id, s.span_start
+"""
+
+
+def decontaminate_scrub(
+    sf_dir: str, *, ngram: int = 4, bench_mod: int = 41
+) -> ray.data.Dataset:
+    """Excise benchmark contamination instead of dropping documents:
+    every training document with the spans :func:`decontaminate_spans`
+    reports REMOVED and the survivors re-joined — one row per training
+    document ``(doc_id, clean_text, n_tokens, n_removed)``.  Same
+    broadcast scale shape (the probe + mask algebra is a pure batch-local
+    map; benchmark-split docs are excluded from the output entirely)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_ref = bench_ngram_ref(ds, ngram, bench_mod)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy() % bench_mod != 0
+        sub = batch.filter(pa.array(keep))
+        flat, parent, srow, ss, se, rfs = _batch_dup_spans(
+            sub, ray.get(bench_ref), ngram
+        )
+        return _scrub_table(sub, flat, parent, rfs, srow, ss, se)
+
+    return ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+
+DECONTAMINATE_SCRUB_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i : i + 3], ' ') AS g
+  FROM toks, unnest(generate_series(1, len(tk) - 3)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),
+hits AS (
+  SELECT g.doc_id, g.pos,
+         lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev_pos
+  FROM grams g JOIN bench USING (g) WHERE g.doc_id % 41 <> 0
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_pos IS NULL OR pos > prev_pos + 4
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+covered AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end - 1)) AS pos
+  FROM spans
+),
+tokpos AS (
+  SELECT doc_id, tk[i] AS tok, i - 1 AS pos
+  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+  WHERE doc_id % 41 <> 0
+),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+         count(*) AS n_kept
+  FROM tokpos t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(len(t.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN kept k USING (doc_id)
+WHERE t.doc_id % 41 <> 0
+ORDER BY t.doc_id
 """

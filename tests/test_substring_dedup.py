@@ -348,3 +348,25 @@ def test_decontaminate_spans_empty_bench_split(ray_session, tmp_path):
     pq.write_table(tab, os.path.join(str(tmp_path), "documents.parquet"))
     out = curation.decontaminate_spans(str(tmp_path), ngram=3).to_pandas()
     assert len(out) == 0
+
+
+def test_decontaminate_scrub_consistency(ray_session, tmp_path):
+    """Scrubbed docs = spans removed: rebuilding each doc from its spans
+    and clean_text recovers the original tokenization, and benchmark-split
+    docs are excluded from the output."""
+    bench = "held out benchmark question about the capital of france"
+    texts = ["filler words here"] * 83
+    texts[0] = bench
+    texts[5] = f"train doc leaks the capital of france question here"
+    texts[50] = bench + " copied verbatim into training"
+    tmp = _write_corpus(tmp_path, texts)
+    spans = curation.decontaminate_spans(tmp, ngram=4).to_pandas()
+    scrub = curation.decontaminate_scrub(tmp, ngram=4).to_pandas()
+    assert set(scrub.doc_id) == {i for i in range(83) if i % 41 != 0}
+    by_doc = spans.groupby("doc_id").span_tokens.sum().to_dict()
+    for _, r in scrub.iterrows():
+        toks = [w for w in texts[r.doc_id].lower().split() if w]
+        assert r.n_tokens == len(toks)
+        assert r.n_removed == by_doc.get(r.doc_id, 0)
+        assert len(r.clean_text.split()) == r.n_tokens - r.n_removed
+    assert scrub.set_index("doc_id").loc[50, "n_removed"] == 9
