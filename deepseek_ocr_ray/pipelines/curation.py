@@ -1950,3 +1950,94 @@ FROM toks t LEFT JOIN kept k USING (doc_id)
 WHERE t.doc_id % 41 <> 0
 ORDER BY t.doc_id
 """
+
+
+def skipgram_pairs(
+    sf_dir: str, *, max_dist: int = 3, k: int = 50
+) -> ray.data.Dataset:
+    """Windowed co-occurrence counts — the GloVe/embedding-training
+    statistic: unordered token pairs co-occurring within ``max_dist``
+    positions (every ordered occurrence at offset 1..max_dist counts
+    once; a pair seen both ways accumulates both), global top-``k`` by
+    count.
+
+    Scale shape: per block, each offset is two zero-copy slices of the
+    flat token stream with an elementwise ``min/max`` normalization — no
+    pair materializes per document; blocks reduce to per-block pair
+    counts (``pa.Table.group_by``) before the coarse-bucket aggregate;
+    each pair lives in one final bucket so the per-bucket top-``k``
+    before the global sort+limit is exact."""
+    from ..stages.agg import bucket_groupby_sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        L = len(flat)
+        parts = []
+        for off in range(1, max_dist + 1):
+            w = L - off
+            if w <= 0:
+                continue
+            a, b = flat.slice(0, w), flat.slice(off, w)
+            valid = pa.array(parent[:w] == parent[off:])
+            parts.append(
+                pa.table(
+                    {
+                        "w1": pc.min_element_wise(a, b).filter(valid),
+                        "w2": pc.max_element_wise(a, b).filter(valid),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        g = pa.concat_tables(parts).group_by(["w1", "w2"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"w1": g["w1"], "w2": g["w2"],
+             "n": g["count_all"].cast(pa.int64())}
+        )
+
+    agg = bucket_groupby_sum(
+        ds.map_batches(local_counts, batch_format="pyarrow"),
+        ["w1", "w2"],
+        ["n"],
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        w1 = batch["w1"].to_numpy(zero_copy_only=False)
+        w2 = batch["w2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -n))[:k]
+        return batch.take(pa.array(np.sort(order), pa.int64()))
+
+    return (
+        agg.map_batches(local_top, batch_format="pyarrow")
+        .sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+SKIPGRAM_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+),
+pairs AS (
+  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 50
+"""

@@ -472,3 +472,55 @@ def test_bigram_counts_vs_duckdb(ray_session, tmp_path):
     assert got == want
     assert ("the quick", 4) in got          # crosses no doc boundary
     assert all(" one" not in b and "one " not in b for b, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# skip-gram co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def test_skipgram_pairs_brute(ray_session, tmp_path):
+    """Windowed co-occurrence equals the brute offset walk: unordered
+    normalization (least/greatest), window never crosses documents, both
+    directions of a pair accumulate."""
+    import os
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(8)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(80)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    cnt = Counter()
+    for t in texts:
+        tk = [w for w in t.lower().split() if w]
+        for i in range(len(tk)):
+            for off in (1, 2, 3):
+                if i + off < len(tk):
+                    a, b = tk[i], tk[i + off]
+                    cnt[(min(a, b), max(a, b))] += 1
+    want = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:50]
+    want = [(w1, w2, n) for (w1, w2), n in want]
+    got = [
+        tuple(r)
+        for r in curation.skipgram_pairs(str(tmp_path))
+        .to_pandas()
+        .itertuples(index=False)
+    ]
+    assert got == want
