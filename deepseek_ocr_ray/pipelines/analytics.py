@@ -2908,3 +2908,181 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(n_tok) AS BIGINT) AS min_doc_tokens
 FROM t
 """
+
+
+def q5_local_volume(
+    sf_dir: str, region: str = "ASIA", year: str = "2000"
+) -> ray.data.Dataset:
+    """TPC-H Q5 shape — the six-table join: revenue by nation for orders a
+    LOCAL supplier fulfilled (customer and supplier share a nation inside
+    one region, one order-date year).
+
+    Scale plan: region⋈nation collapses to a broadcast nationkey set
+    (dims are tiny), customer and supplier prune AT THE SCAN with
+    ``pc.is_in`` against it; orders prune to the year; the two big joins
+    run through the planner (lineitem⋈supplier broadcasts the pruned
+    supplier side; the orderkey join is volume-sized); the
+    local-supplier predicate (c_nationkey == s_nationkey) filters
+    BEFORE the per-block partial revenue combine, so the final exchange
+    carries one row per (nation, block).  Revenue uses q3's pinned
+    integer-cents kernel (``floor(price*(1-disc)*100+0.5)``)."""
+    import pyarrow.parquet as _pq
+
+    lo, hi = f"{year}-01-01", f"{int(year) + 1}-01-01"
+
+    # tiny dims (25 nations / 5 regions) → driver read, broadcast
+    # nationkey set + name lookup
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = _pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    rkeys = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rkeys.combine_chunks()))
+    nkeys = nat["n_nationkey"].combine_chunks()
+    nkeys_ref = ray.put(nkeys)
+    name_of = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["c_nationkey"], value_set=ray.get(nkeys_ref))
+        ),
+        batch_format="pyarrow",
+    )
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["s_nationkey"], value_set=ray.get(nkeys_ref))
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def sel_orders(batch: pa.Table) -> pa.Table:
+        d = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
+        mask = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(mask),
+                "o_custkey": batch["o_custkey"].filter(mask),
+            }
+        )
+
+    ord_cust = equi_join(
+        orders.map_batches(sel_orders, batch_format="pyarrow"),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        join_type="inner",
+        left_cols=["o_orderkey"],
+        right_cols=["c_nationkey"],
+        approx_bytes=table_file_bytes(sf_dir, "orders", "customer"),
+    )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "rev_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    li_supp = equi_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        supp,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        join_type="inner",
+        left_cols=["l_orderkey", "rev_cents"],
+        right_cols=["s_nationkey"],
+        strategy="broadcast",
+    )
+
+    both = equi_join(
+        li_supp,
+        ord_cust,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        join_type="inner",
+        left_cols=["rev_cents", "s_nationkey"],
+        right_cols=["c_nationkey"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "orders"),
+    )
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["s_nationkey"], batch["c_nationkey"])
+        sub = batch.filter(keep)
+        g = sub.select(["s_nationkey", "rev_cents"]).group_by(
+            "s_nationkey"
+        ).aggregate([("rev_cents", "sum")])
+        return pa.table(
+            {
+                "nationkey": g["s_nationkey"],
+                "rev": g["rev_cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    from ..stages.agg import bucket_groupby_sum
+
+    agg = bucket_groupby_sum(
+        both.map_batches(local_partial, batch_format="pyarrow"),
+        ["nationkey"],
+        ["rev"],
+    )
+
+    names = pa.array(
+        [name_of[k] for k in sorted(name_of)], pa.string()
+    )
+    keys = pa.array(sorted(name_of), pa.int64())
+
+    def to_name(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["nationkey"], value_set=keys)
+        return pa.table(
+            {
+                "n_name": names.take(idx),
+                "revenue_cents": batch["rev"],
+            }
+        )
+
+    return agg.map_batches(to_name, batch_format="pyarrow").sort(
+        ["revenue_cents", "n_name"], descending=[True, False]
+    )
+
+
+Q5_LOCAL_VOLUME_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '2000-01-01'
+  AND o_orderdate < DATE '2001-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
