@@ -2041,3 +2041,158 @@ pairs AS (
 SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
 FROM pairs GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 50
 """
+
+
+def doc_dup_fraction(
+    sf_dir: str, *, ngram: int = 5, min_count: int = 2
+) -> ray.data.Dataset:
+    """Per-document duplicated-content score — the corpus-wide companion
+    to :func:`doc_repetition`'s within-doc signals and the standard
+    filter statistic behind span-level dedup thresholds: for every
+    document, its window count, how many windows are duplicated
+    (corpus-wide occurrence >= ``min_count``), and the fraction of TOKENS
+    covered by duplicated windows in parts-per-million (integer, exact).
+
+    Same two-pass broadcast shape as ``substring_dup_spans``; the per-doc
+    reduction is one ``np.add.at`` scatter per batch."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dup = _dup_gram_dataset(ds, ngram, min_count)
+    dup_ref = dup_gram_ref(dup)
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent, rfs, g, wrow, wpos = _batch_windows(batch, ngram)
+        n_rows = batch.num_rows
+        hit = pc.is_in(g, value_set=ray.get(dup_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        n_windows = np.zeros(n_rows, np.int64)
+        np.add.at(n_windows, wrow, 1)
+        n_dup = np.zeros(n_rows, np.int64)
+        np.add.at(n_dup, wrow, hit.astype(np.int64))
+        # covered-token count per doc via the shared merge
+        srow, ss, se = _merge_windows(wrow[hit], wpos[hit], ngram)
+        covered = np.zeros(n_rows, np.int64)
+        np.add.at(covered, srow, se - ss)
+        n_tokens = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        ppm = np.where(
+            n_tokens > 0, covered * 1_000_000 // np.maximum(n_tokens, 1), 0
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_windows": pa.array(n_windows),
+                "n_dup_windows": pa.array(n_dup),
+                "n_tokens": pa.array(n_tokens),
+                "dup_token_ppm": pa.array(ppm.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_DUP_FRACTION_SQL = f"""
+WITH {_substring_spans_cte(5, 2)},
+wd AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM grams g LEFT JOIN dup d USING (g) GROUP BY 1
+),
+cov AS (
+  SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS covered
+  FROM spans GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(w.n_windows, 0) AS n_windows,
+       coalesce(w.n_dup_windows, 0) AS n_dup_windows,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CASE WHEN len(t.tk) > 0
+            THEN coalesce(c.covered, 0) * 1000000 // len(t.tk)
+            ELSE 0 END AS dup_token_ppm
+FROM toks t
+LEFT JOIN wd w USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def source_dup_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-source exact-duplicate rate — the release-table companion to
+    :func:`analytics.corpus_report`: documents, distinct texts, and
+    duplicate rows per source (a duplicate row = any row beyond its
+    text's first occurrence WITHIN the source).
+
+    One pair exchange: blocks reduce to distinct (source, md5, n) partial
+    counts; each coarse bucket re-sums per (source, hash) — a hash lives
+    in exactly one bucket — and emits per-source partials (docs, distinct,
+    dups); a tiny second exchange sums per source."""
+    from ..functions.text_stats import md5_fingerprints
+    from ..hashing import id_bucket_array
+    from ..stages.agg import bucket_groupby_sum
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "h": md5_fingerprints(batch["text"]),
+            }
+        )
+        g = t.group_by(["source", "h"]).aggregate([([], "count_all")])
+        out = pa.table(
+            {
+                "source": g["source"],
+                "h": g["h"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+        return out.append_column("bucket", id_bucket_array(out["h"], 64))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        g = group.group_by(["source", "h"]).aggregate([("n", "sum")])
+        t = pa.table(
+            {
+                "source": g["source"],
+                "docs": g["n_sum"].cast(pa.int64()),
+                "one": pa.repeat(pa.scalar(1, pa.int64()), g.num_rows),
+            }
+        )
+        s = t.group_by("source").aggregate([("docs", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                "source": s["source"],
+                "n_docs": s["docs_sum"].cast(pa.int64()),
+                "n_unique_texts": s["one_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = bucket_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["source"],
+        ["n_docs", "n_unique_texts"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_dup_docs",
+            pc.subtract(batch["n_docs"], batch["n_unique_texts"]),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+SOURCE_DUP_STATS_SQL = """
+WITH g AS (
+  SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique_texts,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs
+FROM g GROUP BY 1 ORDER BY 1
+"""

@@ -370,3 +370,51 @@ def test_decontaminate_scrub_consistency(ray_session, tmp_path):
         assert r.n_removed == by_doc.get(r.doc_id, 0)
         assert len(r.clean_text.split()) == r.n_tokens - r.n_removed
     assert scrub.set_index("doc_id").loc[50, "n_removed"] == 9
+
+
+def test_doc_dup_fraction_consistency(ray_session, tmp_path):
+    """Per-doc dup stats agree with the span finder: covered-token ppm
+    derives from the reported spans, window counts from the brute gram
+    walk."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        f"unique lead-in {passage} trailing words here",
+        f"{passage} other tail",
+        "no duplicates in this one at all whatsoever",
+    ]
+    tmp = _write_corpus(tmp_path, texts)
+    frac = curation.doc_dup_fraction(tmp).to_pandas().set_index("doc_id")
+    spans = curation.substring_dup_spans(tmp).to_pandas()
+    cov = spans.groupby("doc_id").span_tokens.sum().to_dict()
+    for doc_id, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        r = frac.loc[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_windows == max(len(toks) - 4, 0)
+        assert r.dup_token_ppm == cov.get(doc_id, 0) * 1_000_000 // len(toks)
+    assert frac.loc[2].n_dup_windows == 0 and frac.loc[2].dup_token_ppm == 0
+    assert frac.loc[1].n_dup_windows == 4  # the 8-token passage's 5-gram windows
+
+
+def test_source_dup_stats_engineered(ray_session, tmp_path):
+    """Dup counting is within-source: the same text in two sources is not
+    a duplicate; two copies within one source are."""
+    texts = ["t one", "t one", "t one", "t two", "t two", "unique"]
+    srcs = ["a", "a", "b", "b", "b", "b"]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 6),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tab, os.path.join(str(tmp_path), "documents.parquet"))
+    got = {
+        r.source: (r.n_docs, r.n_unique_texts, r.n_dup_docs)
+        for r in curation.source_dup_stats(str(tmp_path)).to_pandas().itertuples()
+    }
+    assert got == {"a": (2, 1, 1), "b": (4, 3, 1)}
