@@ -2044,7 +2044,11 @@ FROM pairs GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 50
 
 
 def doc_dup_fraction(
-    sf_dir: str, *, ngram: int = 5, min_count: int = 2
+    sf_dir: str,
+    *,
+    ngram: int = 5,
+    min_count: int = 2,
+    probe: str = "auto",
 ) -> ray.data.Dataset:
     """Per-document duplicated-content score — the corpus-wide companion
     to :func:`doc_repetition`'s within-doc signals and the standard
@@ -2053,10 +2057,21 @@ def doc_dup_fraction(
     (corpus-wide occurrence >= ``min_count``), and the fraction of TOKENS
     covered by duplicated windows in parts-per-million (integer, exact).
 
-    Same two-pass broadcast shape as ``substring_dup_spans``; the per-doc
-    reduction is one ``np.add.at`` scatter per batch."""
+    Probe plans mirror ``substring_dup_spans``: ``broadcast`` is the
+    two-pass pure-map shape (one ``np.add.at`` scatter per batch);
+    ``join`` is the at-scale escalation when the dup-gram set outgrows
+    plasma — window occurrences semi-join the dup set, per-doc window
+    counts and merged-span coverage reduce through keyed exchanges, and
+    two planner left-outer joins stitch the bounded per-doc tables back
+    to the corpus scan; ``auto`` picks by the materialized dup-set size."""
+    from ..cluster import equi_join
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     dup = _dup_gram_dataset(ds, ngram, min_count)
+    plan = _resolve_probe(probe, dup)
+
+    if plan == "join":
+        return _doc_dup_fraction_join(ds, dup, ngram, equi_join)
     dup_ref = dup_gram_ref(dup)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -2088,6 +2103,103 @@ def doc_dup_fraction(
         )
 
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def _doc_dup_fraction_join(
+    ds: ray.data.Dataset, dup: ray.data.Dataset, ngram: int, equi_join
+) -> ray.data.Dataset:
+    """Join-plan per-doc dup scoring: everything that meets the corpus is
+    an exchange over REDUCED per-doc rows."""
+    from ..stages.agg import bucket_groupby_agg
+
+    def occ(batch: pa.Table) -> pa.Table:
+        _, _, _, g, wrow, wpos = _batch_windows(batch, ngram)
+        doc = pc.take(batch["doc_id"], pa.array(wrow, pa.int64()))
+        return pa.table(
+            {"doc_id": doc, "pos": pa.array(wpos, pa.int64()), "g": g}
+        )
+
+    hits = equi_join(
+        ds.map_batches(occ, batch_format="pyarrow"),
+        dup,
+        on="g",
+        join_type="left_semi",
+        left_cols=["doc_id", "pos"],
+        strategy="bucket",
+        left_types={"doc_id": pa.int64(), "pos": pa.int64(), "g": pa.string()},
+        right_types={"g": pa.string()},
+    )
+    dupw = bucket_groupby_agg(
+        hits, ["doc_id"], [(None, "count", "n_dup_windows")]
+    )
+
+    def covered_of(batch: pa.Table) -> pa.Table:
+        srow, ss, se = _flatten_span_lists(batch)
+        cov = np.zeros(batch.num_rows, np.int64)
+        np.add.at(cov, srow, se - ss)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "covered": pa.array(cov, pa.int64())}
+        )
+
+    spans_cov = _doc_spans_join(ds, dup, ngram).map_batches(
+        covered_of, batch_format="pyarrow"
+    )
+
+    def base(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        n_rows = batch.num_rows
+        n_tokens = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_windows": pa.array(
+                    np.maximum(n_tokens - ngram + 1, 0), pa.int64()
+                ),
+                "n_tokens": pa.array(n_tokens),
+            }
+        )
+
+    j1 = equi_join(
+        ds.map_batches(base, batch_format="pyarrow"),
+        dupw,
+        on="doc_id",
+        join_type="left_outer",
+        left_cols=["doc_id", "n_windows", "n_tokens"],
+        right_cols=["n_dup_windows"],
+        strategy="bucket",
+        right_types={"doc_id": pa.int64(), "n_dup_windows": pa.int64()},
+    )
+    j2 = equi_join(
+        j1,
+        spans_cov,
+        on="doc_id",
+        join_type="left_outer",
+        left_cols=["doc_id", "n_windows", "n_tokens", "n_dup_windows"],
+        right_cols=["covered"],
+        strategy="bucket",
+        right_types={"doc_id": pa.int64(), "covered": pa.int64()},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        cov = (
+            batch["covered"]
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ppm = np.where(nt > 0, cov * 1_000_000 // np.maximum(nt, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_windows": batch["n_windows"],
+                "n_dup_windows": batch["n_dup_windows"].fill_null(0),
+                "n_tokens": batch["n_tokens"],
+                "dup_token_ppm": pa.array(ppm.astype(np.int64)),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
 DOC_DUP_FRACTION_SQL = f"""

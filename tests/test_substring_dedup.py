@@ -418,3 +418,22 @@ def test_source_dup_stats_engineered(ray_session, tmp_path):
         for r in curation.source_dup_stats(str(tmp_path)).to_pandas().itertuples()
     }
     assert got == {"a": (2, 1, 1), "b": (4, 3, 1)}
+
+
+def test_doc_dup_fraction_join_probe(ray_session, tmp_path):
+    """The join escalation produces byte-identical per-doc scores to the
+    broadcast plan on a skewed random corpus."""
+    rng = np.random.default_rng(13)
+    vocab = np.array([f"t{i}" for i in range(18)])
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 30), p=p))
+        for _ in range(120)
+    ]
+    tmp = _write_corpus(tmp_path, texts, files=3)
+    a = curation.doc_dup_fraction(tmp, ngram=3, probe="broadcast").to_pandas()
+    b = curation.doc_dup_fraction(tmp, ngram=3, probe="join").to_pandas()
+    assert a.reset_index(drop=True).equals(
+        b[a.columns].reset_index(drop=True)
+    )
