@@ -128,6 +128,21 @@ def cmd_export_shards(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_scrub_dups(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.curation import substring_dup_scrub_ds
+
+    ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    out = substring_dup_scrub_ds(
+        ds, ngram=args.ngram, min_count=args.min_count, probe=args.probe
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "ngram": args.ngram}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deepseek_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -178,6 +193,20 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--columns", nargs="*", default=None)
     px.add_argument("--num-cpus", type=int, default=None)
     px.set_defaults(fn=cmd_export_shards)
+
+    pd = sub.add_parser(
+        "scrub-dups",
+        help="remove corpus-wide duplicated substring spans (Lee et al.)",
+    )
+    pd.add_argument("--input", required=True)
+    pd.add_argument("--output", required=True)
+    pd.add_argument("--ngram", type=int, default=5)
+    pd.add_argument("--min-count", dest="min_count", type=int, default=2)
+    pd.add_argument(
+        "--probe", choices=["auto", "broadcast", "join"], default="auto"
+    )
+    pd.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
+    pd.set_defaults(fn=cmd_scrub_dups)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -1698,9 +1698,26 @@ def substring_dup_scrub(
     covered documents come out empty).  Same probe plans as the finder
     (broadcast pass 2 is batch-local mask algebra; the join plan
     left-outer-joins the bounded per-doc span lists back to the corpus)."""
+    return substring_dup_scrub_ds(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        ngram=ngram,
+        min_count=min_count,
+        probe=probe,
+    )
+
+
+def substring_dup_scrub_ds(
+    ds: ray.data.Dataset,
+    *,
+    ngram: int = 5,
+    min_count: int = 2,
+    probe: str = "auto",
+) -> ray.data.Dataset:
+    """Dataset-in variant of :func:`substring_dup_scrub` (the CLI / job
+    entry point takes an arbitrary documents Dataset with ``doc_id`` +
+    ``text`` columns)."""
     from ..cluster import equi_join
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     dup = _dup_gram_dataset(ds, ngram, min_count)
     plan = _resolve_probe(probe, dup)
 
