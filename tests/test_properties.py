@@ -197,3 +197,74 @@ def test_hll_merge_semilattice(a, b, c):
     assert np.array_equal(hll_merge(ra, ra), ra)
     # sketch-of-union law: merge(sk(a), sk(b)) == sk(a + b)
     assert np.array_equal(hll_merge(ra, rb), hll_partial(a + b, p))
+
+
+# --- 5. duplicated-window interval merge ------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 60)),
+        min_size=0,
+        max_size=80,
+    ),
+    st.integers(2, 6),
+)
+@settings(max_examples=200, deadline=None)
+def test_merge_windows_equals_interval_union(hits, n):
+    """_merge_windows on lex-sorted (doc, pos) hit windows equals the
+    brute union of [pos, pos+n) intervals split into maximal runs."""
+    import numpy as np
+
+    from deepseek_ocr_ray.pipelines.curation import _merge_windows
+
+    uniq = sorted(set(hits))
+    hp = np.array([d for d, _ in uniq], np.int64)
+    hpos = np.array([p for _, p in uniq], np.int64)
+    sd, ss, se = _merge_windows(hp, hpos, n)
+    got = list(zip(sd.tolist(), ss.tolist(), se.tolist()))
+    # brute: per doc, mark covered positions, emit maximal runs
+    want = []
+    for d in sorted(set(hp.tolist())):
+        cov = set()
+        for dd, p in uniq:
+            if dd == d:
+                cov.update(range(p, p + n))
+        run = None
+        for x in range(min(cov, default=0), max(cov, default=-1) + 2):
+            if x in cov and run is None:
+                run = x
+            elif x not in cov and run is not None:
+                want.append((d, run, x))
+                run = None
+    assert got == want
+
+
+# --- 6. first-k prefix partial is mergeable ---------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5), st.integers(0, 99)),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda r: r[2],
+    ),
+    st.integers(1, 4),
+    st.integers(1, 5),
+)
+@settings(max_examples=200, deadline=None)
+def test_first_k_prefix_mergeable(rows, k, split):
+    """min-k by (ts, event_id) per user survives block-local pruning:
+    first_k(first_k(block1) ∪ first_k(block2)) == first_k(all)."""
+    def first_k(rs):
+        out = {}
+        for u, ts, eid in sorted(rs, key=lambda r: (r[0], r[1], r[2])):
+            out.setdefault(u, [])
+            if len(out[u]) < k:
+                out[u].append((u, ts, eid))
+        return [r for v in out.values() for r in v]
+
+    blocks = [rows[i::split] for i in range(split)]
+    merged = [r for b in blocks for r in first_k(b)]
+    assert sorted(first_k(merged)) == sorted(first_k(rows))
