@@ -132,6 +132,23 @@ def cmd_scrub_dups(args: argparse.Namespace) -> int:
     _ensure_ray(args.num_cpus)
     import ray.data
 
+    if args.checkpointed:
+        from .state.checkpoint import run_scrub_checkpointed
+
+        summary = run_scrub_checkpointed(
+            args.input, args.output,
+            ngram=args.ngram, min_count=args.min_count,
+        )
+        print(
+            json.dumps(
+                {
+                    "computed": summary["computed"],
+                    "skipped": summary["skipped"],
+                    "docs": summary["total_docs"],
+                }
+            )
+        )
+        return 0
     from .pipelines.curation import substring_dup_scrub_ds
 
     ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
@@ -204,6 +221,11 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--min-count", dest="min_count", type=int, default=2)
     pd.add_argument(
         "--probe", choices=["auto", "broadcast", "join"], default="auto"
+    )
+    pd.add_argument(
+        "--checkpointed", action="store_true",
+        help="input is a part=* layout; land partitions atomically with "
+        "manifests and skip finished ones on rerun",
     )
     pd.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
     pd.set_defaults(fn=cmd_scrub_dups)

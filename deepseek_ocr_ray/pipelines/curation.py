@@ -1722,15 +1722,7 @@ def substring_dup_scrub_ds(
     plan = _resolve_probe(probe, dup)
 
     if plan == "broadcast":
-        dup_ref = dup_gram_ref(dup)
-
-        def scrub(batch: pa.Table) -> pa.Table:
-            flat, parent, srow, ss, se, rfs = _batch_dup_spans(
-                batch, ray.get(dup_ref), ngram
-            )
-            return _scrub_table(batch, flat, parent, rfs, srow, ss, se)
-
-        out = ds.map_batches(scrub, batch_format="pyarrow")
+        out = scrub_with_ref(ds, dup_gram_ref(dup), ngram)
     else:
         doc_spans = _doc_spans_join(ds, dup, ngram)
         joined = equi_join(
@@ -1753,6 +1745,23 @@ def substring_dup_scrub_ds(
         out = joined.map_batches(scrub_joined, batch_format="pyarrow")
 
     return out.sort("doc_id")
+
+
+def scrub_with_ref(
+    ds: ray.data.Dataset, dup_ref, ngram: int
+) -> ray.data.Dataset:
+    """Broadcast-probe scrub over an arbitrary documents Dataset given an
+    already-broadcast duplicated-gram set — the building block the
+    checkpointed partition runner reuses (the dup set is corpus-GLOBAL,
+    so it is built once per run, never per partition)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        flat, parent, srow, ss, se, rfs = _batch_dup_spans(
+            batch, ray.get(dup_ref), ngram
+        )
+        return _scrub_table(batch, flat, parent, rfs, srow, ss, se)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
 
 
 def _substring_spans_cte(ngram: int, min_count: int) -> str:

@@ -230,3 +230,131 @@ def run_checkpointed(
         "manifests": done,
         "total_docs": sum(m["docs"] for m in done),
     }
+
+
+def run_scrub_checkpointed(
+    input_root: str,
+    out_root: str,
+    *,
+    ngram: int = 5,
+    min_count: int = 2,
+    partitions: list[int] | None = None,
+    max_partitions: int | None = None,
+) -> dict:
+    """Resumable span-level dedup over a ``part=*`` partitioned documents
+    corpus: the GLOBAL duplicated-gram aggregate runs once per invocation
+    (it is a function of the whole corpus), then each partition scrubs
+    against the broadcast set and lands atomically (tmp + rename) with a
+    lineage manifest.  A rerun skips finished partitions.
+
+    Lineage: the config fingerprint embeds (ngram, min_count) AND a
+    corpus-level fingerprint over EVERY partition's input — the dup-gram
+    set depends on all of them, so changing any input partition
+    invalidates every resume skip, not just its own."""
+    import ray.data
+
+    from .. import __version__
+    from ..pipelines.curation import (
+        _dup_gram_dataset,
+        dup_gram_ref,
+        scrub_with_ref,
+    )
+    from ..sources.interleaved import list_partitions
+
+    available = set(list_partitions(input_root))
+    pids = partitions if partitions is not None else sorted(available)
+    missing = [p for p in pids if p not in available]
+    if missing:
+        raise ValueError(
+            f"partitions {missing} not found under {input_root!r} "
+            f"(available: {sorted(available)})"
+        )
+    corpus_fp = hashlib.md5(
+        ":".join(
+            f"{p}={_fingerprint_dir(os.path.join(input_root, f'part={p}'))}"
+            for p in sorted(available)
+        ).encode()
+    ).hexdigest()
+    cfg_fp = hashlib.md5(
+        f"scrub:{ngram}:{min_count}:{corpus_fp}:v{__version__}".encode()
+    ).hexdigest()
+    os.makedirs(os.path.join(out_root, "_ckpt"), exist_ok=True)
+    sweep = {str(p) for p in pids}
+    for entry in os.listdir(out_root):
+        if entry.startswith(".tmp-") and entry.split("-")[1] in sweep:
+            shutil.rmtree(os.path.join(out_root, entry), ignore_errors=True)
+
+    def _read(pid: int) -> ray.data.Dataset:
+        return ray.data.read_parquet(
+            os.path.join(input_root, f"part={pid}"),
+            columns=["doc_id", "text"],
+        )
+
+    todo = [
+        p for p in pids if not is_complete(out_root, input_root, p, cfg_fp)
+    ]
+    done, computed, skipped = (
+        [],
+        [],
+        [p for p in pids if p not in set(todo)],
+    )
+    dup_ref = None
+    if todo:
+        # global pass 1 over the WHOLE corpus (not just todo partitions)
+        parts = [_read(p) for p in sorted(available)]
+        ds_all = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        dup_ref = dup_gram_ref(_dup_gram_dataset(ds_all, ngram, min_count))
+
+    for pid in todo:
+        if max_partitions is not None and len(computed) >= max_partitions:
+            break
+        in_dir = os.path.join(input_root, f"part={pid}")
+        in_fp = _fingerprint_dir(in_dir)
+        t0 = time.monotonic()
+        out = scrub_with_ref(_read(pid), dup_ref, ngram)
+        tmp_dir = os.path.join(out_root, f".tmp-{pid}-{uuid.uuid4().hex[:8]}")
+        out.write_parquet(tmp_dir)
+        wall = time.monotonic() - t0
+        final_dir = os.path.join(out_root, f"part={pid}")
+        if os.path.isdir(final_dir):
+            shutil.rmtree(final_dir)
+        os.rename(tmp_dir, final_dir)
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        n_docs, removed, out_bytes = 0, 0, 0
+        for f in os.listdir(final_dir):
+            fp = os.path.join(final_dir, f)
+            out_bytes += os.path.getsize(fp)
+            n_docs += pq.ParquetFile(fp).metadata.num_rows
+        rm = pq.read_table(final_dir, columns=["n_removed"])
+        removed = int(pc.sum(rm["n_removed"]).as_py() or 0)
+
+        manifest = {
+            "partition": pid,
+            "kind": "scrub",
+            "ngram": ngram,
+            "min_count": min_count,
+            "input_fingerprint": in_fp,
+            "config_fingerprint": cfg_fp,
+            "engine_version": __version__,
+            "docs": n_docs,
+            "removed_tokens": removed,
+            "wall_sec": round(wall, 3),
+            "output_bytes": out_bytes,
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        tmp_m = manifest_path(out_root, pid) + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp_m, manifest_path(out_root, pid))
+        computed.append(pid)
+        done.append(manifest)
+
+    return {
+        "computed": computed,
+        "skipped": skipped,
+        "manifests": done,
+        "total_docs": sum(m["docs"] for m in done),
+    }

@@ -213,3 +213,94 @@ def test_export_shards_resume_recomputes_only_missing(ray_session, tmp_path):
     for s, t in after.items():
         assert t["pos"].to_pylist() == list(range(t.num_rows))
         assert set(t["shard"].to_pylist()) == {s}
+
+
+# ---------------------------------------------------------------------------
+# resumable span-level scrub
+# ---------------------------------------------------------------------------
+
+
+def _scrub_corpus(tmp_path, n_parts=4):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(10)]
+    root = str(tmp_path / "in")
+    doc_id = 0
+    all_rows = []
+    for pid in range(n_parts):
+        d = os.path.join(root, f"part={pid}")
+        os.makedirs(d)
+        rows = []
+        for _ in range(40):
+            rows.append(
+                (doc_id, " ".join(rng.choice(vocab, size=rng.integers(3, 20))))
+            )
+            doc_id += 1
+        all_rows += rows
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            ),
+            os.path.join(d, "data.parquet"),
+        )
+    return root, all_rows
+
+
+def test_scrub_checkpointed_resume(ray_session, tmp_path):
+    """First run computes every partition; a rerun skips all; deleting one
+    partition's output recomputes exactly it, byte-identical; results
+    match the non-checkpointed scrub over the union (the dup-gram set is
+    corpus-global, not per-partition)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines.curation import substring_dup_scrub_ds
+    from deepseek_ocr_ray.state.checkpoint import run_scrub_checkpointed
+
+    root, rows = _scrub_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    s1 = run_scrub_checkpointed(root, out, ngram=3)
+    assert s1["computed"] == [0, 1, 2, 3] and s1["skipped"] == []
+
+    # global-dup-set semantics: equals the plain scrub over the union
+    whole = ray.data.read_parquet(root, columns=["doc_id", "text"])
+    want = (
+        substring_dup_scrub_ds(whole, ngram=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        pq.read_table(out, columns=None)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = got[want.columns]
+    pd.testing.assert_frame_equal(got, want)
+
+    # rerun: everything skips
+    s2 = run_scrub_checkpointed(root, out, ngram=3)
+    assert s2["computed"] == [] and s2["skipped"] == [0, 1, 2, 3]
+
+    # delete one partition's output+manifest → exactly it recomputes
+    part2 = pq.read_table(os.path.join(out, "part=2")).sort_by("doc_id")
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "part=2"))
+    os.remove(os.path.join(out, "_ckpt", "partition=2.json"))
+    s3 = run_scrub_checkpointed(root, out, ngram=3)
+    assert s3["computed"] == [2] and sorted(s3["skipped"]) == [0, 1, 3]
+    part2b = pq.read_table(os.path.join(out, "part=2")).sort_by("doc_id")
+    assert part2b.equals(part2)
+
+    # changing a parameter invalidates every skip
+    s4 = run_scrub_checkpointed(root, out, ngram=4)
+    assert s4["computed"] == [0, 1, 2, 3]
