@@ -32,8 +32,10 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..cluster import (
-    equi_join_multi,
+    assembly_buckets_for_bytes,
+    dataset_size_estimate,
     equi_join,
+    equi_join_multi,
     join_partitions,
     table_file_bytes,
 )
@@ -2696,7 +2698,7 @@ FROM m ORDER BY l_returnflag
 
 
 def user_paths(
-    sf_dir: str, *, k: int = 3, top: int = 50, n_buckets: int = 64
+    sf_dir: str, *, k: int = 3, top: int = 50, n_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Top user journeys: each user's FIRST ``k`` events (by ts, tie-broken
     by event_id) joined into a ``a>b>c`` path string, counted across users
@@ -2716,6 +2718,10 @@ def user_paths(
     ds = read_table(
         sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
     )
+    if n_buckets is None:
+        # the exchange carries <= k rows per (user, block); size its group
+        # count from the input estimate, never a fixed 64
+        n_buckets = assembly_buckets_for_bytes(dataset_size_estimate(ds))
 
     def _first_k(batch: pa.Table) -> tuple[pa.Table, np.ndarray]:
         """Sort by (user, ts, event_id), keep rank < k; returns the pruned

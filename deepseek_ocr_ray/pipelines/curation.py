@@ -1513,7 +1513,7 @@ def _doc_spans_join(
     ds: ray.data.Dataset,
     dup: ray.data.Dataset,
     ngram: int,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Join-plan span discovery — the at-scale escalation when the
     duplicated-gram set outgrows plasma: window occurrences
@@ -1522,8 +1522,17 @@ def _doc_spans_join(
     by doc hash so each document's hit windows land in one group, and a
     vectorized lexsort + island walk merges them.  One row per document
     that owns at least one span: ``(doc_id, starts list, ends list)``."""
-    from ..cluster import equi_join
+    from ..cluster import (
+        assembly_buckets_for_bytes,
+        dataset_size_estimate,
+        equi_join,
+    )
     from ..hashing import hash64_columns
+
+    if n_buckets is None:
+        # hit-window volume is bounded by the corpus scan; a fixed count
+        # would be a per-task memory cliff at 100x (the assembly lesson)
+        n_buckets = assembly_buckets_for_bytes(dataset_size_estimate(ds))
 
     def occ(batch: pa.Table) -> pa.Table:
         _, _, _, g, wrow, wpos = _batch_windows(batch, ngram)

@@ -987,7 +987,7 @@ def rolling_distinct_daily(
     id_col: str = "user_id",
     ts_col: str = "ts",
     window_days: int = 7,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Rolling-window DISTINCT cardinality: for every observed day, the
     exact number of distinct ids active in the trailing ``window_days``
@@ -1006,6 +1006,13 @@ def rolling_distinct_daily(
     exchange sums 64 partial rows per day.  Nothing bigger than the
     distinct-pair stream ever moves."""
     import ray
+
+    from ..cluster import assembly_buckets_for_bytes, dataset_size_estimate
+
+    if n_buckets is None:
+        # the exchange carries distinct (id, day) pairs — size its group
+        # count from the input estimate, never a fixed 64
+        n_buckets = assembly_buckets_for_bytes(dataset_size_estimate(ds))
 
     def prep(batch: pa.Table) -> pa.Table:
         ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
