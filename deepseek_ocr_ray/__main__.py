@@ -137,7 +137,7 @@ def cmd_scrub_dups(args: argparse.Namespace) -> int:
 
         summary = run_scrub_checkpointed(
             args.input, args.output,
-            ngram=args.ngram, min_count=args.min_count,
+            ngram=args.ngram, min_count=args.min_count, probe=args.probe,
         )
         print(
             json.dumps(

@@ -2697,6 +2697,32 @@ FROM m ORDER BY l_returnflag
 """
 
 
+def first_k_prefix(
+    batch: pa.Table, k: int
+) -> tuple[pa.Table, np.ndarray]:
+    """Sort by (user, ts, event_id), keep rank < k per user; returns the
+    pruned sorted table and its user column as numpy.  A MERGEABLE
+    partial: min-k by the sort key survives unioning, so block-local
+    pruning before the keyed exchange is lossless."""
+    u = batch["user_id"].to_numpy(zero_copy_only=False)
+    ts = (
+        batch["ts"]
+        .cast(pa.timestamp("us"))
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    eid = batch["event_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, u))
+    us = u[order]
+    newu = np.r_[True, us[1:] != us[:-1]] if len(us) else np.array([], bool)
+    run_start = np.flatnonzero(newu)
+    run_id = np.cumsum(newu) - 1
+    rank = np.arange(len(us), dtype=np.int64) - run_start[run_id]
+    keep = rank < k
+    idx = order[keep]
+    return batch.take(pa.array(idx, pa.int64())), us[keep]
+
+
 def user_paths(
     sf_dir: str, *, k: int = 3, top: int = 50, n_buckets: int | None = None
 ) -> ray.data.Dataset:
@@ -2723,35 +2749,14 @@ def user_paths(
         # count from the input estimate, never a fixed 64
         n_buckets = assembly_buckets_for_bytes(dataset_size_estimate(ds))
 
-    def _first_k(batch: pa.Table) -> tuple[pa.Table, np.ndarray]:
-        """Sort by (user, ts, event_id), keep rank < k; returns the pruned
-        sorted table and its user column as numpy."""
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        ts = (
-            batch["ts"]
-            .cast(pa.timestamp("us"))
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, u))
-        us = u[order]
-        newu = np.r_[True, us[1:] != us[:-1]] if len(us) else np.array([], bool)
-        run_start = np.flatnonzero(newu)
-        run_id = np.cumsum(newu) - 1
-        rank = np.arange(len(us), dtype=np.int64) - run_start[run_id]
-        keep = rank < k
-        idx = order[keep]
-        return batch.take(pa.array(idx, pa.int64())), us[keep]
-
     def partial(batch: pa.Table) -> pa.Table:
-        pruned, us = _first_k(batch)
+        pruned, us = first_k_prefix(batch, k)
         return pruned.append_column(
             "bucket", pa.array(splitmix_bucket(us, n_buckets), pa.int64())
         )
 
     def paths(group: pa.Table) -> pa.Table:
-        pruned, us = _first_k(group)
+        pruned, us = first_k_prefix(group, k)
         newu = np.r_[True, us[1:] != us[:-1]] if len(us) else np.array([], bool)
         lens = np.diff(np.r_[np.flatnonzero(newu), len(us)])
         offsets = pa.array(

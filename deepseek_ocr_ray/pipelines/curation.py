@@ -1733,27 +1733,38 @@ def substring_dup_scrub_ds(
     if plan == "broadcast":
         out = scrub_with_ref(ds, dup_gram_ref(dup), ngram)
     else:
-        doc_spans = _doc_spans_join(ds, dup, ngram)
-        joined = equi_join(
-            ds,
-            doc_spans,
-            on="doc_id",
-            join_type="left_outer",
-            left_cols=["doc_id", "text"],
-            right_cols=["starts", "ends"],
-            strategy="bucket",
-            right_types=_DOC_SPANS_TYPES,
-        )
-
-        def scrub_joined(batch: pa.Table) -> pa.Table:
-            flat, parent = tokens_flat(batch["text"])
-            _, rfs = _token_positions(parent)
-            srow, ss, se = _flatten_span_lists(batch)
-            return _scrub_table(batch, flat, parent, rfs, srow, ss, se)
-
-        out = joined.map_batches(scrub_joined, batch_format="pyarrow")
+        out = scrub_with_dup_join(ds, dup, ngram)
 
     return out.sort("doc_id")
+
+
+def scrub_with_dup_join(
+    ds: ray.data.Dataset, dup: ray.data.Dataset, ngram: int
+) -> ray.data.Dataset:
+    """Join-plan scrub over an arbitrary documents Dataset given the
+    materialized duplicated-gram Dataset — the at-scale twin of
+    :func:`scrub_with_ref`, shared with the checkpointed runner."""
+    from ..cluster import equi_join
+
+    doc_spans = _doc_spans_join(ds, dup, ngram)
+    joined = equi_join(
+        ds,
+        doc_spans,
+        on="doc_id",
+        join_type="left_outer",
+        left_cols=["doc_id", "text"],
+        right_cols=["starts", "ends"],
+        strategy="bucket",
+        right_types=_DOC_SPANS_TYPES,
+    )
+
+    def scrub_joined(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        _, rfs = _token_positions(parent)
+        srow, ss, se = _flatten_span_lists(batch)
+        return _scrub_table(batch, flat, parent, rfs, srow, ss, se)
+
+    return joined.map_batches(scrub_joined, batch_format="pyarrow")
 
 
 def scrub_with_ref(

@@ -1003,7 +1003,7 @@ def rolling_distinct_daily(
     don't emit rows but are still looked through), re-distincts the
     (id, window-day) pairs — exact because ALL of one id's pairs live in
     this bucket — and emits per-day partial counts; (4) the final
-    exchange sums 64 partial rows per day.  Nothing bigger than the
+    exchange sums one partial row per (day, bucket).  Nothing bigger than the
     distinct-pair stream ever moves."""
     import ray
 

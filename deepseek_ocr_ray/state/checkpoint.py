@@ -87,8 +87,10 @@ def _write_output(ds, path: str, output_format: str) -> None:
         raise ValueError(f"unknown output_format {output_format!r}")
 
 
-def _partition_stats(final_dir: str, output_format: str) -> tuple[int, int, int]:
-    """(n_docs, n_spans, output_bytes) of a written partition directory."""
+def _partition_stats(
+    final_dir: str, output_format: str, sum_col: str = "n_spans"
+) -> tuple[int, int, int]:
+    """(n_docs, sum(sum_col), output_bytes) of a written partition dir."""
     import pyarrow.compute as pc
 
     out_bytes = 0
@@ -100,15 +102,15 @@ def _partition_stats(final_dir: str, output_format: str) -> tuple[int, int, int]
 
         lds = lance.dataset(final_dir)
         n_docs = lds.count_rows()
-        spans_tbl = lds.to_table(columns=["n_spans"])
+        spans_tbl = lds.to_table(columns=[sum_col])
     else:
         import pyarrow.parquet as pq
 
         n_docs = 0
         for f in os.listdir(final_dir):
             n_docs += pq.ParquetFile(os.path.join(final_dir, f)).metadata.num_rows
-        spans_tbl = pq.read_table(final_dir, columns=["n_spans"])
-    n_spans = pc.sum(spans_tbl["n_spans"]).as_py() or 0
+        spans_tbl = pq.read_table(final_dir, columns=[sum_col])
+    n_spans = pc.sum(spans_tbl[sum_col]).as_py() or 0
     return n_docs, int(n_spans), out_bytes
 
 
@@ -134,6 +136,34 @@ def is_complete(out_root: str, input_root: str, pid: int, cfg_fp: str) -> bool:
         and m.get("config_fingerprint") == cfg_fp
         and os.path.isdir(os.path.join(out_root, f"part={pid}"))
     )
+
+
+def _land_partition(out_root: str, pid: int, tmp_dir: str) -> str:
+    """Atomically promote a finished tmp write to ``part={pid}``; a stale
+    partial final dir is replaced (idempotent overwrite)."""
+    final_dir = os.path.join(out_root, f"part={pid}")
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)
+    return final_dir
+
+
+def _write_manifest(out_root: str, pid: int, manifest: dict) -> None:
+    tmp_m = manifest_path(out_root, pid) + ".tmp"
+    with open(tmp_m, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp_m, manifest_path(out_root, pid))
+
+
+def _sweep_tmp_dirs(out_root: str, pids) -> None:
+    """Remove orphaned ``.tmp-{pid}-*`` dirs from crashed runs — ONLY for
+    partitions this run will process, so two concurrent runs sharing an
+    output root over disjoint partition sets can't delete each other's
+    in-flight writes.  Overlapping concurrent runs remain single-writer."""
+    sweep = {str(p) for p in pids}
+    for entry in os.listdir(out_root):
+        if entry.startswith(".tmp-") and entry.split("-")[1] in sweep:
+            shutil.rmtree(os.path.join(out_root, entry), ignore_errors=True)
 
 
 def run_checkpointed(
@@ -170,10 +200,7 @@ def run_checkpointed(
     # for partitions this run will process, so two concurrent runs sharing
     # an output root over disjoint partition sets can't delete each other's
     # in-flight writes.  Overlapping concurrent runs remain single-writer.
-    sweep = {str(p) for p in pids}
-    for entry in os.listdir(out_root):
-        if entry.startswith(".tmp-") and entry.split("-")[1] in sweep:
-            shutil.rmtree(os.path.join(out_root, entry), ignore_errors=True)
+    _sweep_tmp_dirs(out_root, pids)
     missing = [p for p in pids if p not in available]
     if missing:
         raise ValueError(
@@ -197,10 +224,7 @@ def run_checkpointed(
         _write_output(out, tmp_dir, output_format)
         wall = time.monotonic() - t0
 
-        final_dir = os.path.join(out_root, f"part={pid}")
-        if os.path.isdir(final_dir):
-            shutil.rmtree(final_dir)  # stale partial output: idempotent overwrite
-        os.rename(tmp_dir, final_dir)
+        final_dir = _land_partition(out_root, pid, tmp_dir)
 
         n_docs, n_spans, out_bytes = _partition_stats(final_dir, output_format)
 
@@ -217,10 +241,7 @@ def run_checkpointed(
             "output_bytes": out_bytes,
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
-        tmp_m = manifest_path(out_root, pid) + ".tmp"
-        with open(tmp_m, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp_m, manifest_path(out_root, pid))
+        _write_manifest(out_root, pid, manifest)
         computed.append(pid)
         done.append(manifest)
 
@@ -238,30 +259,42 @@ def run_scrub_checkpointed(
     *,
     ngram: int = 5,
     min_count: int = 2,
+    probe: str = "auto",
     partitions: list[int] | None = None,
     max_partitions: int | None = None,
 ) -> dict:
     """Resumable span-level dedup over a ``part=*`` partitioned documents
     corpus: the GLOBAL duplicated-gram aggregate runs once per invocation
     (it is a function of the whole corpus), then each partition scrubs
-    against the broadcast set and lands atomically (tmp + rename) with a
-    lineage manifest.  A rerun skips finished partitions.
+    against it — via the broadcast plan or, when the dup set outgrows
+    plasma (``probe='auto'``/``'join'``), the planner join plan — and
+    lands atomically (tmp + rename) with a lineage manifest.  A rerun
+    skips finished partitions.
 
     Lineage: the config fingerprint embeds (ngram, min_count) AND a
     corpus-level fingerprint over EVERY partition's input — the dup-gram
     set depends on all of them, so changing any input partition
-    invalidates every resume skip, not just its own."""
+    invalidates every resume skip, not just its own.  The probe plan is
+    NOT part of the fingerprint: both plans are byte-identical."""
     import ray.data
 
     from .. import __version__
     from ..pipelines.curation import (
         _dup_gram_dataset,
+        _resolve_probe,
         dup_gram_ref,
+        scrub_with_dup_join,
         scrub_with_ref,
     )
     from ..sources.interleaved import list_partitions
 
     available = set(list_partitions(input_root))
+    if not available:
+        raise ValueError(
+            f"no part=* directories under {input_root!r} — the checkpointed "
+            "runner needs a partitioned corpus (drop --checkpointed for a "
+            "flat parquet directory)"
+        )
     pids = partitions if partitions is not None else sorted(available)
     missing = [p for p in pids if p not in available]
     if missing:
@@ -269,20 +302,20 @@ def run_scrub_checkpointed(
             f"partitions {missing} not found under {input_root!r} "
             f"(available: {sorted(available)})"
         )
+    # one fingerprint sweep, reused for the corpus fingerprint, the skip
+    # checks, and the manifests (3x metadata I/O otherwise)
+    in_fps = {
+        p: _fingerprint_dir(os.path.join(input_root, f"part={p}"))
+        for p in sorted(available)
+    }
     corpus_fp = hashlib.md5(
-        ":".join(
-            f"{p}={_fingerprint_dir(os.path.join(input_root, f'part={p}'))}"
-            for p in sorted(available)
-        ).encode()
+        ":".join(f"{p}={in_fps[p]}" for p in sorted(available)).encode()
     ).hexdigest()
     cfg_fp = hashlib.md5(
         f"scrub:{ngram}:{min_count}:{corpus_fp}:v{__version__}".encode()
     ).hexdigest()
     os.makedirs(os.path.join(out_root, "_ckpt"), exist_ok=True)
-    sweep = {str(p) for p in pids}
-    for entry in os.listdir(out_root):
-        if entry.startswith(".tmp-") and entry.split("-")[1] in sweep:
-            shutil.rmtree(os.path.join(out_root, entry), ignore_errors=True)
+    _sweep_tmp_dirs(out_root, pids)
 
     def _read(pid: int) -> ray.data.Dataset:
         return ray.data.read_parquet(
@@ -290,53 +323,51 @@ def run_scrub_checkpointed(
             columns=["doc_id", "text"],
         )
 
-    todo = [
-        p for p in pids if not is_complete(out_root, input_root, p, cfg_fp)
-    ]
-    done, computed, skipped = (
-        [],
-        [],
-        [p for p in pids if p not in set(todo)],
-    )
-    dup_ref = None
+    def _is_done(pid: int) -> bool:
+        m = load_manifest(out_root, pid)
+        return (
+            m is not None
+            and m.get("input_fingerprint") == in_fps[pid]
+            and m.get("config_fingerprint") == cfg_fp
+            and os.path.isdir(os.path.join(out_root, f"part={pid}"))
+        )
+
+    todo = [p for p in pids if not _is_done(p)]
+    skipped = [p for p in pids if p not in set(todo)]
+    done, computed = [], []
+    scrub_of = None
     if todo:
         # global pass 1 over the WHOLE corpus (not just todo partitions)
         parts = [_read(p) for p in sorted(available)]
         ds_all = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-        dup_ref = dup_gram_ref(_dup_gram_dataset(ds_all, ngram, min_count))
+        dup = _dup_gram_dataset(ds_all, ngram, min_count)
+        if _resolve_probe(probe, dup) == "broadcast":
+            dup_ref = dup_gram_ref(dup)
+
+            def scrub_of(ds):
+                return scrub_with_ref(ds, dup_ref, ngram)
+        else:
+
+            def scrub_of(ds):
+                return scrub_with_dup_join(ds, dup, ngram)
 
     for pid in todo:
         if max_partitions is not None and len(computed) >= max_partitions:
             break
-        in_dir = os.path.join(input_root, f"part={pid}")
-        in_fp = _fingerprint_dir(in_dir)
         t0 = time.monotonic()
-        out = scrub_with_ref(_read(pid), dup_ref, ngram)
         tmp_dir = os.path.join(out_root, f".tmp-{pid}-{uuid.uuid4().hex[:8]}")
-        out.write_parquet(tmp_dir)
+        scrub_of(_read(pid)).write_parquet(tmp_dir)
         wall = time.monotonic() - t0
-        final_dir = os.path.join(out_root, f"part={pid}")
-        if os.path.isdir(final_dir):
-            shutil.rmtree(final_dir)
-        os.rename(tmp_dir, final_dir)
-
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        n_docs, removed, out_bytes = 0, 0, 0
-        for f in os.listdir(final_dir):
-            fp = os.path.join(final_dir, f)
-            out_bytes += os.path.getsize(fp)
-            n_docs += pq.ParquetFile(fp).metadata.num_rows
-        rm = pq.read_table(final_dir, columns=["n_removed"])
-        removed = int(pc.sum(rm["n_removed"]).as_py() or 0)
-
+        final_dir = _land_partition(out_root, pid, tmp_dir)
+        n_docs, removed, out_bytes = _partition_stats(
+            final_dir, "parquet", sum_col="n_removed"
+        )
         manifest = {
             "partition": pid,
             "kind": "scrub",
             "ngram": ngram,
             "min_count": min_count,
-            "input_fingerprint": in_fp,
+            "input_fingerprint": in_fps[pid],
             "config_fingerprint": cfg_fp,
             "engine_version": __version__,
             "docs": n_docs,
@@ -345,16 +376,18 @@ def run_scrub_checkpointed(
             "output_bytes": out_bytes,
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
-        tmp_m = manifest_path(out_root, pid) + ".tmp"
-        with open(tmp_m, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp_m, manifest_path(out_root, pid))
+        _write_manifest(out_root, pid, manifest)
         computed.append(pid)
         done.append(manifest)
 
+    # docs counts BOTH computed and skipped partitions — a full resume
+    # must not read as an empty corpus
+    skipped_docs = sum(
+        (load_manifest(out_root, p) or {}).get("docs", 0) for p in skipped
+    )
     return {
         "computed": computed,
         "skipped": skipped,
         "manifests": done,
-        "total_docs": sum(m["docs"] for m in done),
+        "total_docs": sum(m["docs"] for m in done) + skipped_docs,
     }

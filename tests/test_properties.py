@@ -253,18 +253,50 @@ def test_merge_windows_equals_interval_union(hits, n):
     st.integers(1, 4),
     st.integers(1, 5),
 )
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=100, deadline=None)
 def test_first_k_prefix_mergeable(rows, k, split):
-    """min-k by (ts, event_id) per user survives block-local pruning:
-    first_k(first_k(block1) ∪ first_k(block2)) == first_k(all)."""
-    def first_k(rs):
-        out = {}
-        for u, ts, eid in sorted(rs, key=lambda r: (r[0], r[1], r[2])):
-            out.setdefault(u, [])
-            if len(out[u]) < k:
-                out[u].append((u, ts, eid))
-        return [r for v in out.values() for r in v]
+    """The REAL user_paths kernel (analytics.first_k_prefix) is a
+    mergeable partial: first_k over the union of block-local first_k
+    results equals first_k over everything, and both match a brute
+    per-user sort."""
+    import pyarrow as pa
+
+    from deepseek_ocr_ray.pipelines.analytics import first_k_prefix
+
+    def tab(rs):
+        return pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rs], pa.int64()),
+                "ts": pa.array([r[1] * 1000 for r in rs], pa.timestamp("us")),
+                "event_id": pa.array([r[2] for r in rs], pa.int64()),
+                "event_type": pa.array([f"e{r[2] % 3}" for r in rs]),
+            }
+        )
+
+    def rows_of(t):
+        return sorted(
+            zip(
+                t["user_id"].to_pylist(),
+                [x.timestamp() for x in t["ts"].to_pylist()],
+                t["event_id"].to_pylist(),
+            )
+        )
 
     blocks = [rows[i::split] for i in range(split)]
-    merged = [r for b in blocks for r in first_k(b)]
-    assert sorted(first_k(merged)) == sorted(first_k(rows))
+    merged_parts = [first_k_prefix(tab(b), k)[0] for b in blocks if b]
+    union = (
+        pa.concat_tables(merged_parts) if merged_parts else tab([])
+    )
+    got = rows_of(first_k_prefix(union, k)[0])
+    want = rows_of(first_k_prefix(tab(rows), k)[0])
+    assert got == want
+    # brute reference
+    brute = {}
+    for u, ts, eid in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        brute.setdefault(u, [])
+        if len(brute[u]) < k:
+            brute[u].append((u, float(ts) / 1000.0 * 1000.0, eid))
+    flat = sorted(
+        (u, ts, e) for v in brute.values() for (u, ts, e) in v
+    )
+    assert [(u, e) for u, _, e in got] == [(u, e) for u, _, e in flat]
