@@ -2354,3 +2354,189 @@ SELECT source,
        CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs
 FROM g GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher composite quality filter
+# ---------------------------------------------------------------------------
+
+# The Gopher line-level rules (Rae et al. 2021, table A1) need multi-line
+# documents, which the synthetic corpus doesn't have — so, exactly like
+# pii_scrub's deterministic PII suffix, the document is first ENRICHED by a
+# deterministic rewrite applied identically on the Ray and SQL sides:
+# ' merge ' → newline, ' table ' → newline + '- ' (a bullet line start),
+# ' slow ' → '...' + newline (an ellipsis line end).  Plain left-to-right
+# non-overlapping literal replaces, so Arrow replace_substring and DuckDB
+# replace() agree byte-for-byte.
+_GOPHER_REWRITES = [(" merge ", "\n"), (" table ", "\n- "), (" slow ", "...\n")]
+
+
+def _gopher_enrich(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    for pat, rep in _GOPHER_REWRITES:
+        texts = pc.replace_substring(texts, pat, rep)
+    return texts
+
+
+def _gopher_batch(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    e = _gopher_enrich(batch["text"])
+
+    # line rules — split on newline (split yields >= 1 line per doc, so
+    # every row is represented in the parent index)
+    ll = pc.split_pattern(e, "\n")
+    flat_l = pc.list_flatten(ll)
+    lparent = pc.list_parent_indices(ll).to_numpy(zero_copy_only=False)
+    n_lines = pc.list_value_length(ll).to_numpy(zero_copy_only=False).astype(np.int64)
+    bullet = pc.starts_with(flat_l, "- ").to_numpy(zero_copy_only=False)
+    ellip = pc.ends_with(flat_l, "...").to_numpy(zero_copy_only=False)
+    n_bullet = np.bincount(lparent[bullet], minlength=n).astype(np.int64)
+    n_ellipsis = np.bincount(lparent[ellip], minlength=n).astype(np.int64)
+    # per-doc DISTINCT line count: Arrow C++ hash-groups on (row, line)
+    dg = pa.table(
+        {"p": pa.array(lparent), "l": flat_l}
+    ).group_by(["p", "l"]).aggregate([])
+    n_distinct_lines = np.bincount(
+        dg["p"].to_numpy(zero_copy_only=False), minlength=n
+    ).astype(np.int64)
+    n_dup_lines = n_lines - n_distinct_lines
+
+    # word rules — same tokenization as every other curation oracle
+    flat_w, wparent = tokens_flat(e)
+    n_words = np.bincount(wparent, minlength=n).astype(np.int64)
+    alpha = pc.match_substring_regex(flat_w, "[a-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha_words = np.bincount(wparent[alpha], minlength=n).astype(np.int64)
+
+    # symbol-to-word: '-' and '.' chars (the corpus' only symbols, both
+    # injected by the enrichment) — single-char count_substring equals the
+    # SQL length-diff formulation
+    n_symbols = (
+        pc.count_substring(e, "-").to_numpy(zero_copy_only=False).astype(np.int64)
+        + pc.count_substring(e, ".").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+    # Gopher flags by integer cross-multiplication (1 = rule PASSES)
+    flag_words = ((n_words >= 5) & (n_words <= 100_000)).astype(np.int64)
+    flag_bullet = (10 * n_bullet <= 9 * n_lines).astype(np.int64)
+    flag_ellipsis = (10 * n_ellipsis <= 3 * n_lines).astype(np.int64)
+    flag_alpha = (5 * n_alpha_words >= 4 * n_words).astype(np.int64)
+    flag_symbol = (10 * n_symbols <= n_words).astype(np.int64)
+    flag_dup_lines = (10 * n_dup_lines <= 3 * n_lines).astype(np.int64)
+    gopher_pass = (
+        flag_words & flag_bullet & flag_ellipsis
+        & flag_alpha & flag_symbol & flag_dup_lines
+    )
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_bullet_lines": pa.array(n_bullet, pa.int64()),
+            "n_ellipsis_lines": pa.array(n_ellipsis, pa.int64()),
+            "n_dup_lines": pa.array(n_dup_lines, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_alpha_words": pa.array(n_alpha_words, pa.int64()),
+            "n_symbols": pa.array(n_symbols, pa.int64()),
+            "flag_words": pa.array(flag_words, pa.int64()),
+            "flag_bullet": pa.array(flag_bullet, pa.int64()),
+            "flag_ellipsis": pa.array(flag_ellipsis, pa.int64()),
+            "flag_alpha": pa.array(flag_alpha, pa.int64()),
+            "flag_symbol": pa.array(flag_symbol, pa.int64()),
+            "flag_dup_lines": pa.array(flag_dup_lines, pa.int64()),
+            "gopher_pass": pa.array(gopher_pass, pa.int64()),
+        }
+    )
+
+
+def gopher_quality(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-rule composite quality filter (Rae et al. 2021, table A1).
+
+    Per document, over the deterministically line-enriched text: word-count
+    bounds, bullet-line fraction <= 90 %, ellipsis-line fraction <= 30 %,
+    alphabetic-word fraction >= 80 %, symbol-to-word ratio <= 10 %,
+    duplicate-line fraction <= 30 % — every flag an integer
+    cross-multiplication, composite ``gopher_pass`` the AND of all six.
+
+    Pure map: one replace chain + two Arrow list-splits + C++ hash-groups
+    per batch; zero shuffle, no per-row Python — streams at any corpus
+    size."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_gopher_batch, batch_format="pyarrow")
+
+
+GOPHER_QUALITY_SQL = """
+WITH enr AS (
+  SELECT doc_id,
+         replace(replace(replace(text,
+             ' merge ', chr(10)),
+             ' table ', chr(10) || '- '),
+             ' slow ', '...' || chr(10)) AS etext
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, l
+  FROM enr, unnest(string_split(etext, chr(10))) AS t(l)
+),
+lagg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN starts_with(l, '- ') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bullet_lines,
+         CAST(sum(CASE WHEN ends_with(l, '...') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ellipsis_lines,
+         CAST(count(*) - count(DISTINCT l) AS BIGINT) AS n_dup_lines
+  FROM lines GROUP BY 1
+),
+words AS (
+  SELECT doc_id, w
+  FROM enr, unnest(string_split_regex(lower(etext), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+wagg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_alpha_words
+  FROM words GROUP BY 1
+)
+SELECT e.doc_id,
+       l.n_lines,
+       l.n_bullet_lines,
+       l.n_ellipsis_lines,
+       l.n_dup_lines,
+       coalesce(w.n_words, 0) AS n_words,
+       coalesce(w.n_alpha_words, 0) AS n_alpha_words,
+       CAST(length(etext) - length(replace(etext, '-', ''))
+          + length(etext) - length(replace(etext, '.', '')) AS BIGINT)
+         AS n_symbols,
+       CASE WHEN coalesce(w.n_words, 0) BETWEEN 5 AND 100000
+            THEN 1 ELSE 0 END AS flag_words,
+       CASE WHEN 10 * l.n_bullet_lines <= 9 * l.n_lines
+            THEN 1 ELSE 0 END AS flag_bullet,
+       CASE WHEN 10 * l.n_ellipsis_lines <= 3 * l.n_lines
+            THEN 1 ELSE 0 END AS flag_ellipsis,
+       CASE WHEN 5 * coalesce(w.n_alpha_words, 0) >= 4 * coalesce(w.n_words, 0)
+            THEN 1 ELSE 0 END AS flag_alpha,
+       CASE WHEN 10 * (length(etext) - length(replace(etext, '-', ''))
+                     + length(etext) - length(replace(etext, '.', '')))
+                 <= coalesce(w.n_words, 0)
+            THEN 1 ELSE 0 END AS flag_symbol,
+       CASE WHEN 10 * l.n_dup_lines <= 3 * l.n_lines
+            THEN 1 ELSE 0 END AS flag_dup_lines,
+       CASE WHEN coalesce(w.n_words, 0) BETWEEN 5 AND 100000
+             AND 10 * l.n_bullet_lines <= 9 * l.n_lines
+             AND 10 * l.n_ellipsis_lines <= 3 * l.n_lines
+             AND 5 * coalesce(w.n_alpha_words, 0) >= 4 * coalesce(w.n_words, 0)
+             AND 10 * (length(etext) - length(replace(etext, '-', ''))
+                     + length(etext) - length(replace(etext, '.', '')))
+                 <= coalesce(w.n_words, 0)
+             AND 10 * l.n_dup_lines <= 3 * l.n_lines
+            THEN 1 ELSE 0 END AS gopher_pass
+FROM enr e
+JOIN lagg l USING (doc_id)
+LEFT JOIN wagg w USING (doc_id)
+ORDER BY e.doc_id
+"""

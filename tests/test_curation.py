@@ -524,3 +524,74 @@ def test_skipgram_pairs_brute(ray_session, tmp_path):
         .itertuples(index=False)
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Gopher composite quality filter
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_batch_hand_computed():
+    # enrichment order is merge → table → slow; ' table ' consumes the
+    # space that ' slow ' in doc 1 would have needed, so only the bullet
+    # rewrite fires there (deterministic on both sides — the SQL oracle
+    # nests the replaces in the same order)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # → "a b\nc d\nc d" : 3 lines, one duplicate line
+                    "a b merge c d merge c d",
+                    # → "x slow\n- y z" : bullet start, no ellipsis
+                    "x slow table y z",
+                    # → "big...\nsort err ok go" : ellipsis line end
+                    "big slow sort err ok go",
+                    # no rewrites hit: a single line
+                    "just one line here ok",
+                ]
+            ),
+        }
+    )
+    assert curation._gopher_enrich(batch["text"]).to_pylist() == [
+        "a b\nc d\nc d",
+        "x slow\n- y z",
+        "big...\nsort err ok go",
+        "just one line here ok",
+    ]
+    out = curation._gopher_batch(batch).to_pydict()
+    assert out["n_lines"] == [3, 2, 2, 1]
+    assert out["n_dup_lines"] == [1, 0, 0, 0]
+    assert out["n_bullet_lines"] == [0, 1, 0, 0]
+    assert out["n_ellipsis_lines"] == [0, 0, 1, 0]
+    # doc 1 words: x, slow, -, y, z → 5 words, 4 alphabetic
+    # doc 2 words: big..., sort, err, ok, go → 5 words, all alphabetic
+    assert out["n_words"] == [6, 5, 5, 5]
+    assert out["n_alpha_words"] == [6, 4, 5, 5]
+    # symbols: doc 1 one '-'; doc 2 three '.'
+    assert out["n_symbols"] == [0, 1, 3, 0]
+    # doc 0 dup-line 1/3: 10*1 <= 3*3 is FALSE → flag_dup_lines = 0
+    assert out["flag_dup_lines"] == [0, 1, 1, 1]
+    assert out["flag_words"] == [1, 1, 1, 1]
+    assert out["flag_bullet"] == [1, 1, 1, 1]
+    # doc 2 ellipsis 1/2: 10 <= 6 FALSE
+    assert out["flag_ellipsis"] == [1, 1, 0, 1]
+    # doc 1 alpha 4/5: 20 >= 20 passes
+    assert out["flag_alpha"] == [1, 1, 1, 1]
+    # doc 1: 10*1 > 5 fails; doc 2: 10*3 > 5 fails
+    assert out["flag_symbol"] == [1, 0, 0, 1]
+    assert out["gopher_pass"] == [0, 0, 0, 1]
+
+
+def test_gopher_empty_and_whitespace_docs():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["", "   "]),
+        }
+    )
+    out = curation._gopher_batch(batch).to_pydict()
+    assert out["n_lines"] == [1, 1]
+    assert out["n_words"] == [0, 0]
+    assert out["flag_words"] == [0, 0]
+    assert out["gopher_pass"] == [0, 0]
