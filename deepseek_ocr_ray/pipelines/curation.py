@@ -2540,3 +2540,142 @@ JOIN lagg l USING (doc_id)
 LEFT JOIN wagg w USING (doc_id)
 ORDER BY e.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build (search-index export)
+# ---------------------------------------------------------------------------
+
+
+def token_postings(
+    sf_dir: str, *, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Inverted index over the corpus: one row per distinct token with its
+    document frequency, total term frequency, and the postings list
+    (``"doc_id:tf"`` entries, comma-joined, ascending doc id) — the build
+    step of every search/retrieval system over a training corpus.
+
+    Shape: per-block C++ hash-group to (token, doc_id, tf) partials — one
+    row per distinct (token, doc) per block, never one per occurrence —
+    then ONE token-hash-keyed exchange (volume-sized buckets; a token's
+    postings live in exactly one bucket) where each bucket sorts once and
+    assembles every posting string via Arrow ``binary_join`` over a
+    boundary-offset list array.  No per-row Python anywhere.
+
+    At 100 TB the vocabulary is capped upstream (corpus vocabularies
+    plateau) but a SINGLE token's postings can exceed a task: a production
+    index additionally range-partitions postings by doc id within token
+    (the layout ``state.checkpoint`` writers produce per partition).  The
+    one-bucket-per-token layout here is the within-partition kernel of
+    that design.
+    """
+    from ..cluster import assembly_buckets_for_bytes, dataset_size_estimate
+    from ..hashing import string_hash64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if n_buckets is None:
+        n_buckets = assembly_buckets_for_bytes(dataset_size_estimate(ds))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table(
+            {
+                "token": flat,
+                "doc_id": pa.array(docs[parent], pa.int64()),
+            }
+        ).group_by(["token", "doc_id"]).aggregate([([], "count_all")])
+        tok = g["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        bucket = (string_hash64(tok) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "token": tok,
+                "doc_id": g["doc_id"],
+                "tf": g["count_all"].cast(pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    _EMPTY = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "total_tf": pa.array([], pa.int64()),
+            "postings": pa.array([], pa.string()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "token" not in group.column_names:
+            if group.num_rows:
+                raise RuntimeError(
+                    "token_postings bucket is non-empty but lacks the token "
+                    f"column (columns: {group.column_names})"
+                )
+            return _EMPTY
+        # layout-invariant: re-sum tf in case a (token, doc) pair ever
+        # spans blocks (it can't for the unique-doc_id documents table,
+        # but the kernel shouldn't depend on that)
+        g = (
+            group.group_by(["token", "doc_id"])
+            .aggregate([("tf", "sum")])
+            .rename_columns(["token", "doc_id", "tf"])
+            .sort_by([("token", "ascending"), ("doc_id", "ascending")])
+        )
+        n = g.num_rows
+        tok = g["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        neq = pc.not_equal(tok.slice(1, n - 1), tok.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.r_[0, np.flatnonzero(neq) + 1]
+        df = np.diff(np.r_[starts, n]).astype(np.int64)
+        total = np.add.reduceat(tf, starts).astype(np.int64)
+        entries = pc.binary_join_element_wise(
+            pc.cast(g["doc_id"], pa.string()),
+            pc.cast(g["tf"], pa.string()),
+            ":",
+        )
+        if isinstance(entries, pa.ChunkedArray):
+            entries = entries.combine_chunks()
+        offsets = pa.array(np.r_[starts, n].astype(np.int32))
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, entries), ","
+        )
+        return pa.table(
+            {
+                "token": tok.take(pa.array(starts)),
+                "df": pa.array(df, pa.int64()),
+                "total_tf": pa.array(total, pa.int64()),
+                "postings": postings,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .sort("token")
+    )
+
+
+TOKEN_POSTINGS_SQL = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+  FROM words GROUP BY 1, 2
+)
+SELECT w AS token,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(n) AS BIGINT) AS total_tf,
+       string_agg(doc_id || ':' || n, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY w ORDER BY token
+"""

@@ -595,3 +595,69 @@ def test_gopher_empty_and_whitespace_docs():
     assert out["n_words"] == [0, 0]
     assert out["flag_words"] == [0, 0]
     assert out["gopher_pass"] == [0, 0]
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build
+# ---------------------------------------------------------------------------
+
+
+def test_token_postings_hand_computed(ray_session, tmp_path):
+    import os
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([7, 3, 10], pa.int64()),
+            "text": pa.array(["b a b B", "a c", "c c c a"]),
+        }
+    )
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = (
+        curation.token_postings(str(tmp_path))
+        .to_pandas()
+        .set_index("token")
+    )
+    # 'b' appears 3× in doc 7 only (lowercased)
+    assert out.loc["b", "df"] == 1
+    assert out.loc["b", "total_tf"] == 3
+    assert out.loc["b", "postings"] == "7:3"
+    # 'a': doc 3 once, doc 7 once, doc 10 once — ascending doc order
+    assert out.loc["a", "postings"] == "3:1,7:1,10:1"
+    assert out.loc["a", "df"] == 3
+    # 'c': doc 3 once, doc 10 three times
+    assert out.loc["c", "postings"] == "3:1,10:3"
+    assert out.loc["c", "total_tf"] == 4
+    assert list(out.index) == sorted(out.index)
+
+
+def test_token_postings_layout_invariant(ray_session, tmp_path):
+    import os
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": pa.array(
+                [" ".join(rng.choice(vocab, rng.randint(1, 9))) for _ in range(40)]
+            ),
+        }
+    )
+    one = os.path.join(str(tmp_path), "one")
+    many = os.path.join(str(tmp_path), "many")
+    os.makedirs(one), os.makedirs(many)
+    pq.write_table(docs, os.path.join(one, "documents.parquet"))
+    # vary the layout (8-row row groups) AND the exchange (3 buckets)
+    pq.write_table(docs, os.path.join(many, "documents.parquet"), row_group_size=8)
+    a = curation.token_postings(one).to_pandas().sort_values("token").reset_index(drop=True)
+    b = (
+        curation.token_postings(many, n_buckets=3)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
