@@ -1350,6 +1350,82 @@ def embedding_dup_pairs_brute(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (k-means clusters + within-cluster exact-cosine keeper walk)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    sample_size: int = 2048,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    near-dedup WITHIN each cluster by exact cosine — kept ids out.
+
+    Where SRP-LSH dedup (:func:`embedding_dedup`) buckets by random
+    projections, SemDeDup buckets by learned cluster structure, which is
+    the published recipe for semantic-level training-data pruning (near-dup
+    pairs land in the same k-means cell with far higher recall than a
+    random hyperplane band at the same bucket count).
+
+    Plan: centroids come from the same deterministic sample + Lloyd's
+    k-means the IVF ANN index uses (``similarity.IVFIndex.build`` — seeded
+    init, fixed iterations, id-sorted sample, so centroids are identical at
+    any parallelism); assignment is one streamed ``map_batches``; ONE
+    cell-keyed exchange co-locates each cluster; the in-cell walk sorts by
+    id and greedily keeps a vector iff its max cosine against the already
+    kept set clears ``threshold`` — one vectorized matvec per member, no
+    pair table.  Exchange rows carry (id, vector): ~4·dim bytes/row, once.
+
+    Scale contract: per-cell work is O(|cell|²·dim) flops and O(|cell|·dim)
+    memory, so ``n_cells`` must grow ∝ corpus size (exactly the IVF sizing
+    rule) — with that, cell width is bounded and the walk stays in-task.
+    Determinism: the fixture pin gates any float-boundary movement, same as
+    the SRP path.
+    """
+    from .similarity import IVFIndex, _normalize
+
+    idx = IVFIndex(
+        n_cells,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        sample_size=sample_size,
+    ).build(ds.select_columns([id_col, vec_col]))
+    assert idx.assigned is not None
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(id_col, "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        vecs = np.ascontiguousarray(
+            _normalize(list_to_matrix(g[vec_col], np.float32)).astype(
+                np.float64
+            )
+        )
+        kept: list[int] = []
+        keep = np.zeros(n, bool)
+        for i in range(n):
+            if kept and (vecs[kept] @ vecs[i]).max() >= threshold:
+                continue
+            keep[i] = True
+            kept.append(i)
+        return pa.table({id_col: g[id_col].filter(pa.array(keep))})
+
+    return (
+        idx.assigned.select_columns([id_col, vec_col, "cell"])
+        .groupby("cell")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # normalized exact dedup (canonicalize-then-hash, C4-style)
 # ---------------------------------------------------------------------------
 

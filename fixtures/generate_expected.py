@@ -65,6 +65,7 @@ def main() -> None:
             ("dedup_simhash", "doc_id"),
             ("dedup_ngram", "doc_id"),
             ("dedup_embedding", "vec_id"),
+            ("dedup_semantic", "vec_id"),
             ("dedup_minhash_incremental", "doc_id"),
             # vectorized-hash sampling paths: kept-id pins for the
             # non-SQL-expressible engine hash

@@ -109,6 +109,51 @@ def test_embedding_dedup(ray_session):
     assert 5 not in kept and 9 not in kept
 
 
+def test_semantic_dedup(ray_session):
+    """SemDeDup keeps the min-id of each near-dup pair when the pair lands
+    in the same k-means cell — exact dups ALWAYS co-assign, so 9 (== 2)
+    must drop; 5 (0 + tiny noise) co-assigns for any reasonable centroids."""
+    kept = dedup.semantic_dedup(
+        _ds(_emb_table()), n_cells=4, threshold=0.95
+    ).to_pandas()["vec_id"].tolist()
+    assert 0 in kept and 2 in kept
+    assert 5 not in kept and 9 not in kept
+
+
+def test_semantic_dedup_sound_vs_brute(ray_session):
+    """Soundness: every dropped id must have a brute-force cosine witness
+    ≥ threshold against some surviving lower-id vector (SemDeDup never
+    drops a vector without an in-cell near-dup, and in-cell cosine is
+    exact — so a drop without ANY corpus-wide witness would be a bug)."""
+    tbl = _emb_table()
+    kept = set(
+        dedup.semantic_dedup(_ds(tbl), n_cells=4, threshold=0.95)
+        .to_pandas()["vec_id"]
+    )
+    pairs = dedup.embedding_dup_pairs_brute(
+        _ds(tbl), threshold=0.95
+    ).to_pandas()
+    witnessed = set(pairs.id_b) | set(pairs.id_a)
+    dropped = set(range(20)) - kept
+    assert dropped <= witnessed
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_semantic_dedup_parallelism_invariant(ray_session, blocks):
+    """Kept set is a pure function of (corpus, seed): centroids come from
+    an id-sorted deterministic sample and the in-cell walk sorts by id, so
+    block layout must not move the result."""
+    a = sorted(
+        dedup.semantic_dedup(_ds(_emb_table(), blocks), n_cells=4)
+        .to_pandas()["vec_id"]
+    )
+    b = sorted(
+        dedup.semantic_dedup(_ds(_emb_table(), 2), n_cells=4)
+        .to_pandas()["vec_id"]
+    )
+    assert a == b
+
+
 def test_embedding_pairs_brute(ray_session):
     pairs = dedup.embedding_dup_pairs_brute(
         _ds(_emb_table()), threshold=0.95
