@@ -3080,6 +3080,137 @@ def q5_local_volume(
     )
 
 
+def q18_big_orders(
+    sf_dir: str,
+    min_qty: int = 250,
+    limit: int = 100,
+    survivor_strategy: str = "broadcast",
+) -> ray.data.Dataset:
+    """TPC-H Q18 shape — large-quantity orders: (customer, order) rows
+    whose order's total lineitem quantity exceeds ``min_qty``, largest
+    orders first.
+
+    Scale plan: the HAVING aggregate reduces lineitem per block (one row
+    per (orderkey, block) after the in-block C++ group) into ONE
+    volume-sized orderkey exchange; the survivor set is
+    selectivity-bounded (TPC-H picks ``min_qty`` so ~0.2% of orders
+    survive), so it ships ONCE as a broadcast lookup that both big scans
+    probe — orders joins it locally, and the resulting one-row-per-
+    surviving-order table broadcasts against the customer scan.  Neither
+    big table is ever exchanged.  A ``min_qty`` low enough to outgrow the
+    256 MiB broadcast guard raises with guidance; pass
+    ``survivor_strategy='bucket'`` to route both survivor joins through
+    the keyed-exchange plan instead.  Quantities are integral by TPC-H
+    construction → exact int64 sums; o_totalprice uses q3's pinned
+    integer-cents kernel.
+    """
+    from ..stages.agg import bucket_groupby_sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "qty": pa.array(q, pa.int64())}
+        )
+        g = t.group_by("l_orderkey").aggregate([("qty", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "sum_qty": g["qty_sum"].cast(pa.int64()),
+            }
+        )
+
+    survivors = bucket_groupby_sum(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        ["sum_qty"],
+        n_buckets=assembly_buckets_for_bytes(table_file_bytes(sf_dir, "lineitem")),
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"], min_qty)),
+        batch_format="pyarrow",
+    )
+
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_orderdate": pc.strftime(
+                    batch["o_orderdate"], format="%Y-%m-%d"
+                ),
+                "total_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ord_big = equi_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        survivors,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        join_type="inner",
+        left_cols=["o_orderkey", "o_custkey", "o_orderdate", "total_cents"],
+        right_cols=["sum_qty"],
+        strategy=survivor_strategy,
+        # a fully-filtered survivor stream has no derivable schema
+        right_types={"l_orderkey": pa.int64(), "sum_qty": pa.int64()},
+    )
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = equi_join(
+        cust,
+        ord_big,
+        on="c_custkey",
+        right_on="o_custkey",
+        join_type="inner",
+        left_cols=["c_custkey", "c_name"],
+        right_cols=["o_orderkey", "o_orderdate", "total_cents", "sum_qty"],
+        strategy=survivor_strategy,
+        right_types={
+            "o_orderkey": pa.int64(),
+            "o_custkey": pa.int64(),
+            "o_orderdate": pa.string(),
+            "total_cents": pa.int64(),
+            "sum_qty": pa.int64(),
+        },
+    )
+    return out.sort(
+        ["total_cents", "o_orderdate", "o_orderkey"],
+        descending=[True, False, False],
+    ).limit(limit)
+
+
+Q18_BIG_ORDERS_SQL = """
+SELECT c.c_custkey,
+       c.c_name,
+       o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       s.sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN (
+    SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 250
+) s ON o.o_orderkey = s.l_orderkey
+ORDER BY total_cents DESC, o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
 Q5_LOCAL_VOLUME_SQL = """
 SELECT n_name,
        CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)

@@ -476,3 +476,31 @@ def test_corpus_report_with_dups(ray_session, tmp_path):
     assert row.n_chars == sum(len(t) for t in texts)
     assert row.n_tokens == 3 + 3 + 2 + 0 + 3
     assert row.max_doc_tokens == 3 and row.min_doc_tokens == 0
+
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_q18_empty_survivors(ray_session):
+    """min_qty above the max possible order quantity ⇒ zero survivors —
+    the fully-filtered survivor stream has no derivable schema, so this
+    exercises the explicit right_types path end-to-end."""
+    out = analytics.q18_big_orders(SF_SMALL, min_qty=10**9).to_pandas()
+    assert len(out) == 0
+
+
+def test_q18_bucket_strategy_equal(ray_session):
+    """The keyed-exchange escalation (survivor set too big to broadcast)
+    must return exactly the broadcast plan's rows."""
+    a = (
+        analytics.q18_big_orders(SF_SMALL)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    b = (
+        analytics.q18_big_orders(SF_SMALL, survivor_strategy="bucket")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.sum_qty > 250).all() and len(a) > 0
