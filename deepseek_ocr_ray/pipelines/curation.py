@@ -2679,3 +2679,138 @@ SELECT w AS token,
        string_agg(doc_id || ':' || n, ',' ORDER BY doc_id) AS postings
 FROM tf GROUP BY w ORDER BY token
 """
+
+
+def doc_rarity(
+    sf_dir: str, *, top_k: int = 256, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-document lexical-commonness signal: how much of each document is
+    built from the corpus's ``top_k`` highest-document-frequency tokens
+    (the corpus-derived "stopword" set — CCNet/Gopher-style quality
+    filters threshold exactly this kind of statistic: near-1 ⇒ glue-word
+    soup, near-0 ⇒ jargon/garbage).
+
+    Output: one row per document — ``n_tokens``, ``n_stop_tokens``
+    (tokens in the top-k set), ``stop_ppm`` (integer
+    ``10^6·stop // n``, 0 for empty docs), ``n_distinct_tokens``.
+
+    Shape: pass A computes token document frequency exactly — per-block
+    distinct (token, doc) partials (exact because each document lives in
+    one row, the same layout contract ``token_postings`` documents), one
+    token-keyed coarse-bucket aggregate, per-block top-k prune (exact:
+    the global top-k is a subset of the union of block top-ks over the
+    unique-token df table) into a tiny sort — and broadcasts the ≤top_k
+    stopword set once via plasma.  Pass B is a zero-shuffle map: one
+    ``pc.is_in`` probe + ``np.bincount`` per block, one output row per
+    input row (empty docs ride through with zeros).  Tie-break at the
+    top-k boundary is (df desc, token asc) on both engine and SQL sides.
+    """
+    from ..stages.agg import bucket_groupby_sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        g = (
+            pa.table({"token": flat, "d": pa.array(parent, pa.int64())})
+            .group_by(["token", "d"])
+            .aggregate([])
+            .group_by("token")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"token": g["token"], "df": g["count_all"].cast(pa.int64())}
+        )
+
+    df_tbl = bucket_groupby_sum(
+        docs.map_batches(df_partial, batch_format="pyarrow"),
+        ["token"],
+        ["df"],
+        n_buckets=n_buckets,
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= top_k:
+            return batch
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("df", "descending"), ("token", "ascending")],
+        )
+        return batch.take(order.slice(0, top_k))
+
+    top = (
+        df_tbl.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["df", "token"], descending=[True, False])
+        .limit(top_k)
+        .take_all()
+    )
+    stop_set = pa.array(sorted(r["token"] for r in top), pa.string())
+    stop_ref = ray.put(stop_set)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        flat, parent = tokens_flat(batch["text"])
+        n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        in_stop = pc.is_in(flat, value_set=ray.get(stop_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(
+            parent, weights=in_stop.astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        # distinct tokens per doc: in-block C++ group over (token, row) —
+        # exact because a document is one row in one block
+        g = (
+            pa.table({"t": flat, "d": pa.array(parent, pa.int64())})
+            .group_by(["t", "d"])
+            .aggregate([])
+        )
+        n_dist = np.bincount(
+            g["d"].to_numpy(zero_copy_only=False), minlength=n_rows
+        ).astype(np.int64)
+        ppm = np.zeros(n_rows, np.int64)
+        nz = n_tok > 0
+        ppm[nz] = (1_000_000 * n_stop[nz]) // n_tok[nz]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stop_tokens": pa.array(n_stop, pa.int64()),
+                "stop_ppm": pa.array(ppm, pa.int64()),
+                "n_distinct_tokens": pa.array(n_dist, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_doc, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_rarity_sql(top_k: int = 256) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+),
+top AS (
+  SELECT w FROM df ORDER BY df DESC, w LIMIT {top_k}
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (WHERE w IN (SELECT w FROM top)) AS BIGINT)
+             AS n_stop_tokens,
+         CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+  FROM words GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_stop_tokens, 0) AS n_stop_tokens,
+       CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
+            ELSE 1000000 * p.n_stop_tokens // p.n_tokens END AS stop_ppm,
+       COALESCE(p.n_distinct_tokens, 0) AS n_distinct_tokens
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""

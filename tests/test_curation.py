@@ -661,3 +661,78 @@ def test_token_postings_layout_invariant(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_doc_rarity_engineered(ray_session, tmp_path):
+    """Known df structure: 'the' appears in all docs, 'cat'/'dog' in two,
+    rare words in one.  top_k=2 ⇒ stop set {the, cat} (df tie at 2 broken
+    by token asc: cat < dog).  Empty doc rides through with zeros."""
+    import os
+    import pyarrow.parquet as pq
+
+    texts = [
+        "the cat sat",          # the(stop) cat(stop) sat → 2/3
+        "the dog ran",          # the → 1/3
+        "the the zebra",        # the the → 2/3, distinct 2
+        "",                     # zeros
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = (
+        curation.doc_rarity(str(tmp_path), top_k=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # df: the=3, cat=1, dog=1, ran=1, sat=1, zebra=1 → top2 = {the, cat}
+    assert out.loc[0].n_tokens == 3 and out.loc[0].n_stop_tokens == 2
+    assert out.loc[0].stop_ppm == 2_000_000 // 3
+    assert out.loc[1].n_stop_tokens == 1
+    assert out.loc[2].n_tokens == 3 and out.loc[2].n_stop_tokens == 2
+    assert out.loc[2].n_distinct_tokens == 2
+    assert (
+        out.loc[3].n_tokens == 0
+        and out.loc[3].stop_ppm == 0
+        and out.loc[3].n_distinct_tokens == 0
+    )
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_doc_rarity_layout_invariant(ray_session, tmp_path, blocks):
+    """df pass and per-doc pass are both layout-independent given the
+    one-row-per-doc contract — kept statistics must not move with block
+    count (exercised through the parquet row-group path via repartition
+    inside the operator's own read? no — the operator reads the dir, so
+    vary the FILE layout instead)."""
+    import os
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 12)).tolist())
+        for _ in range(60)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    d = os.path.join(str(tmp_path), f"lay{blocks}")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"),
+                   row_group_size=max(1, 60 // blocks))
+    out = curation.doc_rarity(d, top_k=3).to_pandas()
+    base_dir = os.path.join(str(tmp_path), "base")
+    os.makedirs(base_dir)
+    pq.write_table(tbl, os.path.join(base_dir, "documents.parquet"))
+    base = curation.doc_rarity(base_dir, top_k=3).to_pandas()
+    pd_testing = __import__("pandas").testing
+    pd_testing.assert_frame_equal(out, base)
