@@ -646,3 +646,93 @@ class PQIndex:
         return local.groupby("query_id").map_groups(
             _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
         )
+
+
+# ---------------------------------------------------------------------------
+# kNN label consistency (mislabel / noisy-annotation detection)
+# ---------------------------------------------------------------------------
+
+
+def label_consistency(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dtype=np.float64,
+) -> ray.data.Dataset:
+    """Per-vector kNN label agreement — the Confident-Learning-style
+    noisy-label screen: for every vector, how many of its ``k`` exact
+    cosine nearest neighbors (excluding itself, ties broken by id) share
+    its label.  ``suspect`` flags rows where agreement is below half of
+    the effective neighbor count — the rows a labeling pass should
+    re-examine.
+
+    Shape: the (id, label, L2-normalized matrix) corpus ships ONCE via
+    plasma (one copy per node, zero-copy reads per task — the same
+    broadcast discipline as the ANN query matrix) and the corpus streams
+    against it as the query side: one float64 matmul + per-row lexsort
+    per batch, no exchange at all.  This is the EXACT baseline — at
+    corpus sizes past the broadcast budget, the scale path is the IVF
+    cell-probe (``IVFIndex.search`` machinery): probe the query's nprobe
+    cells and rank within, trading exactness for recall exactly as
+    ``ann_ivf`` documents.
+
+    ``dtype`` float64 keeps ranking bit-comparable to a double-precision
+    SQL oracle (the ``ann_topk`` precedent).
+    """
+    from ..cluster import collect_table
+
+    full = collect_table(
+        ds.select_columns([id_col, label_col, vec_col])
+    )
+    if full is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    label_col: pa.array([], pa.int32()),
+                    "n_agree": pa.array([], pa.int64()),
+                    "suspect": pa.array([], pa.int64()),
+                }
+            )
+        )
+    # corpus columns ordered by ascending id ⇒ a STABLE argsort over -sims
+    # breaks cosine ties by id asc with no per-row Python
+    full = full.sort_by([(id_col, "ascending")])
+    ids_all = ints_to_numpy(full[id_col], np.int64)
+    labels_all = ints_to_numpy(full[label_col], np.int64)
+    mat = np.ascontiguousarray(
+        _normalize(list_to_matrix(full[vec_col], dtype))
+    )
+    corpus_ref = ray.put((ids_all, labels_all, mat))
+    k_eff = min(k, len(ids_all) - 1)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cids, clabs, cmat = ray.get(corpus_ref)
+        ids = ints_to_numpy(batch[id_col], np.int64)
+        labs = ints_to_numpy(batch[label_col], np.int64)
+        vecs = _normalize(list_to_matrix(batch[vec_col], dtype))
+        sims = (vecs @ cmat.T).astype(np.float64)  # (b, N)
+        sims[ids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        if k_eff > 0:
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :k_eff]
+            n_agree = np.sum(
+                clabs[order] == labs[:, None], axis=1
+            ).astype(np.int64)
+        else:
+            n_agree = np.zeros(len(ids), np.int64)
+        suspect = (2 * n_agree < k_eff).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                label_col: batch[label_col],
+                "n_agree": pa.array(n_agree, pa.int64()),
+                "suspect": pa.array(suspect, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, label_col, vec_col]).map_batches(
+        score, batch_format="pyarrow"
+    ).sort(id_col)

@@ -287,3 +287,62 @@ def test_pq_codes_are_m_bytes(ray_session):
     assert all(len(r["code"]) == 16 for r in enc)
     with pytest.raises(ValueError, match="not divisible"):
         PQIndex(m=7).build(ray.data.from_arrow(tab))
+
+
+def test_label_consistency_flags_mislabels(ray_session):
+    """Two tight clusters of 8, one vector in cluster A carries cluster
+    B's label → its neighbors all disagree (suspect), everyone else's
+    neighbors all agree (k=5 < cluster size)."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.similarity import label_consistency
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(16).astype(np.float32)
+    b = rng.randn(16).astype(np.float32)
+    vecs = np.r_[
+        [a + 0.01 * rng.randn(16) for _ in range(8)],
+        [b + 0.01 * rng.randn(16) for _ in range(8)],
+    ].astype(np.float32)
+    labels = np.array([0] * 8 + [1] * 8, np.int32)
+    labels[3] = 1  # mislabeled: sits in cluster A, tagged B
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(16), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+    ).repartition(3)
+    out = label_consistency(ds, k=5).to_pandas().set_index("vec_id")
+    assert out.loc[3].suspect == 1 and out.loc[3].n_agree == 0
+    clean = out.drop(index=3)
+    # cluster A's members see one disagreeing neighbor at most (the
+    # mislabeled row sits among their 5-NN); cluster B's see none
+    assert (clean.suspect == 0).all()
+    assert (clean.loc[8:].n_agree == 5).all()
+
+
+def test_label_consistency_parallelism_invariant(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from deepseek_ocr_ray.stages.similarity import label_consistency
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            "label": pa.array(rng.randint(0, 3, 30), pa.int32()),
+        }
+    )
+    outs = [
+        label_consistency(
+            ray.data.from_arrow(tbl).repartition(n), k=7
+        ).to_pandas()
+        for n in (1, 6)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
