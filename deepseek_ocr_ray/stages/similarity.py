@@ -661,6 +661,7 @@ def label_consistency(
     id_col: str = "vec_id",
     label_col: str = "label",
     dtype=np.float64,
+    batch_size: int = 512,
 ) -> ray.data.Dataset:
     """Per-vector kNN label agreement — the Confident-Learning-style
     noisy-label screen: for every vector, how many of its ``k`` exact
@@ -733,6 +734,8 @@ def label_consistency(
             }
         )
 
+    # batch_size bounds the per-task similarity matrix at batch×N×8 bytes
+    # (the corpus dimension N is already capped by the broadcast budget)
     return ds.select_columns([id_col, label_col, vec_col]).map_batches(
-        score, batch_format="pyarrow"
+        score, batch_format="pyarrow", batch_size=batch_size
     ).sort(id_col)
