@@ -3388,3 +3388,157 @@ SELECT doc_id, source FROM (
   WHERE source IS NOT NULL
 ) WHERE rk <= 10 ORDER BY doc_id
 """
+
+
+def doc_lm_score(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style corpus-LM quality scoring in exact integers: train a
+    bigram language model ON the corpus (conditional probability of each
+    bigram given its left token, in ppm: ``10^6·c(w1w2) // c(w1·)``), then
+    score every document by the sum/mean conditional ppm of its bigrams —
+    low mean ⇒ token sequences the corpus considers improbable (gibberish,
+    boilerplate soup); the integer floor-division replicates verbatim in
+    SQL so the driver hash gate stays exact.
+
+    Shape: pass 1 reduces blocks to bigram-count partials through the
+    coarse-bucket C++ aggregate (bigram vocabulary plateaus, so the
+    reduced table is bounded); prefix counts and conditional ppms derive
+    from that REDUCED table on the driver and broadcast once via plasma.
+    Pass 2 is a zero-shuffle map: rebuild each block's bigrams (same
+    tokenize + adjacency as pass 1 ⇒ every lookup hits), one ``index_in``
+    probe + two bincounts per batch, one output row per document (docs
+    with <2 tokens ride through with zeros).  Exact to ~9e12 occurrences
+    of a single bigram (10^6·c12 in int64) — guarded loudly.
+    """
+    from ..cluster import collect_table
+    from ..stages.agg import bucket_groupby_sum
+    from .curation import tokens_flat
+
+    txt = read_table(sf_dir, "documents", columns=["text"])
+
+    _EMPTY_CNT = pa.table(
+        {"bg": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+    )
+
+    def _bigrams(batch_text):
+        flat, parent = tokens_flat(batch_text)
+        if len(parent) >= 2:
+            adj = np.flatnonzero(parent[1:] == parent[:-1])
+        else:
+            adj = np.array([], np.int64)
+        if not len(adj):
+            return None, None
+        bg = pc.binary_join_element_wise(
+            flat.take(pa.array(adj)), flat.take(pa.array(adj + 1)), " "
+        )
+        return bg, parent[adj]
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        bg, _ = _bigrams(batch["text"])
+        if bg is None:
+            return _EMPTY_CNT
+        g = pa.table({"bg": bg}).group_by("bg").aggregate([([], "count_all")])
+        return pa.table(
+            {"bg": g["bg"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    cnt = collect_table(
+        bucket_groupby_sum(
+            txt.map_batches(big_partial, batch_format="pyarrow"),
+            ["bg"],
+            ["c"],
+        )
+    )
+    if cnt is None:
+        cnt = _EMPTY_CNT
+    c12 = cnt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if c12.size and int(c12.max()) > 9_000_000_000_000:
+        raise ValueError(
+            "doc_lm_score ppm staging is exact only to 9e12 occurrences "
+            f"per bigram (got {int(c12.max())}); use 128-bit staging"
+        )
+    # left token of each bigram → prefix counts → conditional ppm,
+    # all on the REDUCED (bigram-vocab-bounded) table
+    parts = pc.list_flatten(
+        pc.split_pattern(cnt["bg"], " ", max_splits=1)
+    )
+    left = parts.take(pa.array(np.arange(0, 2 * cnt.num_rows, 2), pa.int64()))
+    lt = pa.table({"left": left, "c": cnt["c"]})
+    pre = lt.group_by("left").aggregate([("c", "sum")])
+    pidx = pc.index_in(left, value_set=pre["left"].combine_chunks())
+    prefix = (
+        pre["c_sum"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)[pidx.to_numpy(zero_copy_only=False)]
+    )
+    ppm_vals = (1_000_000 * c12) // np.maximum(prefix, 1)
+    keys = cnt["bg"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    lm_ref = ray.put((keys, ppm_vals))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        bg, drow = _bigrams(batch["text"])
+        n_big = np.zeros(n_rows, np.int64)
+        s = np.zeros(n_rows, np.int64)
+        if bg is not None:
+            lm_keys, lm_ppm = ray.get(lm_ref)
+            idx = pc.index_in(bg, value_set=lm_keys).to_numpy(
+                zero_copy_only=False
+            )
+            vals = lm_ppm[idx]  # trained on this corpus ⇒ every probe hits
+            n_big = np.bincount(drow, minlength=n_rows).astype(np.int64)
+            s = np.bincount(
+                drow, weights=vals.astype(np.float64), minlength=n_rows
+            ).astype(np.int64)
+        mean = np.zeros(n_rows, np.int64)
+        nz = n_big > 0
+        mean[nz] = s[nz] // n_big[nz]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "sum_cond_ppm": pa.array(s, pa.int64()),
+                "mean_cond_ppm": pa.array(mean, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_LM_SCORE_SQL = """
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks)-1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM l
+), bc AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1
+), pre AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS cp
+  FROM bc GROUP BY 1
+), ppm AS (
+  SELECT bg, 1000000 * c12 // cp AS p
+  FROM bc JOIN pre ON pre.w1 = split_part(bc.bg, ' ', 1)
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(p) AS BIGINT) AS sum_cond_ppm
+  FROM big JOIN ppm USING (bg) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.sum_cond_ppm, 0) AS sum_cond_ppm,
+       CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0
+            ELSE p.sum_cond_ppm // p.n_bigrams END AS mean_cond_ppm
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -574,3 +574,51 @@ def test_sample_k_per_group_brute_equal(ray_session):
         .tolist()
     )
     assert out.doc_id.tolist() == brute
+
+
+def test_doc_lm_score_hand_computed(ray_session, tmp_path):
+    """Tiny corpus with a known bigram LM: c('a b')=2, c('a c')=1,
+    prefix c(a·)=3 ⇒ ppm('a b')=666666, ppm('a c')=333333; empty and
+    single-token docs ride through with zeros."""
+    import os
+    import pyarrow.parquet as pq
+
+    texts = ["a b", "a c", "a b", "", "z"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = analytics.doc_lm_score(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0].sum_cond_ppm == 666666 and out.loc[0].n_bigrams == 1
+    assert out.loc[1].sum_cond_ppm == 333333
+    assert out.loc[2].mean_cond_ppm == 666666
+    assert out.loc[3].n_bigrams == 0 and out.loc[3].mean_cond_ppm == 0
+    assert out.loc[4].n_bigrams == 0 and out.loc[4].sum_cond_ppm == 0
+
+
+def test_doc_lm_score_layout_invariant(ray_session, tmp_path):
+    import os
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(21)
+    vocab = [f"w{i}" for i in range(7)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 15)).tolist())
+        for _ in range(80)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(80), pa.int64()), "text": pa.array(texts)}
+    )
+    outs = []
+    for tag, rg in (("one", 80), ("many", 7)):
+        d = os.path.join(str(tmp_path), tag)
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"),
+                       row_group_size=rg)
+        outs.append(analytics.doc_lm_score(d).to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
