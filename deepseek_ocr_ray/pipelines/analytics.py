@@ -3542,3 +3542,128 @@ FROM documents d
 LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def daily_active_spans(sf_dir: str) -> ray.data.Dataset:
+    """Interval stabbing: for every OBSERVED day, how many users' activity
+    span (first event .. last event) covers it — the "accounts open",
+    "subscriptions live", "contracts in force" shape, where naive per-day
+    expansion is O(users × span length).
+
+    Shape: the classic boundary prefix-sum — blocks reduce to per-user
+    min/max day partials through ONE user-keyed coarse aggregate; the
+    REDUCED per-user table maps to boundary deltas (+1 at d0, −1 at d1+1)
+    into a tiny day-keyed aggregate (calendar-bounded); observed days
+    reduce the same way.  The finish (sort boundary days, cumsum, read
+    the running value at each observed day via searchsorted) runs on the
+    driver over two calendar-bounded tables — the ``corpus_report``
+    pattern, never the corpus.
+    """
+    from ..cluster import collect_table
+    from ..stages.agg import bucket_groupby_agg, bucket_groupby_sum
+
+    US_PER_DAY = 86_400_000_000
+
+    events = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()), US_PER_DAY)
+        g = (
+            pa.table({"user_id": batch["user_id"], "day": day})
+            .group_by("user_id")
+            .aggregate([("day", "min"), ("day", "max")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "dmin": g["day_min"].cast(pa.int64()),
+                "dmax": g["day_max"].cast(pa.int64()),
+            }
+        )
+
+    spans = bucket_groupby_agg(
+        events.map_batches(day_partial, batch_format="pyarrow"),
+        ["user_id"],
+        [("dmin", "min", "d0"), ("dmax", "max", "d1")],
+    )
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        d0 = batch["d0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = batch["d1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = np.concatenate([d0, d1 + 1])
+        delta = np.concatenate(
+            [np.ones(len(d0), np.int64), -np.ones(len(d1), np.int64)]
+        )
+        g = (
+            pa.table(
+                {
+                    "day": pa.array(day, pa.int64()),
+                    "delta": pa.array(delta, pa.int64()),
+                }
+            )
+            .group_by("day")
+            .aggregate([("delta", "sum")])
+        )
+        return pa.table(
+            {"day": g["day"], "delta": g["delta_sum"].cast(pa.int64())}
+        )
+
+    boundary = bucket_groupby_sum(
+        spans.map_batches(deltas, batch_format="pyarrow"),
+        ["day"],
+        ["delta"],
+    )
+
+    def obs_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()), US_PER_DAY)
+        g = pa.table({"day": day}).group_by("day").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"day": g["day"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    observed = bucket_groupby_sum(
+        events.map_batches(obs_partial, batch_format="pyarrow"),
+        ["day"],
+        ["n"],
+    )
+
+    bt = collect_table(boundary)
+    ot = collect_table(observed)
+    if bt is None or ot is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.string()),
+                    "n_active": pa.array([], pa.int64()),
+                }
+            )
+        )
+    bdays = bt["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bdelta = bt["delta"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(bdays)
+    bdays, run = bdays[order], np.cumsum(bdelta[order])
+    odays = np.sort(ot["day"].to_numpy(zero_copy_only=False).astype(np.int64))
+    n_active = run[np.searchsorted(bdays, odays, side="right") - 1]
+    labels = np.datetime_as_string(odays.astype("datetime64[D]"), unit="D")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(labels.tolist(), pa.string()),
+                "n_active": pa.array(n_active, pa.int64()),
+            }
+        )
+    )
+
+
+DAILY_ACTIVE_SPANS_SQL = """
+WITH spans AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY 1
+), days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM days d JOIN spans s ON d.day BETWEEN s.d0 AND s.d1
+GROUP BY d.day ORDER BY day
+"""

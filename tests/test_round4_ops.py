@@ -622,3 +622,64 @@ def test_doc_lm_score_layout_invariant(ray_session, tmp_path):
                        row_group_size=rg)
         outs.append(analytics.doc_lm_score(d).to_pandas())
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_daily_active_spans_brute(ray_session, tmp_path):
+    """Engineered: user 1 has events on day 0 and day 9 only — their span
+    still covers the observed days 3 and 5 (where only user 2 has events).
+    Matches a brute interval-stabbing count over observed days."""
+    import os
+    import pyarrow.parquet as pq
+
+    base = 1_000 * 86_400_000_000  # day 1000, µs epoch
+    US = 86_400_000_000
+    rows = [
+        (1, base + 0 * US),
+        (1, base + 9 * US),
+        (2, base + 3 * US),
+        (2, base + 5 * US),
+        (3, base + 5 * US),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = analytics.daily_active_spans(str(tmp_path)).to_pandas()
+    # observed days: 0, 3, 5, 9 (relative); spans: u1=[0,9], u2=[3,5], u3=[5,5]
+    assert out.n_active.tolist() == [1, 2, 3, 1]
+    assert len(out) == 4 and out.day.is_monotonic_increasing
+
+
+def test_daily_active_spans_layout_invariant(ray_session, tmp_path):
+    import os
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(33)
+    n = 300
+    base = 2_000 * 86_400_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 40, n), pa.int64()),
+            "ts": pa.array(
+                (base + rng.randint(0, 60, n) * 86_400_000_000).tolist(),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    outs = []
+    for tag, rg in (("one", n), ("many", 17)):
+        d = os.path.join(str(tmp_path), tag)
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "events.parquet"),
+                       row_group_size=rg)
+        outs.append(analytics.daily_active_spans(d).to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
