@@ -1880,9 +1880,10 @@ FROM u CROSS JOIN g ORDER BY user_id
 """
 
 
-def basket_pairs(sf_dir: str, k: int = 20, n_buckets: int = 64) -> ray.data.Dataset:
-    """Market-basket co-occurrence: top-k part pairs that appear together in
-    the most orders (count desc, then (p1, p2) asc).
+def basket_pair_counts(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Distinct-per-order part pair counts ``(p1 < p2, n_orders)`` — the
+    co-occurrence EDGE LIST shared by :func:`basket_pairs` (top-k mining)
+    and :func:`part_cooccur_triangles` (graph density).
 
     Scale: pair expansion within an order is bounded by basket size m
     (m(m-1)/2, TPC-H m ≤ 7), so work is linear in lineitems.  ONE keyed
@@ -1945,7 +1946,7 @@ def basket_pairs(sf_dir: str, k: int = 20, n_buckets: int = 64) -> ray.data.Data
 
     from ..stages.agg import bucket_groupby_agg
 
-    counts = bucket_groupby_agg(
+    return bucket_groupby_agg(
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(expand, batch_format="pyarrow"),
@@ -1953,6 +1954,13 @@ def basket_pairs(sf_dir: str, k: int = 20, n_buckets: int = 64) -> ray.data.Data
         [("n_orders", "sum", "n_orders")],
         n_buckets=n_buckets,
     )
+
+
+def basket_pairs(sf_dir: str, k: int = 20, n_buckets: int = 64) -> ray.data.Dataset:
+    """Market-basket co-occurrence: top-k part pairs that appear together in
+    the most orders (count desc, then (p1, p2) asc) — the top-k finish over
+    :func:`basket_pair_counts`."""
+    counts = basket_pair_counts(sf_dir, n_buckets=n_buckets)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         # pair counts are global after the bucket aggregate (a pair lives in
@@ -3666,4 +3674,44 @@ SELECT strftime(d.day, '%Y-%m-%d') AS day,
        CAST(count(*) AS BIGINT) AS n_active
 FROM days d JOIN spans s ON d.day BETWEEN s.d0 AND s.d1
 GROUP BY d.day ORDER BY day
+"""
+
+
+def part_cooccur_triangles(
+    sf_dir: str, min_orders: int = 1
+) -> ray.data.Dataset:
+    """Triangle count of the part co-purchase graph (edges = part pairs
+    co-occurring in ≥ ``min_orders`` orders) — one row:
+    ``(n_triangles, n_edges, n_nodes)``.  Edge build via
+    :func:`basket_pair_counts`; counting via the degree-oriented wedge
+    plan in :func:`stages.graph.triangle_count`."""
+    from ..stages.graph import triangle_count
+
+    edges = basket_pair_counts(sf_dir)
+    if min_orders > 1:
+        edges = edges.filter(expr=f"n_orders >= {int(min_orders)}")
+    return triangle_count(
+        edges.select_columns(["p1", "p2"]), src_col="p1", dst_col="p2"
+    )
+
+
+PART_COOCCUR_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT x, y FROM p GROUP BY 1, 2 HAVING count(*) >= 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM e e1 JOIN e e2 ON e2.x = e1.y
+            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+)
+SELECT t.c AS n_triangles,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(DISTINCT n) FROM
+             (SELECT x AS n FROM e UNION ALL SELECT y FROM e)) AS BIGINT)
+           AS n_nodes
+FROM t
 """

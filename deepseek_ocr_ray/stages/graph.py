@@ -417,3 +417,167 @@ def pagerank_int(
         ranks = summed.map_batches(next_rank, batch_format="pyarrow")
 
     return ranks.rename_columns({"r": "rank_scaled"})
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "x",
+    dst_col: str = "y",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact triangle count over an undirected simple edge list — the
+    clustering-coefficient / community-density primitive.  One row out:
+    ``(n_triangles, n_edges, n_nodes)``.
+
+    Degree-oriented wedge algorithm (the MapReduce-standard plan): every
+    node gets a dense rank by (degree, id); each edge orients low-rank →
+    high-rank, which bounds every out-degree by O(√|E|) regardless of how
+    skewed the raw degree distribution is — the whole reason this beats
+    naive neighbor-join on power-law graphs.  Wedges (ordered out-neighbor
+    pairs) are generated per source through ONE source-keyed exchange with
+    the segmented-arange expansion (``basket_pairs``' kernel), then probed
+    against the oriented edge set via the collision-safe composite-key
+    planner join (``equi_join_multi``); each triangle closes exactly one
+    wedge, so the join's row count IS the triangle count.
+
+    Scale contract: the node-rank table is node-bounded (broadcast via
+    plasma; at graphs whose NODE table outgrows the broadcast budget the
+    rank lookup becomes two planner joins — documented fallback, not
+    implemented here); the oriented edge list is materialized once
+    (O(|E|), the algorithm's working set) and wedges stream through the
+    probe join without ever materializing as a whole.
+    """
+    from ..cluster import collect_table, equi_join_multi
+    from ..hashing import splitmix_bucket
+    from .agg import bucket_groupby_sum
+
+    ecols = edges.select_columns([src_col, dst_col]).materialize()
+    n_edges = ecols.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_triangles": pa.array([0], pa.int64()),
+                    "n_edges": pa.array([0], pa.int64()),
+                    "n_nodes": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [
+                batch[src_col].combine_chunks()
+                if isinstance(batch[src_col], pa.ChunkedArray)
+                else batch[src_col],
+                batch[dst_col].combine_chunks()
+                if isinstance(batch[dst_col], pa.ChunkedArray)
+                else batch[dst_col],
+            ]
+        )
+        g = pa.table({"node": node}).group_by("node").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"node": g["node"], "deg": g["count_all"].cast(pa.int64())}
+        )
+
+    deg = collect_table(
+        bucket_groupby_sum(
+            ecols.map_batches(deg_partial, batch_format="pyarrow"),
+            ["node"],
+            ["deg"],
+        )
+    )
+    assert deg is not None
+    nodes = deg["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    degs = deg["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_nodes = len(nodes)
+    # dense rank by (deg, id): the orientation comparator
+    order = np.lexsort((nodes, degs))
+    rank = np.empty(n_nodes, np.int64)
+    rank[order] = np.arange(n_nodes)
+    id_sorted = np.argsort(nodes)
+    rank_ref = ray.put((nodes[id_sorted], rank[id_sorted]))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        ids_sorted, rk = ray.get(rank_ref)
+        x = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rx = rk[np.searchsorted(ids_sorted, x)]
+        ry = rk[np.searchsorted(ids_sorted, y)]
+        lo = rx < ry
+        u = np.where(lo, x, y)
+        v = np.where(lo, y, x)
+        vr = np.where(lo, ry, rx)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "vrank": pa.array(vr, pa.int64()),
+                "bucket": pa.array(
+                    splitmix_bucket(u.astype(np.uint64), n_buckets),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    oriented = ecols.map_batches(orient, batch_format="pyarrow").materialize()
+
+    _EMPTY_W = pa.table(
+        {"w1": pa.array([], pa.int64()), "w2": pa.array([], pa.int64())}
+    )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "u" not in group.column_names:
+            return _EMPTY_W
+        u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vr = group["vrank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((vr, u))
+        u, v = u[o], v[o]
+        n = len(u)
+        # segmented pair expansion (basket_pairs' kernel): each item pairs
+        # with every LATER item of its segment — later in (vrank) order,
+        # so rank(w1) < rank(w2) matches the edge orientation
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.append(starts, n))
+        local = np.arange(n) - np.repeat(starts, lens)
+        reps = np.repeat(lens, lens) - 1 - local
+        total = int(reps.sum())
+        if total == 0:
+            return _EMPTY_W
+        left = np.repeat(np.arange(n), reps)
+        seg_off = np.repeat(np.cumsum(reps) - reps, reps)
+        right = left + 1 + (np.arange(total) - seg_off)
+        return pa.table(
+            {
+                "w1": pa.array(v[left], pa.int64()),
+                "w2": pa.array(v[right], pa.int64()),
+            }
+        )
+
+    wedge_ds = (
+        oriented.groupby("bucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+    closed = equi_join_multi(
+        wedge_ds,
+        oriented.select_columns(["u", "v"]),
+        on=["w1", "w2"],
+        right_on=["u", "v"],
+        join_type="inner",
+        left_cols=["w1"],
+        right_cols=[],
+    )
+    n_tri = closed.count()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([n_tri], pa.int64()),
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_nodes": pa.array([n_nodes], pa.int64()),
+            }
+        )
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pytest
+import ray.data
 
 from deepseek_ocr_ray.stages.graph import pagerank_int
 
@@ -74,3 +75,68 @@ def test_pagerank_rejects_asymmetric_node_sets(ray_session):
         pagerank_int(
             ray.data.from_arrow(_edges_tab([(1, 2), (2, 3)])), num_iters=1
         ).take_all()
+
+
+def test_triangle_count_known_graph(ray_session):
+    """K4 has exactly 4 triangles; a dangling path adds edges but none."""
+    from deepseek_ocr_ray.stages.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(4, 5), (5, 6)]
+    edges = pa.table(
+        {
+            "x": pa.array([e[0] for e in k4 + path], pa.int64()),
+            "y": pa.array([e[1] for e in k4 + path], pa.int64()),
+        }
+    )
+    out = triangle_count(
+        ray.data.from_arrow(edges).repartition(3)
+    ).to_pandas()
+    assert out.n_triangles.iloc[0] == 4
+    assert out.n_edges.iloc[0] == 8 and out.n_nodes.iloc[0] == 6
+
+
+def test_triangle_count_empty_and_invariant(ray_session):
+    from deepseek_ocr_ray.stages.graph import triangle_count
+
+    empty = pa.table(
+        {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
+    )
+    out = triangle_count(ray.data.from_arrow(empty)).to_pandas()
+    assert out.n_triangles.iloc[0] == 0 and out.n_nodes.iloc[0] == 0
+
+    rng = np.random.RandomState(17)
+    # random simple graph: sample distinct pairs over 30 nodes
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in zip(rng.randint(0, 30, 200), rng.randint(0, 30, 200))
+            if a < b
+        }
+    )
+    edges = pa.table(
+        {
+            "x": pa.array([p[0] for p in pairs], pa.int64()),
+            "y": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    counts = [
+        triangle_count(ray.data.from_arrow(edges).repartition(n))
+        .to_pandas()
+        .n_triangles.iloc[0]
+        for n in (1, 5)
+    ]
+    # brute reference
+    import itertools
+
+    es = set(pairs)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    assert counts[0] == counts[1] == brute
