@@ -2814,3 +2814,61 @@ FROM documents d
 LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def corpus_quality_filter(
+    sf_dir: str,
+    *,
+    min_stop_ppm: int = 200_000,
+    min_lm_ppm: int = 34_000,
+) -> ray.data.Dataset:
+    """THE standard curation pipeline, composed from the engine's own
+    doc-level signals: a document survives iff it passes the Gopher
+    line/word rules (:func:`gopher_quality`), carries enough corpus-common
+    glue tokens (:func:`doc_rarity` ``stop_ppm ≥ min_stop_ppm`` — too low
+    ⇒ jargon/garbage soup), and its token sequences are corpus-probable
+    (:func:`analytics.doc_lm_score` ``mean_cond_ppm ≥ min_lm_ppm`` — the
+    integer CCNet perplexity proxy).  One row per document with the three
+    signals and the composite ``quality_pass``.
+
+    Composition shape: the three signal pipelines each emit ONE row per
+    document; the two planner joins therefore exchange doc-count-bounded
+    tables (never corpus text), and every upstream stays its own
+    zero-/one-shuffle self.  All flags are integer comparisons — the SQL
+    oracle composes the three signal oracles verbatim as derived tables.
+    """
+    from ..cluster import equi_join
+    from .analytics import doc_lm_score, table_file_bytes
+
+    rarity = doc_rarity(sf_dir, top_k=8).select_columns(
+        ["doc_id", "stop_ppm"]
+    )
+    lm = doc_lm_score(sf_dir).select_columns(["doc_id", "mean_cond_ppm"])
+    gop = gopher_quality(sf_dir).select_columns(["doc_id", "gopher_pass"])
+
+    docs_bytes = table_file_bytes(sf_dir, "documents")
+    j1 = equi_join(
+        rarity, lm, on="doc_id", approx_bytes=docs_bytes
+    )
+    j2 = equi_join(
+        j1, gop, on="doc_id", approx_bytes=docs_bytes
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        stop = batch["stop_ppm"].to_numpy(zero_copy_only=False)
+        lmv = batch["mean_cond_ppm"].to_numpy(zero_copy_only=False)
+        gp = batch["gopher_pass"].to_numpy(zero_copy_only=False)
+        ok = (
+            (stop >= min_stop_ppm) & (lmv >= min_lm_ppm) & (gp == 1)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "stop_ppm": batch["stop_ppm"],
+                "mean_cond_ppm": batch["mean_cond_ppm"],
+                "gopher_pass": batch["gopher_pass"].cast(pa.int64()),
+                "quality_pass": pa.array(ok, pa.int64()),
+            }
+        )
+
+    return j2.map_batches(flags, batch_format="pyarrow").sort("doc_id")

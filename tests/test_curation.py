@@ -736,3 +736,25 @@ def test_doc_rarity_layout_invariant(ray_session, tmp_path, blocks):
     base = curation.doc_rarity(base_dir, top_k=3).to_pandas()
     pd_testing = __import__("pandas").testing
     pd_testing.assert_frame_equal(out, base)
+
+
+def test_corpus_quality_filter_consistency(ray_session):
+    """The composite must equal the AND of the three signals computed
+    independently — catches join/flag drift between the composed pipeline
+    and its parts."""
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = "/root/testdata/sf0.001"
+    out = (
+        curation.corpus_quality_filter(d).to_pandas().set_index("doc_id")
+    )
+    r = curation.doc_rarity(d, top_k=8).to_pandas().set_index("doc_id")
+    l = analytics.doc_lm_score(d).to_pandas().set_index("doc_id")
+    g = curation.gopher_quality(d).to_pandas().set_index("doc_id")
+    want = (
+        (r.stop_ppm >= 200_000)
+        & (l.mean_cond_ppm >= 34_000)
+        & (g.gopher_pass == 1)
+    ).astype("int64")
+    assert (out.quality_pass == want.loc[out.index]).all()
+    assert 0 < out.quality_pass.mean() < 1  # discriminates
