@@ -3715,3 +3715,57 @@ SELECT t.c AS n_triangles,
            AS n_nodes
 FROM t
 """
+
+
+def doc_len_histogram(
+    sf_dir: str, *, bin_width: int = 200
+) -> ray.data.Dataset:
+    """Equi-width histogram of document length (``n_chars``) per language —
+    the distribution diagnostic every corpus release ships.  One row per
+    (lang, bin): ``bin_lo`` (inclusive lower edge), doc count, total chars.
+
+    Shape: bin id is a pure integer floor-division per row, so blocks
+    reduce to (lang, bin) partials in C++ and ONE coarse-bucket exchange
+    carries histogram rows (lang × occupied-bin bounded), never documents.
+    """
+    from ..stages.agg import bucket_groupby_sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "bin_lo": pa.array((nc // bin_width) * bin_width, pa.int64()),
+                "n_chars": pa.array(nc, pa.int64()),
+            }
+        )
+        g = t.group_by(["lang", "bin_lo"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "bin_lo": g["bin_lo"],
+                "n_docs": g["count_all"].cast(pa.int64()),
+                "sum_chars": g["n_chars_sum"].cast(pa.int64()),
+            }
+        )
+
+    return bucket_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "bin_lo"],
+        ["n_docs", "sum_chars"],
+    ).sort(["lang", "bin_lo"])
+
+
+DOC_LEN_HISTOGRAM_SQL = """
+SELECT lang,
+       (n_chars // 200) * 200 AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, bin_lo
+"""

@@ -683,3 +683,26 @@ def test_daily_active_spans_layout_invariant(ray_session, tmp_path):
                        row_group_size=rg)
         outs.append(analytics.daily_active_spans(d).to_pandas())
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_doc_len_histogram_hand(ray_session, tmp_path):
+    import os
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "lang": pa.array(["en", "en", "en", "es", "es"]),
+                "n_chars": pa.array([0, 199, 200, 50, 450], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = analytics.doc_len_histogram(str(tmp_path)).to_pandas()
+    rows = {(r.lang, r.bin_lo): (r.n_docs, r.sum_chars) for r in out.itertuples()}
+    assert rows[("en", 0)] == (2, 199)
+    assert rows[("en", 200)] == (1, 200)
+    assert rows[("es", 0)] == (1, 50)
+    assert rows[("es", 400)] == (1, 450)
+    assert len(rows) == 4
