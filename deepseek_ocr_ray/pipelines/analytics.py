@@ -3769,3 +3769,49 @@ FROM documents
 GROUP BY 1, 2
 ORDER BY lang, bin_lo
 """
+
+
+def part_clustering_top(sf_dir: str, k: int = 25) -> ray.data.Dataset:
+    """Top-k parts by local clustering coefficient in the co-purchase
+    graph (ties → lower part id) — "which parts sit in the densest
+    co-purchase communities".  Columns: node, degree, n_triangles,
+    clustering_ppm."""
+    from ..stages.graph import clustering_coefficients
+
+    edges = basket_pair_counts(sf_dir).select_columns(["p1", "p2"])
+    return clustering_coefficients(edges, src_col="p1", dst_col="p2").limit(k)
+
+
+PART_CLUSTERING_TOP_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT x, y FROM p GROUP BY 1, 2),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1 JOIN e e2 ON e2.x = e1.y
+            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+tn AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e
+  ) GROUP BY 1
+)
+SELECT deg.n AS node, deg.d AS degree,
+       COALESCE(tn.t, 0) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN 2000000 * COALESCE(tn.t, 0) // (deg.d * (deg.d - 1))
+            ELSE 0 END AS clustering_ppm
+FROM deg LEFT JOIN tn ON tn.n = deg.n
+ORDER BY clustering_ppm DESC, node
+LIMIT 25
+"""

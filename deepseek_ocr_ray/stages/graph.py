@@ -448,13 +448,10 @@ def triangle_count(
     (O(|E|), the algorithm's working set) and wedges stream through the
     probe join without ever materializing as a whole.
     """
-    from ..cluster import collect_table, equi_join_multi
-    from ..hashing import splitmix_bucket
-    from .agg import bucket_groupby_sum
-
-    ecols = edges.select_columns([src_col, dst_col]).materialize()
-    n_edges = ecols.count()
-    if n_edges == 0:
+    closed, n_edges, deg = _triangle_closure(
+        edges, src_col=src_col, dst_col=dst_col, n_buckets=n_buckets
+    )
+    if closed is None:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -464,6 +461,39 @@ def triangle_count(
                 }
             )
         )
+    n_tri = closed.count()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([n_tri], pa.int64()),
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_nodes": pa.array([deg.num_rows], pa.int64()),
+            }
+        )
+    )
+
+
+def _triangle_closure(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str,
+    dst_col: str,
+    n_buckets: int,
+    with_anchor: bool = False,
+):
+    """Shared wedge-closure plan: returns ``(closed, n_edges, deg_table)``
+    where ``closed`` is the Dataset of closed wedges — one row per
+    triangle, columns ``(w1, w2)`` plus ``anchor`` when ``with_anchor``
+    (so per-node attribution can expand each triangle to its 3 members) —
+    or ``None`` for an empty edge list."""
+    from ..cluster import collect_table, equi_join_multi
+    from ..hashing import splitmix_bucket
+    from .agg import bucket_groupby_sum
+
+    ecols = edges.select_columns([src_col, dst_col]).materialize()
+    n_edges = ecols.count()
+    if n_edges == 0:
+        return None, 0, None
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         node = pa.concat_arrays(
@@ -525,9 +555,8 @@ def triangle_count(
 
     oriented = ecols.map_batches(orient, batch_format="pyarrow").materialize()
 
-    _EMPTY_W = pa.table(
-        {"w1": pa.array([], pa.int64()), "w2": pa.array([], pa.int64())}
-    )
+    w_cols = (["anchor"] if with_anchor else []) + ["w1", "w2"]
+    _EMPTY_W = pa.table({c: pa.array([], pa.int64()) for c in w_cols})
 
     def wedges(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "u" not in group.column_names:
@@ -551,12 +580,13 @@ def triangle_count(
         left = np.repeat(np.arange(n), reps)
         seg_off = np.repeat(np.cumsum(reps) - reps, reps)
         right = left + 1 + (np.arange(total) - seg_off)
-        return pa.table(
-            {
-                "w1": pa.array(v[left], pa.int64()),
-                "w2": pa.array(v[right], pa.int64()),
-            }
-        )
+        cols = {
+            "w1": pa.array(v[left], pa.int64()),
+            "w2": pa.array(v[right], pa.int64()),
+        }
+        if with_anchor:
+            cols["anchor"] = pa.array(u[left], pa.int64())
+        return pa.table({c: cols[c] for c in w_cols})
 
     wedge_ds = (
         oriented.groupby("bucket")
@@ -568,16 +598,103 @@ def triangle_count(
         on=["w1", "w2"],
         right_on=["u", "v"],
         join_type="inner",
-        left_cols=["w1"],
+        left_cols=(["anchor"] if with_anchor else ["w1"]),
         right_cols=[],
     )
-    n_tri = closed.count()
+    return closed, n_edges, deg
+
+
+def clustering_coefficients(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "x",
+    dst_col: str = "y",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-node local clustering coefficient over an undirected simple
+    edge list: ``clustering_ppm = 10^6 · 2·triangles(v) // (d·(d−1))`` —
+    the community-density score per node, integer-exact.  One row per
+    node (zero-triangle nodes included), sorted by (ppm desc, node asc).
+
+    Shape: the degree-oriented wedge closure (:func:`_triangle_closure`,
+    ``with_anchor=True``) yields one row per triangle carrying its THREE
+    member ids; blocks expand 3 node rows per triangle into per-block C++
+    counts and ONE node-keyed coarse aggregate.  The finish (left-join
+    triangle counts onto the degree table, one integer division) runs on
+    the driver over two node-bounded tables — the corpus-scale work is
+    all in the closure.
+    """
+    from ..cluster import collect_table
+    from .agg import bucket_groupby_sum
+
+    _EMPTY = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+            "clustering_ppm": pa.array([], pa.int64()),
+        }
+    )
+    closed, n_edges, deg = _triangle_closure(
+        edges,
+        src_col=src_col,
+        dst_col=dst_col,
+        n_buckets=n_buckets,
+        with_anchor=True,
+    )
+    if closed is None:
+        return ray.data.from_arrow(_EMPTY)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "anchor" not in batch.column_names:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                }
+            )
+        node = pa.concat_arrays(
+            [
+                (batch[c].combine_chunks()
+                 if isinstance(batch[c], pa.ChunkedArray) else batch[c])
+                for c in ("anchor", "w1", "w2")
+            ]
+        )
+        g = pa.table({"node": node}).group_by("node").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"node": g["node"], "t": g["count_all"].cast(pa.int64())}
+        )
+
+    tcnt = collect_table(
+        bucket_groupby_sum(
+            closed.map_batches(expand, batch_format="pyarrow"),
+            ["node"],
+            ["t"],
+        )
+    )
+    nodes = deg["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    degs = deg["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(nodes)
+    nodes, degs = nodes[o], degs[o]
+    tri = np.zeros(len(nodes), np.int64)
+    if tcnt is not None and tcnt.num_rows:
+        tn = tcnt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = tcnt["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tri[np.searchsorted(nodes, tn)] = tv
+    denom = degs * (degs - 1)
+    ppm = np.zeros(len(nodes), np.int64)
+    nz = denom > 0
+    ppm[nz] = (2_000_000 * tri[nz]) // denom[nz]
+    order = np.lexsort((nodes, -ppm))
     return ray.data.from_arrow(
         pa.table(
             {
-                "n_triangles": pa.array([n_tri], pa.int64()),
-                "n_edges": pa.array([n_edges], pa.int64()),
-                "n_nodes": pa.array([n_nodes], pa.int64()),
+                "node": pa.array(nodes[order], pa.int64()),
+                "degree": pa.array(degs[order], pa.int64()),
+                "n_triangles": pa.array(tri[order], pa.int64()),
+                "clustering_ppm": pa.array(ppm[order], pa.int64()),
             }
         )
     )

@@ -140,3 +140,28 @@ def test_triangle_count_empty_and_invariant(ray_session):
         if (a, b) in es and (b, c) in es and (a, c) in es
     )
     assert counts[0] == counts[1] == brute
+
+
+def test_clustering_coefficients_known(ray_session):
+    """K4 ∪ path 4-5-6: K4-internal nodes have coefficient 1.0; node 4
+    (degree 4, 3 triangles) gets 2e6·3//12 = 500000; path nodes 0."""
+    from deepseek_ocr_ray.stages.graph import clustering_coefficients
+
+    es = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    edges = pa.table(
+        {
+            "x": pa.array([e[0] for e in es], pa.int64()),
+            "y": pa.array([e[1] for e in es], pa.int64()),
+        }
+    )
+    out = (
+        clustering_coefficients(ray.data.from_arrow(edges).repartition(3))
+        .to_pandas()
+        .set_index("node")
+    )
+    assert out.loc[1].clustering_ppm == 1_000_000
+    assert out.loc[2].n_triangles == 3 and out.loc[3].degree == 3
+    assert out.loc[4].clustering_ppm == 500_000 and out.loc[4].degree == 4
+    assert out.loc[5].clustering_ppm == 0 and out.loc[6].n_triangles == 0
+    # ordering: ppm desc, node asc
+    assert out.index.tolist() == [1, 2, 3, 4, 5, 6]
