@@ -160,6 +160,42 @@ def cmd_scrub_dups(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_quality_filter(args: argparse.Namespace) -> int:
+    """Run the composed quality filter (Gopher rules ∧ stop-token floor ∧
+    corpus-LM floor) over a ``documents.parquet`` corpus directory and
+    write the surviving documents (all original columns) as parquet."""
+    _ensure_ray(args.num_cpus)
+    from .cluster import equi_join
+    from .pipelines.analytics import read_table, table_file_bytes
+    from .pipelines.curation import corpus_quality_filter
+
+    flags = corpus_quality_filter(
+        args.input,
+        min_stop_ppm=args.min_stop_ppm,
+        min_lm_ppm=args.min_lm_ppm,
+    )
+    kept_ids = flags.filter(expr="quality_pass == 1").select_columns(
+        ["doc_id"]
+    )
+    docs = read_table(args.input, "documents")
+    kept = equi_join(
+        docs,
+        kept_ids,
+        on="doc_id",
+        join_type="left_semi",
+        approx_bytes=table_file_bytes(args.input, "documents"),
+    )
+    kept.write_parquet(args.output)
+    n_kept = kept.count()
+    n_total = docs.count()
+    print(
+        json.dumps(
+            {"output": args.output, "kept": n_kept, "total": n_total}
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deepseek_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -229,6 +265,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     pd.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
     pd.set_defaults(fn=cmd_scrub_dups)
+
+    pq_ = sub.add_parser(
+        "quality-filter",
+        help="keep documents passing the composed quality filter "
+        "(Gopher rules + stop-token floor + corpus-LM floor)",
+    )
+    pq_.add_argument("--input", required=True,
+                     help="corpus dir containing documents.parquet")
+    pq_.add_argument("--output", required=True)
+    pq_.add_argument("--min-stop-ppm", dest="min_stop_ppm", type=int,
+                     default=200_000)
+    pq_.add_argument("--min-lm-ppm", dest="min_lm_ppm", type=int,
+                     default=34_000)
+    pq_.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
+    pq_.set_defaults(fn=cmd_quality_filter)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -758,3 +758,35 @@ def test_corpus_quality_filter_consistency(ray_session):
     ).astype("int64")
     assert (out.quality_pass == want.loc[out.index]).all()
     assert 0 < out.quality_pass.mean() < 1  # discriminates
+
+
+def test_quality_filter_cli(tmp_path):
+    """End-to-end CLI: surviving docs keep ALL original columns and match
+    the composed filter's pass set (subprocess — the CLI owns its own Ray
+    session and shuts it down)."""
+    import json
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "kept")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "deepseek_ocr_ray", "quality-filter",
+            "--input", "/root/testdata/sf0.001",
+            "--output", out_dir,
+            "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["total"] == 500 and 0 < summary["kept"] < 500
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out_dir)
+    assert t.num_rows == summary["kept"]
+    assert set(t.column_names) == {
+        "doc_id", "text", "lang", "source", "n_chars"
+    }
