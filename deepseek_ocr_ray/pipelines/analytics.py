@@ -3238,164 +3238,6 @@ ORDER BY revenue_cents DESC, n_name
 """
 
 
-def _keep_k_smallest_per_group(
-    tbl: pa.Table, *, group_col: str, rank_col: str, id_col: str, k: int
-) -> pa.Table:
-    """Rows with within-group positional rank < k under (rank, id) order —
-    one lexsort + boundary walk, no per-group Python."""
-    n = tbl.num_rows
-    if n == 0:
-        return tbl
-    grp = tbl[group_col]
-    if isinstance(grp, pa.ChunkedArray):
-        grp = grp.combine_chunks()
-    codes = (
-        grp.dictionary_encode()
-        .indices.to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
-    r = tbl[rank_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((ids, r, codes))
-    sc = codes[order]
-    starts = np.r_[0, np.flatnonzero(sc[1:] != sc[:-1]) + 1]
-    group_of = np.searchsorted(starts, np.arange(n), side="right") - 1
-    pos = np.arange(n) - starts[group_of]
-    return tbl.take(pa.array(order[pos < k]))
-
-
-def sample_k_per_group(
-    ds: ray.data.Dataset,
-    *,
-    id_col: str,
-    group_col: str,
-    k: int,
-    salt: str = "k42",
-    method: str = "fast",
-    n_buckets: int = 64,
-) -> ray.data.Dataset:
-    """Exact-k-per-group deterministic sampling — the balanced-subset
-    move (k docs per source for eval sets, per-language probes, human
-    review queues).  Each row's rank is a pure function of
-    (salt, group, id); the k smallest ranks per group survive, ties
-    broken by id, so the sample is reproducible, layout-independent and
-    stable under corpus growth *within* untouched groups.
-
-    Shape: the min-k-per-group partial is MERGEABLE (the global k
-    smallest survive unioning block-local k smallest — the ``user_paths``
-    first-k argument), so every block prunes to ≤k rows per (group,
-    block) before ONE group-hash-keyed coarse exchange; each bucket
-    re-applies the same kernel exactly (a group lives in one bucket).
-    ``method="fast"`` ranks by the vectorized engine hash;
-    ``method="md5"`` is the SQL-replicable
-    ``md5(salt:group:id)`` parity rule (per-row Python — oracle mode
-    only).  Null group values are excluded, matching the SQL oracle's
-    NULL-concatenation semantics.
-    """
-    import hashlib as _h
-
-    from ..hashing import hash64_array, mix64, string_hash64
-
-    if method not in ("fast", "md5"):
-        raise ValueError(f"unknown sample method {method!r}")
-    salt_h = _salt_hash(salt)
-
-    def rank_prune(batch: pa.Table) -> pa.Table:
-        grp = batch[group_col]
-        if isinstance(grp, pa.ChunkedArray):
-            grp = grp.combine_chunks()
-        valid = pa.array(np.asarray(grp.is_valid()))
-        batch = batch.filter(valid)
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    group_col: pa.array([], pa.string()),
-                    "_rank": pa.array([], pa.uint64()),
-                    "_bucket": pa.array([], pa.int64()),
-                }
-            )
-        grp = batch[group_col]
-        if isinstance(grp, pa.ChunkedArray):
-            grp = grp.combine_chunks()
-        if method == "fast":
-            r = mix64(
-                hash64_array(batch[id_col]) ^ hash64_array(grp) ^ salt_h
-            )
-        else:
-            sp = f"{salt}:".encode()
-            md5 = _h.md5
-            r = np.fromiter(
-                (
-                    int.from_bytes(
-                        md5(sp + f"{g}:{v}".encode()).digest()[:4], "big"
-                    )
-                    for g, v in zip(
-                        grp.to_pylist(), batch[id_col].to_pylist()
-                    )
-                ),
-                np.uint64,
-                batch.num_rows,
-            )
-        t = pa.table(
-            {
-                id_col: batch[id_col],
-                group_col: grp,
-                "_rank": pa.array(r, pa.uint64()),
-            }
-        )
-        t = _keep_k_smallest_per_group(
-            t, group_col=group_col, rank_col="_rank", id_col=id_col, k=k
-        )
-        g2 = t[group_col]
-        if isinstance(g2, pa.ChunkedArray):
-            g2 = g2.combine_chunks()
-        bucket = (string_hash64(g2) % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("_bucket", pa.array(bucket, pa.int64()))
-
-    def per_bucket(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                id_col: pa.array([], pa.int64()),
-                group_col: pa.array([], pa.string()),
-            }
-        )
-        if group.num_rows == 0 or id_col not in group.column_names:
-            return empty
-        t = _keep_k_smallest_per_group(
-            group, group_col=group_col, rank_col="_rank", id_col=id_col, k=k
-        )
-        return t.select([id_col, group_col])
-
-    return (
-        ds.map_batches(rank_prune, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
-        .sort(id_col)
-    )
-
-
-def documents_sample_k_per_source(sf_dir: str) -> ray.data.Dataset:
-    """k=10 docs per source under the md5 SQL-parity rank."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
-    return sample_k_per_group(
-        ds, id_col="doc_id", group_col="source", k=10, method="md5"
-    )
-
-
-DOCUMENTS_SAMPLE_K_PER_SOURCE_SQL = """
-SELECT doc_id, source FROM (
-  SELECT doc_id, source,
-         row_number() OVER (
-           PARTITION BY source
-           ORDER BY CAST(('0x' || substr(md5('k42:' || source || ':' ||
-                          CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT),
-                    doc_id
-         ) AS rk
-  FROM documents
-  WHERE source IS NOT NULL
-) WHERE rk <= 10 ORDER BY doc_id
-"""
 
 
 def doc_lm_score(sf_dir: str) -> ray.data.Dataset:

@@ -506,76 +506,6 @@ def test_q18_bucket_strategy_equal(ray_session):
     assert (a.sum_qty > 250).all() and len(a) > 0
 
 
-def _kpg_corpus() -> pa.Table:
-    rng = np.random.RandomState(13)
-    n = 120
-    return pa.table(
-        {
-            "doc_id": pa.array(range(n), pa.int64()),
-            "source": pa.array(
-                [f"s{rng.randint(0, 6)}" for _ in range(n)], pa.string()
-            ),
-        }
-    )
-
-
-@pytest.mark.parametrize("method", ["fast", "md5"])
-@pytest.mark.parametrize("blocks", [1, 7])
-def test_sample_k_per_group_layout_invariant(ray_session, method, blocks):
-    """Min-k partials are mergeable: the kept set must not move with block
-    layout, each group keeps exactly min(k, |group|) rows, and the kept
-    ids are the brute k smallest ranks per group."""
-    tbl = _kpg_corpus()
-    out = analytics.sample_k_per_group(
-        ray.data.from_arrow(tbl).repartition(blocks),
-        id_col="doc_id",
-        group_col="source",
-        k=5,
-        method=method,
-    ).to_pandas()
-    base = analytics.sample_k_per_group(
-        ray.data.from_arrow(tbl).repartition(3),
-        id_col="doc_id",
-        group_col="source",
-        k=5,
-        method=method,
-    ).to_pandas()
-    pd.testing.assert_frame_equal(out, base)
-    sizes = tbl.to_pandas().groupby("source").size()
-    got = out.groupby("source").size()
-    for src, n in sizes.items():
-        assert got.get(src, 0) == min(5, n)
-
-
-def test_sample_k_per_group_brute_equal(ray_session):
-    """Engine kept set == brute per-group k-smallest under the same rank."""
-    import hashlib
-
-    tbl = _kpg_corpus()
-    out = analytics.sample_k_per_group(
-        ray.data.from_arrow(tbl).repartition(4),
-        id_col="doc_id",
-        group_col="source",
-        k=3,
-        method="md5",
-    ).to_pandas()
-    rows = tbl.to_pandas()
-    rows["r"] = [
-        int.from_bytes(
-            hashlib.md5(f"k42:{g}:{i}".encode()).digest()[:4], "big"
-        )
-        for g, i in zip(rows.source, rows.doc_id)
-    ]
-    brute = (
-        rows.sort_values(["source", "r", "doc_id"])
-        .groupby("source")
-        .head(3)["doc_id"]
-        .sort_values()
-        .tolist()
-    )
-    assert out.doc_id.tolist() == brute
-
-
 def test_doc_lm_score_hand_computed(ray_session, tmp_path):
     """Tiny corpus with a known bigram LM: c('a b')=2, c('a c')=1,
     prefix c(a·)=3 ⇒ ppm('a b')=666666, ppm('a c')=333333; empty and
