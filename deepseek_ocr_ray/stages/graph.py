@@ -418,75 +418,14 @@ def pagerank_int(
 
     return ranks.rename_columns({"r": "rank_scaled"})
 
-
-def triangle_count(
-    edges: ray.data.Dataset,
-    *,
-    src_col: str = "x",
-    dst_col: str = "y",
-    n_buckets: int = 64,
-) -> ray.data.Dataset:
-    """Exact triangle count over an undirected simple edge list — the
-    clustering-coefficient / community-density primitive.  One row out:
-    ``(n_triangles, n_edges, n_nodes)``.
-
-    Degree-oriented wedge algorithm (the MapReduce-standard plan): every
-    node gets a dense rank by (degree, id); each edge orients low-rank →
-    high-rank, which bounds every out-degree by O(√|E|) regardless of how
-    skewed the raw degree distribution is — the whole reason this beats
-    naive neighbor-join on power-law graphs.  Wedges (ordered out-neighbor
-    pairs) are generated per source through ONE source-keyed exchange with
-    the segmented-arange expansion (``basket_pairs``' kernel), then probed
-    against the oriented edge set via the collision-safe composite-key
-    planner join (``equi_join_multi``); each triangle closes exactly one
-    wedge, so the join's row count IS the triangle count.
-
-    Scale contract: the node-rank table is node-bounded (broadcast via
-    plasma; at graphs whose NODE table outgrows the broadcast budget the
-    rank lookup becomes two planner joins — documented fallback, not
-    implemented here); the oriented edge list is materialized once
-    (O(|E|), the algorithm's working set) and wedges stream through the
-    probe join without ever materializing as a whole.
-    """
-    closed, n_edges, deg = _triangle_closure(
-        edges, src_col=src_col, dst_col=dst_col, n_buckets=n_buckets
-    )
-    if closed is None:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "n_triangles": pa.array([0], pa.int64()),
-                    "n_edges": pa.array([0], pa.int64()),
-                    "n_nodes": pa.array([0], pa.int64()),
-                }
-            )
-        )
-    n_tri = closed.count()
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "n_triangles": pa.array([n_tri], pa.int64()),
-                "n_edges": pa.array([n_edges], pa.int64()),
-                "n_nodes": pa.array([deg.num_rows], pa.int64()),
-            }
-        )
-    )
-
-
-def _triangle_closure(
-    edges: ray.data.Dataset,
-    *,
-    src_col: str,
-    dst_col: str,
-    n_buckets: int,
-    with_anchor: bool = False,
+def _orient_edges(
+    edges: ray.data.Dataset, *, src_col: str, dst_col: str, n_buckets: int
 ):
-    """Shared wedge-closure plan: returns ``(closed, n_edges, deg_table)``
-    where ``closed`` is the Dataset of closed wedges — one row per
-    triangle, columns ``(w1, w2)`` plus ``anchor`` when ``with_anchor``
-    (so per-node attribution can expand each triangle to its 3 members) —
-    or ``None`` for an empty edge list."""
-    from ..cluster import collect_table, equi_join_multi
+    """Shared degree-orientation pass: returns ``(oriented, n_edges, deg)``
+    where ``oriented`` has columns (u, v, vrank, bucket) with every edge
+    pointing low-(degree,id)-rank → high — which bounds every out-degree
+    by O(√|E|) on any skew — or ``(None, 0, None)`` for an empty list."""
+    from ..cluster import collect_table
     from ..hashing import splitmix_bucket
     from .agg import bucket_groupby_sum
 
@@ -498,12 +437,9 @@ def _triangle_closure(
     def deg_partial(batch: pa.Table) -> pa.Table:
         node = pa.concat_arrays(
             [
-                batch[src_col].combine_chunks()
-                if isinstance(batch[src_col], pa.ChunkedArray)
-                else batch[src_col],
-                batch[dst_col].combine_chunks()
-                if isinstance(batch[dst_col], pa.ChunkedArray)
-                else batch[dst_col],
+                (batch[c].combine_chunks()
+                 if isinstance(batch[c], pa.ChunkedArray) else batch[c])
+                for c in (src_col, dst_col)
             ]
         )
         g = pa.table({"node": node}).group_by("node").aggregate(
@@ -523,11 +459,10 @@ def _triangle_closure(
     assert deg is not None
     nodes = deg["node"].to_numpy(zero_copy_only=False).astype(np.int64)
     degs = deg["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n_nodes = len(nodes)
     # dense rank by (deg, id): the orientation comparator
     order = np.lexsort((nodes, degs))
-    rank = np.empty(n_nodes, np.int64)
-    rank[order] = np.arange(n_nodes)
+    rank = np.empty(len(nodes), np.int64)
+    rank[order] = np.arange(len(nodes))
     id_sorted = np.argsort(nodes)
     rank_ref = ray.put((nodes[id_sorted], rank[id_sorted]))
 
@@ -554,45 +489,124 @@ def _triangle_closure(
         )
 
     oriented = ecols.map_batches(orient, batch_format="pyarrow").materialize()
+    return oriented, n_edges, deg
+
+
+def _wedge_arrays(group: pa.Table):
+    """Vectorized wedge generation inside one bucket: returns
+    ``(anchor, w1, w2)`` numpy arrays — every ordered out-neighbor pair
+    per source (rank(w1) < rank(w2) by construction) — or None."""
+    if group.num_rows == 0 or "u" not in group.column_names:
+        return None
+    u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vr = group["vrank"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((vr, u))
+    u, v = u[o], v[o]
+    n = len(u)
+    # segmented pair expansion (basket_pairs' kernel)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lens = np.diff(np.append(starts, n))
+    local = np.arange(n) - np.repeat(starts, lens)
+    reps = np.repeat(lens, lens) - 1 - local
+    total = int(reps.sum())
+    if total == 0:
+        return None
+    left = np.repeat(np.arange(n), reps)
+    seg_off = np.repeat(np.cumsum(reps) - reps, reps)
+    right = left + 1 + (np.arange(total) - seg_off)
+    return u[left], v[left], v[right]
+
+
+def _edge_probe_ref(oriented: ray.data.Dataset):
+    """Materialize the oriented edge set into a ck-sorted broadcast probe:
+    ``(ck_sorted, u_by_ck, v_by_ck, max_run)`` in plasma.  Probing is
+    collision-SAFE: a hit requires exact (u, v) equality at one of the
+    ``max_run`` positions of the ck run, so 64-bit collisions degrade to
+    an extra compare, never a wrong count."""
+    from ..cluster import collect_table
+    from ..hashing import hash64_columns
+
+    et = collect_table(oriented.select_columns(["u", "v"]))
+    assert et is not None
+    u = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ck = hash64_columns(pa.table({"a": et["u"], "b": et["v"]}), ["a", "b"])
+    o = np.argsort(ck, kind="stable")
+    cks, us, vs = ck[o], u[o], v[o]
+    if len(cks) > 1:
+        run = np.diff(np.flatnonzero(np.r_[True, cks[1:] != cks[:-1], True]))
+        max_run = int(run.max())
+    else:
+        max_run = 1
+    return ray.put((cks, us, vs, max_run))
+
+
+def _probe_closed(w1: np.ndarray, w2: np.ndarray, probe) -> np.ndarray:
+    """Boolean mask of wedges whose (w1, w2) closing edge exists."""
+    from ..hashing import hash64_columns
+
+    cks, us, vs, max_run = probe
+    qck = hash64_columns(
+        pa.table(
+            {"a": pa.array(w1, pa.int64()), "b": pa.array(w2, pa.int64())}
+        ),
+        ["a", "b"],
+    )
+    pos = np.searchsorted(cks, qck)
+    closed = np.zeros(len(qck), bool)
+    for r in range(max_run):
+        p = pos + r
+        ok = p < len(cks)
+        hit = ok.copy()
+        pi = p[ok]
+        hit[ok] = (cks[pi] == qck[ok]) & (us[pi] == w1[ok]) & (
+            vs[pi] == w2[ok]
+        )
+        closed |= hit
+    return closed
+
+
+# Above this edge-set byte size the probe table stops fitting the plasma
+# broadcast budget and the composite-key planner join takes over.
+_TRIANGLE_BROADCAST_MAX_EDGES = (256 << 20) // 24
+
+
+def _resolve_probe(probe: str, n_edges: int) -> str:
+    if probe not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown probe {probe!r}")
+    if probe != "auto":
+        return probe
+    return "broadcast" if n_edges <= _TRIANGLE_BROADCAST_MAX_EDGES else "join"
+
+
+def _closed_wedges_join(oriented: ray.data.Dataset, *, with_anchor: bool):
+    """Join-plan closure (the at-scale path when the edge set outgrows the
+    broadcast budget): wedges stream through ONE exchange into the
+    collision-safe composite-key planner join; each triangle closes
+    exactly one wedge."""
+    from ..cluster import equi_join_multi
 
     w_cols = (["anchor"] if with_anchor else []) + ["w1", "w2"]
     _EMPTY_W = pa.table({c: pa.array([], pa.int64()) for c in w_cols})
 
     def wedges(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0 or "u" not in group.column_names:
+        w = _wedge_arrays(group)
+        if w is None:
             return _EMPTY_W
-        u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vr = group["vrank"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.lexsort((vr, u))
-        u, v = u[o], v[o]
-        n = len(u)
-        # segmented pair expansion (basket_pairs' kernel): each item pairs
-        # with every LATER item of its segment — later in (vrank) order,
-        # so rank(w1) < rank(w2) matches the edge orientation
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        lens = np.diff(np.append(starts, n))
-        local = np.arange(n) - np.repeat(starts, lens)
-        reps = np.repeat(lens, lens) - 1 - local
-        total = int(reps.sum())
-        if total == 0:
-            return _EMPTY_W
-        left = np.repeat(np.arange(n), reps)
-        seg_off = np.repeat(np.cumsum(reps) - reps, reps)
-        right = left + 1 + (np.arange(total) - seg_off)
+        anchor, w1, w2 = w
         cols = {
-            "w1": pa.array(v[left], pa.int64()),
-            "w2": pa.array(v[right], pa.int64()),
+            "w1": pa.array(w1, pa.int64()),
+            "w2": pa.array(w2, pa.int64()),
         }
         if with_anchor:
-            cols["anchor"] = pa.array(u[left], pa.int64())
+            cols["anchor"] = pa.array(anchor, pa.int64())
         return pa.table({c: cols[c] for c in w_cols})
 
-    wedge_ds = (
-        oriented.groupby("bucket")
-        .map_groups(wedges, batch_format="pyarrow")
+    wedge_ds = oriented.groupby("bucket").map_groups(
+        wedges, batch_format="pyarrow"
     )
-    closed = equi_join_multi(
+    return equi_join_multi(
         wedge_ds,
         oriented.select_columns(["u", "v"]),
         on=["w1", "w2"],
@@ -601,7 +615,75 @@ def _triangle_closure(
         left_cols=(["anchor"] if with_anchor else ["w1"]),
         right_cols=[],
     )
-    return closed, n_edges, deg
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "x",
+    dst_col: str = "y",
+    n_buckets: int = 64,
+    probe: str = "auto",
+) -> ray.data.Dataset:
+    """Exact triangle count over an undirected simple edge list — the
+    clustering-coefficient / community-density primitive.  One row out:
+    ``(n_triangles, n_edges, n_nodes)``.
+
+    Degree-oriented wedge algorithm (the MapReduce-standard plan): every
+    node gets a dense rank by (degree, id); each edge orients low-rank →
+    high-rank, which bounds every out-degree by O(√|E|) regardless of how
+    skewed the raw degree distribution is.  ``probe="broadcast"`` (the
+    default whenever the edge set fits the plasma budget) ships the
+    ck-sorted edge set ONCE and closes wedges INSIDE the bucket walk — the
+    wedge stream (Σ out-deg², ~40M rows at sf0.1) never leaves the task
+    and no join exchange exists at all; each bucket emits one count row.
+    ``probe="join"`` is the at-scale fallback: wedges stream through the
+    collision-safe composite-key planner join (``equi_join_multi``).
+    Both plans are exact and tested equal.
+    """
+    oriented, n_edges, deg = _orient_edges(
+        edges, src_col=src_col, dst_col=dst_col, n_buckets=n_buckets
+    )
+    if oriented is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_triangles": pa.array([0], pa.int64()),
+                    "n_edges": pa.array([0], pa.int64()),
+                    "n_nodes": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    plan = _resolve_probe(probe, n_edges)
+    if plan == "join":
+        n_tri = _closed_wedges_join(oriented, with_anchor=False).count()
+    else:
+        probe_ref = _edge_probe_ref(oriented)
+
+        def count_bucket(group: pa.Table) -> pa.Table:
+            w = _wedge_arrays(group)
+            if w is None:
+                t = 0
+            else:
+                _, w1, w2 = w
+                t = int(_probe_closed(w1, w2, ray.get(probe_ref)).sum())
+            return pa.table({"t": pa.array([t], pa.int64())})
+
+        n_tri = int(
+            oriented.groupby("bucket")
+            .map_groups(count_bucket, batch_format="pyarrow")
+            .sum("t")
+            or 0
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([n_tri], pa.int64()),
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_nodes": pa.array([deg.num_rows], pa.int64()),
+            }
+        )
+    )
 
 
 def clustering_coefficients(
@@ -610,19 +692,19 @@ def clustering_coefficients(
     src_col: str = "x",
     dst_col: str = "y",
     n_buckets: int = 64,
+    probe: str = "auto",
 ) -> ray.data.Dataset:
     """Per-node local clustering coefficient over an undirected simple
     edge list: ``clustering_ppm = 10^6 · 2·triangles(v) // (d·(d−1))`` —
-    the community-density score per node, integer-exact.  One row per
-    node (zero-triangle nodes included), sorted by (ppm desc, node asc).
+    integer-exact, one row per node (zero-triangle nodes included),
+    sorted by (ppm desc, node asc).
 
-    Shape: the degree-oriented wedge closure (:func:`_triangle_closure`,
-    ``with_anchor=True``) yields one row per triangle carrying its THREE
-    member ids; blocks expand 3 node rows per triangle into per-block C++
-    counts and ONE node-keyed coarse aggregate.  The finish (left-join
-    triangle counts onto the degree table, one integer division) runs on
-    the driver over two node-bounded tables — the corpus-scale work is
-    all in the closure.
+    Same probe plans as :func:`triangle_count`; in broadcast mode each
+    bucket walk closes its own wedges and emits per-node partial counts
+    (3 member attributions per triangle), so the only exchange is the
+    node-keyed coarse aggregate.  The finish (left-join triangle counts
+    onto the degree table, one integer division) runs on the driver over
+    two node-bounded tables.
     """
     from ..cluster import collect_table
     from .agg import bucket_groupby_sum
@@ -635,45 +717,64 @@ def clustering_coefficients(
             "clustering_ppm": pa.array([], pa.int64()),
         }
     )
-    closed, n_edges, deg = _triangle_closure(
-        edges,
-        src_col=src_col,
-        dst_col=dst_col,
-        n_buckets=n_buckets,
-        with_anchor=True,
+    oriented, n_edges, deg = _orient_edges(
+        edges, src_col=src_col, dst_col=dst_col, n_buckets=n_buckets
     )
-    if closed is None:
+    if oriented is None:
         return ray.data.from_arrow(_EMPTY)
 
-    def expand(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "anchor" not in batch.column_names:
-            return pa.table(
-                {
-                    "node": pa.array([], pa.int64()),
-                    "t": pa.array([], pa.int64()),
-                }
-            )
-        node = pa.concat_arrays(
-            [
-                (batch[c].combine_chunks()
-                 if isinstance(batch[c], pa.ChunkedArray) else batch[c])
-                for c in ("anchor", "w1", "w2")
-            ]
-        )
-        g = pa.table({"node": node}).group_by("node").aggregate(
-            [([], "count_all")]
-        )
+    _EMPTY_T = pa.table(
+        {"node": pa.array([], pa.int64()), "t": pa.array([], pa.int64())}
+    )
+
+    def _node_counts(node_arr: np.ndarray) -> pa.Table:
+        un, uc = np.unique(node_arr, return_counts=True)
         return pa.table(
-            {"node": g["node"], "t": g["count_all"].cast(pa.int64())}
+            {
+                "node": pa.array(un, pa.int64()),
+                "t": pa.array(uc.astype(np.int64), pa.int64()),
+            }
         )
 
-    tcnt = collect_table(
-        bucket_groupby_sum(
-            closed.map_batches(expand, batch_format="pyarrow"),
-            ["node"],
-            ["t"],
+    plan = _resolve_probe(probe, n_edges)
+    if plan == "join":
+        closed = _closed_wedges_join(oriented, with_anchor=True)
+
+        def expand(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "anchor" not in batch.column_names:
+                return _EMPTY_T
+            return _node_counts(
+                np.concatenate(
+                    [
+                        batch[c].to_numpy(zero_copy_only=False).astype(
+                            np.int64
+                        )
+                        for c in ("anchor", "w1", "w2")
+                    ]
+                )
+            )
+
+        partials = closed.map_batches(expand, batch_format="pyarrow")
+    else:
+        probe_ref = _edge_probe_ref(oriented)
+
+        def count_bucket(group: pa.Table) -> pa.Table:
+            w = _wedge_arrays(group)
+            if w is None:
+                return _EMPTY_T
+            anchor, w1, w2 = w
+            m = _probe_closed(w1, w2, ray.get(probe_ref))
+            if not m.any():
+                return _EMPTY_T
+            return _node_counts(
+                np.concatenate([anchor[m], w1[m], w2[m]])
+            )
+
+        partials = oriented.groupby("bucket").map_groups(
+            count_bucket, batch_format="pyarrow"
         )
-    )
+
+    tcnt = collect_table(bucket_groupby_sum(partials, ["node"], ["t"]))
     nodes = deg["node"].to_numpy(zero_copy_only=False).astype(np.int64)
     degs = deg["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
     o = np.argsort(nodes)

@@ -165,3 +165,36 @@ def test_clustering_coefficients_known(ray_session):
     assert out.loc[5].clustering_ppm == 0 and out.loc[6].n_triangles == 0
     # ordering: ppm desc, node asc
     assert out.index.tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_triangle_probe_plans_equal(ray_session):
+    """broadcast (in-walk closure) and join (composite-key planner) plans
+    must agree exactly — totals AND per-node attributions."""
+    from deepseek_ocr_ray.stages.graph import (
+        clustering_coefficients,
+        triangle_count,
+    )
+
+    rng = np.random.RandomState(23)
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in zip(rng.randint(0, 25, 150), rng.randint(0, 25, 150))
+            if a < b
+        }
+    )
+    edges = pa.table(
+        {
+            "x": pa.array([p[0] for p in pairs], pa.int64()),
+            "y": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    ds = lambda: ray.data.from_arrow(edges).repartition(4)  # noqa: E731
+    a = triangle_count(ds(), probe="broadcast").to_pandas()
+    b = triangle_count(ds(), probe="join").to_pandas()
+    assert a.equals(b)
+    ca = clustering_coefficients(ds(), probe="broadcast").to_pandas()
+    cb = clustering_coefficients(ds(), probe="join").to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(ca, cb)
