@@ -149,6 +149,7 @@ def main() -> None:
     os.makedirs(static_dir, exist_ok=True)
     for name in [
         "extract_summary",
+        "extract_interleave_stats",
         "extract_spans_flat",
         "extract_then_dedup",
         "multimodal_decode",

@@ -307,3 +307,39 @@ def test_ocr_stage_stream_progress_writes_each_unit():
     assert buf.getvalue() == expected
     # default: no printer, no stdout side effects
     assert OcrStage().printer is None
+
+
+def test_interleave_stats_brute(ray_session):
+    """The vectorized interleave kernel equals a per-row Python walk over
+    the spans lists (media = non-empty media_ref)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = (
+        e.queries()["extract_interleave_stats"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    docs = e.queries()["extract_summary"]  # noqa: F841 (warm import)
+    from deepseek_ocr_ray import PipelineConfig, extract_dataset
+    from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
+
+    rows = extract_dataset(
+        synthetic_dataset(e.N_EXTRACT_DOCS, seed=42), PipelineConfig()
+    ).take_all()
+    checked = 0
+    for r in rows[:50]:
+        media = [bool(s["media_ref"]) for s in r["spans"]]
+        want_alt = sum(
+            1 for a, b in zip(media, media[1:]) if a != b
+        )
+        want_first = media.index(True) if any(media) else -1
+        got = out.loc[r["doc_id"]]
+        assert got.n_spans == len(media)
+        assert got.n_media_spans == sum(media)
+        assert got.first_media_pos == want_first
+        assert got.alternations == want_alt
+        checked += 1
+    assert checked == 50
