@@ -3657,3 +3657,132 @@ FROM deg LEFT JOIN tn ON tn.n = deg.n
 ORDER BY clustering_ppm DESC, node
 LIMIT 25
 """
+
+
+def value_winsorized_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Winsorized robust statistics per event type: clamp value cents at
+    the EXACT per-type p05/p95 discrete quantiles (DuckDB
+    ``quantile_disc`` convention), then report the bounds and the clamped
+    count/sum/mean — the outlier-robust aggregate every metrics pipeline
+    wants when a handful of extreme values dominate a plain mean.
+
+    Shape: two histogram-plan quantile passes (``group_quantile_disc`` —
+    exchange volume is groups × distinct cents, independent of row
+    count) collect the type-bounded bounds table, which broadcasts via
+    plasma; the clamp is a zero-shuffle ``least/greatest`` map feeding
+    per-block (type, sum, n) partials into ONE coarse aggregate.  Mean is
+    the single deterministic ``sum::DOUBLE / n`` division per group,
+    replicated verbatim in SQL."""
+    from ..cluster import collect_table
+    from ..stages.agg import bucket_groupby_sum, group_quantile_disc
+
+    events = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    cents = events.map_batches(prep, batch_format="pyarrow")
+    lo = collect_table(
+        group_quantile_disc(cents, ["event_type"], "cents", 0.05, out_col="b")
+    )
+    hi = collect_table(
+        group_quantile_disc(cents, ["event_type"], "cents", 0.95, out_col="b")
+    )
+    assert lo is not None and hi is not None
+    lo = lo.sort_by("event_type")
+    hi = hi.sort_by("event_type")
+    types = lo["event_type"]
+    if isinstance(types, pa.ChunkedArray):
+        types = types.combine_chunks()
+    bounds_ref = ray.put(
+        (
+            types,
+            lo["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            hi["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    )
+
+    def clamp_partial(batch: pa.Table) -> pa.Table:
+        tys, los, his = ray.get(bounds_ref)
+        idx = pc.index_in(batch["event_type"], value_set=tys).to_numpy(
+            zero_copy_only=False
+        )
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        cc = np.minimum(np.maximum(c, los[idx]), his[idx])
+        g = (
+            pa.table(
+                {
+                    "event_type": batch["event_type"],
+                    "cc": pa.array(cc, pa.int64()),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("cc", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "s": g["cc_sum"].cast(pa.int64()),
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    agg = bucket_groupby_sum(
+        cents.map_batches(clamp_partial, batch_format="pyarrow"),
+        ["event_type"],
+        ["s", "n"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tys, los, his = ray.get(bounds_ref)
+        idx = pc.index_in(batch["event_type"], value_set=tys).to_numpy(
+            zero_copy_only=False
+        )
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "lo_cents": pa.array(los[idx], pa.int64()),
+                "hi_cents": pa.array(his[idx], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sum_winsorized_cents": pa.array(s, pa.int64()),
+                "mean_winsorized_cents": pa.array(
+                    s.astype(np.float64) / n, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")
+
+
+VALUE_WINSORIZED_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         quantile_disc(cents, 0.05) AS lo,
+         quantile_disc(cents, 0.95) AS hi
+  FROM c GROUP BY 1
+),
+w AS (
+  SELECT c.event_type, least(greatest(c.cents, b.lo), b.hi) AS cc
+  FROM c JOIN b USING (event_type)
+)
+SELECT w.event_type,
+       CAST(b.lo AS BIGINT) AS lo_cents,
+       CAST(b.hi AS BIGINT) AS hi_cents,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cc) AS BIGINT) AS sum_winsorized_cents,
+       CAST(sum(cc) AS DOUBLE) / count(*) AS mean_winsorized_cents
+FROM w JOIN b USING (event_type)
+GROUP BY 1, 2, 3
+ORDER BY 1
+"""

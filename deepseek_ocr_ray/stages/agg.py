@@ -258,11 +258,22 @@ def _group_quantile(
         csum = np.cumsum(cnt_s)
         run_base = np.where(starts > 0, csum[starts - 1], 0)
         run_tot = csum[ends - 1] - run_base
-        # zero-indexed target rank within the run: h = q * (n_g - 1)
+        # zero-indexed target ranks.  DISC and CONT use DIFFERENT DuckDB
+        # conventions: quantile_disc picks the smallest value whose CDF
+        # reaches q — rank ceil(q·n) − 1 (probed against DuckDB across
+        # (q, n) grids; floor(q·(n−1)) diverges at e.g. q=0.95, n=210) —
+        # while quantile_cont interpolates at h = q·(n−1).
         h = q * (run_tot - 1).astype(np.float64)
         frn = np.floor(h).astype(np.int64)
+        if mode == "disc":
+            rank = np.maximum(
+                np.ceil(q * run_tot.astype(np.float64)).astype(np.int64) - 1,
+                0,
+            )
+        else:
+            rank = frn
         # first histogram row whose cumulative count exceeds the rank
-        pick_lo = np.searchsorted(csum, run_base + frn, side="right")
+        pick_lo = np.searchsorted(csum, run_base + rank, side="right")
         lo_rows = order[pick_lo]
         out_cols = {k: g[k].take(pa.array(lo_rows)) for k in keys}
         if mode == "disc":

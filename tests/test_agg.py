@@ -139,7 +139,10 @@ def test_bucket_groupby_agg_rejects_float_sum(ray_session):
 
 
 def _quantile_naive(pairs, q):
-    """DuckDB quantile_disc: sorted values, index floor(q*(n-1))."""
+    """DuckDB quantile_disc: the smallest value whose CDF reaches q —
+    sorted index ceil(q·n) − 1, clamped to 0 (probed against DuckDB
+    across (q, n) grids; floor(q·(n−1)) agrees at many (q, n) but
+    diverges at e.g. q=0.75, n=10)."""
     import math
 
     by_key = {}
@@ -148,7 +151,7 @@ def _quantile_naive(pairs, q):
     out = {}
     for k, vs in by_key.items():
         vs.sort()
-        out[k] = vs[math.floor(q * (len(vs) - 1))]
+        out[k] = vs[max(math.ceil(q * len(vs)) - 1, 0)]
     return out
 
 
@@ -512,3 +515,40 @@ def test_group_count_distinct_ignores_nulls(ray_session):
         "SELECT g, CAST(count(DISTINCT x) AS BIGINT) FROM t GROUP BY 1"
     ).fetchall()}
     assert want == {"a": 1, "b": 0}  # documents the divergence boundary
+
+
+@pytest.mark.parametrize("q", [0.05, 0.25, 0.5, 0.75, 0.9, 0.95])
+def test_group_quantile_disc_vs_duckdb_direct(ray_session, q):
+    """Differential against DuckDB ITSELF (not a re-derivation of its
+    rule) over group sizes chosen to split the floor(q(n-1)) and
+    ceil(qn)-1 conventions."""
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_quantile_disc
+
+    rng = np.random.RandomState(11)
+    rows_a, rows_v = [], []
+    for g, size in enumerate([3, 4, 5, 10, 21, 210]):
+        rows_a += [g] * size
+        rows_v += rng.randint(-1000, 1000, size).tolist()
+    tab = pa.table(
+        {
+            "a": pa.array(rows_a, pa.int64()),
+            "v": pa.array(rows_v, pa.int64()),
+        }
+    )
+    got = {
+        r["a"]: r["quantile"]
+        for r in group_quantile_disc(
+            ray.data.from_arrow(tab).repartition(4), ["a"], "v", q
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = dict(
+        con.execute(
+            f"SELECT a, quantile_disc(v, {q}) FROM t GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
