@@ -3786,3 +3786,119 @@ FROM w JOIN b USING (event_type)
 GROUP BY 1, 2, 3
 ORDER BY 1
 """
+
+
+def type_daily_ffill(sf_dir: str) -> ray.data.Dataset:
+    """Calendar gap-fill with forward fill — the time-series densification
+    primitive: one row per (event_type, observed day) carrying the day's
+    LAST value (ts desc, event_id desc — the CDC winner rule) and, on days
+    where a type had no event, the most recent earlier value carried
+    forward (NULL before a type's first observation).
+
+    Shape: :func:`stages.agg.latest_by_key` reduces the corpus to one row
+    per (type, day) — map-side single-candidate-per-block, ONE keyed
+    exchange of candidates only; the fill runs on the driver over that
+    (types × observed-days)-bounded table: one searchsorted per type
+    against the global day calendar.  The corpus is never expanded to the
+    grid distributively — grid size is calendar-bounded by construction.
+    """
+    from ..cluster import collect_table
+    from ..stages.agg import latest_by_key
+
+    US_PER_DAY = 86_400_000_000
+
+    events = read_table(
+        sf_dir, "events", columns=["event_type", "ts", "event_id", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.divide(us, US_PER_DAY),
+                "ts_us": us,
+                "event_id": batch["event_id"],
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    last = collect_table(
+        latest_by_key(
+            events.map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "day"],
+            order_col="ts_us",
+            tiebreak_col="event_id",
+        )
+    )
+    if last is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.string()),
+                    "filled_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lt = last.sort_by([("event_type", "ascending"), ("day", "ascending")])
+    types_arr = lt["event_type"]
+    if isinstance(types_arr, pa.ChunkedArray):
+        types_arr = types_arr.combine_chunks()
+    days_l = lt["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals_l = lt["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cal = np.unique(days_l)  # every observed day has ≥1 typed event
+    labels = np.datetime_as_string(cal.astype("datetime64[D]"), unit="D")
+    out_type, out_day, out_val, out_valid = [], [], [], []
+    enc = types_arr.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    for code in np.unique(codes):
+        sel = codes == code
+        td, tv = days_l[sel], vals_l[sel]
+        idx = np.searchsorted(td, cal, side="right") - 1
+        valid = idx >= 0
+        filled = np.where(valid, tv[np.maximum(idx, 0)], 0)
+        t_name = enc.dictionary[int(code)].as_py()
+        out_type.extend([t_name] * len(cal))
+        out_day.extend(labels.tolist())
+        out_val.extend(filled.tolist())
+        out_valid.extend(valid.tolist())
+    vals = pa.array(
+        [v if ok else None for v, ok in zip(out_val, out_valid)],
+        pa.int64(),
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out_type, pa.string()),
+                "day": pa.array(out_day, pa.string()),
+                "filled_cents": vals,
+            }
+        )
+    ).sort(["event_type", "day"])
+
+
+TYPE_DAILY_FFILL_SQL = """
+WITH last AS (
+  SELECT event_type, d, cents FROM (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+           row_number() OVER (
+             PARTITION BY event_type, CAST(ts AS DATE)
+             ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+grid AS (
+  SELECT t.event_type, days.d
+  FROM (SELECT DISTINCT event_type FROM events) t, days
+)
+SELECT g.event_type, strftime(g.d, '%Y-%m-%d') AS day,
+       (SELECT l.cents FROM last l
+        WHERE l.event_type = g.event_type AND l.d <= g.d
+        ORDER BY l.d DESC LIMIT 1) AS filled_cents
+FROM grid g
+ORDER BY g.event_type, day
+"""

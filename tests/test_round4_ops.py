@@ -636,3 +636,48 @@ def test_doc_len_histogram_hand(ray_session, tmp_path):
     assert rows[("es", 0)] == (1, 50)
     assert rows[("es", 400)] == (1, 450)
     assert len(rows) == 4
+
+
+def test_type_daily_ffill_gaps_and_nulls(ray_session, tmp_path):
+    """Engineered calendar: type A has events on days 0 and 3 (value
+    changes), type B first appears on day 3 — B must be NULL on the
+    earlier observed days, A must carry day-0's LAST value (ts/eid
+    winner) through days 1* and 3 (*day 1 is observed because B... it
+    isn't — observed days are exactly {0, 3}), and the day-0 winner is
+    the latest-ts row."""
+    import os
+    import pyarrow.parquet as pq
+
+    US = 86_400_000_000
+    base = 3_000 * US
+    rows = [
+        # (event_id, type, day, value) — two day-0 A rows: later ts wins
+        (1, "a", 0, 1.00),
+        (2, "a", 0, 2.00),
+        (3, "a", 3, 5.00),
+        (4, "b", 3, 9.00),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [base + r[2] * US + r[0] * 1000 for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = analytics.type_daily_ffill(str(tmp_path)).to_pandas()
+    m = {(r.event_type, r.day[-2:]): r.filled_cents for r in out.itertuples()}
+    assert len(out) == 4  # 2 types × 2 observed days
+    import math
+
+    day0, day3 = sorted({k[1] for k in m})
+    assert m[("a", day0)] == 200          # latest day-0 row wins (eid 2)
+    assert m[("a", day3)] == 500
+    assert math.isnan(m[("b", day0)])     # before b's first observation
+    assert m[("b", day3)] == 900
