@@ -358,3 +358,148 @@ FROM documents GROUP BY 1 ORDER BY 2
     got = got[sorted(got.columns)]
     want = want[sorted(want.columns)]
     assert got.values.tolist() == want.values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# round-4 late ops: random-corpus fuzz vs their own SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def _rand_docs_dir(tmp_path, seed: int, tag: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(40, 250))
+    vocab = [f"w{i}" for i in range(int(rng.randint(5, 25)))]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 30)).tolist())
+        for _ in range(n)
+    ]
+    if n > 3:  # force dup + empty edge cases into every corpus
+        texts[1] = texts[0]
+        texts[2] = ""
+    d = os.path.join(str(tmp_path), tag)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(
+                    [f"l{v}" for v in rng.randint(0, 3, n)], pa.string()
+                ),
+                "source": pa.array(
+                    [f"s{v}" for v in rng.randint(0, 4, n)], pa.string()
+                ),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+        row_group_size=max(1, n // int(rng.randint(1, 6))),
+    )
+    return d
+
+
+def _run_oracle(sql: str, view: str, path: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {view} AS SELECT * FROM "
+        f"read_parquet('{path}/{view}.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_doc_lm_score_fuzz(ray_session, tmp_path, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = _rand_docs_dir(tmp_path, seed, "lm")
+    got = analytics.doc_lm_score(d).to_pandas().reset_index(drop=True)
+    want = _run_oracle(analytics.DOC_LM_SCORE_SQL, "documents", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+@pytest.mark.parametrize("seed", [111, 222, 333])
+def test_doc_rarity_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import curation
+
+    d = _rand_docs_dir(tmp_path, seed, "rar")
+    got = curation.doc_rarity(d, top_k=4).to_pandas().reset_index(drop=True)
+    want = _run_oracle(curation.doc_rarity_sql(top_k=4), "documents", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+def _rand_events_dir(tmp_path, seed: int, tag: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(100, 600))
+    base = 5_000 * 86_400_000_000
+    ts = base + rng.randint(0, 45, n) * 86_400_000_000 + rng.randint(
+        0, 86_400_000_000, n
+    )
+    d = os.path.join(str(tmp_path), tag)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+                "user_id": pa.array(rng.randint(0, 40, n), pa.int64()),
+                "event_type": pa.array(
+                    [f"t{v}" for v in rng.randint(0, 4, n)], pa.string()
+                ),
+                "value": pa.array(
+                    np.round(rng.uniform(0, 500, n), 2), pa.float64()
+                ),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+        row_group_size=max(1, n // int(rng.randint(1, 7))),
+    )
+    return d
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_daily_active_spans_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = _rand_events_dir(tmp_path, seed, "das")
+    got = analytics.daily_active_spans(d).to_pandas().reset_index(drop=True)
+    want = _run_oracle(analytics.DAILY_ACTIVE_SPANS_SQL, "events", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+@pytest.mark.parametrize("seed", [44, 55, 66])
+def test_type_daily_ffill_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = _rand_events_dir(tmp_path, seed, "ff")
+    got = analytics.type_daily_ffill(d).to_pandas().reset_index(drop=True)
+    want = _run_oracle(analytics.TYPE_DAILY_FFILL_SQL, "events", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+@pytest.mark.parametrize("seed", [77, 88, 99])
+def test_value_winsorized_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = _rand_events_dir(tmp_path, seed, "win")
+    got = (
+        analytics.value_winsorized_by_type(d)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = _run_oracle(analytics.VALUE_WINSORIZED_SQL, "events", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
