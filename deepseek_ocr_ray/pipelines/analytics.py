@@ -3240,6 +3240,45 @@ ORDER BY revenue_cents DESC, n_name
 
 
 
+def lm_conditional_ppm(
+    cnt: pa.Table | None,
+) -> tuple[pa.Array, np.ndarray]:
+    """Finish the corpus bigram-LM build from the REDUCED ``(bg, c)``
+    count table: conditional probability of each bigram given its left
+    token in integer ppm (``10^6·c(w1w2) // c(w1·)``).  Runs entirely on
+    the bigram-vocabulary-bounded table (never corpus rows); returns the
+    broadcastable ``(bigram keys, int64 ppm values)`` probe pair shared
+    by :func:`doc_lm_score` and the fused corpus quality filter.  Exact
+    to ~9e12 occurrences of a single bigram (10^6·c12 in int64) —
+    guarded loudly."""
+    if cnt is None or cnt.num_rows == 0:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    c12 = cnt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if c12.size and int(c12.max()) > 9_000_000_000_000:
+        raise ValueError(
+            "doc_lm_score ppm staging is exact only to 9e12 occurrences "
+            f"per bigram (got {int(c12.max())}); use 128-bit staging"
+        )
+    # left token of each bigram → prefix counts → conditional ppm
+    parts = pc.list_flatten(
+        pc.split_pattern(cnt["bg"], " ", max_splits=1)
+    )
+    left = parts.take(pa.array(np.arange(0, 2 * cnt.num_rows, 2), pa.int64()))
+    lt = pa.table({"left": left, "c": cnt["c"]})
+    pre = lt.group_by("left").aggregate([("c", "sum")])
+    pidx = pc.index_in(left, value_set=pre["left"].combine_chunks())
+    prefix = (
+        pre["c_sum"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)[pidx.to_numpy(zero_copy_only=False)]
+    )
+    ppm_vals = (1_000_000 * c12) // np.maximum(prefix, 1)
+    keys = cnt["bg"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return keys, ppm_vals
+
+
 def doc_lm_score(sf_dir: str) -> ray.data.Dataset:
     """CCNet-style corpus-LM quality scoring in exact integers: train a
     bigram language model ON the corpus (conditional probability of each
@@ -3298,33 +3337,7 @@ def doc_lm_score(sf_dir: str) -> ray.data.Dataset:
             ["c"],
         )
     )
-    if cnt is None:
-        cnt = _EMPTY_CNT
-    c12 = cnt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    if c12.size and int(c12.max()) > 9_000_000_000_000:
-        raise ValueError(
-            "doc_lm_score ppm staging is exact only to 9e12 occurrences "
-            f"per bigram (got {int(c12.max())}); use 128-bit staging"
-        )
-    # left token of each bigram → prefix counts → conditional ppm,
-    # all on the REDUCED (bigram-vocab-bounded) table
-    parts = pc.list_flatten(
-        pc.split_pattern(cnt["bg"], " ", max_splits=1)
-    )
-    left = parts.take(pa.array(np.arange(0, 2 * cnt.num_rows, 2), pa.int64()))
-    lt = pa.table({"left": left, "c": cnt["c"]})
-    pre = lt.group_by("left").aggregate([("c", "sum")])
-    pidx = pc.index_in(left, value_set=pre["left"].combine_chunks())
-    prefix = (
-        pre["c_sum"]
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)[pidx.to_numpy(zero_copy_only=False)]
-    )
-    ppm_vals = (1_000_000 * c12) // np.maximum(prefix, 1)
-    keys = cnt["bg"]
-    if isinstance(keys, pa.ChunkedArray):
-        keys = keys.combine_chunks()
-    lm_ref = ray.put((keys, ppm_vals))
+    lm_ref = ray.put(lm_conditional_ppm(cnt))
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 

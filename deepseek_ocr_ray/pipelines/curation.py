@@ -2821,26 +2821,204 @@ def corpus_quality_filter(
     *,
     min_stop_ppm: int = 200_000,
     min_lm_ppm: int = 34_000,
+    top_k: int = 8,
+    plan: str = "fused",
 ) -> ray.data.Dataset:
-    """THE standard curation pipeline, composed from the engine's own
-    doc-level signals: a document survives iff it passes the Gopher
-    line/word rules (:func:`gopher_quality`), carries enough corpus-common
-    glue tokens (:func:`doc_rarity` ``stop_ppm ≥ min_stop_ppm`` — too low
-    ⇒ jargon/garbage soup), and its token sequences are corpus-probable
-    (:func:`analytics.doc_lm_score` ``mean_cond_ppm ≥ min_lm_ppm`` — the
-    integer CCNet perplexity proxy).  One row per document with the three
-    signals and the composite ``quality_pass``.
+    """THE standard curation pipeline: a document survives iff it passes
+    the Gopher line/word rules (:func:`gopher_quality`), carries enough
+    corpus-common glue tokens (:func:`doc_rarity` ``stop_ppm ≥
+    min_stop_ppm`` — too low ⇒ jargon/garbage soup), and its token
+    sequences are corpus-probable (:func:`analytics.doc_lm_score`
+    ``mean_cond_ppm ≥ min_lm_ppm`` — the integer CCNet perplexity proxy).
+    One row per document with the three signals and the composite
+    ``quality_pass``.
 
-    Composition shape: the three signal pipelines each emit ONE row per
-    document; the two planner joins therefore exchange doc-count-bounded
-    tables (never corpus text), and every upstream stays its own
-    zero-/one-shuffle self.  All flags are integer comparisons — the SQL
-    oracle composes the three signal oracles verbatim as derived tables.
+    ``plan="fused"`` (default, the at-scale shape): TWO corpus scans
+    total instead of the five the naive composition pays.  Scan 1
+    tokenizes each block ONCE and emits kind-tagged partials for both
+    corpus models — token document frequency (``kind='t'``) and bigram
+    counts (``kind='b'``) — through a single coarse-bucket aggregate;
+    the reduced table is vocabulary-bounded, so materializing it and
+    deriving the broadcast stopword set (exact top-k prune) and the
+    bigram-LM probe pair (:func:`analytics.lm_conditional_ppm`) costs
+    nothing at any corpus size.  Scan 2 is one zero-shuffle map that
+    recomputes the Gopher flags and probes both broadcast models per
+    block — no doc-level joins at all.  Signals are bit-identical to
+    the standalone pipelines (tested), so the SQL oracle still composes
+    the three signal oracles verbatim.
+
+    ``plan="composed"`` keeps the original three-pipeline composition
+    (each signal its own scans, two planner joins over doc-count-bounded
+    tables) for plan-equality verification.
     """
+    if plan == "composed":
+        return _corpus_quality_filter_composed(
+            sf_dir, min_stop_ppm=min_stop_ppm, min_lm_ppm=min_lm_ppm,
+            top_k=top_k,
+        )
+    if plan != "fused":
+        raise ValueError(f"unknown plan {plan!r} (fused|composed)")
+
+    from ..cluster import collect_table
+    from ..stages.agg import bucket_groupby_sum
+    from .analytics import lm_conditional_ppm
+
+    txt = read_table(sf_dir, "documents", columns=["text"])
+
+    _EMPTY_PART = pa.table(
+        {
+            "kind": pa.array([], pa.string()),
+            "k": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    def model_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        outs = []
+        if len(flat):
+            # token document frequency: distinct (token, row) then count
+            # per token — exact because each document is one row
+            g = (
+                pa.table({"k": flat, "d": pa.array(parent, pa.int64())})
+                .group_by(["k", "d"])
+                .aggregate([])
+                .group_by("k")
+                .aggregate([([], "count_all")])
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "kind": pa.array(["t"] * g.num_rows, pa.string()),
+                        "k": g["k"],
+                        "c": g["count_all"].cast(pa.int64()),
+                    }
+                )
+            )
+        bg, _ = ngram_rows(flat, parent, 2)
+        if len(bg):
+            gb = pa.table({"k": bg}).group_by("k").aggregate(
+                [([], "count_all")]
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "kind": pa.array(["b"] * gb.num_rows, pa.string()),
+                        "k": gb["k"],
+                        "c": gb["count_all"].cast(pa.int64()),
+                    }
+                )
+            )
+        if not outs:
+            return _EMPTY_PART
+        return pa.concat_tables(outs)
+
+    red = bucket_groupby_sum(
+        txt.map_batches(model_partial, batch_format="pyarrow"),
+        ["kind", "k"],
+        ["c"],
+    ).materialize()  # vocabulary-bounded, consumed twice below
+
+    def t_side(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["kind"], "t"))
+        return pa.table({"token": f["k"], "df": f["c"]})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= top_k:
+            return batch
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("df", "descending"), ("token", "ascending")],
+        )
+        return batch.take(order.slice(0, top_k))
+
+    toprows = (
+        red.map_batches(t_side, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .sort(["df", "token"], descending=[True, False])
+        .limit(top_k)
+        .take_all()
+    )
+    stop_ref = ray.put(
+        pa.array(sorted(r["token"] for r in toprows), pa.string())
+    )
+
+    def b_side(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["kind"], "b"))
+        return pa.table({"bg": f["k"], "c": f["c"]})
+
+    lm_ref = ray.put(
+        lm_conditional_ppm(
+            collect_table(red.map_batches(b_side, batch_format="pyarrow"))
+        )
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        gop = _gopher_batch(batch)
+        gp = gop["gopher_pass"].to_numpy(zero_copy_only=False)
+
+        flat, parent = tokens_flat(batch["text"])
+        n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        in_stop = pc.is_in(flat, value_set=ray.get(stop_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(
+            parent, weights=in_stop.astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        stop_ppm = np.zeros(n_rows, np.int64)
+        nz = n_tok > 0
+        stop_ppm[nz] = (1_000_000 * n_stop[nz]) // n_tok[nz]
+
+        bg, brow = ngram_rows(flat, parent, 2)
+        n_big = np.zeros(n_rows, np.int64)
+        s = np.zeros(n_rows, np.int64)
+        if len(bg):
+            lm_keys, lm_ppm = ray.get(lm_ref)
+            idx = pc.index_in(bg, value_set=lm_keys).to_numpy(
+                zero_copy_only=False
+            )
+            vals = lm_ppm[idx]  # trained on this corpus ⇒ every probe hits
+            n_big = np.bincount(brow, minlength=n_rows).astype(np.int64)
+            s = np.bincount(
+                brow, weights=vals.astype(np.float64), minlength=n_rows
+            ).astype(np.int64)
+        mean = np.zeros(n_rows, np.int64)
+        bz = n_big > 0
+        mean[bz] = s[bz] // n_big[bz]
+
+        ok = (
+            (stop_ppm >= min_stop_ppm) & (mean >= min_lm_ppm) & (gp == 1)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "stop_ppm": pa.array(stop_ppm, pa.int64()),
+                "mean_cond_ppm": pa.array(mean, pa.int64()),
+                "gopher_pass": gop["gopher_pass"],
+                "quality_pass": pa.array(ok, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def _corpus_quality_filter_composed(
+    sf_dir: str,
+    *,
+    min_stop_ppm: int,
+    min_lm_ppm: int,
+    top_k: int,
+) -> ray.data.Dataset:
+    """Original composition: each signal pipeline its own scans, two
+    planner joins exchanging doc-count-bounded tables.  Kept as the
+    plan-equality witness for the fused plan."""
     from ..cluster import equi_join
     from .analytics import doc_lm_score, table_file_bytes
 
-    rarity = doc_rarity(sf_dir, top_k=8).select_columns(
+    rarity = doc_rarity(sf_dir, top_k=top_k).select_columns(
         ["doc_id", "stop_ppm"]
     )
     lm = doc_lm_score(sf_dir).select_columns(["doc_id", "mean_cond_ppm"])
