@@ -3801,6 +3801,57 @@ ORDER BY 1
 """
 
 
+def value_equidepth_by_type(sf_dir: str, *, n_tiles: int = 8) -> ray.data.Dataset:
+    """Equi-depth value histogram per event type — one row per non-empty
+    ``ntile(n_tiles)`` tile over integer cents with its row count and
+    cents min/max: the bucketing every monitoring/binning pipeline wants
+    when value distributions are skewed (equal POPULATION per bin, not
+    equal width — compare :func:`curation.doc_len_histogram`).
+
+    Shape: :func:`stages.agg.group_equidepth` — per-block (type, cents)
+    histogram partials in C++, ONE keyed exchange whose volume is types ×
+    distinct cents per block (independent of row count), vectorized
+    searchsorted tile walk per bucket task.  Exactly DuckDB's ntile fill
+    rule, tie-order invariant by construction."""
+    from ..stages.agg import group_equidepth
+
+    events = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    return group_equidepth(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        "cents",
+        n_tiles,
+    ).sort(["event_type", "tile"])
+
+
+VALUE_EQUIDEPTH_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+t AS (
+  SELECT event_type, cents,
+         ntile(8) OVER (PARTITION BY event_type ORDER BY cents) AS tile
+  FROM c
+)
+SELECT event_type,
+       CAST(tile AS BIGINT) AS tile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(cents) AS min_value,
+       max(cents) AS max_value
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def type_daily_ffill(sf_dir: str) -> ray.data.Dataset:
     """Calendar gap-fill with forward fill — the time-series densification
     primitive: one row per (event_type, observed day) carrying the day's

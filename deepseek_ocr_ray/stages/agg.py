@@ -209,16 +209,7 @@ def _group_quantile(
         raise ValueError(f"q must be in [0, 1], got {q}")
     assert mode in ("disc", "cont"), mode
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(keys + [value_col]).aggregate([([], "count_all")])
-        cols = {k: g[k] for k in keys}
-        cols[value_col] = g[value_col]
-        cols["__cnt"] = g["count_all"].cast(pa.int64())
-        t = pa.table(cols)
-        bucket = hash64_columns(t, keys) % np.uint64(n_buckets)
-        return t.append_column(
-            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
-        )
+    partial = _make_hist_partial(keys, value_col, n_buckets)
 
     def finalize(group: pa.Table) -> pa.Table:
         # merge duplicate (keys, value) partials from different blocks
@@ -290,6 +281,117 @@ def _group_quantile(
                 crn == frn, vlo, vlo * (crn - h) + vhi * (h - frn)
             )
             out_cols[out_col] = pa.array(out, pa.float64())
+        return pa.table(out_cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def _make_hist_partial(keys: list[str], value_col: str, n_buckets: int):
+    """Map side of the group-histogram exchange shared by the quantile
+    and equi-depth kernels: reduce each block to per-(group, value)
+    counts in C++ and tag each row with its group-hash bucket."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys + [value_col]).aggregate([([], "count_all")])
+        cols = {k: g[k] for k in keys}
+        cols[value_col] = g[value_col]
+        cols["__cnt"] = g["count_all"].cast(pa.int64())
+        t = pa.table(cols)
+        bucket = hash64_columns(t, keys) % np.uint64(n_buckets)
+        return t.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    return partial
+
+
+def group_equidepth(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    n_tiles: int,
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT per-group equi-depth histogram — one row per NON-EMPTY tile
+    of SQL ``ntile(n_tiles) OVER (PARTITION BY keys ORDER BY value)``
+    with the tile's row count and value min/max.  DuckDB's fill rule is
+    replicated exactly: the first ``n mod B`` tiles take ``ceil(n/B)``
+    rows, the rest ``floor(n/B)`` (for ``n < B`` that is one row in each
+    of the first ``n`` tiles).  Output is tie-order invariant: tile
+    counts and min/max depend only on the sorted VALUE sequence, never
+    on which of several equal-valued rows lands where.
+
+    Same histogram plan as ``group_quantile_*``: per-block (group,
+    value) counts in C++, ONE keyed exchange carrying histogram rows
+    (volume = groups × distinct values per block, independent of row
+    count), and a vectorized searchsorted walk per bucket task.  Like
+    the quantile kernels it requires a bounded distinct-value count;
+    nulls in ``value_col`` are not supported."""
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+
+    partial = _make_hist_partial(keys, value_col, n_buckets)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.group_by(keys + [value_col]).aggregate([("__cnt", "sum")])
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: g[k] for k in keys},
+                    "tile": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "min_value": g[value_col],
+                    "max_value": g[value_col],
+                }
+            )
+
+        def _codes(col) -> np.ndarray:
+            enc = pa.compute.dictionary_encode(col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        codes = [_codes(g[k]) for k in keys]
+        val = g[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((val, *codes[::-1]))
+        codes_s = [c[order] for c in codes]
+        changed = np.zeros(n - 1, bool) if n else np.zeros(0, bool)
+        for c in codes_s:
+            changed |= c[1:] != c[:-1]
+        cnt_s = g["__cnt_sum"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.r_[True, changed])
+        ends = np.r_[starts[1:], n]
+        csum = np.cumsum(cnt_s)
+        run_base = np.where(starts > 0, csum[starts - 1], 0)
+        run_tot = csum[ends - 1] - run_base  # rows per group
+
+        # tiles per group: min(n_tiles, rows); fan groups out to tiles
+        k = np.minimum(run_tot, n_tiles).astype(np.int64)
+        total = int(k.sum())
+        off = np.r_[0, np.cumsum(k)[:-1]]
+        gidx = np.repeat(np.arange(len(k)), k)
+        tile = np.arange(total, dtype=np.int64) - off[gidx] + 1  # 1-based
+        base = run_tot[gidx] // n_tiles
+        extra = run_tot[gidx] % n_tiles
+        size = base + (tile <= extra)
+        start = (tile - 1) * base + np.minimum(tile - 1, extra)
+        # global zero-indexed ranks of each tile's first/last row
+        lo = run_base[gidx] + start
+        hi = lo + size - 1
+        pick_lo = np.searchsorted(csum, lo, side="right")
+        pick_hi = np.searchsorted(csum, hi, side="right")
+        key_rows = order[pick_lo]
+        out_cols = {kk: g[kk].take(pa.array(key_rows)) for kk in keys}
+        out_cols["tile"] = pa.array(tile, pa.int64())
+        out_cols["n_rows"] = pa.array(size, pa.int64())
+        out_cols["min_value"] = g[value_col].take(pa.array(order[pick_lo]))
+        out_cols["max_value"] = g[value_col].take(pa.array(order[pick_hi]))
         return pa.table(out_cols)
 
     return (

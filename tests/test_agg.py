@@ -552,3 +552,117 @@ def test_group_quantile_disc_vs_duckdb_direct(ray_session, q):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# group_equidepth (ntile histogram)
+# ---------------------------------------------------------------------------
+
+
+def _brute_equidepth(groups, values, n_tiles):
+    """Reference ntile histogram: DuckDB fill rule (first n%B tiles take
+    ceil(n/B) rows) over values sorted per group."""
+    out = {}
+    bygroup = {}
+    for g, v in zip(groups, values):
+        bygroup.setdefault(g, []).append(v)
+    for g, vs in bygroup.items():
+        vs = sorted(vs)
+        n = len(vs)
+        base, extra = divmod(n, n_tiles)
+        pos = 0
+        for tile in range(1, min(n, n_tiles) + 1):
+            size = base + (1 if tile <= extra else 0)
+            if size == 0:
+                continue
+            out[(g, tile)] = (size, vs[pos], vs[pos + size - 1])
+            pos += size
+    return out
+
+
+@pytest.mark.parametrize("n_tiles", [1, 3, 8, 40])
+def test_group_equidepth_vs_brute(ray_session, n_tiles):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_equidepth
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    # tie-heavy values and groups of very different sizes (one group has
+    # 4 rows so n_tiles=8/40 exercises the n < B branch)
+    groups = np.r_[rng.randint(0, 9, n - 4), [99, 99, 99, 99]]
+    values = np.r_[rng.randint(0, 25, n - 4), [7, 7, 3, 3]]
+    tab = pa.table(
+        {
+            "g": pa.array(groups.tolist(), pa.int64()),
+            "v": pa.array(values.tolist(), pa.int64()),
+        }
+    )
+    got = (
+        group_equidepth(
+            ray.data.from_arrow(tab).repartition(7), ["g"], "v", n_tiles
+        )
+        .to_pandas()
+        .set_index(["g", "tile"])
+        .sort_index()
+    )
+    want = _brute_equidepth(groups.tolist(), values.tolist(), n_tiles)
+    assert len(got) == len(want)
+    for (g, tile), (size, lo, hi) in want.items():
+        row = got.loc[(g, tile)]
+        assert (row.n_rows, row.min_value, row.max_value) == (size, lo, hi)
+
+
+def test_group_equidepth_matches_duckdb_ntile(ray_session):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_equidepth
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    tab = pa.table(
+        {
+            "g": pa.array(rng.randint(0, 13, n).tolist(), pa.int64()),
+            "v": pa.array(rng.randint(-40, 40, n).tolist(), pa.int64()),
+        }
+    )
+    got = (
+        group_equidepth(
+            ray.data.from_arrow(tab).repartition(9), ["g"], "v", 8
+        )
+        .to_pandas()
+        .sort_values(["g", "tile"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = con.execute(
+        """
+        WITH x AS (
+          SELECT g, v, ntile(8) OVER (PARTITION BY g ORDER BY v) AS tile
+          FROM t
+        )
+        SELECT g, CAST(tile AS BIGINT) AS tile,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(v) AS min_value, max(v) AS max_value
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetch_df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_equidepth_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_equidepth
+
+    with pytest.raises(ValueError):
+        group_equidepth(
+            ray.data.from_arrow(pa.table({"g": [1], "v": [1]})),
+            ["g"],
+            "v",
+            0,
+        )
