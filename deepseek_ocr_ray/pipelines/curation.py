@@ -2543,6 +2543,398 @@ ORDER BY e.doc_id
 
 
 # ---------------------------------------------------------------------------
+# C4-style corpus-wide line dedup (Raffel et al. 2020 §2.2: keep ONE
+# occurrence of any line duplicated anywhere in the corpus)
+# ---------------------------------------------------------------------------
+
+
+_LINE_DUP_TYPES = {"l": pa.string(), "kdoc": pa.int64(), "kidx": pa.int64()}
+
+_LINE_ENRICH_SQL = (
+    "replace(replace(replace(text, ' merge ', chr(10)), "
+    "' table ', chr(10) || '- '), ' slow ', '...' || chr(10))"
+)
+
+
+def _line_occurrences(batch: pa.Table):
+    """Enriched lines of a batch, flattened: ``(docs, idx, flat, parent,
+    lens)`` with ``idx`` the 1-based line position within its document
+    (the SQL ``generate_series`` convention).  Lines come from the same
+    deterministic newline-enrichment chain the Gopher rules use
+    (``_gopher_enrich`` — the synthetic corpus carries no raw newlines),
+    so engine and oracle split identical byte streams."""
+    e = _gopher_enrich(batch["text"])
+    ll = pc.split_pattern(e, "\n")
+    flat = pc.list_flatten(ll)
+    parent = (
+        pc.list_parent_indices(ll)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    lens = (
+        pc.list_value_length(ll)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    starts = np.cumsum(lens) - lens
+    idx = np.arange(len(flat), dtype=np.int64) - starts[parent] + 1
+    docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return docs, idx, flat, parent, lens
+
+
+def _dup_line_dataset(
+    ds: ray.data.Dataset, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Corpus-wide duplicated-line keeper table: one row per line string
+    occurring ≥ 2 times anywhere in the corpus, carrying the keeper's
+    ``(doc_id, line_idx)`` — the lexicographically FIRST occurrence.
+
+    Shape: per-block C++ hash-group to one row per (line, doc) with its
+    count and min line index (exact — a document is one row in one
+    block), ONE volume-sized line-hash exchange, in-bucket lexsort walk
+    picking totals and keepers.  The exchange carries distinct
+    (line, doc) partials, never per-occurrence rows."""
+    from ..cluster import assembly_buckets_for_bytes, dataset_size_estimate
+    from ..hashing import string_hash64
+
+    if n_buckets is None:
+        n_buckets = assembly_buckets_for_bytes(dataset_size_estimate(ds))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        docs, idx, flat, parent, _ = _line_occurrences(batch)
+        t = pa.table(
+            {
+                "l": flat,
+                "doc": pa.array(docs[parent], pa.int64()),
+                "idx": pa.array(idx, pa.int64()),
+            }
+        )
+        g = t.group_by(["l", "doc"]).aggregate(
+            [("idx", "min"), ([], "count_all")]
+        )
+        lcol = g["l"]
+        if isinstance(lcol, pa.ChunkedArray):
+            lcol = lcol.combine_chunks()
+        b = (string_hash64(lcol) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "l": lcol,
+                "doc": g["doc"],
+                "idx": g["idx_min"],
+                "c": g["count_all"].cast(pa.int64()),
+                "_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    _EMPTY = pa.table(
+        {
+            "l": pa.array([], pa.string()),
+            "kdoc": pa.array([], pa.int64()),
+            "kidx": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "l" not in group.column_names:
+            if group.num_rows:
+                raise RuntimeError(
+                    "_dup_line_dataset bucket is non-empty but lacks the "
+                    f"line column (columns: {group.column_names})"
+                )
+            return _EMPTY
+        # defensively re-merge (line, doc) partials — they cannot straddle
+        # blocks for the one-row-per-doc layout, but don't depend on it
+        g = (
+            group.group_by(["l", "doc"])
+            .aggregate([("idx", "min"), ("c", "sum")])
+            .rename_columns(["l", "doc", "idx", "c"])
+        )
+        lcol = g["l"]
+        if isinstance(lcol, pa.ChunkedArray):
+            lcol = lcol.combine_chunks()
+        enc = pc.dictionary_encode(lcol)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = g["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = g["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((idx, doc, codes))
+        cs, dsort, isort = codes[order], doc[order], idx[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        totals = np.add.reduceat(cnt[order], starts)
+        keep_rows = starts[totals >= 2]
+        return pa.table(
+            {
+                "l": lcol.take(pa.array(order[keep_rows])),
+                "kdoc": pa.array(dsort[keep_rows], pa.int64()),
+                "kidx": pa.array(isort[keep_rows], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _assemble_scrubbed_lines(
+    batch: pa.Table, parent: np.ndarray, flat: pa.Array, drop: np.ndarray
+) -> pa.Table:
+    """Rebuild per-doc text from the kept lines (one ``binary_join`` over
+    a boundary-offset list array, zero per-row Python); a doc whose every
+    line dropped comes back as the empty string."""
+    n_rows = batch.num_rows
+    n_lines = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    n_drop = np.bincount(parent[drop], minlength=n_rows).astype(np.int64)
+    kept = flat.filter(pa.array(~drop))
+    kc = n_lines - n_drop
+    offsets = pa.array(np.r_[0, np.cumsum(kc)].astype(np.int32))
+    text = pc.binary_join(pa.ListArray.from_arrays(offsets, kept), "\n")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_dropped_lines": pa.array(n_drop, pa.int64()),
+            "text": text,
+        }
+    )
+
+
+def line_dedup_scrub(
+    sf_dir: str, *, probe: str = "auto"
+) -> ray.data.Dataset:
+    """C4's line-level dedup (Raffel et al. 2020): any line occurring more
+    than once ANYWHERE in the corpus survives only at its first occurrence
+    (lexicographically smallest ``(doc_id, line_idx)``); every other copy
+    is removed and each document's text is rebuilt from its kept lines.
+    One row per document: ``n_lines``, ``n_dropped_lines``, scrubbed
+    ``text`` (in the deterministic line-enriched form both sides split).
+
+    Probe plans (``probe``: ``auto | broadcast | join``, the same
+    escalation family as :func:`substring_dup_spans`):
+
+    - ``broadcast`` — the duplicated-line keeper table ships once via
+      plasma and the scrub is a PURE MAP (one ``index_in`` probe + two
+      bincounts + one ``binary_join`` per block).  Correct whenever the
+      dup-line table fits the object store.
+    - ``join`` — the at-scale escalation: line occurrences semi-join the
+      keeper table (planner bucket join, lazy), non-keeper hits reduce to
+      bounded per-doc dropped-index lists through one doc-keyed exchange,
+      and one left-outer planner join stitches them back onto the corpus
+      for the rebuild map.  Byte-identical to broadcast (tested).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_dedup_scrub_ds(ds, probe=probe)
+
+
+def line_dedup_scrub_ds(
+    ds: ray.data.Dataset, *, probe: str = "auto"
+) -> ray.data.Dataset:
+    """Dataset-in variant of :func:`line_dedup_scrub`."""
+    from ..cluster import collect_table
+
+    dup = _dup_line_dataset(ds)
+    plan = _resolve_probe(probe, dup)
+
+    if plan == "broadcast":
+        tab = collect_table(dup)
+        if tab is None:
+            tab = pa.table(
+                {
+                    "l": pa.array([], pa.string()),
+                    "kdoc": pa.array([], pa.int64()),
+                    "kidx": pa.array([], pa.int64()),
+                }
+            )
+        lset = tab["l"]
+        if isinstance(lset, pa.ChunkedArray):
+            lset = lset.combine_chunks()
+        ref = ray.put(
+            (
+                lset,
+                tab["kdoc"].to_numpy(zero_copy_only=False).astype(np.int64),
+                tab["kidx"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        )
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            docs, idx, flat, parent, _ = _line_occurrences(batch)
+            lvals, kd, ki = ray.get(ref)
+            mi = (
+                pc.fill_null(pc.index_in(flat, value_set=lvals), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            drop = np.zeros(len(mi), bool)
+            h = np.flatnonzero(mi >= 0)
+            if len(h):
+                hm = mi[h]
+                keeper = (docs[parent[h]] == kd[hm]) & (idx[h] == ki[hm])
+                drop[h] = ~keeper
+            return _assemble_scrubbed_lines(batch, parent, flat, drop)
+
+        out = ds.map_batches(scrub, batch_format="pyarrow")
+    else:
+        out = _line_scrub_join(ds, dup)
+    return out.sort("doc_id")
+
+
+def _line_scrub_join(
+    ds: ray.data.Dataset,
+    dup: ray.data.Dataset,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Join-plan line scrub — the at-scale escalation when the dup-line
+    keeper table outgrows plasma.  Occurrence rows join the keeper table
+    on the line, non-keepers reduce to one bounded CSV row per document
+    through a volume-sized doc-keyed exchange (CSV because acero joins
+    reject list payloads — the ``_doc_spans_join`` convention), and a
+    left-outer planner join carries them back for the rebuild map."""
+    from ..cluster import (
+        assembly_buckets_for_bytes,
+        dataset_size_estimate,
+        equi_join,
+    )
+    from ..hashing import hash64_columns
+
+    if n_buckets is None:
+        n_buckets = assembly_buckets_for_bytes(dataset_size_estimate(ds))
+
+    def occ(batch: pa.Table) -> pa.Table:
+        docs, idx, flat, parent, _ = _line_occurrences(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[parent], pa.int64()),
+                "idx": pa.array(idx, pa.int64()),
+                "l": flat,
+            }
+        )
+
+    hits = equi_join(
+        ds.map_batches(occ, batch_format="pyarrow"),
+        dup,
+        on="l",
+        join_type="inner",
+        left_cols=["doc_id", "idx"],
+        right_cols=["kdoc", "kidx"],
+        strategy="bucket",
+        left_types={"doc_id": pa.int64(), "idx": pa.int64(), "l": pa.string()},
+        right_types=_LINE_DUP_TYPES,
+    )
+
+    def non_keepers(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = batch["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kd = batch["kdoc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ki = batch["kidx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ~((d == kd) & (i == ki))
+        t = pa.table(
+            {
+                "doc_id": pa.array(d[m], pa.int64()),
+                "idx": pa.array(i[m], pa.int64()),
+            }
+        )
+        b = hash64_columns(t, ["doc_id"]) % np.uint64(n_buckets)
+        return t.append_column("_b", pa.array(b.astype(np.int64), pa.int64()))
+
+    _EMPTY_CSV = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "drop_csv": pa.array([], pa.string()),
+        }
+    )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return _EMPTY_CSV
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = group["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, d))
+        sd, si = d[order], i[order]
+        starts = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+        counts = np.diff(np.r_[starts, len(sd)])
+        offsets = pa.array(np.r_[0, np.cumsum(counts)].astype(np.int32))
+        strs = pc.cast(pa.array(si, pa.int64()), pa.string())
+        csv = pc.binary_join(pa.ListArray.from_arrays(offsets, strs), ",")
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[starts], pa.int64()),
+                "drop_csv": csv,
+            }
+        )
+
+    dropped = (
+        hits.map_batches(non_keepers, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+
+    joined = equi_join(
+        ds,
+        dropped,
+        on="doc_id",
+        join_type="left_outer",
+        left_cols=["doc_id", "text"],
+        right_cols=["drop_csv"],
+        strategy="bucket",
+        right_types={"doc_id": pa.int64(), "drop_csv": pa.string()},
+    )
+
+    def scrub_joined(batch: pa.Table) -> pa.Table:
+        docs, idx, flat, parent, lens = _line_occurrences(batch)
+        drop = np.zeros(len(flat), bool)
+        filled = pc.fill_null(batch["drop_csv"], "")
+        if isinstance(filled, pa.ChunkedArray):
+            filled = filled.combine_chunks()
+        sl = pc.split_pattern(filled, ",")
+        fl = pc.list_flatten(sl)
+        pp = pc.list_parent_indices(sl)
+        ne = pc.not_equal(fl, "")
+        di = (
+            pc.cast(fl.filter(ne), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dr = (
+            pp.filter(ne).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        row_flat_start = np.cumsum(lens) - lens
+        drop[row_flat_start[dr] + di - 1] = True  # idx is 1-based
+        return _assemble_scrubbed_lines(batch, parent, flat, drop)
+
+    return joined.map_batches(scrub_joined, batch_format="pyarrow")
+
+
+LINE_DEDUP_SCRUB_SQL = f"""
+WITH enr AS (
+  SELECT doc_id, {_LINE_ENRICH_SQL} AS etext FROM documents
+),
+ls AS (
+  SELECT doc_id, string_split(etext, chr(10)) AS lns FROM enr
+),
+lines AS (
+  SELECT doc_id, lns[i] AS l, i AS idx
+  FROM ls, unnest(generate_series(1, len(lns))) AS t(i)
+),
+marked AS (
+  SELECT doc_id, idx, l,
+         count(*) OVER (PARTITION BY l) AS c,
+         row_number() OVER (PARTITION BY l ORDER BY doc_id, idx) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN c > 1 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped_lines,
+       coalesce(string_agg(CASE WHEN c = 1 OR rn = 1 THEN l END,
+                           chr(10) ORDER BY idx), '') AS text
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # inverted-index build (search-index export)
 # ---------------------------------------------------------------------------
 

@@ -803,3 +803,92 @@ def test_quality_filter_cli(tmp_path):
     assert set(t.column_names) == {
         "doc_id", "text", "lang", "source", "n_chars"
     }
+
+
+# ---------------------------------------------------------------------------
+# C4-style line dedup
+# ---------------------------------------------------------------------------
+
+
+def _line_corpus(tmp_path, name="ld"):
+    """Engineered corpus: ' merge ' becomes a newline on both sides, so
+    docs share exact lines across documents."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    texts = [
+        "shared line merge unique one",          # doc 0: L1='shared line', L2='unique one'
+        "shared line merge unique two",          # doc 1: L1 dup of doc0 L1 -> dropped
+        "only here merge shared line",           # doc 2: L2 dup -> dropped
+        "repeat me merge repeat me",             # doc 3: within-doc dup, keeper idx 1
+        "shared line",                           # doc 4: single line, dup -> all dropped
+        "",                                      # doc 5: empty -> one '' line (unique unless another empty)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    d = os.path.join(str(tmp_path), name)
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"), row_group_size=2)
+    return d
+
+
+def test_line_dedup_scrub_fixture(ray_session, tmp_path):
+    d = _line_corpus(tmp_path)
+    out = curation.line_dedup_scrub(d).to_pandas().set_index("doc_id")
+    # doc 0 keeps both lines (keeper of 'shared line')
+    assert out.loc[0, "text"] == "shared line\nunique one"
+    assert out.loc[0, "n_dropped_lines"] == 0
+    # doc 1 loses the shared first line
+    assert out.loc[1, "text"] == "unique two"
+    assert out.loc[1, "n_dropped_lines"] == 1
+    # doc 2 loses the shared second line
+    assert out.loc[2, "text"] == "only here"
+    # doc 3: within-doc duplicate, first occurrence kept
+    assert out.loc[3, "text"] == "repeat me"
+    assert out.loc[3, "n_lines"] == 2 and out.loc[3, "n_dropped_lines"] == 1
+    # doc 4: its only line is a non-keeper duplicate -> empty text
+    assert out.loc[4, "text"] == "" and out.loc[4, "n_dropped_lines"] == 1
+    # doc 5: unique empty line survives
+    assert out.loc[5, "text"] == "" and out.loc[5, "n_dropped_lines"] == 0
+    assert out.loc[5, "n_lines"] == 1
+
+
+def test_line_dedup_scrub_plan_equality(ray_session, tmp_path):
+    import pandas as pd
+
+    d = _line_corpus(tmp_path)
+    b = curation.line_dedup_scrub(d, probe="broadcast").to_pandas()
+    j = curation.line_dedup_scrub(d, probe="join").to_pandas()
+    pd.testing.assert_frame_equal(
+        b.reset_index(drop=True), j.reset_index(drop=True)
+    )
+    # and on the real sf0.001 corpus
+    b2 = curation.line_dedup_scrub("/root/testdata/sf0.001").to_pandas()
+    j2 = curation.line_dedup_scrub(
+        "/root/testdata/sf0.001", probe="join"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        b2.reset_index(drop=True), j2.reset_index(drop=True)
+    )
+
+
+def test_line_dedup_scrub_vs_duckdb_fixture(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    d = _line_corpus(tmp_path)
+    got = curation.line_dedup_scrub(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(curation.LINE_DEDUP_SCRUB_SQL).fetch_df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
