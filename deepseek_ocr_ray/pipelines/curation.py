@@ -2275,6 +2275,161 @@ ORDER BY t.doc_id
 """
 
 
+def source_divergence(sf_dir: str) -> ray.data.Dataset:
+    """Per-source lexical drift: the EXACT total-variation distance (in
+    integer ppm) between each source's token distribution and the whole
+    corpus's — the mixture-debugging signal (DoReMi/DSIR-adjacent) that
+    flags a source whose vocabulary departs from the pile it feeds.
+
+    ``tv_ppm = 10^6 · Σ_t |c_st·N − c_t·n_s| // (2·n_s·N)`` where
+    ``c_st`` is the source's count of token ``t``, ``c_t`` the corpus
+    count, ``n_s``/``N`` the source/corpus token totals.  Tokens absent
+    from the source contribute in closed form (``n_s·(N − Σ_{t∈s} c_t)``)
+    so the cross product source × vocabulary is never built.
+
+    Shape: per-block C++ (source, token) count partials, ONE coarse-bucket
+    exchange (volume = sources × vocab per block, independent of row
+    count), and the finish runs on the collected vocabulary-bounded table —
+    numpy int64 when every product provably fits (``2·N² < 2^63``), exact
+    Python ints past that horizon, mirroring the DuckDB HUGEINT oracle in
+    both regimes."""
+    from ..cluster import collect_table
+    from ..stages.agg import bucket_groupby_sum
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = (
+            pa.table(
+                {"source": src.take(pa.array(parent)), "token": flat}
+            )
+            .group_by(["source", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "token": g["token"],
+                "c": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    red = collect_table(
+        bucket_groupby_sum(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            ["source", "token"],
+            ["c"],
+        )
+    )
+    if red is None:
+        red = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+
+    def _codes(col) -> tuple[np.ndarray, pa.Array]:
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return (
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            enc.dictionary,
+        )
+
+    s_codes, s_dict = _codes(red["source"])
+    t_codes, _ = _codes(red["token"])
+    c = red["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_src = len(s_dict)
+    n_tok_vals = int(t_codes.max()) + 1 if len(t_codes) else 0
+
+    ct = np.zeros(n_tok_vals, np.int64)
+    np.add.at(ct, t_codes, c)
+    ns = np.zeros(n_src, np.int64)
+    np.add.at(ns, s_codes, c)
+    ndist = np.zeros(n_src, np.int64)
+    np.add.at(ndist, s_codes, 1)
+    N = int(c.sum())
+
+    if N and 2 * N * N < _TV_INT64_HORIZON:
+        term = np.abs(c * N - ct[t_codes] * ns[s_codes])
+        tsum = np.zeros(n_src, np.int64)
+        np.add.at(tsum, s_codes, term)
+        cov = np.zeros(n_src, np.int64)
+        np.add.at(cov, s_codes, ct[t_codes])
+        tv = [
+            (1_000_000 * (int(tsum[i]) + int(ns[i]) * (N - int(cov[i]))))
+            // (2 * int(ns[i]) * N)
+            if ns[i]
+            else 0
+            for i in range(n_src)
+        ]
+    else:
+        # exact Python-int path past the int64 product horizon — the
+        # reduced table is vocabulary-bounded, so this stays cheap
+        tsum_py = [0] * n_src
+        cov_py = [0] * n_src
+        for i in range(len(c)):
+            si, ti, ci = int(s_codes[i]), int(t_codes[i]), int(c[i])
+            tsum_py[si] += abs(ci * N - int(ct[ti]) * int(ns[si]))
+            cov_py[si] += int(ct[ti])
+        tv = [
+            (1_000_000 * (tsum_py[i] + int(ns[i]) * (N - cov_py[i])))
+            // (2 * int(ns[i]) * N)
+            if ns[i] and N
+            else 0
+            for i in range(n_src)
+        ]
+
+    out = pa.table(
+        {
+            "source": s_dict,
+            "n_tokens": pa.array(ns, pa.int64()),
+            "n_distinct_tokens": pa.array(ndist, pa.int64()),
+            "tv_ppm": pa.array(np.asarray(tv, np.int64), pa.int64()),
+        }
+    ).sort_by("source")
+    return ray.data.from_arrow(out)
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH words AS (
+  SELECT source, w
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+st AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1, 2
+),
+tot AS (SELECT w, sum(c) AS ct FROM st GROUP BY 1),
+ns AS (
+  SELECT source, sum(c) AS n, CAST(count(*) AS BIGINT) AS nd
+  FROM st GROUP BY 1
+),
+nn AS (SELECT sum(c) AS N FROM st),
+terms AS (
+  SELECT st.source,
+         sum(abs(st.c * nn.N - tot.ct * ns.n)) AS tsum,
+         sum(tot.ct) AS cov
+  FROM st JOIN tot USING (w) JOIN ns USING (source) CROSS JOIN nn
+  GROUP BY 1
+)
+SELECT ns.source,
+       CAST(ns.n AS BIGINT) AS n_tokens,
+       ns.nd AS n_distinct_tokens,
+       CAST(1000000 * (t.tsum + ns.n * (nn.N - t.cov))
+            // (2 * ns.n * nn.N) AS BIGINT) AS tv_ppm
+FROM ns JOIN terms t USING (source) CROSS JOIN nn
+ORDER BY ns.source
+"""
+
+
 def source_dup_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-source exact-duplicate rate — the release-table companion to
     :func:`analytics.corpus_report`: documents, distinct texts, and
@@ -2549,6 +2704,10 @@ ORDER BY e.doc_id
 
 
 _LINE_DUP_TYPES = {"l": pa.string(), "kdoc": pa.int64(), "kidx": pa.int64()}
+
+# source_divergence switches to exact Python ints when 2·N² reaches this
+# (module-level so tests can force the fallback)
+_TV_INT64_HORIZON = 2**63
 
 _LINE_ENRICH_SQL = (
     "replace(replace(replace(text, ' merge ', chr(10)), "

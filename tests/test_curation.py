@@ -892,3 +892,80 @@ def test_line_dedup_scrub_vs_duckdb_fixture(ray_session, tmp_path):
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# source divergence (total-variation distance)
+# ---------------------------------------------------------------------------
+
+
+def test_source_divergence_hand_computed(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    # source A: tokens {a:2, b:1} (n=3); source B: {b:1, c:2} (n=3); N=6
+    # ct: a=2, b=2, c=2
+    # A: |2*6-2*3| + |1*6-2*3| = 6+0=6; cov=4; missing: 3*(6-4)=6; tv=1e6*12//36=333333
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a b", "b c c"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["A", "B"]),
+            "n_chars": pa.array([5, 5], pa.int64()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    out = curation.source_divergence(d).to_pandas().set_index("source")
+    assert out.loc["A", "n_tokens"] == 3
+    assert out.loc["A", "n_distinct_tokens"] == 2
+    assert out.loc["A", "tv_ppm"] == 333333
+    assert out.loc["B", "tv_ppm"] == 333333
+
+
+def test_source_divergence_exact_int_path_matches_numpy(ray_session, tmp_path, monkeypatch):
+    """Force the Python-int fallback (pretend the int64 horizon is 0) and
+    require identical output to the numpy fast path."""
+    import os
+
+    import numpy as _np
+    import pyarrow.parquet as pq
+
+    rng = _np.random.RandomState(3)
+    texts = [
+        " ".join(rng.choice(list("abcdefgh"), rng.randint(1, 30)))
+        for _ in range(80)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(80), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 80),
+            "source": pa.array([f"s{i % 5}" for i in range(80)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"), row_group_size=7)
+    fast = curation.source_divergence(d).to_pandas()
+    monkeypatch.setattr(curation, "_TV_INT64_HORIZON", 0)
+    exact = curation.source_divergence(d).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), exact.reset_index(drop=True)
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(curation.SOURCE_DIVERGENCE_SQL).fetch_df()
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
