@@ -2430,6 +2430,227 @@ ORDER BY ns.source
 """
 
 
+def _feature_buckets(
+    dic: pa.Array, n_buckets: int, hash_mode: str
+) -> np.ndarray:
+    """Hash bucket per DISTINCT feature string (dictionary values, never
+    per occurrence).  ``md5`` is the SQL-parity rule — first 4 md5 bytes
+    of ``'ds:' || feature`` mod ``n_buckets`` — and costs one hashlib
+    call per distinct feature per block; ``fast`` is the vectorized
+    production path (``hashing.string_hash64``), same distribution, no
+    SQL twin."""
+    if hash_mode == "md5":
+        return np.array(
+            [
+                int(
+                    hashlib.md5(
+                        ("ds:" + f).encode("utf-8", "surrogatepass")
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % n_buckets
+                for f in dic.to_pylist()
+            ],
+            np.int64,
+        )
+    if hash_mode == "fast":
+        from ..hashing import string_hash64
+
+        return (string_hash64(dic) % np.uint64(n_buckets)).astype(np.int64)
+    raise ValueError(f"unknown hash_mode {hash_mode!r} (md5|fast)")
+
+
+def _dsir_featurize(batch: pa.Table):
+    """Unigram + bigram word features of a batch, flattened:
+    ``(features, parent_row)`` — the DSIR hashed-feature space."""
+    flat, parent = tokens_flat(batch["text"])
+    bg, bp = ngram_rows(flat, parent, 2)
+    if isinstance(bg, pa.ChunkedArray):
+        bg = bg.combine_chunks()
+    feats = pa.concat_arrays([flat, bg])
+    fpar = np.r_[parent, bp].astype(np.int64)
+    return feats, fpar
+
+
+def dsir_scores(
+    sf_dir: str,
+    *,
+    target_lang: str = "en",
+    n_feature_buckets: int = 1024,
+    hash_mode: str = "md5",
+) -> ray.data.Dataset:
+    """DSIR-style data-selection scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hash every document's
+    word unigrams + bigrams into ``n_feature_buckets``, estimate the
+    TARGET feature distribution (docs with ``lang == target_lang``) and
+    the RAW distribution (whole corpus) over those buckets, and score
+    each document by how much target-mass vs raw-mass its features carry.
+    Integer reformulation so the driver hash gate stays exact: bucket
+    probabilities in ppm (``10^6·c_b // N``), per-doc
+    ``sum_target_ppm`` / ``sum_raw_ppm`` occurrence sums, and
+    ``dsir_ppm = 10^6·sum_target_ppm // sum_raw_ppm`` standing in for the
+    paper's log-likelihood ratio (same inputs, division instead of log —
+    documented deviation, exact in SQL).
+
+    Shape: pass 1 reduces each block to per-bucket (count, target-count)
+    partials — features dictionary-encode per block, so the hash runs
+    once per DISTINCT feature — through ONE coarse exchange whose volume
+    is ``n_feature_buckets`` rows per block; the reduced table collects
+    (it has at most ``n_feature_buckets`` rows at ANY corpus size) and
+    the two ppm arrays broadcast via plasma.  Pass 2 is a zero-shuffle
+    map: re-featurize, two bincounts per block, one row per document
+    (feature-less docs ride through with zeros)."""
+    from ..stages.agg import bucket_groupby_sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    _EMPTY = pa.table(
+        {
+            "fb": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "ct": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        feats, fpar = _dsir_featurize(batch)
+        if not len(feats):
+            return _EMPTY
+        enc = pc.dictionary_encode(feats)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bdic = _feature_buckets(enc.dictionary, n_feature_buckets, hash_mode)
+        b_occ = bdic[codes]
+        tgt_row = pc.equal(batch["lang"], target_lang).to_numpy(
+            zero_copy_only=False
+        )
+        occ_t = tgt_row[fpar]
+        c = np.bincount(b_occ, minlength=n_feature_buckets)
+        ct = np.bincount(b_occ[occ_t], minlength=n_feature_buckets)
+        nz = np.flatnonzero(c)
+        # "fb", not "bucket" — bucket_groupby_sum appends its own
+        # exchange column of that name
+        return pa.table(
+            {
+                "fb": pa.array(nz, pa.int64()),
+                "c": pa.array(c[nz], pa.int64()),
+                "ct": pa.array(ct[nz], pa.int64()),
+            }
+        )
+
+    agg = collect_table(
+        bucket_groupby_sum(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            ["fb"],
+            ["c", "ct"],
+        )
+    )
+    raw_ppm = np.zeros(n_feature_buckets, np.int64)
+    tgt_ppm = np.zeros(n_feature_buckets, np.int64)
+    if agg is not None and agg.num_rows:
+        b = agg["fb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ct = agg["ct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_all = max(int(c.sum()), 1)
+        n_t = max(int(ct.sum()), 1)
+        raw_ppm[b] = (1_000_000 * c) // n_all
+        tgt_ppm[b] = (1_000_000 * ct) // n_t
+    ppm_ref = ray.put((raw_ppm, tgt_ppm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        feats, fpar = _dsir_featurize(batch)
+        n_f = np.zeros(n_rows, np.int64)
+        s_t = np.zeros(n_rows, np.int64)
+        s_r = np.zeros(n_rows, np.int64)
+        if len(feats):
+            rp, tp = ray.get(ppm_ref)
+            enc = pc.dictionary_encode(feats)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            bdic = _feature_buckets(
+                enc.dictionary, n_feature_buckets, hash_mode
+            )
+            b_occ = bdic[codes]
+            n_f = np.bincount(fpar, minlength=n_rows).astype(np.int64)
+            # ppm values ≤ 1e6 and ≤ ~1e7 features/doc ⇒ float64-exact
+            s_t = np.bincount(
+                fpar, weights=tp[b_occ].astype(np.float64), minlength=n_rows
+            ).astype(np.int64)
+            s_r = np.bincount(
+                fpar, weights=rp[b_occ].astype(np.float64), minlength=n_rows
+            ).astype(np.int64)
+        score_ppm = np.zeros(n_rows, np.int64)
+        nz = s_r > 0
+        score_ppm[nz] = (1_000_000 * s_t[nz]) // s_r[nz]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_features": pa.array(n_f, pa.int64()),
+                "sum_target_ppm": pa.array(s_t, pa.int64()),
+                "sum_raw_ppm": pa.array(s_r, pa.int64()),
+                "dsir_ppm": pa.array(score_ppm, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def dsir_scores_sql(
+    target_lang: str = "en", n_feature_buckets: int = 1024
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, unnest(tk) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS f
+  FROM toks
+),
+fb AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5('ds:' || f), 1, 8)) AS UBIGINT)
+              % {n_feature_buckets} AS BIGINT) AS b
+  FROM feats
+),
+agg AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c,
+         CAST(count(*) FILTER (WHERE lang = '{target_lang}') AS BIGINT) AS ct
+  FROM fb GROUP BY 1
+),
+tot AS (
+  SELECT greatest(sum(c), 1) AS n_all, greatest(sum(ct), 1) AS n_t FROM agg
+),
+ppm AS (
+  SELECT b, 1000000 * c // n_all AS rp, 1000000 * ct // n_t AS tp
+  FROM agg CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(tp) AS BIGINT) AS sum_target_ppm,
+         CAST(sum(rp) AS BIGINT) AS sum_raw_ppm
+  FROM fb JOIN ppm USING (b) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_features, 0) AS n_features,
+       COALESCE(p.sum_target_ppm, 0) AS sum_target_ppm,
+       COALESCE(p.sum_raw_ppm, 0) AS sum_raw_ppm,
+       CASE WHEN COALESCE(p.sum_raw_ppm, 0) = 0 THEN 0
+            ELSE 1000000 * p.sum_target_ppm // p.sum_raw_ppm
+       END AS dsir_ppm
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def source_dup_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-source exact-duplicate rate — the release-table companion to
     :func:`analytics.corpus_report`: documents, distinct texts, and

@@ -969,3 +969,55 @@ def test_source_divergence_exact_int_path_matches_numpy(ray_session, tmp_path, m
         fast.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_scores_discriminates_target_lang(ray_session, tmp_path):
+    """Docs sharing the target language's vocabulary must outscore docs
+    built from off-target vocabulary."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    en = ["the cat sat on the mat"] * 6
+    de = ["der hund lief durch den wald"] * 6
+    mixed = ["the cat der hund"]
+    texts = en + de + mixed
+    langs = ["en"] * 6 + ["de"] * 6 + ["de"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"), row_group_size=3)
+    out = curation.dsir_scores(d).to_pandas().set_index("doc_id")
+    # an english doc carries far more target-mass than a german doc
+    assert out.loc[0, "dsir_ppm"] > out.loc[6, "dsir_ppm"]
+    # the mixed doc sits strictly between
+    assert out.loc[6, "dsir_ppm"] < out.loc[12, "dsir_ppm"] < out.loc[0, "dsir_ppm"]
+    # layout invariance: same corpus in one row group
+    d2 = os.path.join(str(tmp_path), "one")
+    os.makedirs(d2)
+    pq.write_table(tbl, os.path.join(d2, "documents.parquet"))
+    out2 = curation.dsir_scores(d2).to_pandas().set_index("doc_id")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_dsir_fast_mode_runs_and_scores(ray_session):
+    out = curation.dsir_scores(
+        "/root/testdata/sf0.001", hash_mode="fast"
+    ).to_pandas()
+    assert len(out) == 500
+    assert (out.n_features >= 0).all()
+    assert out.dsir_ppm.nunique() > 10  # discriminates
