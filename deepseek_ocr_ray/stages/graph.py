@@ -799,3 +799,163 @@ def clustering_coefficients(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def _local_kcore(
+    u: "np.ndarray", v: "np.ndarray", k: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Vectorized batch peel over compact indices: drop every node of
+    degree < k each round until fixpoint.  Returns ``(core_nodes,
+    degrees)`` — degree counted WITHIN the core — sorted by node id."""
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    uu, vv = inv[: len(u)], inv[len(u) :]
+    alive = np.ones(len(ids), bool)
+    ealive = np.ones(len(uu), bool)
+    while True:
+        deg = np.bincount(uu[ealive], minlength=len(ids)) + np.bincount(
+            vv[ealive], minlength=len(ids)
+        )
+        dead = alive & (deg < k)
+        if not dead.any():
+            break
+        alive &= ~dead
+        ealive &= alive[uu] & alive[vv]
+    keep = np.flatnonzero(alive)
+    return ids[keep], deg[keep].astype(np.int64)
+
+
+def kcore_members(
+    edges: ray.data.Dataset,
+    *,
+    k: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_CC_THRESHOLD,
+    max_rounds: int = 256,
+) -> ray.data.Dataset:
+    """k-core of an undirected edge list (one row per edge, either
+    orientation, no duplicate pairs): iteratively remove ALL nodes of
+    degree < k until fixpoint — the standard graph-curation primitive for
+    extracting the dense backbone (spam-farm detection, community seeds).
+    Returns ``(node, degree)``, degree counted WITHIN the core, sorted by
+    node.  Isolated nodes are never in a k-core for k ≥ 1.
+
+    ``strategy="auto"`` collects edge lists below ``local_threshold`` rows
+    and runs the vectorized numpy peel; the distributed plan runs one
+    degree aggregate (per-block endpoint bincount partials through the
+    coarse-bucket exchange) plus one broadcast dead-set edge filter per
+    round, materializing the shrinking (two-int-column) edge table between
+    rounds exactly as the CC loop does.  Rounds are O(peel depth) — dense
+    co-occurrence graphs converge in a handful; a path graph is the
+    adversarial worst case (``max_rounds`` guards, fail loud).  The
+    dead-node set broadcast per round is node-bounded and shrinking; past
+    plasma budgets the filter becomes a keyed anti-join (the planner
+    escalation every broadcast op here documents)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if strategy not in ("auto", "distributed", "local"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    import pyarrow.compute as pc
+
+    from ..cluster import collect_table
+    from ..stages.agg import bucket_groupby_sum
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        u = batch[u_col].cast(pa.int64())
+        v = batch[v_col].cast(pa.int64())
+        return pa.concat_tables(
+            [pa.table({"eu": u, "ev": v}), pa.table({"eu": v, "ev": u})]
+        ).combine_chunks()
+
+    edges2 = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+
+    _EMPTY = pa.table(
+        {"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
+    )
+
+    if strategy != "distributed":
+        n_rows = edges2.count() // 2
+        if strategy == "local" or n_rows <= local_threshold:
+            etbl = collect_table(edges2)
+            if etbl is None or etbl.num_rows == 0:
+                return ray.data.from_arrow(_EMPTY)
+            # bidir doubled every edge; keep each undirected pair once
+            # (eu < ev — the input lists no self-loops or duplicate pairs)
+            m = pc.less(etbl["eu"], etbl["ev"])
+            etbl = etbl.filter(m)
+            u = etbl["eu"].to_numpy(zero_copy_only=False)
+            v = etbl["ev"].to_numpy(zero_copy_only=False)
+            nodes, deg = _local_kcore(u, v, k)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nodes, pa.int64()),
+                        "degree": pa.array(deg, pa.int64()),
+                    }
+                )
+            )
+
+    import ray as _ray
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"node": batch["eu"]})
+            .group_by("node")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"node": g["node"], "d": g["count_all"].cast(pa.int64())}
+        )
+
+    cur = edges2
+    for _ in range(max_rounds):
+        deg_ds = bucket_groupby_sum(
+            cur.map_batches(deg_partial, batch_format="pyarrow"),
+            ["node"],
+            ["d"],
+        )
+        def low_deg(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.less(batch["d"], k))
+
+        dead_tbl = collect_table(
+            deg_ds.map_batches(low_deg, batch_format="pyarrow")
+        )
+        if dead_tbl is None or dead_tbl.num_rows == 0:
+            deg_final = collect_table(deg_ds)
+            if deg_final is None or deg_final.num_rows == 0:
+                return ray.data.from_arrow(_EMPTY)
+            out = (
+                pa.table(
+                    {
+                        "node": deg_final["node"],
+                        "degree": deg_final["d"],
+                    }
+                )
+                .sort_by("node")
+            )
+            return ray.data.from_arrow(out)
+        dead = dead_tbl["node"]
+        if isinstance(dead, pa.ChunkedArray):
+            dead = dead.combine_chunks()
+        dead_ref = _ray.put(dead)
+
+        def drop_dead(batch: pa.Table) -> pa.Table:
+            dd = _ray.get(dead_ref)
+            keep = pc.and_(
+                pc.invert(pc.is_in(batch["eu"], value_set=dd)),
+                pc.invert(pc.is_in(batch["ev"], value_set=dd)),
+            )
+            return batch.filter(keep)
+
+        cur = cur.map_batches(drop_dead, batch_format="pyarrow").materialize()
+        if cur.count() == 0:
+            return ray.data.from_arrow(_EMPTY)
+    raise RuntimeError(
+        f"kcore_members did not converge within {max_rounds} rounds"
+    )

@@ -198,3 +198,72 @@ def test_triangle_probe_plans_equal(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(ca, cb)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def _edge_ds(pairs):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([a for a, _ in pairs], pa.int64()),
+                "v": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def _k4_with_tail():
+    """K4 on {1,2,3,4} plus a tail 4-5-6: the 3-core is exactly the K4
+    (peeling 6 then 5 takes two rounds — exercises iteration)."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    return k4 + [(4, 5), (5, 6)]
+
+
+def test_kcore_peels_tail(ray_session):
+    from deepseek_ocr_ray.stages.graph import kcore_members
+
+    out = kcore_members(_edge_ds(_k4_with_tail()), k=3).to_pandas()
+    assert out.node.tolist() == [1, 2, 3, 4]
+    assert out.degree.tolist() == [3, 3, 3, 3]
+
+
+def test_kcore_empty_core(ray_session):
+    from deepseek_ocr_ray.stages.graph import kcore_members
+
+    # a path graph has no 2-core
+    out = kcore_members(_edge_ds([(1, 2), (2, 3), (3, 4)]), k=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_kcore_plan_equality(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from deepseek_ocr_ray.stages.graph import kcore_members
+
+    rng = np.random.RandomState(7)
+    pairs = set()
+    while len(pairs) < 400:
+        a, b = rng.randint(0, 60, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    ds = _edge_ds(sorted(pairs))
+    for k in (2, 4, 7):
+        loc = kcore_members(ds, k=k, strategy="local").to_pandas()
+        dist = kcore_members(ds, k=k, strategy="distributed").to_pandas()
+        pd.testing.assert_frame_equal(
+            loc.reset_index(drop=True), dist.reset_index(drop=True)
+        )
+
+
+def test_kcore_validation(ray_session):
+    from deepseek_ocr_ray.stages.graph import kcore_members
+
+    with pytest.raises(ValueError):
+        kcore_members(_edge_ds([(1, 2)]), k=0)
