@@ -3572,6 +3572,72 @@ FROM t
 """
 
 
+def ccnet_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): per language,
+    split the corpus into ``head`` / ``middle`` / ``tail`` terciles of
+    language-model probability — here the engine's own integer LM proxy
+    (:func:`doc_lm_score` ``mean_cond_ppm``; high = corpus-probable =
+    head, the bucket CCNet trains on first).  Tercile assignment is SQL
+    ``ntile(3)`` over the total order ``(mean_cond_ppm DESC, doc_id)``,
+    so the split replicates exactly.
+
+    Shape: the LM scoring pipeline's own two passes, one planner join of
+    two doc-count-bounded tables (scores ⋈ lang), and ONE lang-keyed
+    exchange for the ntile walk (:func:`stages.windows.group_ntile`) —
+    the exchange carries one row per document, never text."""
+    from ..cluster import equi_join
+    from ..stages.windows import group_ntile
+
+    lm = doc_lm_score(sf_dir).select_columns(["doc_id", "mean_cond_ppm"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    j = equi_join(
+        lm,
+        docs,
+        on="doc_id",
+        approx_bytes=table_file_bytes(sf_dir, "documents"),
+    )
+    t = group_ntile(
+        j,
+        keys=["lang"],
+        order_cols=[("mean_cond_ppm", "descending"), ("doc_id", "ascending")],
+        n_tiles=3,
+    )
+
+    _LABELS = np.array(["head", "middle", "tail"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        tile = batch["tile"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "mean_cond_ppm": batch["mean_cond_ppm"],
+                "bucket": pa.array(_LABELS[tile - 1], pa.string()),
+            }
+        )
+
+    return t.map_batches(label, batch_format="pyarrow").sort("doc_id")
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH lm AS ({DOC_LM_SCORE_SQL}),
+j AS (
+  SELECT lm.doc_id, d.lang, lm.mean_cond_ppm
+  FROM lm JOIN documents d USING (doc_id)
+),
+t AS (
+  SELECT doc_id, lang, mean_cond_ppm,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY mean_cond_ppm DESC, doc_id) AS tile
+  FROM j
+)
+SELECT doc_id, lang, mean_cond_ppm,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS bucket
+FROM t ORDER BY doc_id
+"""
+
+
 def part_kcore(
     sf_dir: str, *, k: int = 3, min_orders: int = 2
 ) -> ray.data.Dataset:

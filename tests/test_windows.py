@@ -850,3 +850,20 @@ def test_rolling_distinct_daily_brute(ray_session):
     assert dict(got)[
         (base + pd.Timedelta(days=9)).strftime("%Y-%m-%d")
     ] == 2
+
+
+def test_ccnet_buckets_order_property(ray_session):
+    """Within a language, every head doc is at least as corpus-probable
+    as every middle doc, which outranks every tail doc."""
+    from deepseek_ocr_ray.pipelines.analytics import ccnet_buckets
+
+    out = ccnet_buckets("/root/testdata/sf0.001").to_pandas()
+    assert set(out.bucket) == {"head", "middle", "tail"}
+    for _, g in out.groupby("lang"):
+        h = g[g.bucket == "head"].mean_cond_ppm
+        m = g[g.bucket == "middle"].mean_cond_ppm
+        t = g[g.bucket == "tail"].mean_cond_ppm
+        if len(h) and len(m):
+            assert h.min() >= m.max()
+        if len(m) and len(t):
+            assert m.min() >= t.max()
