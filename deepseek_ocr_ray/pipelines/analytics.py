@@ -3413,46 +3413,88 @@ def daily_active_spans(sf_dir: str) -> ray.data.Dataset:
     "subscriptions live", "contracts in force" shape, where naive per-day
     expansion is O(users × span length).
 
-    Shape: the classic boundary prefix-sum — blocks reduce to per-user
-    min/max day partials through ONE user-keyed coarse aggregate; the
-    REDUCED per-user table maps to boundary deltas (+1 at d0, −1 at d1+1)
-    into a tiny day-keyed aggregate (calendar-bounded); observed days
-    reduce the same way.  The finish (sort boundary days, cumsum, read
-    the running value at each observed day via searchsorted) runs on the
-    driver over two calendar-bounded tables — the ``corpus_report``
-    pattern, never the corpus.
-    """
+    Shape: ONE corpus scan and ONE exchange.  Each block reduces to
+    kind-tagged partials — per-user (min day, max day) AND per-day event
+    counts — through a single coarse-bucket aggregate (the observed-day
+    side used to be a second full corpus scan; fused).  The reduced
+    per-user spans map to boundary deltas (+1 at d0, −1 at d1+1) whose
+    per-block tables are CALENDAR-BOUNDED (≤ 2·days rows), so both the
+    boundary and observed-day merges are driver merges over tiny
+    collected partials, not exchanges.  The finish (sort boundaries,
+    cumsum, searchsorted at observed days) is the ``corpus_report``
+    pattern — bounded tables only, never the corpus."""
     from ..cluster import collect_table
-    from ..stages.agg import bucket_groupby_agg, bucket_groupby_sum
+    from ..stages.agg import bucket_groupby_agg
 
     US_PER_DAY = 86_400_000_000
 
     events = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def day_partial(batch: pa.Table) -> pa.Table:
+    def fused_partial(batch: pa.Table) -> pa.Table:
         day = pc.divide(batch["ts"].cast(pa.int64()), US_PER_DAY)
-        g = (
-            pa.table({"user_id": batch["user_id"], "day": day})
-            .group_by("user_id")
+        gu = (
+            pa.table({"k": batch["user_id"].cast(pa.int64()), "day": day})
+            .group_by("k")
             .aggregate([("day", "min"), ("day", "max")])
         )
+        gd = pa.table({"k": day}).group_by("k").aggregate(
+            [([], "count_all")]
+        )
+        nu, nd = gu.num_rows, gd.num_rows
         return pa.table(
             {
-                "user_id": g["user_id"],
-                "dmin": g["day_min"].cast(pa.int64()),
-                "dmax": g["day_max"].cast(pa.int64()),
+                "kind": pa.array(["u"] * nu + ["d"] * nd, pa.string()),
+                "k": pa.concat_arrays(
+                    [
+                        gu["k"].combine_chunks()
+                        if isinstance(gu["k"], pa.ChunkedArray)
+                        else gu["k"],
+                        gd["k"].combine_chunks()
+                        if isinstance(gd["k"], pa.ChunkedArray)
+                        else gd["k"],
+                    ]
+                ),
+                "dmin": pa.concat_arrays(
+                    [
+                        gu["day_min"].cast(pa.int64()).combine_chunks()
+                        if isinstance(gu["day_min"], pa.ChunkedArray)
+                        else gu["day_min"].cast(pa.int64()),
+                        pa.array([0] * nd, pa.int64()),
+                    ]
+                ),
+                "dmax": pa.concat_arrays(
+                    [
+                        gu["day_max"].cast(pa.int64()).combine_chunks()
+                        if isinstance(gu["day_max"], pa.ChunkedArray)
+                        else gu["day_max"].cast(pa.int64()),
+                        pa.array([0] * nd, pa.int64()),
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [
+                        pa.array([0] * nu, pa.int64()),
+                        gd["count_all"].cast(pa.int64()).combine_chunks()
+                        if isinstance(gd["count_all"], pa.ChunkedArray)
+                        else gd["count_all"].cast(pa.int64()),
+                    ]
+                ),
             }
         )
 
-    spans = bucket_groupby_agg(
-        events.map_batches(day_partial, batch_format="pyarrow"),
-        ["user_id"],
-        [("dmin", "min", "d0"), ("dmax", "max", "d1")],
+    red = bucket_groupby_agg(
+        events.map_batches(fused_partial, batch_format="pyarrow"),
+        ["kind", "k"],
+        [("dmin", "min", "d0"), ("dmax", "max", "d1"), ("n", "sum", "n")],
     )
 
-    def deltas(batch: pa.Table) -> pa.Table:
-        d0 = batch["d0"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d1 = batch["d1"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # per-block finishing partials: user rows → boundary deltas, day rows
+    # ride through — BOTH calendar-bounded, so the merge is a driver
+    # bincount over collected tiny tables, not another exchange
+    def finish_partial(batch: pa.Table) -> pa.Table:
+        ku = batch.filter(pc.equal(batch["kind"], "u"))
+        kd = batch.filter(pc.equal(batch["kind"], "d"))
+        d0 = ku["d0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = ku["d1"].to_numpy(zero_copy_only=False).astype(np.int64)
         day = np.concatenate([d0, d1 + 1])
         delta = np.concatenate(
             [np.ones(len(d0), np.int64), -np.ones(len(d1), np.int64)]
@@ -3462,39 +3504,28 @@ def daily_active_spans(sf_dir: str) -> ray.data.Dataset:
                 {
                     "day": pa.array(day, pa.int64()),
                     "delta": pa.array(delta, pa.int64()),
+                    "n": pa.array(np.zeros(len(day), np.int64), pa.int64()),
                 }
             )
             .group_by("day")
-            .aggregate([("delta", "sum")])
+            .aggregate([("delta", "sum"), ("n", "sum")])
+            .rename_columns(["day", "delta", "n"])
         )
-        return pa.table(
-            {"day": g["day"], "delta": g["delta_sum"].cast(pa.int64())}
+        od = pa.table(
+            {
+                "day": kd["k"],
+                "delta": pa.array(
+                    np.zeros(kd.num_rows, np.int64), pa.int64()
+                ),
+                "n": kd["n"],
+            }
         )
+        return pa.concat_tables([g, od]).combine_chunks()
 
-    boundary = bucket_groupby_sum(
-        spans.map_batches(deltas, batch_format="pyarrow"),
-        ["day"],
-        ["delta"],
+    ft = collect_table(
+        red.map_batches(finish_partial, batch_format="pyarrow")
     )
-
-    def obs_partial(batch: pa.Table) -> pa.Table:
-        day = pc.divide(batch["ts"].cast(pa.int64()), US_PER_DAY)
-        g = pa.table({"day": day}).group_by("day").aggregate(
-            [([], "count_all")]
-        )
-        return pa.table(
-            {"day": g["day"], "n": g["count_all"].cast(pa.int64())}
-        )
-
-    observed = bucket_groupby_sum(
-        events.map_batches(obs_partial, batch_format="pyarrow"),
-        ["day"],
-        ["n"],
-    )
-
-    bt = collect_table(boundary)
-    ot = collect_table(observed)
-    if bt is None or ot is None:
+    if ft is None or ft.num_rows == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -3503,12 +3534,19 @@ def daily_active_spans(sf_dir: str) -> ray.data.Dataset:
                 }
             )
         )
-    bdays = bt["day"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bdelta = bt["delta"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(bdays)
-    bdays, run = bdays[order], np.cumsum(bdelta[order])
-    odays = np.sort(ot["day"].to_numpy(zero_copy_only=False).astype(np.int64))
-    n_active = run[np.searchsorted(bdays, odays, side="right") - 1]
+    days = ft["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    delta = ft["delta"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nobs = ft["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # merge partials per day
+    udays, inv = np.unique(days, return_inverse=True)
+    mdelta = np.zeros(len(udays), np.int64)
+    np.add.at(mdelta, inv, delta)
+    mobs = np.zeros(len(udays), np.int64)
+    np.add.at(mobs, inv, nobs)
+    run = np.cumsum(mdelta)
+    omask = mobs > 0
+    odays = udays[omask]
+    n_active = run[np.searchsorted(udays, odays, side="right") - 1]
     labels = np.datetime_as_string(odays.astype("datetime64[D]"), unit="D")
     return ray.data.from_arrow(
         pa.table(
