@@ -407,6 +407,100 @@ WHERE d.doc_id % 41 <> 0 ORDER BY d.doc_id
 """
 
 
+def bench_contamination_report(
+    sf_dir: str, *, ngram: int = 5, bench_mod: int = 41
+) -> ray.data.Dataset:
+    """The REVERSE direction of :func:`decontaminate`: for every
+    BENCHMARK document (``doc_id % bench_mod == 0``), how much of it the
+    training corpus has already seen — distinct n-grams, distinct grams
+    appearing in ANY training document, coverage ppm, compromised flag.
+    This is the eval-integrity report ("which benchmark items are
+    memorizable") a release pairs with the training-side flags.
+
+    Shape: the benchmark gram set broadcasts once
+    (:func:`bench_ngram_ref`); the TRAINING side streams once, each block
+    emitting only its grams ∩ benchmark set (block-deduped, bounded by the
+    benchmark set at any corpus size) into one tiny ``unique`` shuffle;
+    the dirty-gram set broadcasts back and the benchmark rows — bounded by
+    construction — score in a final pure map.  The corpus never
+    exchanges."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_ref = bench_ngram_ref(ds, ngram, bench_mod)
+
+    def train_hits(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy() % bench_mod != 0
+        sub = batch.filter(pa.array(keep))
+        flat, parent = tokens_flat(sub["text"])
+        g, _ = ngram_rows(flat, parent, ngram)
+        if not len(g):
+            return pa.table({"g": pa.array([], pa.string())})
+        hit = pc.is_in(g, value_set=ray.get(bench_ref))
+        return (
+            pa.table({"g": g.filter(hit)}).group_by("g").aggregate([])
+        )
+
+    dirty = (
+        ds.map_batches(train_hits, batch_format="pyarrow").unique("g")
+    )
+    dirty_ref = ray.put(pa.array(sorted(dirty or []), pa.string()))
+
+    def score_bench(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy() % bench_mod == 0
+        sub = batch.filter(pa.array(keep))
+        flat, parent = tokens_flat(sub["text"])
+        n_grams, n_comp = overlap_arrays(
+            flat, parent, ngram, ray.get(dirty_ref), sub.num_rows
+        )
+        ppm = np.zeros(sub.num_rows, np.int64)
+        nz = n_grams > 0
+        ppm[nz] = (1_000_000 * n_comp[nz]) // n_grams[nz]
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "n_ngrams": pa.array(n_grams),
+                "n_compromised": pa.array(n_comp),
+                "compromised_ppm": pa.array(ppm, pa.int64()),
+                "flag_compromised": pa.array(
+                    (n_comp > 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score_bench, batch_format="pyarrow").sort("doc_id")
+
+
+BENCH_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+ng AS (
+  SELECT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS g
+  FROM toks, unnest(generate_series(1, len(tk)-4)) AS t(i)
+),
+benchng AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id % 41 = 0),
+train AS (SELECT DISTINCT g FROM ng WHERE doc_id % 41 <> 0),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_compromised
+  FROM benchng LEFT JOIN train t USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_ngrams, 0) AS n_ngrams,
+       coalesce(a.n_compromised, 0) AS n_compromised,
+       CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0
+            ELSE 1000000 * a.n_compromised // a.n_ngrams
+       END AS compromised_ppm,
+       CASE WHEN coalesce(a.n_compromised, 0) > 0 THEN 1 ELSE 0 END
+           AS flag_compromised
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % 41 = 0 ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # mixture sampling (per-source epoch weighting)
 # ---------------------------------------------------------------------------

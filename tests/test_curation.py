@@ -1021,3 +1021,57 @@ def test_dsir_fast_mode_runs_and_scores(ray_session):
     assert len(out) == 500
     assert (out.n_features >= 0).all()
     assert out.dsir_ppm.nunique() > 10  # discriminates
+
+
+# ---------------------------------------------------------------------------
+# benchmark-side contamination report
+# ---------------------------------------------------------------------------
+
+
+def test_bench_contamination_report_planted(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    shared = "alpha beta gamma delta epsilon"
+    texts = {
+        0: f"benchmark item with {shared} inside",     # bench (0 % 41 == 0)
+        41: "clean benchmark nothing shared here at all",  # bench
+        82: "tiny",                                     # bench, no 5-gram
+        1: f"training doc copying {shared} verbatim",   # train
+        2: "unrelated training text about other things entirely",
+    }
+    ids = sorted(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"), row_group_size=2)
+    out = (
+        curation.bench_contamination_report(d)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(out.index) == [0, 41, 82]
+    assert out.loc[0, "flag_compromised"] == 1
+    assert out.loc[0, "n_compromised"] == 1  # exactly the planted gram
+    assert out.loc[41, "flag_compromised"] == 0
+    assert out.loc[82, "n_ngrams"] == 0 and out.loc[82, "compromised_ppm"] == 0
+
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(curation.BENCH_CONTAMINATION_SQL).fetch_df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(), want.reset_index(drop=True), check_dtype=False
+    )
