@@ -2524,6 +2524,128 @@ ORDER BY ns.source
 """
 
 
+def bpe_pair_counts(sf_dir: str, *, top_k: int = 50) -> ray.data.Dataset:
+    """The first step of byte-level BPE tokenizer training (Sennrich et
+    al. 2016 / GPT-2): the merge-candidate table — every adjacent BYTE
+    pair within a word, weighted by the word's corpus frequency, top-k by
+    (count desc, pair asc).  Byte pairs equal character pairs on this
+    ASCII corpus, which is what the SQL oracle (per-character ``substr``)
+    replicates.
+
+    Shape: per-block word-count partials through ONE vocab-bounded
+    coarse-bucket exchange; each reduced-vocab block then walks its
+    words' raw Arrow byte buffers — adjacency positions from the string
+    offsets, pair code ``256·b1 + b2``, one ``np.add.at`` weighted
+    bincount, zero per-word Python — and emits per-block (pair, n)
+    partials whose space is ≤ 256² at ANY corpus size, so the final merge
+    is a driver bincount, not an exchange."""
+    from ..stages.agg import bucket_groupby_sum
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_flat(batch["text"])
+        g = pa.table({"w": flat}).group_by("w").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"w": g["w"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    vocab = bucket_groupby_sum(
+        docs.map_batches(wc_partial, batch_format="pyarrow"),
+        ["w"],
+        ["c"],
+    )
+
+    _EMPTY_PAIRS = pa.table(
+        {"code": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PAIRS
+        w = batch["w"]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bin_arr = w.cast(pa.binary())
+        buffers = bin_arr.buffers()
+        offsets = np.frombuffer(buffers[1], np.int32)[
+            bin_arr.offset : bin_arr.offset + len(bin_arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(buffers[2], np.uint8)
+        starts, ends = offsets[:-1], offsets[1:]
+        lens = ends - starts
+        # adjacency: byte position p pairs with p+1 iff p+1 < word end
+        word_of = np.repeat(np.arange(len(lens)), np.maximum(lens - 1, 0))
+        local = (
+            np.arange(int(np.maximum(lens - 1, 0).sum()), dtype=np.int64)
+            - np.repeat(
+                np.cumsum(np.maximum(lens - 1, 0)) - np.maximum(lens - 1, 0),
+                np.maximum(lens - 1, 0),
+            )
+        )
+        pos = starts[word_of] + local
+        code = data[pos].astype(np.int64) * 256 + data[pos + 1]
+        n = np.zeros(65536, np.int64)
+        np.add.at(n, code, c[word_of])
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "code": pa.array(nz, pa.int64()),
+                "n": pa.array(n[nz], pa.int64()),
+            }
+        )
+
+    pt = collect_table(
+        vocab.map_batches(pair_partial, batch_format="pyarrow")
+    )
+    if pt is None or pt.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"pair": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        )
+    code = pt["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = pt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = np.zeros(65536, np.int64)
+    np.add.at(tot, code, cnt)
+    nz = np.flatnonzero(tot)
+    pairs = np.array(
+        [chr(v >> 8) + chr(v & 255) for v in nz], dtype=object
+    )
+    order = np.lexsort((pairs, -tot[nz]))[:top_k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pair": pa.array(pairs[order].tolist(), pa.string()),
+                "n": pa.array(tot[nz][order], pa.int64()),
+            }
+        )
+    )
+
+
+def bpe_pair_counts_sql(top_k: int = 50) -> str:
+    return f"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM documents,
+       unnest(string_split_regex(lower(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, c
+  FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair LIMIT {top_k}
+"""
+
+
 def _feature_buckets(
     dic: pa.Array, n_buckets: int, hash_mode: str
 ) -> np.ndarray:

@@ -1075,3 +1075,25 @@ def test_bench_contamination_report_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.reset_index(), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_bpe_pair_counts_hand_computed(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    # words: "abab" x3, "ba" x2  -> pairs: ab: 2*3=6, ba: 1*3+1*2=5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["abab abab ba", "abab ba"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([12, 7], pa.int64()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"), row_group_size=1)
+    out = curation.bpe_pair_counts(d).to_pandas()
+    assert out.pair.tolist() == ["ab", "ba"]
+    assert out.n.tolist() == [6, 5]
