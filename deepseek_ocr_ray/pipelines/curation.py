@@ -2646,6 +2646,153 @@ ORDER BY n DESC, pair LIMIT {top_k}
 """
 
 
+def doc_keywords(sf_dir: str, *, top_k: int = 5) -> ray.data.Dataset:
+    """Per-document keyword extraction: the ``top_k`` terms by the
+    integer TF-IDF lift ``score = 10^6·tf // df`` (tf = in-doc count,
+    df = corpus document frequency; within one document the corpus size
+    is a constant, so this ranks identically to classic tf·idf while
+    staying exact in SQL), emitted as a ``"term:score,…"`` CSV ordered by
+    (score desc, term asc) — the tagging/snippet primitive every corpus
+    browser wants.
+
+    Shape: the document-frequency table reduces once (per-block distinct
+    (token, doc) partials through one coarse token aggregate — the
+    :func:`doc_rarity` pass) and broadcasts whole via plasma (corpus
+    vocabularies plateau; the cap is the same token_rank_stats
+    broadcast-vocab contract); the scoring pass is then ZERO-shuffle —
+    per-block C++ (doc, token) tf groups, one ``index_in`` df probe, a
+    lexsort boundary walk taking ``top_k`` rows per doc, and one
+    ``binary_join`` per block.  Empty docs ride through with ``''``."""
+    from ..stages.agg import bucket_groupby_sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        g = (
+            pa.table({"token": flat, "d": pa.array(parent, pa.int64())})
+            .group_by(["token", "d"])
+            .aggregate([])
+            .group_by("token")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"token": g["token"], "df": g["count_all"].cast(pa.int64())}
+        )
+
+    df_tbl = collect_table(
+        bucket_groupby_sum(
+            docs.map_batches(df_partial, batch_format="pyarrow"),
+            ["token"],
+            ["df"],
+        )
+    )
+    if df_tbl is None:
+        df_tbl = pa.table(
+            {"token": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64())}
+        )
+    vocab = df_tbl["token"]
+    if isinstance(vocab, pa.ChunkedArray):
+        vocab = vocab.combine_chunks()
+    df_ref = ray.put(
+        (vocab, df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        flat, parent = tokens_flat(batch["text"])
+        if not len(flat):
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "keywords": pa.array([""] * n_rows, pa.string()),
+                }
+            )
+        g = (
+            pa.table({"t": flat, "d": pa.array(parent, pa.int64())})
+            .group_by(["d", "t"])
+            .aggregate([([], "count_all")])
+        )
+        tok = g["t"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        d = g["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vset, dfv = ray.get(df_ref)
+        idx = pc.index_in(tok, value_set=vset).to_numpy(zero_copy_only=False)
+        sc = (1_000_000 * tf) // dfv[idx.astype(np.int64)]
+        # (doc asc, score desc, term asc) then first top_k rows per doc
+        enc = pc.dictionary_encode(tok)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tcodes_raw = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # dictionary codes order by first appearance, not lexically —
+        # rank the dictionary once so ties break by TERM asc exactly
+        dic_rank = np.empty(len(enc.dictionary), np.int64)
+        dic_rank[
+            pc.sort_indices(enc.dictionary).to_numpy(zero_copy_only=False)
+        ] = np.arange(len(enc.dictionary))
+        tcodes = dic_rank[tcodes_raw]
+        order = np.lexsort((tcodes, -sc, d))
+        ds_, scs = d[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        rank = np.arange(len(ds_)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(ds_)])
+        )
+        keep = rank < top_k
+        kd, krows = ds_[keep], order[keep]
+        entries = pc.binary_join_element_wise(
+            tok.take(pa.array(krows)),
+            pc.cast(pa.array(sc[krows], pa.int64()), pa.string()),
+            ":",
+        )
+        if isinstance(entries, pa.ChunkedArray):
+            entries = entries.combine_chunks()
+        counts = np.bincount(kd, minlength=n_rows)
+        offsets = pa.array(np.r_[0, np.cumsum(counts)].astype(np.int32))
+        kw = pc.binary_join(pa.ListArray.from_arrays(offsets, entries), ",")
+        return pa.table({"doc_id": batch["doc_id"], "keywords": kw})
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_keywords_sql(top_k: int = 5) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2
+),
+df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM words GROUP BY 1),
+scored AS (
+  SELECT doc_id, w, 1000000 * tf // df AS score
+  FROM tf JOIN df USING (w)
+),
+rk AS (
+  SELECT doc_id, w, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, w) AS rn
+  FROM scored
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(w || ':' || score, ',' ORDER BY score DESC, w)
+             AS keywords
+  FROM rk WHERE rn <= {top_k} GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.keywords, '') AS keywords
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _feature_buckets(
     dic: pa.Array, n_buckets: int, hash_mode: str
 ) -> np.ndarray:

@@ -1097,3 +1097,41 @@ def test_bpe_pair_counts_hand_computed(ray_session, tmp_path):
     out = curation.bpe_pair_counts(d).to_pandas()
     assert out.pair.tolist() == ["ab", "ba"]
     assert out.n.tolist() == [6, 5]
+
+
+def test_doc_keywords_hand_computed(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    # doc0: rare appears twice (df=1 -> score 2000000), common once (df=3)
+    texts = ["rare rare common", "common shared", "common shared extra"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"), row_group_size=1)
+    out = curation.doc_keywords(d, top_k=2).to_pandas().set_index("doc_id")
+    assert out.loc[0, "keywords"] == "rare:2000000,common:333333"
+    # doc1: common df=3 score 333333, shared df=2 score 500000
+    assert out.loc[1, "keywords"] == "shared:500000,common:333333"
+    # doc2: extra df=1 -> 1000000 first
+    assert out.loc[2, "keywords"].startswith("extra:1000000,")
+
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(curation.doc_keywords_sql(top_k=2)).fetch_df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(), want.reset_index(drop=True), check_dtype=False
+    )
