@@ -3256,7 +3256,7 @@ def lm_conditional_ppm(
     c12 = cnt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
     if c12.size and int(c12.max()) > 9_000_000_000_000:
         raise ValueError(
-            "doc_lm_score ppm staging is exact only to 9e12 occurrences "
+            "lm_conditional_ppm staging is exact only to 9e12 occurrences "
             f"per bigram (got {int(c12.max())}); use 128-bit staging"
         )
     # left token of each bigram → prefix counts → conditional ppm
@@ -3440,46 +3440,27 @@ def daily_active_spans(sf_dir: str) -> ray.data.Dataset:
         gd = pa.table({"k": day}).group_by("k").aggregate(
             [([], "count_all")]
         )
-        nu, nd = gu.num_rows, gd.num_rows
-        return pa.table(
+        zu = pa.array([0] * gu.num_rows, pa.int64())
+        zd = pa.array([0] * gd.num_rows, pa.int64())
+        ut = pa.table(
             {
-                "kind": pa.array(["u"] * nu + ["d"] * nd, pa.string()),
-                "k": pa.concat_arrays(
-                    [
-                        gu["k"].combine_chunks()
-                        if isinstance(gu["k"], pa.ChunkedArray)
-                        else gu["k"],
-                        gd["k"].combine_chunks()
-                        if isinstance(gd["k"], pa.ChunkedArray)
-                        else gd["k"],
-                    ]
-                ),
-                "dmin": pa.concat_arrays(
-                    [
-                        gu["day_min"].cast(pa.int64()).combine_chunks()
-                        if isinstance(gu["day_min"], pa.ChunkedArray)
-                        else gu["day_min"].cast(pa.int64()),
-                        pa.array([0] * nd, pa.int64()),
-                    ]
-                ),
-                "dmax": pa.concat_arrays(
-                    [
-                        gu["day_max"].cast(pa.int64()).combine_chunks()
-                        if isinstance(gu["day_max"], pa.ChunkedArray)
-                        else gu["day_max"].cast(pa.int64()),
-                        pa.array([0] * nd, pa.int64()),
-                    ]
-                ),
-                "n": pa.concat_arrays(
-                    [
-                        pa.array([0] * nu, pa.int64()),
-                        gd["count_all"].cast(pa.int64()).combine_chunks()
-                        if isinstance(gd["count_all"], pa.ChunkedArray)
-                        else gd["count_all"].cast(pa.int64()),
-                    ]
-                ),
+                "kind": pa.array(["u"] * gu.num_rows, pa.string()),
+                "k": gu["k"],
+                "dmin": gu["day_min"].cast(pa.int64()),
+                "dmax": gu["day_max"].cast(pa.int64()),
+                "n": zu,
             }
         )
+        dt = pa.table(
+            {
+                "kind": pa.array(["d"] * gd.num_rows, pa.string()),
+                "k": gd["k"],
+                "dmin": zd,
+                "dmax": zd,
+                "n": gd["count_all"].cast(pa.int64()),
+            }
+        )
+        return pa.concat_tables([ut, dt]).combine_chunks()
 
     red = bucket_groupby_agg(
         events.map_batches(fused_partial, batch_format="pyarrow"),
@@ -3703,8 +3684,9 @@ def part_kcore_sql(k: int = 3, min_orders: int = 2, rounds: int = 24) -> str:
     unmaterialized the expansion is exponential) each keeping nodes with
     ≥ k alive neighbors; exact whenever the peel converges within
     ``rounds`` (measured: 10 rounds at sf0.01, 0 at sf0.001 — the 24
-    default gives >2× margin; the engine side has its own loud
-    convergence guard)."""
+    default gives >2× margin); a fixpoint guard in the final WHERE makes
+    the oracle itself error() instead of silently returning a superset
+    if the peel ever needs more rounds."""
     head = f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
@@ -3733,6 +3715,12 @@ SELECT b.u AS node, CAST(count(*) AS BIGINT) AS degree
 FROM bidir b
 JOIN a{rounds} x ON b.u = x.node
 JOIN a{rounds} y ON b.v = y.node
+WHERE CASE WHEN (SELECT count(*) FROM a{rounds})
+                = (SELECT count(*) FROM a{rounds - 1})
+           THEN TRUE
+           ELSE error('part_kcore oracle: peel not converged within '
+                      || '{rounds} rounds — raise rounds')
+      END
 GROUP BY 1 ORDER BY 1"""
     return head + "".join(steps) + tail
 

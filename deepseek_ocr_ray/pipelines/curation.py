@@ -2646,6 +2646,35 @@ ORDER BY n DESC, pair LIMIT {top_k}
 """
 
 
+def _stopword_set(
+    df_ds: ray.data.Dataset, top_k: int
+) -> pa.Array:
+    """EXACT top-k tokens by (df desc, token asc) from a reduced
+    (token, df) Dataset — per-block top-k prune (exact: the global top-k
+    is a subset of the union of block top-ks over the unique-token
+    table), tiny sort + limit, returned SORTED for the ``pc.is_in``
+    probe.  Shared by :func:`doc_rarity` and the fused
+    :func:`corpus_quality_filter` so the tie-break rule cannot drift
+    between them."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= top_k:
+            return batch
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("df", "descending"), ("token", "ascending")],
+        )
+        return batch.take(order.slice(0, top_k))
+
+    top = (
+        df_ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["df", "token"], descending=[True, False])
+        .limit(top_k)
+        .take_all()
+    )
+    return pa.array(sorted(r["token"] for r in top), pa.string())
+
+
 def doc_keywords(sf_dir: str, *, top_k: int = 5) -> ray.data.Dataset:
     """Per-document keyword extraction: the ``top_k`` terms by the
     integer TF-IDF lift ``score = 10^6·tf // df`` (tf = in-doc count,
@@ -3864,23 +3893,7 @@ def doc_rarity(
         n_buckets=n_buckets,
     )
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        if batch.num_rows <= top_k:
-            return batch
-        order = pc.sort_indices(
-            batch,
-            sort_keys=[("df", "descending"), ("token", "ascending")],
-        )
-        return batch.take(order.slice(0, top_k))
-
-    top = (
-        df_tbl.map_batches(local_topk, batch_format="pyarrow")
-        .sort(["df", "token"], descending=[True, False])
-        .limit(top_k)
-        .take_all()
-    )
-    stop_set = pa.array(sorted(r["token"] for r in top), pa.string())
-    stop_ref = ray.put(stop_set)
+    stop_ref = ray.put(_stopword_set(df_tbl, top_k))
 
     def per_doc(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
@@ -4058,24 +4071,10 @@ def corpus_quality_filter(
         f = batch.filter(pc.equal(batch["kind"], "t"))
         return pa.table({"token": f["k"], "df": f["c"]})
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        if batch.num_rows <= top_k:
-            return batch
-        order = pc.sort_indices(
-            batch,
-            sort_keys=[("df", "descending"), ("token", "ascending")],
-        )
-        return batch.take(order.slice(0, top_k))
-
-    toprows = (
-        red.map_batches(t_side, batch_format="pyarrow")
-        .map_batches(local_topk, batch_format="pyarrow")
-        .sort(["df", "token"], descending=[True, False])
-        .limit(top_k)
-        .take_all()
-    )
     stop_ref = ray.put(
-        pa.array(sorted(r["token"] for r in toprows), pa.string())
+        _stopword_set(
+            red.map_batches(t_side, batch_format="pyarrow"), top_k
+        )
     )
 
     def b_side(batch: pa.Table) -> pa.Table:

@@ -869,6 +869,11 @@ def kcore_members(
     def bidir(batch: pa.Table) -> pa.Table:
         u = batch[u_col].cast(pa.int64())
         v = batch[v_col].cast(pa.int64())
+        if pc.any(pc.equal(u, v)).as_py():
+            # the local plan's eu<ev re-dedup would DROP a self-loop while
+            # the distributed degree count would keep it — fail loud
+            # rather than let strategy='auto' pick the answer
+            raise ValueError("kcore_members requires a self-loop-free edge list")
         return pa.concat_tables(
             [pa.table({"eu": u, "ev": v}), pa.table({"eu": v, "ev": u})]
         ).combine_chunks()
@@ -915,27 +920,24 @@ def kcore_members(
 
     cur = edges2
     for _ in range(max_rounds):
-        deg_ds = bucket_groupby_sum(
-            cur.map_batches(deg_partial, batch_format="pyarrow"),
-            ["node"],
-            ["d"],
+        # the reduced degree table is node-bounded — collect it ONCE per
+        # round and derive the dead set driver-side (collecting a lazy
+        # filtered view twice would re-run the whole scan + exchange)
+        deg_tbl = collect_table(
+            bucket_groupby_sum(
+                cur.map_batches(deg_partial, batch_format="pyarrow"),
+                ["node"],
+                ["d"],
+            )
         )
-        def low_deg(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.less(batch["d"], k))
-
-        dead_tbl = collect_table(
-            deg_ds.map_batches(low_deg, batch_format="pyarrow")
-        )
-        if dead_tbl is None or dead_tbl.num_rows == 0:
-            deg_final = collect_table(deg_ds)
-            if deg_final is None or deg_final.num_rows == 0:
-                return ray.data.from_arrow(_EMPTY)
+        if deg_tbl is None or deg_tbl.num_rows == 0:
+            return ray.data.from_arrow(_EMPTY)
+        low = pc.less(deg_tbl["d"], k)
+        dead_tbl = deg_tbl.filter(low)
+        if dead_tbl.num_rows == 0:
             out = (
                 pa.table(
-                    {
-                        "node": deg_final["node"],
-                        "degree": deg_final["d"],
-                    }
+                    {"node": deg_tbl["node"], "degree": deg_tbl["d"]}
                 )
                 .sort_by("node")
             )

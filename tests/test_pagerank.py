@@ -267,3 +267,10 @@ def test_kcore_validation(ray_session):
 
     with pytest.raises(ValueError):
         kcore_members(_edge_ds([(1, 2)]), k=0)
+
+
+def test_kcore_rejects_self_loops(ray_session):
+    from deepseek_ocr_ray.stages.graph import kcore_members
+
+    with pytest.raises(Exception, match="self-loop"):
+        kcore_members(_edge_ds([(1, 1), (1, 2)]), k=1).to_pandas()
