@@ -3591,6 +3591,109 @@ FROM t
 """
 
 
+def value_mad_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Robust dispersion per event type: the median absolute deviation
+    ``MAD = median(|cents − median(cents)|)`` over integer cents (DuckDB
+    ``quantile_disc`` convention at both stages) — the outlier-immune
+    scale estimate that pairs with :func:`value_winsorized_by_type`'s
+    robust location.  One row per type: median, MAD, row count.
+
+    Shape: two histogram-plan quantile passes
+    (:func:`stages.agg.group_quantile_disc` — exchange volume is types ×
+    distinct cents, independent of row count).  The per-type medians are
+    a type-bounded table broadcast via plasma between the passes; the
+    deviation map is zero-shuffle."""
+    from ..cluster import collect_table
+    from ..stages.agg import bucket_groupby_sum, group_quantile_disc
+
+    events = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    cents = events.map_batches(prep, batch_format="pyarrow")
+    med = collect_table(
+        group_quantile_disc(cents, ["event_type"], "cents", 0.5, out_col="m")
+    )
+    assert med is not None
+    med = med.sort_by("event_type")
+    types = med["event_type"]
+    if isinstance(types, pa.ChunkedArray):
+        types = types.combine_chunks()
+    med_ref = ray.put(
+        (types, med["m"].to_numpy(zero_copy_only=False).astype(np.int64))
+    )
+
+    def dev(batch: pa.Table) -> pa.Table:
+        tys, ms = ray.get(med_ref)
+        idx = pc.index_in(batch["event_type"], value_set=tys).to_numpy(
+            zero_copy_only=False
+        )
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "adev": pa.array(np.abs(c - ms[idx]), pa.int64()),
+            }
+        )
+
+    devs = cents.map_batches(dev, batch_format="pyarrow")
+    mad = collect_table(
+        group_quantile_disc(devs, ["event_type"], "adev", 0.5, out_col="mad")
+    )
+    assert mad is not None
+    mad = mad.sort_by("event_type")
+
+    def n_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate([([], "count_all")])
+        return pa.table(
+            {"event_type": g["event_type"],
+             "n": g["count_all"].cast(pa.int64())}
+        )
+
+    cnt = collect_table(
+        bucket_groupby_sum(
+            cents.map_batches(n_partial, batch_format="pyarrow"),
+            ["event_type"],
+            ["n"],
+        )
+    )
+    assert cnt is not None
+    cnt = cnt.sort_by("event_type")
+    out = pa.table(
+        {
+            "event_type": types,
+            "n": cnt["n"],
+            "median_cents": med["m"],
+            "mad_cents": mad["mad"],
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+VALUE_MAD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med
+  FROM c GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(any_value(m.med) AS BIGINT) AS median_cents,
+       CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM c JOIN m USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def ccnet_buckets(sf_dir: str) -> ray.data.Dataset:
     """CCNet-style quality bucketing (Wenzek et al. 2020): per language,
     split the corpus into ``head`` / ``middle`` / ``tail`` terciles of
