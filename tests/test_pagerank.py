@@ -274,3 +274,22 @@ def test_kcore_rejects_self_loops(ray_session):
 
     with pytest.raises(Exception, match="self-loop"):
         kcore_members(_edge_ds([(1, 1), (1, 2)]), k=1).to_pandas()
+
+
+def test_triangle_probe_hash_fallback_huge_ids(ray_session):
+    """Node ids past the composite-key ceiling must route through the
+    hashed probe and still count exactly."""
+    from deepseek_ocr_ray.stages.graph import (
+        _COMPOSITE_KEY_MAX_ID,
+        triangle_count,
+    )
+
+    big = _COMPOSITE_KEY_MAX_ID + 10
+    # K4 on shifted ids plus a dangling edge
+    ids = [big + i for i in range(4)]
+    pairs = [(ids[a], ids[b]) for a in range(4) for b in range(a + 1, 4)]
+    pairs.append((ids[3], big + 100))
+    out = triangle_count(
+        _edge_ds(pairs), src_col="u", dst_col="v"
+    ).to_pandas()
+    assert out.n_triangles.tolist() == [4]
