@@ -3591,6 +3591,188 @@ FROM t
 """
 
 
+def q7_nation_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> ray.data.Dataset:
+    """TPC-H Q7 shape — cross-nation shipping volume by year with the
+    DISJUNCTIVE nation-pair predicate (supplier in A shipping to a
+    customer in B, or vice versa): one row per (supp_nation, cust_nation,
+    ship year) with integer-cents revenue.
+
+    Scale plan: nation is a tiny driver dim; supplier and customer prune
+    AT THE SCAN to the two nations; lineitem joins the pruned supplier
+    side via the broadcast plan and orders⋈customer / the orderkey join
+    run volume-sized through the planner; the pair predicate
+    (``s_nation ≠ c_nation``, both already restricted to {A, B}) filters
+    BEFORE the per-block (supp, cust, year) revenue combine, so the final
+    exchange carries a handful of rows per block.  Revenue uses q3's
+    pinned integer-cents kernel."""
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    pair = nat.filter(
+        pc.is_in(
+            nat["n_name"],
+            value_set=pa.array([nation_a, nation_b], pa.string()),
+        )
+    )
+    nkeys = pair["n_nationkey"].combine_chunks()
+    nkeys_ref = ray.put(nkeys)
+    name_of = dict(
+        zip(pair["n_nationkey"].to_pylist(), pair["n_name"].to_pylist())
+    )
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["c_nationkey"], value_set=ray.get(nkeys_ref))
+        ),
+        batch_format="pyarrow",
+    )
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["s_nationkey"], value_set=ray.get(nkeys_ref))
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ord_cust = equi_join(
+        orders,
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        join_type="inner",
+        left_cols=["o_orderkey"],
+        right_cols=["c_nationkey"],
+        approx_bytes=table_file_bytes(sf_dir, "orders", "customer"),
+    )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        year = pc.cast(
+            pc.strftime(batch["l_shipdate"], format="%Y"), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "l_year": year,
+                "rev_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    li_supp = equi_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        supp,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        join_type="inner",
+        left_cols=["l_orderkey", "l_year", "rev_cents"],
+        right_cols=["s_nationkey"],
+        strategy="broadcast",
+    )
+
+    both = equi_join(
+        li_supp,
+        ord_cust,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        join_type="inner",
+        left_cols=["l_year", "rev_cents", "s_nationkey"],
+        right_cols=["c_nationkey"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "orders"),
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["s_nationkey"], batch["c_nationkey"])
+        sub = batch.filter(keep)
+        g = (
+            sub.select(["s_nationkey", "c_nationkey", "l_year", "rev_cents"])
+            .group_by(["s_nationkey", "c_nationkey", "l_year"])
+            .aggregate([("rev_cents", "sum")])
+        )
+        return pa.table(
+            {
+                "sk": g["s_nationkey"],
+                "ck": g["c_nationkey"],
+                "l_year": g["l_year"],
+                "rev": g["rev_cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    from ..stages.agg import bucket_groupby_sum
+
+    agg = bucket_groupby_sum(
+        both.map_batches(pair_partial, batch_format="pyarrow"),
+        ["sk", "ck", "l_year"],
+        ["rev"],
+    )
+
+    keys = pa.array(sorted(name_of), pa.int64())
+    names = pa.array([name_of[k] for k in sorted(name_of)], pa.string())
+
+    def to_name(batch: pa.Table) -> pa.Table:
+        si = pc.index_in(batch["sk"], value_set=keys)
+        ci = pc.index_in(batch["ck"], value_set=keys)
+        return pa.table(
+            {
+                "supp_nation": names.take(si),
+                "cust_nation": names.take(ci),
+                "l_year": batch["l_year"],
+                "revenue_cents": batch["rev"],
+            }
+        )
+
+    return agg.map_batches(to_name, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+def q7_nation_volume_sql(
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> str:
+    return f"""
+WITH v AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = '{nation_a}' AND n2.n_name = '{nation_b}')
+      OR (n1.n_name = '{nation_b}' AND n2.n_name = '{nation_a}'))
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def value_mad_by_type(sf_dir: str) -> ray.data.Dataset:
     """Robust dispersion per event type: the median absolute deviation
     ``MAD = median(|cents − median(cents)|)`` over integer cents (DuckDB
