@@ -494,8 +494,8 @@ SELECT d.doc_id,
        CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0
             ELSE 1000000 * a.n_compromised // a.n_ngrams
        END AS compromised_ppm,
-       CASE WHEN coalesce(a.n_compromised, 0) > 0 THEN 1 ELSE 0 END
-           AS flag_compromised
+       CAST(CASE WHEN coalesce(a.n_compromised, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS flag_compromised
 FROM documents d LEFT JOIN agg a USING (doc_id)
 WHERE d.doc_id % 41 = 0 ORDER BY d.doc_id
 """

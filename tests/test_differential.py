@@ -503,3 +503,145 @@ def test_value_winsorized_fuzz(ray_session, tmp_path, seed):
     )
     want = _run_oracle(analytics.VALUE_WINSORIZED_SQL, "events", d)
     assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+# ---------------------------------------------------------------------------
+# closing-session operators: seeded random corpora vs their SQL oracles
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [13, 26, 39])
+def test_source_divergence_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import curation
+
+    d = _rand_docs_dir(tmp_path, seed, "tv")
+    got = curation.source_divergence(d).to_pandas().reset_index(drop=True)
+    want = _run_oracle(curation.SOURCE_DIVERGENCE_SQL, "documents", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+@pytest.mark.parametrize("seed", [14, 28, 42])
+def test_dsir_scores_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import curation
+
+    d = _rand_docs_dir(tmp_path, seed, "dsir")
+    got = (
+        curation.dsir_scores(d, target_lang="l0")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = _run_oracle(
+        curation.dsir_scores_sql(target_lang="l0"), "documents", d
+    )
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+@pytest.mark.parametrize("seed", [15, 30, 45])
+def test_doc_keywords_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import curation
+
+    d = _rand_docs_dir(tmp_path, seed, "kw")
+    got = curation.doc_keywords(d).to_pandas().reset_index(drop=True)
+    want = _run_oracle(curation.doc_keywords_sql(), "documents", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+@pytest.mark.parametrize("seed", [16, 32, 48])
+def test_bpe_pair_counts_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import curation
+
+    d = _rand_docs_dir(tmp_path, seed, "bpe")
+    got = curation.bpe_pair_counts(d).to_pandas().reset_index(drop=True)
+    want = _run_oracle(curation.bpe_pair_counts_sql(), "documents", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+@pytest.mark.parametrize("seed", [17, 34, 51])
+def test_bench_contamination_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import curation
+
+    d = _rand_docs_dir(tmp_path, seed, "bc")
+    got = (
+        curation.bench_contamination_report(d)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = _run_oracle(curation.BENCH_CONTAMINATION_SQL, "documents", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+def _rand_line_docs_dir(tmp_path, seed: int) -> str:
+    """Random corpus whose vocab INCLUDES the newline-enrichment markers
+    ('merge' → the ' merge ' rewrite fires), so documents split into
+    multiple lines and cross-doc line duplication actually occurs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(30, 120))
+    vocab = [f"w{i}" for i in range(6)] + ["merge", "table", "slow"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 25)).tolist())
+        for _ in range(n)
+    ]
+    if n > 3:
+        texts[1] = texts[0]
+        texts[2] = ""
+    d = os.path.join(str(tmp_path), "ld")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s"] * n),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+        row_group_size=max(1, n // int(rng.randint(1, 5))),
+    )
+    return d
+
+
+@pytest.mark.parametrize("seed", [18, 36, 54])
+def test_line_dedup_scrub_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import curation
+
+    d = _rand_line_docs_dir(tmp_path, seed)
+    got = curation.line_dedup_scrub(d).to_pandas().reset_index(drop=True)
+    want = _run_oracle(curation.LINE_DEDUP_SCRUB_SQL, "documents", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+    # and the join plan agrees
+    gj = (
+        curation.line_dedup_scrub(d, probe="join")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert gj.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+@pytest.mark.parametrize("seed", [19, 38])
+def test_value_equidepth_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = _rand_events_dir(tmp_path, seed, "eqd")
+    got = (
+        analytics.value_equidepth_by_type(d)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = _run_oracle(analytics.VALUE_EQUIDEPTH_SQL, "events", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+@pytest.mark.parametrize("seed", [20, 40])
+def test_value_mad_fuzz(ray_session, tmp_path, seed):
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = _rand_events_dir(tmp_path, seed, "mad")
+    got = analytics.value_mad_by_type(d).to_pandas().reset_index(drop=True)
+    want = _run_oracle(analytics.VALUE_MAD_SQL, "events", d)
+    assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
