@@ -160,6 +160,37 @@ def cmd_scrub_dups(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_line_dedup(args: argparse.Namespace) -> int:
+    """C4-style corpus-wide line dedup: keep only the first occurrence of
+    any duplicated line, rebuild documents, write parquet + a one-line
+    summary."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.curation import line_dedup_scrub_ds
+
+    ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    out = line_dedup_scrub_ds(ds, probe=args.probe).materialize()
+    stats = out.map_batches(
+        lambda b: b.select(["n_lines", "n_dropped_lines"]),
+        batch_format="pyarrow",
+    )
+    total_lines = stats.sum("n_lines")
+    dropped = stats.sum("n_dropped_lines")
+    out.write_parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "output": args.output,
+                "docs": out.count(),
+                "lines": int(total_lines or 0),
+                "dropped_lines": int(dropped or 0),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_quality_filter(args: argparse.Namespace) -> int:
     """Run the composed quality filter (Gopher rules ∧ stop-token floor ∧
     corpus-LM floor) over a ``documents.parquet`` corpus directory and
@@ -265,6 +296,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     pd.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
     pd.set_defaults(fn=cmd_scrub_dups)
+
+    pl = sub.add_parser(
+        "line-dedup",
+        help="C4-style corpus-wide line dedup (keep first occurrence, "
+        "rebuild documents)",
+    )
+    pl.add_argument("--input", required=True)
+    pl.add_argument("--output", required=True)
+    pl.add_argument(
+        "--probe", choices=["auto", "broadcast", "join"], default="auto"
+    )
+    pl.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
+    pl.set_defaults(fn=cmd_line_dedup)
 
     pq_ = sub.add_parser(
         "quality-filter",

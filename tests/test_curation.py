@@ -1135,3 +1135,48 @@ def test_doc_keywords_hand_computed(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.reset_index(), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_line_dedup_cli(tmp_path):
+    """End-to-end CLI: scrubbed corpus round-trips with consistent
+    counters (subprocess — owns its own Ray session)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    texts = ["shared line merge unique %d" % i for i in range(40)]
+    texts[7] = texts[3]  # exact dup doc
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        os.path.join(src, "docs.parquet"),
+        row_group_size=9,
+    )
+    out_dir = str(tmp_path / "clean")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "deepseek_ocr_ray", "line-dedup",
+            "--input", src, "--output", out_dir, "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["docs"] == 40
+    # every doc shares line 1 ('shared line') -> 39 drops, plus doc 7's
+    # duplicated second line -> 40
+    assert summary["dropped_lines"] == 40
+    t = pq.read_table(out_dir)
+    assert t.num_rows == 40
+    assert set(t.column_names) == {
+        "doc_id", "n_lines", "n_dropped_lines", "text"
+    }
