@@ -3279,7 +3279,9 @@ def lm_conditional_ppm(
     return keys, ppm_vals
 
 
-def doc_lm_score(sf_dir: str) -> ray.data.Dataset:
+def doc_lm_score(
+    sf_dir: str, *, carry_cols: tuple[str, ...] = ()
+) -> ray.data.Dataset:
     """CCNet-style corpus-LM quality scoring in exact integers: train a
     bigram language model ON the corpus (conditional probability of each
     bigram given its left token, in ppm: ``10^6·c(w1w2) // c(w1·)``), then
@@ -3339,7 +3341,9 @@ def doc_lm_score(sf_dir: str) -> ray.data.Dataset:
     )
     lm_ref = ray.put(lm_conditional_ppm(cnt))
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", *carry_cols]
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
@@ -3359,14 +3363,17 @@ def doc_lm_score(sf_dir: str) -> ray.data.Dataset:
         mean = np.zeros(n_rows, np.int64)
         nz = n_big > 0
         mean[nz] = s[nz] // n_big[nz]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_bigrams": pa.array(n_big, pa.int64()),
-                "sum_cond_ppm": pa.array(s, pa.int64()),
-                "mean_cond_ppm": pa.array(mean, pa.int64()),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "sum_cond_ppm": pa.array(s, pa.int64()),
+            "mean_cond_ppm": pa.array(mean, pa.int64()),
+        }
+        # carry columns ride the same scan (``carry_cols``) so
+        # compositions like ccnet_buckets need no doc-keyed join
+        for c in carry_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
@@ -3885,23 +3892,18 @@ def ccnet_buckets(sf_dir: str) -> ray.data.Dataset:
     ``ntile(3)`` over the total order ``(mean_cond_ppm DESC, doc_id)``,
     so the split replicates exactly.
 
-    Shape: the LM scoring pipeline's own two passes, one planner join of
-    two doc-count-bounded tables (scores ⋈ lang), and ONE lang-keyed
-    exchange for the ntile walk (:func:`stages.windows.group_ntile`) —
-    the exchange carries one row per document, never text."""
-    from ..cluster import equi_join
+    Shape: the LM scoring pipeline's own two passes with ``lang`` carried
+    through the scoring scan (``doc_lm_score(carry_cols=…)`` — no
+    doc-keyed join at all), and ONE lang-keyed exchange for the ntile
+    walk (:func:`stages.windows.group_ntile`) — the exchange carries one
+    row per document, never text."""
     from ..stages.windows import group_ntile
 
-    lm = doc_lm_score(sf_dir).select_columns(["doc_id", "mean_cond_ppm"])
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
-    j = equi_join(
-        lm,
-        docs,
-        on="doc_id",
-        approx_bytes=table_file_bytes(sf_dir, "documents"),
+    lm = doc_lm_score(sf_dir, carry_cols=("lang",)).select_columns(
+        ["doc_id", "lang", "mean_cond_ppm"]
     )
     t = group_ntile(
-        j,
+        lm,
         keys=["lang"],
         order_cols=[("mean_cond_ppm", "descending"), ("doc_id", "ascending")],
         n_tiles=3,
