@@ -300,3 +300,103 @@ def test_first_k_prefix_mergeable(rows, k, split):
         (u, ts, e) for v in brute.values() for (u, ts, e) in v
     )
     assert [(u, e) for u, _, e in got] == [(u, e) for u, _, e in flat]
+
+
+# --- equi-depth histogram invariants ---------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-30, 30)),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(1, 12),
+)
+def test_equidepth_invariants(ray_session, rows, n_tiles):
+    """Per group: tile counts sum to the group size, sizes are
+    non-increasing and differ by at most one, min of the first tile is
+    the group min, max of the last is the group max, and consecutive
+    tiles never overlap in value range (max_i <= min_{i+1})."""
+    import pyarrow as pa
+
+    from deepseek_ocr_ray.stages.agg import group_equidepth
+
+    import ray.data
+
+    tab = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    out = (
+        group_equidepth(ray.data.from_arrow(tab), ["g"], "v", n_tiles)
+        .to_pandas()
+        .sort_values(["g", "tile"])
+    )
+    import collections
+
+    sizes = collections.Counter([r[0] for r in rows])
+    vals = collections.defaultdict(list)
+    for g, v in rows:
+        vals[g].append(v)
+    for g, grp in out.groupby("g"):
+        assert grp.n_rows.sum() == sizes[g]
+        s = grp.n_rows.tolist()
+        assert all(a >= b for a, b in zip(s, s[1:]))
+        assert max(s) - min(s) <= 1
+        sv = sorted(vals[g])
+        assert grp.min_value.iloc[0] == sv[0]
+        assert grp.max_value.iloc[-1] == sv[-1]
+        assert all(
+            grp.max_value.iloc[i] <= grp.min_value.iloc[i + 1]
+            for i in range(len(grp) - 1)
+        )
+
+
+# --- k-core vs independent brute fixpoint ----------------------------------
+
+
+def _brute_kcore(pairs, k):
+    """Set-based peel, written independently of the numpy kernel."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(alive):
+            if len(adj[n] & alive) < k:
+                alive.discard(n)
+                changed = True
+    return {n: len(adj[n] & alive) for n in sorted(alive)}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 6),
+)
+def test_kcore_matches_brute_fixpoint(pairs, k):
+    import numpy as np
+
+    from deepseek_ocr_ray.stages.graph import _local_kcore
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    u = np.array([p[0] for p in norm], np.int64)
+    v = np.array([p[1] for p in norm], np.int64)
+    nodes, deg = _local_kcore(u, v, k)
+    want = _brute_kcore(norm, k)
+    assert dict(zip(nodes.tolist(), deg.tolist())) == want
