@@ -3780,6 +3780,622 @@ FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def _ts(y: int, m: int = 1, d: int = 1) -> pa.Scalar:
+    """Timestamp[us] literal matching DuckDB ``TIMESTAMP 'y-m-d'``."""
+    import datetime as _dt
+
+    return pa.scalar(_dt.datetime(y, m, d), pa.timestamp("us"))
+
+
+def _one_row_sum(
+    ds: ray.data.Dataset, cols: dict[str, str]
+) -> pa.Table:
+    """Collect per-block single-row partials and finish the global sums on
+    the driver in exact Python ints — ``cols`` maps partial→output name."""
+    from ..cluster import collect_table
+
+    t = collect_table(ds)
+    out = {}
+    for src, dst in cols.items():
+        vals = (
+            t[src].to_numpy(zero_copy_only=False)
+            if t is not None and t.num_rows
+            else np.array([], np.int64)
+        )
+        out[dst] = pa.array([int(sum(int(v) for v in vals))], pa.int64())
+    return pa.table(out)
+
+
+def q6_revenue_delta(
+    sf_dir: str,
+    year: int = 1996,
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: int = 24,
+) -> pa.Table:
+    """TPC-H Q6 shape — the forecasting-revenue-change scan: discount
+    revenue (``price·discount`` in integer cents) over one ship year,
+    a discount band and a quantity cap.  One row:
+    ``(revenue_cents, n_items)``.
+
+    Scale plan: the whole query is ONE column-pruned scan with a per-block
+    vectorized filter + one partial-sum row per block — no exchange of any
+    kind; the driver finishes over one row per block.  Float comparisons
+    use the same IEEE double literals on both sides so the predicate is
+    bit-identical to the SQL oracle."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo, hi = _ts(year), _ts(year + 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], disc_lo),
+                    pc.less_equal(batch["l_discount"], disc_hi),
+                ),
+                pc.less(batch["l_quantity"], float(max_qty)),
+            ),
+        )
+        sub = batch.filter(keep)
+        price = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = sub["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([sub.num_rows], pa.int64()),
+            }
+        )
+
+    return _one_row_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        {"s": "revenue_cents", "n": "n_items"},
+    )
+
+
+Q6_REVENUE_DELTA_SQL = """
+SELECT COALESCE(CAST(sum(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+                              AS BIGINT)) AS BIGINT), 0) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q13_custdist(
+    sf_dir: str, excluded_priority: str = "1-URGENT"
+) -> pa.Table:
+    """TPC-H Q13 shape — customer order-count distribution INCLUDING the
+    zero-order customers of the LEFT JOIN: one row per distinct per-customer
+    qualifying-order count ``c_count`` with the number of customers at that
+    count, ``(custdist DESC, c_count DESC)`` ordered.
+
+    Scale plan: NO join at all.  Orders (filtered at the scan) reduce to
+    per-customer counts through one volume-sized custkey exchange; each
+    reduced block then collapses to (c_count → customers) partials whose
+    domain is the tiny set of distinct counts, merged on the driver; the
+    zero bucket is ``count(customer) − customers_with_orders`` — the left
+    join's unmatched side computed from two scalars."""
+    from ..cluster import collect_table
+    from ..stages.agg import bucket_groupby_sum
+
+    n_cust = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(
+            pc.not_equal(batch["o_orderpriority"], excluded_priority)
+        )
+        g = (
+            sub.select(["o_custkey"])
+            .group_by("o_custkey")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    per_cust = bucket_groupby_sum(
+        orders.map_batches(per_cust_partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["n"],
+        n_buckets=assembly_buckets_for_bytes(
+            table_file_bytes(sf_dir, "orders")
+        ),
+    )
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["n"]).group_by("n").aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "c_count": g["n"],
+                "custdist": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        per_cust.map_batches(dist_partial, batch_format="pyarrow")
+    )
+    counts: dict[int, int] = {}
+    with_orders = 0
+    if t is not None and t.num_rows:
+        cc = t["c_count"].to_numpy(zero_copy_only=False)
+        cd = t["custdist"].to_numpy(zero_copy_only=False)
+        for c, d in zip(cc, cd):
+            counts[int(c)] = counts.get(int(c), 0) + int(d)
+            with_orders += int(d)
+    zero = n_cust - with_orders
+    if zero > 0:
+        counts[0] = counts.get(0, 0) + zero
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], -kv[0]))
+    return pa.table(
+        {
+            "c_count": pa.array([r[0] for r in rows], pa.int64()),
+            "custdist": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+Q13_CUSTDIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_ratio(
+    sf_dir: str, year: int = 1997, month: int = 9
+) -> pa.Table:
+    """TPC-H Q14 shape — promotion revenue share for one ship month, as
+    exact integer ppm: one row
+    ``(promo_cents, total_cents, promo_ppm = 10⁶·promo // total)``.
+
+    Scale plan: lineitem prunes to the month AT THE SCAN (~1% of rows),
+    joins the part dimension's (partkey, is_promo) projection through the
+    planner (broadcast below the plasma cap, keyed exchange above), and
+    the conditional sums collapse to one partial row per block — the only
+    exchange is whatever the join planner picked."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = _ts(year, month)
+    hi = _ts(year + (month == 12), month % 12 + 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        sub = batch.filter(keep)
+        price = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = sub["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": sub["l_partkey"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "is_promo": pc.cast(
+                    pc.equal(b["p_type"], "PROMO"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = equi_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        join_type="inner",
+        left_cols=["cents"],
+        right_cols=["is_promo"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "part"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        promo = batch["is_promo"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p": pa.array([int((cents * promo).sum())], pa.int64()),
+                "t": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    out = _one_row_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        {"p": "promo_cents", "t": "total_cents"},
+    )
+    p = out["promo_cents"][0].as_py()
+    t = out["total_cents"][0].as_py()
+    ppm = (1_000_000 * p) // t if t else 0
+    return out.append_column("promo_ppm", pa.array([ppm], pa.int64()))
+
+
+Q14_PROMO_RATIO_SQL = """
+WITH j AS (
+  SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+SELECT COALESCE(CAST(sum(promo * cents) AS BIGINT), 0) AS promo_cents,
+       COALESCE(CAST(sum(cents) AS BIGINT), 0) AS total_cents,
+       CASE WHEN COALESCE(sum(cents), 0) = 0 THEN 0
+            ELSE CAST(1000000 * sum(promo * cents) // sum(cents) AS BIGINT)
+       END AS promo_ppm
+FROM j
+"""
+
+
+def q15_top_supplier(
+    sf_dir: str, year: int = 1997, quarter: int = 1
+) -> ray.data.Dataset:
+    """TPC-H Q15 shape — the top supplier(s) by one quarter's shipped
+    revenue, ALL ties returned (the view + max-subquery semantics):
+    ``(s_suppkey, s_name, total_rev)`` ordered by supplier key.
+
+    Scale plan: lineitem prunes to the quarter at the scan and reduces to
+    per-supplier revenue through one volume-sized suppkey exchange; that
+    supplier-bounded table materializes once, its max is one scalar
+    consumption, and the winner set (≥1 row, ties only) broadcasts
+    against the supplier dim scan — the fact table never re-exchanges."""
+    m0 = 3 * (quarter - 1) + 1
+    lo = _ts(year, m0)
+    hi = _ts(year + (m0 + 3 > 12), (m0 + 2) % 12 + 1)
+    from ..stages.agg import bucket_groupby_sum
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        sub = batch.filter(keep)
+        price = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = sub["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "l_suppkey": sub["l_suppkey"],
+                    "rev": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("l_suppkey")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table(
+            {
+                "l_suppkey": g["l_suppkey"],
+                "total_rev": g["rev_sum"].cast(pa.int64()),
+            }
+        )
+
+    rev = bucket_groupby_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"],
+        ["total_rev"],
+        n_buckets=assembly_buckets_for_bytes(
+            table_file_bytes(sf_dir, "lineitem")
+        ),
+    ).materialize()
+    best = rev.max("total_rev")
+    if best is None:  # no lineitem in the quarter → empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "total_rev": pa.array([], pa.int64()),
+                }
+            )
+        )
+    winners = rev.map_batches(
+        lambda b: b.filter(pc.equal(b["total_rev"], best)),
+        batch_format="pyarrow",
+    )
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = equi_join(
+        supp,
+        winners,
+        on="s_suppkey",
+        right_on="l_suppkey",
+        join_type="inner",
+        left_cols=["s_suppkey", "s_name"],
+        right_cols=["total_rev"],
+        strategy="broadcast",
+        right_types={"l_suppkey": pa.int64(), "total_rev": pa.int64()},
+    )
+    return out.sort("s_suppkey")
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_qty_revenue(
+    sf_dir: str, brand: str = "Brand#23"
+) -> pa.Table:
+    """TPC-H Q17 shape — small-quantity-order revenue for one brand: the
+    summed price of lineitems whose quantity is below 20% of their part's
+    average quantity, plus the ``// 7`` "avg yearly" finish.  One row:
+    ``(sum_cents, avg_yearly_cents)``.
+
+    The correlated-average predicate ``qty < 0.2·avg(qty per part)`` is
+    exact-integerized by cross-multiplication: ``5·n·qty < sum_qty``
+    (quantities are integral by construction), so the driver hash gate
+    binds bit-for-bit.
+
+    Scale plan: the brand's partkeys prune lineitem through a planner
+    left-semi join; per-part (sum_qty, n) reduces through one
+    brand-part-bounded exchange; the second lineitem pass joins that
+    reduced table through the planner (broadcast below the cap) and the
+    threshold filter + cents sum collapse per block — two fact scans, the
+    TPC-H-mandated shape for a correlated aggregate."""
+    bp = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["p_brand"], brand)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    li_brand = equi_join(
+        li,
+        bp,
+        on="l_partkey",
+        right_on="p_partkey",
+        join_type="left_semi",
+        left_cols=["l_partkey", "l_quantity", "l_extendedprice"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "part"),
+        right_types={"p_partkey": pa.int64()},
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        g = (
+            pa.table(
+                {"l_partkey": batch["l_partkey"], "q": pa.array(q, pa.int64())}
+            )
+            .group_by("l_partkey")
+            .aggregate([("q", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "s": g["q_sum"].cast(pa.int64()),
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    from ..stages.agg import bucket_groupby_sum
+
+    per_part = bucket_groupby_sum(
+        li_brand.map_batches(qty_partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        ["s", "n"],
+    )
+
+    joined = equi_join(
+        li,
+        per_part.map_batches(
+            lambda b: b.rename_columns(["pk", "s", "n"]),
+            batch_format="pyarrow",
+        ),
+        on="l_partkey",
+        right_on="pk",
+        join_type="inner",
+        left_cols=["l_quantity", "l_extendedprice"],
+        right_cols=["s", "n"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem"),
+        right_types={"pk": pa.int64(), "s": pa.int64(), "n": pa.int64()},
+    )
+
+    def fin_partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        keep = 5 * n * q < s
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents.sum())], pa.int64())})
+
+    out = _one_row_sum(
+        joined.map_batches(fin_partial, batch_format="pyarrow"),
+        {"c": "sum_cents"},
+    )
+    sc = out["sum_cents"][0].as_py()
+    return out.append_column(
+        "avg_yearly_cents", pa.array([sc // 7], pa.int64())
+    )
+
+
+Q17_SMALL_QTY_REVENUE_SQL = """
+WITH agg AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+  GROUP BY 1
+),
+small AS (
+  SELECT CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN agg ON agg.pk = l.l_partkey
+  WHERE 5 * agg.n * CAST(l.l_quantity AS BIGINT) < agg.s
+)
+SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) AS sum_cents,
+       COALESCE(CAST(sum(cents) AS BIGINT), 0) // 7 AS avg_yearly_cents
+FROM small
+"""
+
+
+_Q19_BRANCHES: tuple[tuple[str, int, int, int], ...] = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape — revenue under a 3-branch DISJUNCTIVE
+    (brand, size-range, quantity-range) predicate.  One row:
+    ``(revenue_cents, n_items)``.
+
+    Scale plan: the part scan evaluates the (brand, size) half of every
+    branch into a per-part branch BITMASK and keeps only parts matching
+    some branch (~3 brands of 25) — that pruned (partkey, mask) table
+    joins lineitem through the planner, and the per-row quantity check
+    resolves the surviving branch bits vectorized; sums collapse per
+    block.  The disjunction never becomes three scans or a cross
+    product."""
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    )
+
+    def mask_batch(batch: pa.Table) -> pa.Table:
+        brand = batch["p_brand"].to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(brand), np.int64)
+        for i, (b, smax, _, _) in enumerate(_Q19_BRANCHES):
+            hit = ((brand == b) & (size >= 1) & (size <= smax)).astype(
+                np.int64
+            )
+            mask |= hit << i
+        keep = mask > 0
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    batch["p_partkey"]
+                    .to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "mask": pa.array(mask[keep], pa.int64()),
+            }
+        )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = equi_join(
+        li,
+        part.map_batches(mask_batch, batch_format="pyarrow"),
+        on="l_partkey",
+        right_on="p_partkey",
+        join_type="inner",
+        left_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        right_cols=["mask"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "part"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        mask = batch["mask"].to_numpy(zero_copy_only=False)
+        ok = np.zeros(len(q), bool)
+        for i, (_, _, qlo, qhi) in enumerate(_Q19_BRANCHES):
+            ok |= ((mask >> i) & 1).astype(bool) & (q >= qlo) & (q <= qhi)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[ok]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([int(ok.sum())], pa.int64()),
+            }
+        )
+
+    return _one_row_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        {"s": "revenue_cents", "n": "n_items"},
+    )
+
+
+Q19_DISJUNCTIVE_REVENUE_SQL = """
+SELECT COALESCE(CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                    + 0.5) AS BIGINT)) AS BIGINT), 0)
+           AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def value_mad_by_type(sf_dir: str) -> ray.data.Dataset:
     """Robust dispersion per event type: the median absolute deviation
     ``MAD = median(|cents − median(cents)|)`` over integer cents (DuckDB

@@ -1,0 +1,254 @@
+"""Engineered hand-computed fixtures for the six round-4 TPC-H shapes
+(Q6 / Q13 / Q14 / Q15 / Q17 / Q19) — every boundary the predicates own:
+band edges inclusive, date upper bounds exclusive, the strict
+cross-multiplied Q17 threshold, Q15 max ties, Q13's zero-order customers,
+Q19's per-branch quantity ranges.  The sf0.001/0.01 DuckDB differentials
+live in the auto oracle gate (test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deepseek_ocr_ray.pipelines import analytics
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _lineitem(
+    tmp_path,
+    rows: list[tuple],
+    cols: tuple[str, ...],
+) -> None:
+    """rows are tuples matching ``cols``; writes lineitem.parquet with the
+    benchmark types (qty/price/discount double, shipdate timestamp[us])."""
+    types = {
+        "l_orderkey": pa.int64(),
+        "l_partkey": pa.int64(),
+        "l_suppkey": pa.int64(),
+        "l_quantity": pa.float64(),
+        "l_extendedprice": pa.float64(),
+        "l_discount": pa.float64(),
+        "l_shipdate": pa.timestamp("us"),
+    }
+    arrays = {
+        c: pa.array([r[i] for r in rows], types[c])
+        for i, c in enumerate(cols)
+    }
+    _write(tmp_path, "lineitem", pa.table(arrays))
+
+
+def test_q6_band_and_date_boundaries(ray_session, tmp_path):
+    # in: disc exactly 0.05 / 0.07 (inclusive), qty 23 (< 24),
+    #     shipdate 1996-01-01 (inclusive lower)
+    # out: 1995-12-31, 1997-01-01 (exclusive upper), disc 0.04, qty 24
+    d = dt.datetime
+    _lineitem(
+        tmp_path,
+        [
+            (d(1996, 6, 1), 0.05, 23.0, 100.0),
+            (d(1996, 1, 1), 0.07, 1.0, 200.0),
+            (d(1995, 12, 31), 0.06, 5.0, 100.0),
+            (d(1997, 1, 1), 0.06, 5.0, 100.0),
+            (d(1996, 6, 1), 0.04, 5.0, 100.0),
+            (d(1996, 6, 1), 0.06, 24.0, 100.0),
+        ],
+        ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"),
+    )
+    out = analytics.q6_revenue_delta(str(tmp_path))
+    # 100·0.05·100 = 500 cents, 200·0.07·100 = 1400 cents
+    assert out["revenue_cents"][0].as_py() == 1900
+    assert out["n_items"][0].as_py() == 2
+
+
+def test_q13_zero_bucket_and_excluded_priority(ray_session, tmp_path):
+    _write(
+        tmp_path,
+        "customer",
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64())}),
+    )
+    # cust1: 2 qualifying; cust2: only an excluded-priority order → 0;
+    # cust3: 1; cust4: no orders at all → 0; cust5: 3.
+    ck = [1, 1, 2, 3, 5, 5, 5]
+    pr = ["5-LOW", "2-HIGH", "1-URGENT", "3-MEDIUM",
+          "5-LOW", "5-LOW", "4-NOT SPECIFIED"]
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_orderpriority": pa.array(pr, pa.string()),
+            }
+        ),
+    )
+    out = analytics.q13_custdist(str(tmp_path))
+    got = list(
+        zip(out["c_count"].to_pylist(), out["custdist"].to_pylist())
+    )
+    # custdist desc, c_count desc: two customers at 0 (cust2 + cust4)
+    assert got == [(0, 2), (3, 1), (2, 1), (1, 1)]
+
+
+def test_q14_promo_share_month_boundary(ray_session, tmp_path):
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_type": pa.array(["PROMO", "STANDARD"], pa.string()),
+            }
+        ),
+    )
+    d = dt.datetime
+    _lineitem(
+        tmp_path,
+        [
+            (1, d(1997, 9, 15), 100.0, 0.0),   # promo, 10000 cents
+            (2, d(1997, 9, 30), 50.0, 0.5),    # plain, 2500 cents
+            (1, d(1997, 10, 1), 999.0, 0.0),   # out: upper bound exclusive
+            (2, d(1997, 8, 31), 999.0, 0.0),   # out: before the month
+        ],
+        ("l_partkey", "l_shipdate", "l_extendedprice", "l_discount"),
+    )
+    out = analytics.q14_promo_ratio(str(tmp_path))
+    assert out["promo_cents"][0].as_py() == 10000
+    assert out["total_cents"][0].as_py() == 12500
+    assert out["promo_ppm"][0].as_py() == (1_000_000 * 10000) // 12500
+
+
+def test_q15_ties_all_returned(ray_session, tmp_path):
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+            }
+        ),
+    )
+    d = dt.datetime
+    _lineitem(
+        tmp_path,
+        [
+            (1, d(1997, 1, 5), 60.0, 0.0),
+            (1, d(1997, 3, 31), 40.0, 0.0),   # s1 total 10000
+            (2, d(1997, 2, 1), 100.0, 0.0),   # s2 total 10000 (tie)
+            (3, d(1997, 1, 1), 50.0, 0.0),    # s3 total 5000
+            (1, d(1997, 4, 1), 999.0, 0.0),   # out: next quarter
+        ],
+        ("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"),
+    )
+    out = analytics.q15_top_supplier(str(tmp_path)).to_pandas()
+    assert list(out["s_suppkey"]) == [1, 2]
+    assert list(out["s_name"]) == ["S1", "S2"]
+    assert list(out["total_rev"]) == [10000, 10000]
+
+
+def test_q15_empty_quarter(ray_session, tmp_path):
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([1], pa.int64()),
+                "s_name": pa.array(["S1"], pa.string()),
+            }
+        ),
+    )
+    d = dt.datetime
+    _lineitem(
+        tmp_path,
+        [(1, d(1998, 1, 5), 60.0, 0.0)],
+        ("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"),
+    )
+    out = analytics.q15_top_supplier(str(tmp_path))
+    # Ray's to_pandas() drops columns for a zero-block dataset; the
+    # dataset-level schema is the contract here.
+    assert out.count() == 0
+    assert out.schema().names == ["s_suppkey", "s_name", "total_rev"]
+
+
+def test_q17_strict_threshold_cross_multiplied(ray_session, tmp_path):
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_brand": pa.array(
+                    ["Brand#23", "Brand#23", "Brand#99"], pa.string()
+                ),
+            }
+        ),
+    )
+    d = dt.datetime
+    # part 1: qty [1, 9, 10, 10, 10] → s=40, n=5; keep iff 25·q < 40 ⟺ q=1
+    #   (q=1 gives 25 < 40; q=9 gives 225 ≥ 40 — strictness exercised by
+    #    part 2 where equality occurs)
+    # part 2: qty [2, 2, 2] → s=6, n=3; 15·2=30 ≥ 6 → none kept; and a
+    #   degenerate check: qty such that 5·n·q == s must be EXCLUDED —
+    #   with qty [1,1,1] s=3,n=3: 15·1=15 ≥ 3 → excluded anyway.
+    # part 3: other brand, ignored entirely.
+    rows = [
+        (1, 1.0, 7.0), (1, 9.0, 100.0), (1, 10.0, 100.0),
+        (1, 10.0, 100.0), (1, 10.0, 100.0),
+        (2, 2.0, 100.0), (2, 2.0, 100.0), (2, 2.0, 100.0),
+        (3, 1.0, 100.0),
+    ]
+    _lineitem(
+        tmp_path,
+        [(p, d(1997, 1, 1), q, pr) for p, q, pr in rows],
+        ("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"),
+    )
+    out = analytics.q17_small_qty_revenue(str(tmp_path))
+    assert out["sum_cents"][0].as_py() == 700
+    assert out["avg_yearly_cents"][0].as_py() == 100
+
+
+def test_q19_branch_masks_and_quantity_ranges(ray_session, tmp_path):
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "p_brand": pa.array(
+                    ["Brand#12", "Brand#23", "Brand#34", "Brand#12"],
+                    pa.string(),
+                ),
+                "p_size": pa.array([5, 10, 16, 6], pa.int32()),
+            }
+        ),
+    )
+    d = dt.datetime
+    # p1 branch0 (qty 1..11): qty 11 in, 12 out
+    # p2 branch1 (qty 10..20): qty 10 in (disc 0.1), 9 out
+    # p3: size 16 > 15 → no branch, qty irrelevant
+    # p4: Brand#12 size 6 > 5 → no branch
+    _lineitem(
+        tmp_path,
+        [
+            (1, d(1997, 1, 1), 11.0, 10.0, 0.0),
+            (1, d(1997, 1, 1), 12.0, 999.0, 0.0),
+            (2, d(1997, 1, 1), 10.0, 20.0, 0.1),
+            (2, d(1997, 1, 1), 9.0, 999.0, 0.0),
+            (3, d(1997, 1, 1), 25.0, 999.0, 0.0),
+            (4, d(1997, 1, 1), 5.0, 999.0, 0.0),
+        ],
+        (
+            "l_partkey", "l_shipdate", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ),
+    )
+    out = analytics.q19_disjunctive_revenue(str(tmp_path))
+    # 10·100 = 1000 cents; floor(20·0.9·100 + 0.5) = 1800 cents
+    assert out["revenue_cents"][0].as_py() == 2800
+    assert out["n_items"][0].as_py() == 2
