@@ -645,3 +645,150 @@ def test_value_mad_fuzz(ray_session, tmp_path, seed):
     got = analytics.value_mad_by_type(d).to_pandas().reset_index(drop=True)
     want = _run_oracle(analytics.VALUE_MAD_SQL, "events", d)
     assert got.sort_index(axis=1).equals(want.sort_index(axis=1))
+
+
+# ---------------------------------------------------------------------------
+# round-4 TPC-H shapes: random star-schema differential vs DuckDB
+# ---------------------------------------------------------------------------
+
+
+def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
+    """Random small TPC-H-ish star schema: random brands/types/sizes,
+    random ship dates spanning every predicate window, random row-group
+    layouts — forces the planner joins and the scan predicates through
+    arbitrary block boundaries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    d = os.path.join(str(tmp_path), tag)
+    os.makedirs(d)
+
+    n_p = int(rng.randint(10, 60))
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_p), pa.int64()),
+                "p_brand": pa.array(
+                    [
+                        f"Brand#{b}"
+                        for b in rng.choice([12, 23, 34, 55], n_p)
+                    ],
+                    pa.string(),
+                ),
+                "p_type": pa.array(
+                    rng.choice(["PROMO", "STANDARD", "SMALL"], n_p).tolist(),
+                    pa.string(),
+                ),
+                "p_size": pa.array(
+                    rng.randint(1, 21, n_p).tolist(), pa.int32()
+                ),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+
+    n_s = int(rng.randint(5, 15))
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n_s), pa.int64()),
+                "s_name": pa.array([f"S{k}" for k in range(n_s)], pa.string()),
+            }
+        ),
+        os.path.join(d, "supplier.parquet"),
+    )
+
+    n_c = int(rng.randint(10, 40))
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(range(n_c), pa.int64())}),
+        os.path.join(d, "customer.parquet"),
+    )
+
+    n_o = int(rng.randint(30, 150))
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array(
+                    rng.randint(0, n_c, n_o).tolist(), pa.int64()
+                ),
+                "o_orderpriority": pa.array(
+                    rng.choice(
+                        ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                         "4-NOT SPECIFIED", "5-LOW"],
+                        n_o,
+                    ).tolist(),
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+        row_group_size=max(1, n_o // int(rng.randint(1, 5))),
+    )
+
+    n_l = int(rng.randint(200, 800))
+    base_us = 788_918_400_000_000  # 1995-01-01
+    span_us = 4 * 365 * 86_400_000_000  # through 1998
+    ts = base_us + rng.randint(0, span_us, n_l, dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array(
+                    rng.randint(0, n_p, n_l).tolist(), pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    rng.randint(0, n_s, n_l).tolist(), pa.int64()
+                ),
+                "l_quantity": pa.array(
+                    rng.randint(1, 51, n_l).astype(np.float64), pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    np.round(rng.uniform(1, 2000, n_l), 2), pa.float64()
+                ),
+                "l_discount": pa.array(
+                    np.round(rng.uniform(0, 0.1, n_l), 2), pa.float64()
+                ),
+                "l_shipdate": pa.array(ts.tolist(), pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+        row_group_size=max(1, n_l // int(rng.randint(1, 7))),
+    )
+    return d
+
+
+def _run_oracle_star(sql: str, d: str):
+    con = duckdb.connect()
+    for t in ("part", "supplier", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+_TPCH_SHAPES = [
+    ("q6_revenue_delta", "Q6_REVENUE_DELTA_SQL"),
+    ("q13_custdist", "Q13_CUSTDIST_SQL"),
+    ("q14_promo_ratio", "Q14_PROMO_RATIO_SQL"),
+    ("q15_top_supplier", "Q15_TOP_SUPPLIER_SQL"),
+    ("q17_small_qty_revenue", "Q17_SMALL_QTY_REVENUE_SQL"),
+    ("q19_disjunctive_revenue", "Q19_DISJUNCTIVE_REVENUE_SQL"),
+]
+
+
+@pytest.mark.parametrize("seed", [7, 14, 21])
+@pytest.mark.parametrize("name,sql_attr", _TPCH_SHAPES)
+def test_tpch_shape_fuzz(ray_session, tmp_path, seed, name, sql_attr):
+    import pandas as pd
+
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = _rand_tpch_dir(tmp_path, seed, f"{name}_{seed}")
+    res = getattr(analytics, name)(d)
+    got = res.to_pandas().reset_index(drop=True)
+    want = _run_oracle_star(getattr(analytics, sql_attr), d)
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1), want.sort_index(axis=1), check_dtype=True
+    )
