@@ -2524,6 +2524,45 @@ ORDER BY ns.source
 """
 
 
+def _corpus_word_counts(sf_dir: str) -> ray.data.Dataset:
+    """The corpus word-frequency table (the tokenizer-training reduction):
+    per-block word-count partials through ONE vocab-bounded coarse-bucket
+    exchange — shared by :func:`bpe_pair_counts` and the BPE trainer."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.agg import bucket_groupby_sum
+
+    # a zero-row corpus leaves the partials with no derivable schema —
+    # answer from parquet metadata without reading any data
+    meta = _pq.read_metadata(_os.path.join(sf_dir, "documents.parquet"))
+    if meta.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_flat(batch["text"])
+        g = pa.table({"w": flat}).group_by("w").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"w": g["w"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    return bucket_groupby_sum(
+        docs.map_batches(wc_partial, batch_format="pyarrow"),
+        ["w"],
+        ["c"],
+    )
+
+
 def bpe_pair_counts(sf_dir: str, *, top_k: int = 50) -> ray.data.Dataset:
     """The first step of byte-level BPE tokenizer training (Sennrich et
     al. 2016 / GPT-2): the merge-candidate table — every adjacent BYTE
@@ -2539,24 +2578,7 @@ def bpe_pair_counts(sf_dir: str, *, top_k: int = 50) -> ray.data.Dataset:
     bincount, zero per-word Python — and emits per-block (pair, n)
     partials whose space is ≤ 256² at ANY corpus size, so the final merge
     is a driver bincount, not an exchange."""
-    from ..stages.agg import bucket_groupby_sum
-
-    docs = read_table(sf_dir, "documents", columns=["text"])
-
-    def wc_partial(batch: pa.Table) -> pa.Table:
-        flat, _ = tokens_flat(batch["text"])
-        g = pa.table({"w": flat}).group_by("w").aggregate(
-            [([], "count_all")]
-        )
-        return pa.table(
-            {"w": g["w"], "c": g["count_all"].cast(pa.int64())}
-        )
-
-    vocab = bucket_groupby_sum(
-        docs.map_batches(wc_partial, batch_format="pyarrow"),
-        ["w"],
-        ["c"],
-    )
+    vocab = _corpus_word_counts(sf_dir)
 
     _EMPTY_PAIRS = pa.table(
         {"code": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
@@ -2644,6 +2666,120 @@ SELECT pair, CAST(sum(c) AS BIGINT) AS n
 FROM pairs GROUP BY 1
 ORDER BY n DESC, pair LIMIT {top_k}
 """
+
+
+def _trained_merges(
+    sf_dir: str, n_merges: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    """Shared trainer entry: one word-frequency exchange, then the pure
+    merge loop (``functions.bpe.train_merges``) over the collected
+    vocabulary-bounded table."""
+    from ..functions import bpe
+
+    vt = collect_table(_corpus_word_counts(sf_dir))
+    if vt is None or vt.num_rows == 0:
+        return []
+    # deterministic loop order regardless of exchange layout
+    vt = vt.sort_by("w")
+    return bpe.train_merges(
+        vt["w"].to_pylist(),
+        vt["c"].to_numpy(zero_copy_only=False),
+        n_merges,
+        min_count=min_count,
+    )
+
+
+def bpe_train_merges(
+    sf_dir: str, *, n_merges: int = 12, min_count: int = 1
+) -> ray.data.Dataset:
+    """Character-level BPE tokenizer TRAINING (Sennrich et al. 2016):
+    the full iterative merge loop, not just the first candidate table —
+    one row per learned merge, rank order:
+    ``(rank, left, right, merged, pair_count)`` with the documented
+    tie-break (count desc, left asc, right asc).
+
+    Scale plan: the corpus is touched by exactly ONE exchange — the
+    word-frequency reduction shared with :func:`bpe_pair_counts` — and
+    every training round runs over that vocabulary-bounded table on the
+    driver, the same corpus→counts→train decomposition real BPE trainers
+    use.  Adding merges costs zero additional corpus passes.
+
+    No ANSI-SQL equivalent (iterative re-segmentation); the driver oracle
+    is a committed fixture (``fixtures/expected_bpe_merges.parquet``) and
+    semantic correctness is established by the brute-force reference in
+    tests/test_bpe.py."""
+    merges = _trained_merges(sf_dir, n_merges, min_count)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+                "left": pa.array([m[0] for m in merges], pa.string()),
+                "right": pa.array([m[1] for m in merges], pa.string()),
+                "merged": pa.array(
+                    [m[0] + m[1] for m in merges], pa.string()
+                ),
+                "pair_count": pa.array(
+                    [m[2] for m in merges], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def bpe_encode_stats(
+    sf_dir: str, *, n_merges: int = 12, min_count: int = 1
+) -> ray.data.Dataset:
+    """Apply a trained BPE merge table to the corpus (GPT-2 greedy
+    rank-order encoding) and report per-document compression: one row per
+    document, ``(doc_id, n_words, n_char_tokens, n_bpe_tokens)`` —
+    ``n_char_tokens`` is the pre-merge character-token count,
+    ``n_bpe_tokens`` the post-merge count; doc_id ordered.
+
+    Scale plan: the merge table (≤ ``n_merges`` rows) broadcasts once via
+    plasma; encoding is a ZERO-SHUFFLE map that encodes each DISTINCT
+    word once per block (dictionary encode, the dsir pattern) and maps
+    token counts back to occurrences vectorized, then sums per document
+    inside the block — documents never leave their block."""
+    from ..functions import bpe
+
+    merges = _trained_merges(sf_dir, n_merges, min_count)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    ranks_ref = ray.put(ranks)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode_block(batch: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        flat, parent = tokens_flat(batch["text"])
+        n_rows = batch.num_rows
+        n_words = np.zeros(n_rows, np.int64)
+        n_char = np.zeros(n_rows, np.int64)
+        n_bpe = np.zeros(n_rows, np.int64)
+        if len(flat):
+            dic = flat.dictionary_encode()
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            uniq = dic.dictionary.to_pylist()
+            u_char = np.array([len(w) for w in uniq], np.int64)
+            u_bpe = np.array(
+                [len(bpe.encode_word(w, rk)) for w in uniq], np.int64
+            )
+            np.add.at(n_words, parent, 1)
+            np.add.at(n_char, parent, u_char[codes])
+            np.add.at(n_bpe, parent, u_bpe[codes])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_char_tokens": pa.array(n_char, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(encode_block, batch_format="pyarrow").sort(
+        "doc_id"
+    )
 
 
 def _stopword_set(

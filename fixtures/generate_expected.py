@@ -205,6 +205,48 @@ def main() -> None:
         os.path.join(OUT_DIR, "expected_group_hll.parquet"),
     )
 
+    # BPE trainer + encoder (deterministic functions of the corpus word
+    # counts; iterative re-segmentation has no ANSI-SQL equivalent —
+    # semantics established against a brute-force reference in
+    # tests/test_bpe.py)
+    bm_rows, be_rows = [], []
+    for sf_dir in SF_DIRS:
+        tag = corpus_tag(sf_dir)
+        t = _to_df(q["bpe_train_merges"](sf_dir))
+        bm_rows.append(
+            pa.table(
+                {
+                    "corpus_tag": pa.array([tag] * t.num_rows, pa.int64()),
+                    "rank": t["rank"],
+                    "left": t["left"],
+                    "right": t["right"],
+                    "merged": t["merged"],
+                    "pair_count": t["pair_count"],
+                }
+            )
+        )
+        te = _to_df(q["bpe_encode_stats"](sf_dir))
+        be_rows.append(
+            pa.table(
+                {
+                    "corpus_tag": pa.array([tag] * te.num_rows, pa.int64()),
+                    "doc_id": te["doc_id"],
+                    "n_words": te["n_words"],
+                    "n_char_tokens": te["n_char_tokens"],
+                    "n_bpe_tokens": te["n_bpe_tokens"],
+                }
+            )
+        )
+        print(f"{sf_dir} bpe: {t.num_rows} merges, {te.num_rows} docs")
+    pq.write_table(
+        pa.concat_tables(bm_rows),
+        os.path.join(OUT_DIR, "expected_bpe_merges.parquet"),
+    )
+    pq.write_table(
+        pa.concat_tables(be_rows),
+        os.path.join(OUT_DIR, "expected_bpe_encode.parquet"),
+    )
+
     # k-means cluster membership (deterministic build — seeded, sorted
     # sample; membership pinned per cell by count/min/sum of ids)
     ec_rows = []
