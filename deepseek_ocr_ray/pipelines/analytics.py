@@ -3526,7 +3526,9 @@ def daily_active_spans(sf_dir: str) -> ray.data.Dataset:
     delta = ft["delta"].to_numpy(zero_copy_only=False).astype(np.int64)
     nobs = ft["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     # merge partials per day
-    udays, inv = np.unique(days, return_inverse=True)
+    from ..arrays import unique_inverse
+
+    udays, inv = unique_inverse(days)
     mdelta = np.zeros(len(udays), np.int64)
     np.add.at(mdelta, inv, delta)
     mobs = np.zeros(len(udays), np.int64)

@@ -56,8 +56,10 @@ def _local_cc(
     import numpy as np
 
     n = len(node_ids)
+    from ..arrays import unique_inverse
+
     allids = np.concatenate([node_ids, u, v])
-    ids, inv = np.unique(allids, return_inverse=True)
+    ids, inv = unique_inverse(allids)
     ui = inv[n : n + len(u)]
     vi = inv[n + len(u) :]
     lab = np.arange(len(ids), dtype=np.int64)
@@ -523,8 +525,8 @@ def _wedge_arrays(group: pa.Table):
 _COMPOSITE_KEY_MAX_ID = (1 << 31) - 2
 
 
-def _edge_probe_ref(oriented: ray.data.Dataset):
-    """Materialize the oriented edge set into a sorted broadcast probe.
+def _probe_from_arrays(u: np.ndarray, v: np.ndarray):
+    """Build the sorted edge-existence probe from oriented edge arrays.
 
     Two key forms, picked by the node-id range:
 
@@ -537,20 +539,20 @@ def _edge_probe_ref(oriented: ray.data.Dataset):
 
     Returned tuple: ``("ck", base, keys_sorted)`` or
     ``("hash", cks, us, vs, max_run)``."""
-    from ..cluster import collect_table
     from ..hashing import hash64_columns
 
-    et = collect_table(oriented.select_columns(["u", "v"]))
-    assert et is not None
-    u = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    v = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
     max_id = int(max(u.max(), v.max())) if len(u) else 0
     min_id = int(min(u.min(), v.min())) if len(u) else 0
     if 0 <= min_id and max_id <= _COMPOSITE_KEY_MAX_ID:
         base = np.int64(max_id + 1)
         keys = np.sort(u * base + v)
-        return ray.put(("ck", base, keys))
-    ck = hash64_columns(pa.table({"a": et["u"], "b": et["v"]}), ["a", "b"])
+        return ("ck", base, keys)
+    ck = hash64_columns(
+        pa.table(
+            {"a": pa.array(u, pa.int64()), "b": pa.array(v, pa.int64())}
+        ),
+        ["a", "b"],
+    )
     o = np.argsort(ck, kind="stable")
     cks, us, vs = ck[o], u[o], v[o]
     if len(cks) > 1:
@@ -558,7 +560,174 @@ def _edge_probe_ref(oriented: ray.data.Dataset):
         max_run = int(run.max())
     else:
         max_run = 1
-    return ray.put(("hash", cks, us, vs, max_run))
+    return ("hash", cks, us, vs, max_run)
+
+
+# target wedge-closure work per broadcast-plan task: large enough to
+# amortize task dispatch, small enough that 32 cores stay busy at sf0.1
+_WEDGES_PER_TASK = 1_500_000
+
+
+def _driver_orient(et: pa.Table, src_col: str, dst_col: str):
+    """Driver-side orientation of a COLLECTED edge table (the broadcast
+    plan's twin of :func:`_orient_edges` — the edge set is already bound
+    for the driver to build the probe, so degrees/ranks/orientation are
+    a few vectorized passes here instead of two distributed exchanges).
+
+    Returns ``(u, v, nodes, degs, run_starts, wedge_cum)`` where edges
+    are sorted by (rank(u), rank(v)) so every u-run is contiguous with
+    out-neighbors in rank order, ``nodes``/``degs`` are id-sorted, and
+    ``wedge_cum`` is the cumulative per-run wedge count used to split
+    the walk into balanced tasks."""
+    u0 = et[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    v0 = et[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = len(u0)
+    from ..arrays import unique_inverse
+
+    nodes, inv = unique_inverse(np.concatenate([u0, v0]))
+    degs = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    order = np.lexsort((nodes, degs))
+    rank = np.empty(len(nodes), np.int64)
+    rank[order] = np.arange(len(nodes))
+    ru, rv = rank[inv[:E]], rank[inv[E:]]
+    lo = ru < rv
+    u = np.where(lo, u0, v0)
+    v = np.where(lo, v0, u0)
+    ur = np.where(lo, ru, rv)
+    vr = np.where(lo, rv, ru)
+    o = np.lexsort((vr, ur))
+    u, v = u[o], v[o]
+    run_starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lens = np.diff(np.append(run_starts, E))
+    wedge_cum = np.cumsum(lens * (lens - 1) // 2)
+    return u, v, nodes, degs, run_starts, wedge_cum
+
+
+def _wedge_task_ranges(
+    run_starts: np.ndarray, wedge_cum: np.ndarray, n_edges: int
+) -> list[tuple[int, int]]:
+    """Split u-runs into contiguous edge-index ranges of roughly equal
+    WEDGE count (Σ out-deg² work, not edge count — immune to the degree
+    skew that hash-bucket splits suffer)."""
+    total = int(wedge_cum[-1]) if len(wedge_cum) else 0
+    if total == 0:
+        return []
+    n_tasks = max(1, min(len(run_starts), -(-total // _WEDGES_PER_TASK)))
+    targets = (np.arange(1, n_tasks + 1) * (total / n_tasks)).astype(
+        np.int64
+    )
+    cut_runs = np.unique(np.searchsorted(wedge_cum, targets, side="left"))
+    bounds = [0] + [
+        int(run_starts[c + 1]) if c + 1 < len(run_starts) else n_edges
+        for c in cut_runs
+    ]
+    return [
+        (bounds[i], bounds[i + 1])
+        for i in range(len(bounds) - 1)
+        if bounds[i + 1] > bounds[i]
+    ]
+
+
+def _wedge_expand_sorted(u: np.ndarray, v: np.ndarray):
+    """Wedge generation over a PRE-SORTED edge slice (by (rank(u),
+    rank(v)), as :func:`_driver_orient` emits): returns ``(anchor, w1,
+    w2)`` with rank(w1) < rank(w2) by construction, or None."""
+    n = len(u)
+    if n == 0:
+        return None
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lens = np.diff(np.append(starts, n))
+    local = np.arange(n) - np.repeat(starts, lens)
+    reps = np.repeat(lens, lens) - 1 - local
+    total = int(reps.sum())
+    if total == 0:
+        return None
+    left = np.repeat(np.arange(n), reps)
+    seg_off = np.repeat(np.cumsum(reps) - reps, reps)
+    right = left + 1 + (np.arange(total) - seg_off)
+    return u[left], v[left], v[right]
+
+
+def _broadcast_wedge_walk(
+    ecols: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    *,
+    per_node: bool,
+):
+    """The zero-exchange broadcast plan shared by :func:`triangle_count`
+    and :func:`clustering_coefficients`: the (budget-gated) edge set is
+    collected ONCE, oriented and probe-keyed on the driver, shipped to
+    plasma once, and the wedge-closure walk runs as independent tasks
+    over contiguous u-run ranges balanced by wedge count — no groupby,
+    no degree exchange, no join; the only distributed op is the
+    embarrassingly parallel walk itself.
+
+    Returns ``(n_tri_or_partials, nodes, degs)``: the scalar triangle
+    count when ``per_node`` is False, else the collected (node, t)
+    partial table (or None)."""
+    from ..cluster import collect_table
+
+    et = collect_table(ecols)
+    assert et is not None
+    u, v, nodes, degs, run_starts, wedge_cum = _driver_orient(
+        et, src_col, dst_col
+    )
+    probe = _probe_from_arrays(u, v)
+    ranges = _wedge_task_ranges(run_starts, wedge_cum, len(u))
+    if not ranges:
+        return (None if per_node else 0), nodes, degs
+    arrays_ref = ray.put((u, v, probe))
+
+    def walk(batch: pa.Table) -> pa.Table:
+        uu, vv, pr = ray.get(arrays_ref)
+        los = batch["lo"].to_numpy(zero_copy_only=False)
+        his = batch["hi"].to_numpy(zero_copy_only=False)
+        anchors, w1s, w2s, n_tri = [], [], [], 0
+        for lo_i, hi_i in zip(los, his):
+            w = _wedge_expand_sorted(uu[lo_i:hi_i], vv[lo_i:hi_i])
+            if w is None:
+                continue
+            anchor, w1, w2 = w
+            m = _probe_closed(w1, w2, pr)
+            if per_node:
+                if m.any():
+                    anchors.append(anchor[m])
+                    w1s.append(w1[m])
+                    w2s.append(w2[m])
+            else:
+                n_tri += int(m.sum())
+        if not per_node:
+            return pa.table({"t": pa.array([n_tri], pa.int64())})
+        if not anchors:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                }
+            )
+        un, uc = np.unique(
+            np.concatenate(anchors + w1s + w2s), return_counts=True
+        )
+        return pa.table(
+            {
+                "node": pa.array(un, pa.int64()),
+                "t": pa.array(uc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    range_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lo": pa.array([r[0] for r in ranges], pa.int64()),
+                "hi": pa.array([r[1] for r in ranges], pa.int64()),
+            }
+        )
+    ).repartition(len(ranges))
+    out = range_ds.map_batches(walk, batch_format="pyarrow")
+    if per_node:
+        return collect_table(out), nodes, degs
+    return int(out.sum("t") or 0), nodes, degs
 
 
 def _probe_closed(w1: np.ndarray, w2: np.ndarray, probe) -> np.ndarray:
@@ -660,18 +829,19 @@ def triangle_count(
     node gets a dense rank by (degree, id); each edge orients low-rank →
     high-rank, which bounds every out-degree by O(√|E|) regardless of how
     skewed the raw degree distribution is.  ``probe="broadcast"`` (the
-    default whenever the edge set fits the plasma budget) ships the
-    ck-sorted edge set ONCE and closes wedges INSIDE the bucket walk — the
-    wedge stream (Σ out-deg², ~40M rows at sf0.1) never leaves the task
-    and no join exchange exists at all; each bucket emits one count row.
-    ``probe="join"`` is the at-scale fallback: wedges stream through the
+    default whenever the edge set fits the plasma budget) is ZERO-exchange
+    (:func:`_broadcast_wedge_walk`): the edge set collects once, orients
+    on the driver, ships to plasma once, and the wedge stream
+    (Σ out-deg², ~40M rows at sf0.1) closes inside independent tasks over
+    u-run ranges balanced by wedge count.  ``probe="join"`` is the
+    at-scale fallback: the distributed orientation
+    (:func:`_orient_edges`) plus wedges streamed through the
     collision-safe composite-key planner join (``equi_join_multi``).
     Both plans are exact and tested equal.
     """
-    oriented, n_edges, deg = _orient_edges(
-        edges, src_col=src_col, dst_col=dst_col, n_buckets=n_buckets
-    )
-    if oriented is None:
+    ecols = edges.select_columns([src_col, dst_col]).materialize()
+    n_edges = ecols.count()
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -683,31 +853,22 @@ def triangle_count(
         )
     plan = _resolve_probe(probe, n_edges)
     if plan == "join":
-        n_tri = _closed_wedges_join(oriented, with_anchor=False).count()
-    else:
-        probe_ref = _edge_probe_ref(oriented)
-
-        def count_bucket(group: pa.Table) -> pa.Table:
-            w = _wedge_arrays(group)
-            if w is None:
-                t = 0
-            else:
-                _, w1, w2 = w
-                t = int(_probe_closed(w1, w2, ray.get(probe_ref)).sum())
-            return pa.table({"t": pa.array([t], pa.int64())})
-
-        n_tri = int(
-            oriented.groupby("bucket")
-            .map_groups(count_bucket, batch_format="pyarrow")
-            .sum("t")
-            or 0
+        oriented, n_edges, deg = _orient_edges(
+            ecols, src_col=src_col, dst_col=dst_col, n_buckets=n_buckets
         )
+        n_tri = _closed_wedges_join(oriented, with_anchor=False).count()
+        n_nodes = deg.num_rows
+    else:
+        n_tri, nodes, _ = _broadcast_wedge_walk(
+            ecols, src_col, dst_col, per_node=False
+        )
+        n_nodes = len(nodes)
     return ray.data.from_arrow(
         pa.table(
             {
-                "n_triangles": pa.array([n_tri], pa.int64()),
+                "n_triangles": pa.array([int(n_tri or 0)], pa.int64()),
                 "n_edges": pa.array([n_edges], pa.int64()),
-                "n_nodes": pa.array([deg.num_rows], pa.int64()),
+                "n_nodes": pa.array([n_nodes], pa.int64()),
             }
         )
     )
@@ -726,12 +887,13 @@ def clustering_coefficients(
     integer-exact, one row per node (zero-triangle nodes included),
     sorted by (ppm desc, node asc).
 
-    Same probe plans as :func:`triangle_count`; in broadcast mode each
-    bucket walk closes its own wedges and emits per-node partial counts
-    (3 member attributions per triangle), so the only exchange is the
-    node-keyed coarse aggregate.  The finish (left-join triangle counts
-    onto the degree table, one integer division) runs on the driver over
-    two node-bounded tables.
+    Same probe plans as :func:`triangle_count`; the broadcast plan is
+    zero-exchange end to end (:func:`_broadcast_wedge_walk` — per-node
+    attribution partials, 3 per triangle, collect straight to the driver
+    whose node table already lives there); the join plan keeps the
+    node-keyed coarse aggregate.  The finish (merge triangle counts onto
+    the degree table, one integer division) runs on the driver over two
+    node-bounded tables.
     """
     from ..cluster import collect_table
     from .agg import bucket_groupby_sum
@@ -744,10 +906,9 @@ def clustering_coefficients(
             "clustering_ppm": pa.array([], pa.int64()),
         }
     )
-    oriented, n_edges, deg = _orient_edges(
-        edges, src_col=src_col, dst_col=dst_col, n_buckets=n_buckets
-    )
-    if oriented is None:
+    ecols = edges.select_columns([src_col, dst_col]).materialize()
+    n_edges = ecols.count()
+    if n_edges == 0:
         return ray.data.from_arrow(_EMPTY)
 
     _EMPTY_T = pa.table(
@@ -765,6 +926,9 @@ def clustering_coefficients(
 
     plan = _resolve_probe(probe, n_edges)
     if plan == "join":
+        oriented, n_edges, deg = _orient_edges(
+            ecols, src_col=src_col, dst_col=dst_col, n_buckets=n_buckets
+        )
         closed = _closed_wedges_join(oriented, with_anchor=True)
 
         def expand(batch: pa.Table) -> pa.Table:
@@ -782,35 +946,23 @@ def clustering_coefficients(
             )
 
         partials = closed.map_batches(expand, batch_format="pyarrow")
+        tcnt = collect_table(bucket_groupby_sum(partials, ["node"], ["t"]))
+        nodes = deg["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        degs = deg["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(nodes)
+        nodes, degs = nodes[o], degs[o]
     else:
-        probe_ref = _edge_probe_ref(oriented)
-
-        def count_bucket(group: pa.Table) -> pa.Table:
-            w = _wedge_arrays(group)
-            if w is None:
-                return _EMPTY_T
-            anchor, w1, w2 = w
-            m = _probe_closed(w1, w2, ray.get(probe_ref))
-            if not m.any():
-                return _EMPTY_T
-            return _node_counts(
-                np.concatenate([anchor[m], w1[m], w2[m]])
-            )
-
-        partials = oriented.groupby("bucket").map_groups(
-            count_bucket, batch_format="pyarrow"
+        tcnt, nodes, degs = _broadcast_wedge_walk(
+            ecols, src_col, dst_col, per_node=True
         )
 
-    tcnt = collect_table(bucket_groupby_sum(partials, ["node"], ["t"]))
-    nodes = deg["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-    degs = deg["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
-    o = np.argsort(nodes)
-    nodes, degs = nodes[o], degs[o]
     tri = np.zeros(len(nodes), np.int64)
     if tcnt is not None and tcnt.num_rows:
         tn = tcnt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         tv = tcnt["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tri[np.searchsorted(nodes, tn)] = tv
+        # broadcast-plan partials can repeat a node across tasks — merge
+        # additively (exact for the join plan's unique rows too)
+        np.add.at(tri, np.searchsorted(nodes, tn), tv)
     denom = degs * (degs - 1)
     ppm = np.zeros(len(nodes), np.int64)
     nz = denom > 0
@@ -839,7 +991,9 @@ def _local_kcore(
     """Vectorized batch peel over compact indices: drop every node of
     degree < k each round until fixpoint.  Returns ``(core_nodes,
     degrees)`` — degree counted WITHIN the core — sorted by node id."""
-    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    from ..arrays import unique_inverse
+
+    ids, inv = unique_inverse(np.concatenate([u, v]))
     uu, vv = inv[: len(u)], inv[len(u) :]
     alive = np.ones(len(ids), bool)
     ealive = np.ones(len(uu), bool)
