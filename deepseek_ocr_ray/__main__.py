@@ -227,6 +227,29 @@ def cmd_quality_filter(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_bpe_train(args: argparse.Namespace) -> int:
+    """Train character-BPE merges over a ``documents.parquet`` corpus dir
+    (one word-frequency exchange + the driver merge loop), write the rank-
+    ordered merge table as parquet, optionally encode the corpus and
+    report token totals."""
+    _ensure_ray(args.num_cpus)
+    from .pipelines.curation import bpe_encode_stats, bpe_train_merges
+
+    merges = bpe_train_merges(
+        args.input, n_merges=args.merges, min_count=args.min_count
+    )
+    merges.write_parquet(args.output)
+    summary = {"output": args.output, "merges": merges.count()}
+    if args.encode_stats:
+        enc = bpe_encode_stats(
+            args.input, n_merges=args.merges, min_count=args.min_count
+        )
+        summary["char_tokens"] = int(enc.sum("n_char_tokens") or 0)
+        summary["bpe_tokens"] = int(enc.sum("n_bpe_tokens") or 0)
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deepseek_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -324,6 +347,23 @@ def main(argv: list[str] | None = None) -> int:
                      default=34_000)
     pq_.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
     pq_.set_defaults(fn=cmd_quality_filter)
+
+    pbt = sub.add_parser(
+        "bpe-train",
+        help="train character-BPE merges over a documents corpus "
+        "(one corpus exchange; merge loop on the reduced word counts)",
+    )
+    pbt.add_argument("--input", required=True,
+                     help="corpus dir containing documents.parquet")
+    pbt.add_argument("--output", required=True)
+    pbt.add_argument("--merges", type=int, default=256)
+    pbt.add_argument("--min-count", dest="min_count", type=int, default=1)
+    pbt.add_argument(
+        "--encode-stats", dest="encode_stats", action="store_true",
+        help="also greedy-encode the corpus and print token totals",
+    )
+    pbt.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
+    pbt.set_defaults(fn=cmd_bpe_train)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

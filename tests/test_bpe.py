@@ -168,3 +168,36 @@ def test_bpe_train_empty_corpus(ray_session, tmp_path):
     assert out.schema().names == [
         "rank", "left", "right", "merged", "pair_count",
     ]
+
+
+def test_bpe_train_cli(tmp_path):
+    """End-to-end CLI: merge table written as parquet, encode totals
+    consistent with the hand fixture (subprocess — owns its own Ray)."""
+    import json
+    import subprocess
+    import sys
+
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest",
+        "",
+    ]
+    src = _docs_dir(tmp_path / "src", texts)
+    out = str(tmp_path / "merges")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "deepseek_ocr_ray", "bpe-train",
+            "--input", src, "--output", out, "--merges", "4",
+            "--encode-stats", "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["merges"] == 4
+    # chars: 25 + 36 + 18 + 0; bpe after 4 merges: 11 + 6·4 + 3·4 + 0
+    assert summary["char_tokens"] == 79
+    assert summary["bpe_tokens"] == 47
+    t = pq.read_table(out)
+    assert list(t["merged"].to_pylist()) == ["es", "est", "lo", "low"]
