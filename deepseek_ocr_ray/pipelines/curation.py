@@ -2739,7 +2739,9 @@ def bpe_encode_stats(
     plasma; encoding is a ZERO-SHUFFLE map that encodes each DISTINCT
     word once per block (dictionary encode, the dsir pattern) and maps
     token counts back to occurrences vectorized, then sums per document
-    inside the block — documents never leave their block."""
+    inside the block — documents never leave their block and no exchange
+    exists anywhere in the encode (row order is block order; every
+    comparison downstream is order-insensitive)."""
     from ..functions import bpe
 
     merges = _trained_merges(sf_dir, n_merges, min_count)
@@ -2777,9 +2779,7 @@ def bpe_encode_stats(
             }
         )
 
-    return docs.map_batches(encode_block, batch_format="pyarrow").sort(
-        "doc_id"
-    )
+    return docs.map_batches(encode_block, batch_format="pyarrow")
 
 
 def _stopword_set(
