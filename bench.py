@@ -122,12 +122,46 @@ def _burn_probe() -> float:
     return time.perf_counter() - t0
 
 
+def _burn_loop_child() -> None:
+    x = 0
+    for i in range(30_000_000):
+        x += i * i
+
+
+def _burn_probe_parallel(n: int = 8) -> float:
+    """Wall seconds for ``n`` CONCURRENT copies of the burn loop in
+    separate processes.  The single-process probe measures per-core
+    speed; this one measures the host's PARALLEL throughput budget —
+    this sandbox sometimes caps effective cores well below the 32
+    advertised (measured ~12 under load), which uniformly slows every
+    multi-core stage while the single-thread probe reads healthy.  On a
+    healthy window (≥ n free cores) this is ≈ the single-process time;
+    a core-budget-throttled window inflates it toward n× that."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=_burn_loop_child) for _ in range(n)]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return time.perf_counter() - t0
+
+
 # Healthy-window single-process burn time on this host (seconds for the
 # 30M-iteration loop, measured repeatedly across rounds: 1.16-1.4 s healthy
 # vs up to 2.8 s throttled).  Normalized times are raw * HEALTHY / measured
 # so a throttled driver window can't masquerade as a code regression; the
 # probe runs before AND after the timed section and uses the mean.
 HEALTHY_BURN_SEC = 1.16
+# Healthy pin for the 8-way parallel probe: on an unthrottled 32-core host
+# the 8 concurrent loops finish in ≈ the single-loop time plus spawn
+# overhead (measured floor ~1.5 s).  The emitted parallel throttle factor
+# quantifies CORE-BUDGET throttling that the single-thread factor misses;
+# it is reported for window comparability, not used for value_normalized
+# (which keeps the single-thread convention of earlier artifacts).
+HEALTHY_PARALLEL_BURN_SEC = 1.5
 
 
 def main_bench() -> None:
@@ -149,6 +183,7 @@ def main_bench() -> None:
     total = -1.0 if failed else dt + sum(qtimes.values())
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     hw_burn_post = _burn_probe()
+    hw_burn_parallel = _burn_probe_parallel()
     burn_mean = (hw_burn + hw_burn_post) / 2.0
     # >1 means this window is throttled; divide raw times by it to compare
     # across rounds (see HEALTHY_BURN_SEC)
@@ -172,6 +207,10 @@ def main_bench() -> None:
                 "hw_burn_sec": round(hw_burn, 2),
                 "hw_burn_sec_post": round(hw_burn_post, 2),
                 "hw_throttle_factor": round(throttle, 3),
+                "hw_burn_parallel_sec": round(hw_burn_parallel, 2),
+                "hw_parallel_throttle_factor": round(
+                    hw_burn_parallel / HEALTHY_PARALLEL_BURN_SEC, 3
+                ),
                 "value_normalized": norm(total),
                 "queries_normalized": {
                     "extract_headline": norm(dt),
