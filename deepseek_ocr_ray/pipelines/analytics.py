@@ -4301,6 +4301,507 @@ FROM small
 """
 
 
+def q4_order_priority(
+    sf_dir: str, year: int = 1996, quarter: int = 3
+) -> pa.Table:
+    """TPC-H Q4 shape — order-priority checking: orders placed in one
+    quarter having AT LEAST ONE returned lineitem (the EXISTS semi-join),
+    counted per priority.  One row per priority, priority-ordered.
+
+    Scale plan: orders prune to the quarter at the scan; the lineitem
+    side reduces to per-block DISTINCT returned orderkeys BEFORE the
+    planner left-semi join (map-side distinct — the exchange carries
+    keys, never lineitem rows); the priority counts collapse to
+    per-block partials over the 5-value priority domain and merge on the
+    driver — no aggregate exchange at all."""
+    from ..cluster import collect_table
+
+    m0 = 3 * (quarter - 1) + 1
+    lo = _ts(year, m0)
+    hi = _ts(year + (m0 + 3 > 12), (m0 + 2) % 12 + 1)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], lo),
+                pc.less(b["o_orderdate"], hi),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    returned = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": pc.unique(
+                    b.filter(pc.equal(b["l_returnflag"], "R"))["l_orderkey"]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    matched = equi_join(
+        orders,
+        returned,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        join_type="left_semi",
+        left_cols=["o_orderpriority"],
+        approx_bytes=table_file_bytes(sf_dir, "orders", "lineitem"),
+        right_types={"l_orderkey": pa.int64()},
+    )
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.group_by("o_orderpriority").aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        matched.map_batches(prio_partial, batch_format="pyarrow")
+    )
+    counts: dict[str, int] = {}
+    if t is not None and t.num_rows:
+        for p, n in zip(
+            t["o_orderpriority"].to_pylist(), t["n"].to_pylist()
+        ):
+            counts[p] = counts.get(p, 0) + int(n)
+    rows = sorted(counts.items())
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "order_count": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+Q4_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(
+    sf_dir: str, year: int = 1996, quarter: int = 4, limit: int = 20
+) -> ray.data.Dataset:
+    """TPC-H Q10 shape — returned-item reporting: the top customers by
+    revenue lost to returned lineitems on one quarter's orders, with
+    nation names.  Columns ``(c_custkey, c_name, n_name,
+    revenue_cents)``, ordered (revenue desc, custkey asc), LIMIT k.
+
+    Scale plan: both fact scans prune at the source (orders to the
+    quarter, lineitem to returnflag='R' with per-block (orderkey, cents)
+    partial sums); the orderkey join runs volume-sized through the
+    planner; per-block (custkey, cents) partials reduce through ONE
+    custkey exchange; the customer dim joins via the planner and the
+    tiny nation dim broadcasts; top-k is the per-block-prune → tiny sort
+    pattern (the global top-k is a subset of block top-ks over the
+    reduced per-customer table)."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.agg import bucket_groupby_sum
+
+    m0 = 3 * (quarter - 1) + 1
+    lo = _ts(year, m0)
+    hi = _ts(year + (m0 + 3 > 12), (m0 + 2) % 12 + 1)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], lo),
+                pc.less(b["o_orderdate"], hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        price = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = sub["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": sub["l_orderkey"],
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    joined = equi_join(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        join_type="inner",
+        left_cols=["cents"],
+        right_cols=["o_custkey"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "orders"),
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "revenue_cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    per_cust = bucket_groupby_sum(
+        joined.map_batches(cust_partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["revenue_cents"],
+    )
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    named = equi_join(
+        cust,
+        per_cust,
+        on="c_custkey",
+        right_on="o_custkey",
+        join_type="inner",
+        left_cols=["c_custkey", "c_name", "c_nationkey"],
+        right_cols=["revenue_cents"],
+        approx_bytes=table_file_bytes(sf_dir, "customer", "orders"),
+        right_types={"o_custkey": pa.int64(), "revenue_cents": pa.int64()},
+    )
+
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).sort_by("n_nationkey")
+    nkeys = nat["n_nationkey"].combine_chunks().cast(pa.int64())
+    nnames = nat["n_name"].combine_chunks()
+
+    def add_nation_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            batch["c_nationkey"].cast(pa.int64()), value_set=nkeys
+        )
+        t = pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_name": batch["c_name"],
+                "n_name": nnames.take(idx),
+                "revenue_cents": batch["revenue_cents"],
+            }
+        )
+        if t.num_rows <= limit:
+            return t
+        order = np.lexsort(
+            (
+                t["c_custkey"].to_numpy(zero_copy_only=False),
+                -t["revenue_cents"].to_numpy(zero_copy_only=False),
+            )
+        )[:limit]
+        return t.take(pa.array(order))
+
+    return (
+        named.map_batches(add_nation_topk, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(limit)
+    )
+
+
+Q10_RETURNED_REVENUE_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_by_status(sf_dir: str, year: int = 1997) -> pa.Table:
+    """TPC-H Q12 shape — conditional counts over a fact-fact join: per
+    lineitem status, how many of one ship year's lineitems belong to
+    high-priority orders vs not.  Columns ``(l_linestatus,
+    high_line_count, low_line_count)``, status-ordered.
+
+    Scale plan: lineitem prunes to the year at the scan; the orderkey
+    join runs volume-sized through the planner with both sides projected
+    to two columns; the conditional counts collapse per block over the
+    2-value status domain and merge on the driver — no aggregate
+    exchange."""
+    from ..cluster import collect_table
+
+    lo, hi = _ts(year), _ts(year + 1)
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], lo),
+                pc.less(b["l_shipdate"], hi),
+            )
+        ).select(["l_orderkey", "l_linestatus"]),
+        batch_format="pyarrow",
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = equi_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        join_type="inner",
+        left_cols=["l_linestatus"],
+        right_cols=["o_orderpriority"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "orders"),
+    )
+
+    def cond_partial(batch: pa.Table) -> pa.Table:
+        high = pc.cast(
+            pc.is_in(
+                batch["o_orderpriority"],
+                value_set=pa.array(list(_Q12_HIGH), pa.string()),
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_linestatus": batch["l_linestatus"],
+                "h": high,
+                "l": pc.subtract(pa.scalar(1, pa.int64()), high),
+            }
+        )
+        g = t.group_by("l_linestatus").aggregate([("h", "sum"), ("l", "sum")])
+        return pa.table(
+            {
+                "l_linestatus": g["l_linestatus"],
+                "h": g["h_sum"].cast(pa.int64()),
+                "l": g["l_sum"].cast(pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        joined.map_batches(cond_partial, batch_format="pyarrow")
+    )
+    acc: dict[str, list[int]] = {}
+    if t is not None and t.num_rows:
+        for s, h, lcnt in zip(
+            t["l_linestatus"].to_pylist(),
+            t["h"].to_pylist(),
+            t["l"].to_pylist(),
+        ):
+            a = acc.setdefault(s, [0, 0])
+            a[0] += int(h)
+            a[1] += int(lcnt)
+    rows = sorted(acc.items())
+    return pa.table(
+        {
+            "l_linestatus": pa.array([r[0] for r in rows], pa.string()),
+            "high_line_count": pa.array(
+                [r[1][0] for r in rows], pa.int64()
+            ),
+            "low_line_count": pa.array(
+                [r[1][1] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+Q12_PRIORITY_BY_STATUS_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q22_idle_customers(sf_dir: str, cutoff_year: int = 2000) -> pa.Table:
+    """TPC-H Q22 shape — the lost-customers query: customers with an
+    above-average positive account balance and NO orders since
+    ``cutoff_year`` (churned — every synthetic customer has SOME order,
+    so the classic no-orders-ever variant is vacuous here; the recency
+    cutoff keeps the NOT-EXISTS anti-join shape with a non-trivial
+    answer), grouped by market segment.  One row per segment:
+    ``(c_mktsegment, numcust, totacctbal_cents)``, segment-ordered.
+
+    The above-average predicate is exact-integerized by
+    cross-multiplication over cents (``cents·n > sum_cents`` with
+    (sum, n) taken over positive balances), so no float average is ever
+    compared on either side.
+
+    Scale plan: pass 1 reduces customer to TWO scalars (positive-balance
+    cents sum + count) via per-block partials merged on the driver;
+    pass 2 filters customer by the integer threshold, anti-joins the
+    per-block-DISTINCT order custkeys through the planner, and collapses
+    to per-block (segment, n, sum) partials merged on the driver over
+    the bounded segment domain — two dim scans, one fact scan reduced to
+    distinct keys, no aggregate exchange."""
+    from ..cluster import collect_table
+
+    cust_cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+    cust = read_table(sf_dir, "customer", columns=cust_cols)
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal > 0.0
+        cents = np.floor(bal[pos] * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    t = collect_table(cust.map_batches(bal_partial, batch_format="pyarrow"))
+    sum_cents = int(sum(v.as_py() for v in t["s"])) if t is not None else 0
+    n_pos = int(sum(v.as_py() for v in t["n"])) if t is not None else 0
+
+    def rich(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        keep = (bal > 0.0) & (cents * n_pos > sum_cents)
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    batch["c_custkey"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "c_mktsegment": batch["c_mktsegment"].filter(
+                    pa.array(keep)
+                ),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    cut = _ts(cutoff_year)
+    okeys = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": pc.unique(
+                    b.filter(
+                        pc.greater_equal(b["o_orderdate"], cut)
+                    )["o_custkey"]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    idle = equi_join(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        okeys,
+        on="c_custkey",
+        right_on="o_custkey",
+        join_type="left_anti",
+        left_cols=["c_mktsegment", "cents"],
+        approx_bytes=table_file_bytes(sf_dir, "customer", "orders"),
+        right_types={"o_custkey": pa.int64()},
+    )
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("c_mktsegment").aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "s": g["cents_sum"].cast(pa.int64()),
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    st = collect_table(idle.map_batches(seg_partial, batch_format="pyarrow"))
+    acc: dict[str, list[int]] = {}
+    if st is not None and st.num_rows:
+        for seg, s, n in zip(
+            st["c_mktsegment"].to_pylist(),
+            st["s"].to_pylist(),
+            st["n"].to_pylist(),
+        ):
+            a = acc.setdefault(seg, [0, 0])
+            a[0] += int(n)
+            a[1] += int(s)
+    rows = sorted(acc.items())
+    return pa.table(
+        {
+            "c_mktsegment": pa.array([r[0] for r in rows], pa.string()),
+            "numcust": pa.array([r[1][0] for r in rows], pa.int64()),
+            "totacctbal_cents": pa.array(
+                [r[1][1] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+Q22_IDLE_CUSTOMERS_SQL = """
+WITH pos AS (
+  SELECT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal > 0
+),
+thresh AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM pos
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS totacctbal_cents
+FROM customer, thresh
+WHERE c_acctbal > 0
+  AND CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * thresh.n > thresh.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _Q19_BRANCHES: tuple[tuple[str, int, int, int], ...] = (
     ("Brand#12", 5, 1, 11),
     ("Brand#23", 10, 10, 20),

@@ -700,16 +700,51 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
         os.path.join(d, "supplier.parquet"),
     )
 
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(5), pa.int32()),
+                "n_name": pa.array([f"NATION_{k}" for k in range(5)],
+                                   pa.string()),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+
     n_c = int(rng.randint(10, 40))
     pq.write_table(
-        pa.table({"c_custkey": pa.array(range(n_c), pa.int64())}),
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_c), pa.int64()),
+                "c_name": pa.array([f"C{k}" for k in range(n_c)],
+                                   pa.string()),
+                "c_nationkey": pa.array(
+                    rng.randint(0, 5, n_c).astype("int32"), pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    np.round(rng.uniform(-1000, 10000, n_c), 2),
+                    pa.float64(),
+                ),
+                "c_mktsegment": pa.array(
+                    rng.choice(["AUTOMOBILE", "BUILDING", "MACHINERY"],
+                               n_c).tolist(),
+                    pa.string(),
+                ),
+            }
+        ),
         os.path.join(d, "customer.parquet"),
     )
 
     n_o = int(rng.randint(30, 150))
+    order_ts = 788_918_400_000_000 + rng.randint(
+        0, 6 * 365 * 86_400_000_000, n_o, dtype=np.int64
+    )
     pq.write_table(
         pa.table(
             {
+                "o_orderkey": pa.array(range(n_o), pa.int64()),
+                "o_orderdate": pa.array(order_ts.tolist(),
+                                        pa.timestamp("us")),
                 "o_custkey": pa.array(
                     rng.randint(0, n_c, n_o).tolist(), pa.int64()
                 ),
@@ -734,6 +769,15 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
     pq.write_table(
         pa.table(
             {
+                "l_orderkey": pa.array(
+                    rng.randint(0, n_o, n_l).tolist(), pa.int64()
+                ),
+                "l_returnflag": pa.array(
+                    rng.choice(["N", "A", "R"], n_l).tolist(), pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    rng.choice(["O", "F"], n_l).tolist(), pa.string()
+                ),
                 "l_partkey": pa.array(
                     rng.randint(0, n_p, n_l).tolist(), pa.int64()
                 ),
@@ -760,7 +804,8 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
 
 def _run_oracle_star(sql: str, d: str):
     con = duckdb.connect()
-    for t in ("part", "supplier", "customer", "orders", "lineitem"):
+    for t in ("part", "supplier", "customer", "orders", "lineitem",
+              "nation"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{d}/{t}.parquet')"
@@ -775,6 +820,10 @@ _TPCH_SHAPES = [
     ("q15_top_supplier", "Q15_TOP_SUPPLIER_SQL"),
     ("q17_small_qty_revenue", "Q17_SMALL_QTY_REVENUE_SQL"),
     ("q19_disjunctive_revenue", "Q19_DISJUNCTIVE_REVENUE_SQL"),
+    ("q4_order_priority", "Q4_ORDER_PRIORITY_SQL"),
+    ("q10_returned_revenue", "Q10_RETURNED_REVENUE_SQL"),
+    ("q12_priority_by_status", "Q12_PRIORITY_BY_STATUS_SQL"),
+    ("q22_idle_customers", "Q22_IDLE_CUSTOMERS_SQL"),
 ]
 
 

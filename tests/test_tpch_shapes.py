@@ -1,8 +1,9 @@
-"""Engineered hand-computed fixtures for the six round-4 TPC-H shapes
-(Q6 / Q13 / Q14 / Q15 / Q17 / Q19) — every boundary the predicates own:
-band edges inclusive, date upper bounds exclusive, the strict
-cross-multiplied Q17 threshold, Q15 max ties, Q13's zero-order customers,
-Q19's per-branch quantity ranges.  The sf0.001/0.01 DuckDB differentials
+"""Engineered hand-computed fixtures for the ten round-4 TPC-H shapes
+(Q4 / Q6 / Q10 / Q12 / Q13 / Q14 / Q15 / Q17 / Q19 / Q22) — every
+boundary the predicates own: band edges inclusive, date upper bounds
+exclusive, the strict cross-multiplied Q17 threshold, Q15 max ties,
+Q13's zero-order customers, Q19's per-branch quantity ranges, Q4's
+EXISTS semantics, Q22's integer threshold + recency anti-join.  The sf0.001/0.01 DuckDB differentials
 live in the auto oracle gate (test_queries_oracle.py)."""
 
 from __future__ import annotations
@@ -29,6 +30,8 @@ def _lineitem(
     benchmark types (qty/price/discount double, shipdate timestamp[us])."""
     types = {
         "l_orderkey": pa.int64(),
+        "l_returnflag": pa.string(),
+        "l_linestatus": pa.string(),
         "l_partkey": pa.int64(),
         "l_suppkey": pa.int64(),
         "l_quantity": pa.float64(),
@@ -252,3 +255,175 @@ def test_q19_branch_masks_and_quantity_ranges(ray_session, tmp_path):
     # 10·100 = 1000 cents; floor(20·0.9·100 + 0.5) = 1800 cents
     assert out["revenue_cents"][0].as_py() == 2800
     assert out["n_items"][0].as_py() == 2
+
+
+def test_q4_exists_semi_and_quarter_bounds(ray_session, tmp_path):
+    d = dt.datetime
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_orderdate": pa.array(
+                    [d(1996, 7, 1), d(1996, 8, 15), d(1996, 9, 30),
+                     d(1996, 10, 1), d(1996, 6, 30)],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    ["5-LOW", "5-LOW", "1-URGENT", "1-URGENT", "2-HIGH"],
+                    pa.string(),
+                ),
+            }
+        ),
+    )
+    # o1 has a returned line (counted), o2 only 'N' lines, o3 returned
+    # (counted), o4/o5 returned but outside the quarter
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3, 4, 5], pa.int64()),
+                "l_returnflag": pa.array(
+                    ["R", "N", "N", "R", "R", "R"], pa.string()
+                ),
+            }
+        ),
+    )
+    out = analytics.q4_order_priority(str(tmp_path))
+    got = list(zip(out["o_orderpriority"].to_pylist(),
+                   out["order_count"].to_pylist()))
+    assert got == [("1-URGENT", 1), ("5-LOW", 1)]
+
+
+def test_q10_returned_revenue_topk(ray_session, tmp_path):
+    d = dt.datetime
+    _write(
+        tmp_path,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(["NATION_0", "NATION_1"], pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["C1", "C2"], pa.string()),
+                "c_nationkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 20, 30], pa.int64()),
+                "o_custkey": pa.array([1, 2, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [d(1996, 11, 1), d(1996, 12, 31), d(1997, 1, 1)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+    )
+    _lineitem(
+        tmp_path,
+        [
+            (10, "R", 100.0, 0.0),   # c1: 10000 cents
+            (10, "N", 999.0, 0.0),   # not returned
+            (20, "R", 50.0, 0.5),    # c2: 2500 cents
+            (30, "R", 999.0, 0.0),   # order outside the quarter
+        ],
+        ("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"),
+    )
+    out = analytics.q10_returned_revenue(str(tmp_path)).to_pandas()
+    assert out.values.tolist() == [
+        [1, "C1", "NATION_0", 10000],
+        [2, "C2", "NATION_1", 2500],
+    ]
+
+
+def test_q12_conditional_counts(ray_session, tmp_path):
+    d = dt.datetime
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "3-MEDIUM", "2-HIGH"], pa.string()
+                ),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 1, 3], pa.int64()),
+                "l_linestatus": pa.array(["O", "F", "O", "F"], pa.string()),
+                "l_shipdate": pa.array(
+                    [d(1997, 5, 1), d(1997, 6, 1), d(1998, 1, 1),
+                     d(1997, 1, 1)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+    )
+    out = analytics.q12_priority_by_status(str(tmp_path))
+    got = list(zip(out["l_linestatus"].to_pylist(),
+                   out["high_line_count"].to_pylist(),
+                   out["low_line_count"].to_pylist()))
+    # F: one high (o3 2-HIGH) + one low (o2 3-MEDIUM); O: one high in
+    # 1997 (the 1998 line is out of range)
+    assert got == [("F", 1, 1), ("O", 1, 0)]
+
+
+def test_q22_threshold_and_recency_anti_join(ray_session, tmp_path):
+    d = dt.datetime
+    # positive balances: 100.00, 50.00, 200.00, 10.00 → sum 36000 cents,
+    # n=4 → keep iff cents·4 > 36000 ⟺ cents > 9000: c1 (10000) and
+    # c3 (20000).  c2 is above threshold? 5000·4 = 20000 < 36000 → no —
+    # and it has a post-cutoff order anyway; c4 negative; c5 below.
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "c_acctbal": pa.array(
+                    [100.0, 50.0, 200.0, -5.0, 10.0], pa.float64()
+                ),
+                "c_mktsegment": pa.array(
+                    ["A", "A", "B", "B", "A"], pa.string()
+                ),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_orderdate": pa.array(
+                    [d(1999, 5, 1), d(2000, 3, 1)], pa.timestamp("us")
+                ),
+            }
+        ),
+    )
+    out = analytics.q22_idle_customers(str(tmp_path))
+    got = list(zip(out["c_mktsegment"].to_pylist(),
+                   out["numcust"].to_pylist(),
+                   out["totacctbal_cents"].to_pylist()))
+    assert got == [("A", 1, 10000), ("B", 1, 20000)]
