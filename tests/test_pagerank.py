@@ -293,3 +293,59 @@ def test_triangle_probe_hash_fallback_huge_ids(ray_session):
         _edge_ds(pairs), src_col="u", dst_col="v"
     ).to_pandas()
     assert out.n_triangles.tolist() == [4]
+
+
+@pytest.mark.parametrize("seed", [7, 31, 63])
+def test_clustering_matches_brute_force_triples(ray_session, seed):
+    """The zero-exchange broadcast walk must agree with an O(n³)
+    all-triples reference on random graphs — total AND per-node counts,
+    degrees, and the integer ppm."""
+    from deepseek_ocr_ray.stages.graph import clustering_coefficients
+
+    rng = np.random.RandomState(seed)
+    n_nodes = int(rng.randint(8, 30))
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in zip(
+                rng.randint(0, n_nodes, 120), rng.randint(0, n_nodes, 120)
+            )
+            if a < b
+        }
+    )
+    adj = {v: set() for v in range(n_nodes)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {v: 0 for v in range(n_nodes)}
+    for a in range(n_nodes):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[b]:
+                if c <= b or c not in adj[a]:
+                    continue
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    edges = pa.table(
+        {
+            "x": pa.array([p[0] for p in pairs], pa.int64()),
+            "y": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    out = (
+        clustering_coefficients(
+            ray.data.from_arrow(edges).repartition(4), probe="broadcast"
+        )
+        .to_pandas()
+        .set_index("node")
+    )
+    seen = {v for p in pairs for v in p}
+    assert set(out.index) == seen
+    for v in seen:
+        d = len(adj[v])
+        assert out.loc[v].degree == d
+        assert out.loc[v].n_triangles == tri[v], (seed, v)
+        want_ppm = (2_000_000 * tri[v]) // (d * (d - 1)) if d >= 2 else 0
+        assert out.loc[v].clustering_ppm == want_ppm
