@@ -166,6 +166,7 @@ HEALTHY_PARALLEL_BURN_SEC = 1.5
 
 def main_bench() -> None:
     hw_burn = _burn_probe()
+    hw_burn_parallel_pre = _burn_probe_parallel()
     _init_ray(NUM_CPUS)
     # small untimed warmup so the headline times STEADY-STATE throughput
     # (Ray worker pool + OCR actor startup excluded), matching what
@@ -183,7 +184,12 @@ def main_bench() -> None:
     total = -1.0 if failed else dt + sum(qtimes.values())
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     hw_burn_post = _burn_probe()
-    hw_burn_parallel = _burn_probe_parallel()
+    # sample the parallel probe on BOTH sides of the timed section like
+    # the single-thread probe: a core budget that changes mid-run must
+    # not read as a verified-healthy window off one post-run sample
+    hw_burn_parallel = (
+        hw_burn_parallel_pre + _burn_probe_parallel()
+    ) / 2.0
     burn_mean = (hw_burn + hw_burn_post) / 2.0
     # >1 means this window is throttled; divide raw times by it to compare
     # across rounds (see HEALTHY_BURN_SEC)

@@ -239,10 +239,16 @@ def cmd_bpe_train(args: argparse.Namespace) -> int:
         args.input, n_merges=args.merges, min_count=args.min_count
     )
     merges.write_parquet(args.output)
-    summary = {"output": args.output, "merges": merges.count()}
+    # the merge table is ≤ n_merges rows — reuse it for the encode pass
+    # instead of paying the word-count exchange + merge loop again
+    rows = merges.take_all()
+    summary = {"output": args.output, "merges": len(rows)}
     if args.encode_stats:
         enc = bpe_encode_stats(
-            args.input, n_merges=args.merges, min_count=args.min_count
+            args.input,
+            merges=[
+                (r["left"], r["right"], r["pair_count"]) for r in rows
+            ],
         )
         summary["char_tokens"] = int(enc.sum("n_char_tokens") or 0)
         summary["bpe_tokens"] = int(enc.sum("n_bpe_tokens") or 0)

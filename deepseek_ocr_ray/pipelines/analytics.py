@@ -3888,7 +3888,13 @@ def q13_custdist(
     reduced block then collapses to (c_count → customers) partials whose
     domain is the tiny set of distinct counts, merged on the driver; the
     zero bucket is ``count(customer) − customers_with_orders`` — the left
-    join's unmatched side computed from two scalars."""
+    join's unmatched side computed from two scalars.
+
+    Precondition: ``orders.o_custkey ⊆ customer.c_custkey`` (the star
+    schema's FK integrity, which the benchmark tables guarantee).  An
+    orphan custkey would enter the distribution here while the oracle's
+    LEFT JOIN from customer ignores it — the scalar zero-bucket identity
+    is only the join's unmatched side under RI."""
     from ..cluster import collect_table
     from ..stages.agg import bucket_groupby_sum
 

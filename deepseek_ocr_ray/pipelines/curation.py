@@ -2727,13 +2727,22 @@ def bpe_train_merges(
 
 
 def bpe_encode_stats(
-    sf_dir: str, *, n_merges: int = 12, min_count: int = 1
+    sf_dir: str,
+    *,
+    n_merges: int = 12,
+    min_count: int = 1,
+    merges: list[tuple[str, str, int]] | None = None,
 ) -> ray.data.Dataset:
     """Apply a trained BPE merge table to the corpus (GPT-2 greedy
     rank-order encoding) and report per-document compression: one row per
     document, ``(doc_id, n_words, n_char_tokens, n_bpe_tokens)`` —
     ``n_char_tokens`` is the pre-merge character-token count,
-    ``n_bpe_tokens`` the post-merge count; doc_id ordered.
+    ``n_bpe_tokens`` the post-merge count.
+
+    ``merges``: a precomputed rank-ordered merge list (as
+    :func:`functions.bpe.train_merges` returns) — callers that already
+    trained (the CLI) pass it so the corpus word-count exchange and the
+    merge loop are not paid a second time; omitted, the trainer runs.
 
     Scale plan: the merge table (≤ ``n_merges`` rows) broadcasts once via
     plasma; encoding is a ZERO-SHUFFLE map that encodes each DISTINCT
@@ -2744,7 +2753,8 @@ def bpe_encode_stats(
     comparison downstream is order-insensitive)."""
     from ..functions import bpe
 
-    merges = _trained_merges(sf_dir, n_merges, min_count)
+    if merges is None:
+        merges = _trained_merges(sf_dir, n_merges, min_count)
     ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
     ranks_ref = ray.put(ranks)
 

@@ -613,9 +613,15 @@ def _wedge_task_ranges(
     if total == 0:
         return []
     n_tasks = max(1, min(len(run_starts), -(-total // _WEDGES_PER_TASK)))
-    targets = (np.arange(1, n_tasks + 1) * (total / n_tasks)).astype(
-        np.int64
-    )
+    # INTEGER split points: float targets can truncate the last one to
+    # total-1, and when the final wedge-bearing run contributes exactly
+    # the last wedge the searchsorted cut would exclude it — silently
+    # dropping triangles at production scale only (n_tasks is 1 below
+    # _WEDGES_PER_TASK, where targets are exact).  total·k // n ends at
+    # exactly total, so the last cut always covers the final run.
+    targets = (
+        np.arange(1, n_tasks + 1, dtype=np.int64) * total
+    ) // n_tasks
     cut_runs = np.unique(np.searchsorted(wedge_cum, targets, side="left"))
     bounds = [0] + [
         int(run_starts[c + 1]) if c + 1 < len(run_starts) else n_edges

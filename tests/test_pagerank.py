@@ -349,3 +349,78 @@ def test_clustering_matches_brute_force_triples(ray_session, seed):
         assert out.loc[v].n_triangles == tri[v], (seed, v)
         want_ppm = (2_000_000 * tri[v]) // (d * (d - 1)) if d >= 2 else 0
         assert out.loc[v].clustering_ppm == want_ppm
+
+
+@pytest.mark.parametrize("seed", [2, 12, 47, 88])
+def test_wedge_task_ranges_cover_every_wedge_run(seed, monkeypatch):
+    """Coverage property for the broadcast plan's task splitter: the
+    union of ranges must contain EVERY wedge-bearing u-run exactly once,
+    for any run profile and task budget — the float-target version
+    dropped the final run when its last wedge landed on a truncated
+    split point (only reachable with n_tasks > 1, i.e. production
+    scale, so this test forces a tiny per-task budget)."""
+    from deepseek_ocr_ray.stages import graph as G
+
+    monkeypatch.setattr(G, "_WEDGES_PER_TASK", int(seed) % 7 + 2)
+    rng = np.random.RandomState(seed)
+    n_runs = int(rng.randint(1, 60))
+    lens = rng.randint(1, 8, n_runs).astype(np.int64)
+    # adversarial tail: force the LAST run to contribute exactly 1 wedge
+    lens[-1] = 2
+    run_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n_edges = int(lens.sum())
+    wedge_cum = np.cumsum(lens * (lens - 1) // 2)
+    ranges = G._wedge_task_ranges(run_starts, wedge_cum, n_edges)
+    total = int(wedge_cum[-1])
+    if total == 0:
+        assert ranges == []
+        return
+    # ranges are disjoint, ordered, aligned to run boundaries, and cover
+    # every run that has at least one wedge
+    covered = set()
+    prev_end = 0
+    boundaries = set(run_starts.tolist()) | {n_edges}
+    for lo, hi in ranges:
+        assert lo == prev_end or lo >= prev_end
+        assert lo in boundaries and hi in boundaries and hi > lo
+        prev_end = hi
+        for i, s in enumerate(run_starts):
+            e = run_starts[i + 1] if i + 1 < len(run_starts) else n_edges
+            if s >= lo and e <= hi:
+                covered.add(i)
+    wedge_runs = {i for i in range(n_runs) if lens[i] >= 2}
+    assert wedge_runs <= covered, (
+        f"dropped wedge-bearing runs: {sorted(wedge_runs - covered)}"
+    )
+
+
+def test_broadcast_walk_multi_task_equals_single(ray_session, monkeypatch):
+    """End-to-end: a tiny per-task wedge budget (many ranges) must give
+    byte-identical clustering output to the single-task default."""
+    from deepseek_ocr_ray.stages import graph as G
+    from deepseek_ocr_ray.stages.graph import clustering_coefficients
+
+    rng = np.random.RandomState(5)
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in zip(rng.randint(0, 30, 200), rng.randint(0, 30, 200))
+            if a < b
+        }
+    )
+    edges = pa.table(
+        {
+            "x": pa.array([p[0] for p in pairs], pa.int64()),
+            "y": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    base = clustering_coefficients(
+        ray.data.from_arrow(edges), probe="broadcast"
+    ).to_pandas()
+    monkeypatch.setattr(G, "_WEDGES_PER_TASK", 3)
+    many = clustering_coefficients(
+        ray.data.from_arrow(edges), probe="broadcast"
+    ).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, many)
