@@ -3782,6 +3782,254 @@ FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q8_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_3",
+    p_type: str = "ECONOMY",
+    year_lo: int = 1995,
+    year_hi: int = 1996,
+) -> pa.Table:
+    """TPC-H Q8 shape — national market share: of one part type's revenue
+    sold to customers in one REGION over an order-date window, the share
+    (exact integer ppm) supplied by one NATION's suppliers, per order
+    year.  One row per year with data:
+    ``(o_year, nation_cents, total_cents, share_ppm = 10⁶·nation //
+    total)`` — the ratio-of-conditional-sums shape (ref TPC-H Q8; the
+    testdata has no partsupp so this is the closest expressible form).
+
+    Scale plan: region/nation are driver dims — the region's nation keys
+    and the target nation key broadcast as scalars; customer and part
+    prune AT THE SCAN (region membership / part type); orders prunes to
+    the date window at the scan and joins the pruned customer side
+    volume-sized through the planner; lineitem joins the pruned part
+    projection through the planner FIRST (cutting it to ~1/|types|),
+    tags each row's supplier nation via the broadcast supplier dim, and
+    the orderkey join runs volume-sized through the planner.  The
+    conditional sums collapse per block over the bounded year domain and
+    merge on the driver in exact Python ints — no aggregate exchange."""
+    import pyarrow.parquet as _pq
+
+    from ..cluster import collect_table
+
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = _pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][
+        0
+    ].as_py()
+    region_nations = nat.filter(pc.equal(nat["n_regionkey"], rkey))[
+        "n_nationkey"
+    ].combine_chunks()
+    region_nations_ref = ray.put(region_nations)
+    target = nat.filter(pc.equal(nat["n_name"], nation))["n_nationkey"][
+        0
+    ].as_py()
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["c_nationkey"], value_set=ray.get(region_nations_ref))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    lo, hi = _ts(year_lo), _ts(year_hi + 1)
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi),
+        )
+        sub = batch.filter(keep)
+        year = pc.cast(
+            pc.strftime(sub["o_orderdate"], format="%Y"), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderkey": sub["o_orderkey"],
+                "o_custkey": sub["o_custkey"],
+                "o_year": year,
+            }
+        )
+
+    ord_cust = equi_join(
+        read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(ord_prep, batch_format="pyarrow"),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        join_type="inner",
+        left_cols=["o_orderkey", "o_year"],
+        right_cols=[],
+        approx_bytes=table_file_bytes(sf_dir, "orders", "customer"),
+    )
+
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["p_type"], p_type)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_partkey": batch["l_partkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    li_part = equi_join(
+        read_table(
+            sf_dir,
+            "lineitem",
+            columns=[
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        join_type="inner",
+        left_cols=["l_orderkey", "l_suppkey", "cents"],
+        right_cols=[],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "part"),
+    )
+
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "is_target": pc.cast(
+                    pc.equal(b["s_nationkey"], target), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li_tagged = equi_join(
+        li_part,
+        supp,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        join_type="inner",
+        left_cols=["l_orderkey", "cents"],
+        right_cols=["is_target"],
+        strategy="broadcast",
+    )
+
+    joined = equi_join(
+        li_tagged,
+        ord_cust,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        join_type="inner",
+        left_cols=["cents", "is_target"],
+        right_cols=["o_year"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "orders"),
+    )
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_year": batch["o_year"],
+                "n": pc.multiply(batch["is_target"], batch["cents"]),
+                "t": batch["cents"],
+            }
+        )
+        g = t.group_by("o_year").aggregate([("n", "sum"), ("t", "sum")])
+        return pa.table(
+            {
+                "o_year": g["o_year"],
+                "n": g["n_sum"].cast(pa.int64()),
+                "t": g["t_sum"].cast(pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        joined.map_batches(year_partial, batch_format="pyarrow")
+    )
+    acc: dict[int, list[int]] = {}
+    if t is not None and t.num_rows:
+        for y, n, tot in zip(
+            t["o_year"].to_pylist(), t["n"].to_pylist(), t["t"].to_pylist()
+        ):
+            a = acc.setdefault(int(y), [0, 0])
+            a[0] += int(n)
+            a[1] += int(tot)
+    years = sorted(acc)
+    return pa.table(
+        {
+            "o_year": pa.array(years, pa.int64()),
+            "nation_cents": pa.array([acc[y][0] for y in years], pa.int64()),
+            "total_cents": pa.array([acc[y][1] for y in years], pa.int64()),
+            "share_ppm": pa.array(
+                [
+                    (1_000_000 * acc[y][0]) // acc[y][1] if acc[y][1] else 0
+                    for y in years
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q8_market_share_sql(
+    region: str = "ASIA",
+    nation: str = "NATION_3",
+    p_type: str = "ECONOMY",
+    year_lo: int = 1995,
+    year_hi: int = 1996,
+) -> str:
+    return f"""
+WITH v AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         CASE WHEN n2.n_name = '{nation}' THEN 1 ELSE 0 END AS tgt
+  FROM part, supplier, lineitem, orders, customer,
+       nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = '{region}' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '{year_lo}-01-01'
+    AND o_orderdate < TIMESTAMP '{year_hi + 1}-01-01'
+    AND p_type = '{p_type}'
+)
+SELECT o_year,
+       CAST(sum(tgt * cents) AS BIGINT) AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(1000000 * sum(tgt * cents) // sum(cents) AS BIGINT)
+         AS share_ppm
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+Q8_MARKET_SHARE_SQL = q8_market_share_sql()
+
+
 def _ts(y: int, m: int = 1, d: int = 1) -> pa.Scalar:
     """Timestamp[us] literal matching DuckDB ``TIMESTAMP 'y-m-d'``."""
     import datetime as _dt

@@ -678,7 +678,9 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
                     pa.string(),
                 ),
                 "p_type": pa.array(
-                    rng.choice(["PROMO", "STANDARD", "SMALL"], n_p).tolist(),
+                    rng.choice(
+                        ["PROMO", "STANDARD", "SMALL", "ECONOMY"], n_p
+                    ).tolist(),
                     pa.string(),
                 ),
                 "p_size": pa.array(
@@ -695,6 +697,9 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
             {
                 "s_suppkey": pa.array(range(n_s), pa.int64()),
                 "s_name": pa.array([f"S{k}" for k in range(n_s)], pa.string()),
+                "s_nationkey": pa.array(
+                    rng.randint(0, 5, n_s).astype("int32"), pa.int32()
+                ),
             }
         ),
         os.path.join(d, "supplier.parquet"),
@@ -706,9 +711,26 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
                 "n_nationkey": pa.array(range(5), pa.int32()),
                 "n_name": pa.array([f"NATION_{k}" for k in range(5)],
                                    pa.string()),
+                # mirror the testdata layout: nation k sits in region k%5
+                "n_regionkey": pa.array(
+                    [k % 5 for k in range(5)], pa.int32()
+                ),
             }
         ),
         os.path.join(d, "nation.parquet"),
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": pa.array(
+                    ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(d, "region.parquet"),
     )
 
     n_c = int(rng.randint(10, 40))
@@ -805,7 +827,7 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
 def _run_oracle_star(sql: str, d: str):
     con = duckdb.connect()
     for t in ("part", "supplier", "customer", "orders", "lineitem",
-              "nation"):
+              "nation", "region"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{d}/{t}.parquet')"
@@ -824,6 +846,7 @@ _TPCH_SHAPES = [
     ("q10_returned_revenue", "Q10_RETURNED_REVENUE_SQL"),
     ("q12_priority_by_status", "Q12_PRIORITY_BY_STATUS_SQL"),
     ("q22_idle_customers", "Q22_IDLE_CUSTOMERS_SQL"),
+    ("q8_market_share", "Q8_MARKET_SHARE_SQL"),
 ]
 
 

@@ -427,3 +427,120 @@ def test_q22_threshold_and_recency_anti_join(ray_session, tmp_path):
                    out["numcust"].to_pylist(),
                    out["totacctbal_cents"].to_pylist()))
     assert got == [("A", 1, 10000), ("B", 1, 20000)]
+
+
+def test_q8_market_share_boundaries(ray_session, tmp_path):
+    # region membership (c2 in EUROPE drops), part-type filter (PROMO
+    # line drops), date window [1995-01-01, 1997-01-01) with both edges
+    # exercised, target-nation tagging, floor-division ppm, and a year
+    # whose target share is zero but still emitted.
+    d = dt.datetime
+    _write(
+        tmp_path,
+        "region",
+        pa.table(
+            {
+                "r_regionkey": pa.array([1, 3], pa.int32()),
+                "r_name": pa.array(["AMERICA", "EUROPE"], pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+                "n_name": pa.array(
+                    ["NATION_0", "NATION_1", "NATION_2"], pa.string()
+                ),
+                "n_regionkey": pa.array([1, 3, 1], pa.int32()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_nationkey": pa.array([2, 0], pa.int32()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_type": pa.array(["ECONOMY", "PROMO"], pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 20, 30, 40, 50], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 2, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [
+                        d(1995, 1, 1),    # inclusive lower edge
+                        d(1996, 12, 31),  # last day in window
+                        d(1997, 1, 1),    # exclusive upper edge — out
+                        d(1995, 6, 1),    # cust 2: EUROPE — out
+                        d(1994, 12, 31),  # below lower edge — out
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+    )
+    _lineitem(
+        tmp_path,
+        [
+            (10, 1, 1, 100.0, 0.0),  # target, 1995: 10000 cents
+            (10, 1, 2, 50.0, 0.5),   # non-target, 1995: 2500 cents
+            (10, 2, 1, 999.0, 0.0),  # PROMO part — dropped
+            (20, 1, 2, 80.0, 0.25),  # non-target, 1996: 6000 cents
+            (30, 1, 1, 777.0, 0.0),  # order at exclusive upper — dropped
+            (40, 1, 1, 555.0, 0.0),  # out-of-region customer — dropped
+            (50, 1, 1, 444.0, 0.0),  # order below window — dropped
+        ],
+        (
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ),
+    )
+    out = analytics.q8_market_share(
+        str(tmp_path),
+        region="AMERICA",
+        nation="NATION_2",
+        p_type="ECONOMY",
+        year_lo=1995,
+        year_hi=1996,
+    )
+    got = list(
+        zip(
+            out["o_year"].to_pylist(),
+            out["nation_cents"].to_pylist(),
+            out["total_cents"].to_pylist(),
+            out["share_ppm"].to_pylist(),
+        )
+    )
+    assert got == [(1995, 10000, 12500, 800000), (1996, 0, 6000, 0)]
