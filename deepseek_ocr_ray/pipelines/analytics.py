@@ -5160,13 +5160,14 @@ def value_mad_by_type(sf_dir: str) -> ray.data.Dataset:
     scale estimate that pairs with :func:`value_winsorized_by_type`'s
     robust location.  One row per type: median, MAD, row count.
 
-    Shape: two histogram-plan quantile passes
-    (:func:`stages.agg.group_quantile_disc` — exchange volume is types ×
-    distinct cents, independent of row count).  The per-type medians are
-    a type-bounded table broadcast via plasma between the passes; the
-    deviation map is zero-shuffle."""
+    Shape: ONE histogram pass (:func:`stages.agg.group_median_mad` —
+    exchange volume is types × distinct cents, independent of row
+    count).  The deviation multiset is a pure fold of each type's value
+    histogram around its median, so the count, the median and the MAD
+    all come out of one finalize walk — the naive two-scan formulation's
+    second corpus pass and medians broadcast are gone."""
     from ..cluster import collect_table
-    from ..stages.agg import bucket_groupby_sum, group_quantile_disc
+    from ..stages.agg import group_median_mad
 
     events = read_table(sf_dir, "events", columns=["event_type", "value"])
 
@@ -5179,63 +5180,29 @@ def value_mad_by_type(sf_dir: str) -> ray.data.Dataset:
         )
 
     cents = events.map_batches(prep, batch_format="pyarrow")
-    med = collect_table(
-        group_quantile_disc(cents, ["event_type"], "cents", 0.5, out_col="m")
-    )
-    assert med is not None
-    med = med.sort_by("event_type")
-    types = med["event_type"]
-    if isinstance(types, pa.ChunkedArray):
-        types = types.combine_chunks()
-    med_ref = ray.put(
-        (types, med["m"].to_numpy(zero_copy_only=False).astype(np.int64))
-    )
-
-    def dev(batch: pa.Table) -> pa.Table:
-        tys, ms = ray.get(med_ref)
-        idx = pc.index_in(batch["event_type"], value_set=tys).to_numpy(
-            zero_copy_only=False
+    t = collect_table(group_median_mad(cents, ["event_type"], "cents"))
+    if t is None or t.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "median_cents": pa.array([], pa.int64()),
+                    "mad_cents": pa.array([], pa.int64()),
+                }
+            )
         )
-        c = batch["cents"].to_numpy(zero_copy_only=False)
-        return pa.table(
+    t = t.sort_by("event_type")
+    return ray.data.from_arrow(
+        pa.table(
             {
-                "event_type": batch["event_type"],
-                "adev": pa.array(np.abs(c - ms[idx]), pa.int64()),
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "median_cents": t["median"].cast(pa.int64()),
+                "mad_cents": t["mad"].cast(pa.int64()),
             }
         )
-
-    devs = cents.map_batches(dev, batch_format="pyarrow")
-    mad = collect_table(
-        group_quantile_disc(devs, ["event_type"], "adev", 0.5, out_col="mad")
     )
-    assert mad is not None
-    mad = mad.sort_by("event_type")
-
-    def n_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("event_type").aggregate([([], "count_all")])
-        return pa.table(
-            {"event_type": g["event_type"],
-             "n": g["count_all"].cast(pa.int64())}
-        )
-
-    cnt = collect_table(
-        bucket_groupby_sum(
-            cents.map_batches(n_partial, batch_format="pyarrow"),
-            ["event_type"],
-            ["n"],
-        )
-    )
-    assert cnt is not None
-    cnt = cnt.sort_by("event_type")
-    out = pa.table(
-        {
-            "event_type": types,
-            "n": cnt["n"],
-            "median_cents": med["m"],
-            "mad_cents": mad["mad"],
-        }
-    )
-    return ray.data.from_arrow(out)
 
 
 VALUE_MAD_SQL = """

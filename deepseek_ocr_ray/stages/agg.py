@@ -290,6 +290,93 @@ def _group_quantile(
     )
 
 
+def group_median_mad(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT per-group (count, median, MAD) in ONE histogram pass —
+    ``median = quantile_disc(v, 0.5)`` and ``MAD = quantile_disc(|v −
+    median|, 0.5)`` with DuckDB's disc convention (rank ``ceil(q·n) − 1``)
+    at BOTH stages.
+
+    The naive formulation scans the corpus twice (median, then
+    deviations).  The second scan is redundant: the deviation multiset is
+    a pure FOLD of the group's value histogram around its median
+    (``|v − med|`` with the same counts), so once the histogram exchange
+    has merged each group's (value, count) rows, one finalize task
+    computes all three statistics in memory.  Same plan and exchange
+    volume as :func:`group_quantile_disc` (groups × distinct values,
+    independent of row count); the per-group fold walk is a numpy loop
+    over the bucket's groups — fine for the bounded group domains this
+    kernel targets (event types, languages, labels)."""
+    partial = _make_hist_partial(keys, value_col, n_buckets)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.group_by(keys + [value_col]).aggregate([("__cnt", "sum")])
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: g[k] for k in keys},
+                    "n": pa.array([], pa.int64()),
+                    "median": pa.array([], g.schema.field(value_col).type),
+                    "mad": pa.array([], g.schema.field(value_col).type),
+                }
+            )
+
+        def _codes(col) -> np.ndarray:
+            enc = pa.compute.dictionary_encode(col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        codes = [_codes(g[k]) for k in keys]
+        val = g[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((val, *codes[::-1]))
+        codes_s = [c[order] for c in codes]
+        changed = np.zeros(n - 1, bool) if n else np.zeros(0, bool)
+        for c in codes_s:
+            changed |= c[1:] != c[:-1]
+        val_s = val[order]
+        cnt_s = g["__cnt_sum"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.r_[True, changed])
+        ends = np.r_[starts[1:], n]
+        rows, ns, meds, mads = [], [], [], []
+        for s, e in zip(starts, ends):
+            v, c = val_s[s:e], cnt_s[s:e]
+            csum = np.cumsum(c)
+            tot = int(csum[-1])
+            rank = max(int(np.ceil(0.5 * tot)) - 1, 0)
+            med = v[np.searchsorted(csum, rank, side="right")]
+            dev = np.abs(v - med)
+            o2 = np.argsort(dev, kind="stable")
+            csum2 = np.cumsum(c[o2])
+            mad = dev[o2][np.searchsorted(csum2, rank, side="right")]
+            rows.append(order[s])
+            ns.append(tot)
+            meds.append(med)
+            mads.append(mad)
+        take = pa.array(np.asarray(rows, np.int64))
+        vt = g.schema.field(value_col).type
+        return pa.table(
+            {
+                **{k: g[k].take(take) for k in keys},
+                "n": pa.array(ns, pa.int64()),
+                "median": pa.array(np.asarray(meds)).cast(vt),
+                "mad": pa.array(np.asarray(mads)).cast(vt),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
 def _make_hist_partial(keys: list[str], value_col: str, n_buckets: int):
     """Map side of the group-histogram exchange shared by the quantile
     and equi-depth kernels: reduce each block to per-(group, value)

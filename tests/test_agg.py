@@ -666,3 +666,78 @@ def test_group_equidepth_validation(ray_session):
             "v",
             0,
         )
+
+
+def test_group_median_mad_hand_fixture(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_median_mad
+
+    # group a (odd n=5): values 1,3,3,7,20 -> median 3 (rank ceil(2.5)-1=2)
+    #   deviations |v-3| = 2,0,0,4,17 sorted 0,0,2,4,17 -> MAD 2
+    # group b (even n=4): values 1,2,8,9 -> median rank ceil(2)-1=1 -> 2
+    #   deviations 1,0,6,7 sorted 0,1,6,7 -> MAD 1
+    # group c (n=1): median 5, MAD 0
+    t = pa.table(
+        {
+            "g": ["a"] * 5 + ["b"] * 4 + ["c"],
+            "v": pa.array(
+                [1, 3, 3, 7, 20, 1, 2, 8, 9, 5], pa.int64()
+            ),
+        }
+    )
+    out = (
+        group_median_mad(ray.data.from_arrow(t), ["g"], "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        ["a", 5, 3, 2],
+        ["b", 4, 2, 1],
+        ["c", 1, 5, 0],
+    ]
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_group_median_mad_vs_duckdb_and_invariance(ray_session, seed):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_median_mad
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(200, 600))
+    t = pa.table(
+        {
+            "g": pa.array(
+                rng.choice(["x", "y", "z", "w"], n).tolist(), pa.string()
+            ),
+            "v": pa.array(
+                rng.randint(-50, 51, n, dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        """
+WITH m AS (SELECT g, quantile_disc(v, 0.5) AS med FROM t GROUP BY 1)
+SELECT t.g, CAST(count(*) AS BIGINT) AS n,
+       CAST(any_value(m.med) AS BIGINT) AS median,
+       CAST(quantile_disc(abs(t.v - m.med), 0.5) AS BIGINT) AS mad
+FROM t JOIN m USING (g) GROUP BY 1 ORDER BY 1
+"""
+    ).df()
+    results = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = (
+            group_median_mad(ds, ["g"], "v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        results.append(got)
+    assert results[0].equals(results[1])
+    assert results[0].equals(want)
