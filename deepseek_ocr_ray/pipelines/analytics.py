@@ -5459,15 +5459,14 @@ def value_winsorized_by_type(sf_dir: str) -> ray.data.Dataset:
     count/sum/mean — the outlier-robust aggregate every metrics pipeline
     wants when a handful of extreme values dominate a plain mean.
 
-    Shape: two histogram-plan quantile passes (``group_quantile_disc`` —
+    Shape: ONE histogram pass (:func:`stages.agg.group_winsorized` —
     exchange volume is groups × distinct cents, independent of row
-    count) collect the type-bounded bounds table, which broadcasts via
-    plasma; the clamp is a zero-shuffle ``least/greatest`` map feeding
-    per-block (type, sum, n) partials into ONE coarse aggregate.  Mean is
-    the single deterministic ``sum::DOUBLE / n`` division per group,
+    count): the bounds, the clamped sum and the count are all functions
+    of each type's (cents, count) histogram, so the naive two quantile
+    scans + clamp scan collapse into one finalize walk.  Mean is the
+    single deterministic ``sum::DOUBLE / n`` division per group,
     replicated verbatim in SQL."""
-    from ..cluster import collect_table
-    from ..stages.agg import bucket_groupby_sum, group_quantile_disc
+    from ..stages.agg import group_winsorized
 
     events = read_table(sf_dir, "events", columns=["event_type", "value"])
 
@@ -5480,78 +5479,23 @@ def value_winsorized_by_type(sf_dir: str) -> ray.data.Dataset:
         )
 
     cents = events.map_batches(prep, batch_format="pyarrow")
-    lo = collect_table(
-        group_quantile_disc(cents, ["event_type"], "cents", 0.05, out_col="b")
-    )
-    hi = collect_table(
-        group_quantile_disc(cents, ["event_type"], "cents", 0.95, out_col="b")
-    )
-    assert lo is not None and hi is not None
-    lo = lo.sort_by("event_type")
-    hi = hi.sort_by("event_type")
-    types = lo["event_type"]
-    if isinstance(types, pa.ChunkedArray):
-        types = types.combine_chunks()
-    bounds_ref = ray.put(
-        (
-            types,
-            lo["b"].to_numpy(zero_copy_only=False).astype(np.int64),
-            hi["b"].to_numpy(zero_copy_only=False).astype(np.int64),
-        )
-    )
+    stats = group_winsorized(cents, ["event_type"], "cents", 0.05, 0.95)
 
-    def clamp_partial(batch: pa.Table) -> pa.Table:
-        tys, los, his = ray.get(bounds_ref)
-        idx = pc.index_in(batch["event_type"], value_set=tys).to_numpy(
-            zero_copy_only=False
-        )
-        c = batch["cents"].to_numpy(zero_copy_only=False)
-        cc = np.minimum(np.maximum(c, los[idx]), his[idx])
-        g = (
-            pa.table(
-                {
-                    "event_type": batch["event_type"],
-                    "cc": pa.array(cc, pa.int64()),
-                }
-            )
-            .group_by("event_type")
-            .aggregate([("cc", "sum"), ([], "count_all")])
-        )
-        return pa.table(
-            {
-                "event_type": g["event_type"],
-                "s": g["cc_sum"].cast(pa.int64()),
-                "n": g["count_all"].cast(pa.int64()),
-            }
-        )
-
-    agg = bucket_groupby_sum(
-        cents.map_batches(clamp_partial, batch_format="pyarrow"),
-        ["event_type"],
-        ["s", "n"],
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        tys, los, his = ray.get(bounds_ref)
-        idx = pc.index_in(batch["event_type"], value_set=tys).to_numpy(
-            zero_copy_only=False
-        )
-        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "event_type": batch["event_type"],
-                "lo_cents": pa.array(los[idx], pa.int64()),
-                "hi_cents": pa.array(his[idx], pa.int64()),
-                "n": pa.array(n, pa.int64()),
-                "sum_winsorized_cents": pa.array(s, pa.int64()),
-                "mean_winsorized_cents": pa.array(
-                    s.astype(np.float64) / n, pa.float64()
-                ),
+                "lo_cents": batch["lo"].cast(pa.int64()),
+                "hi_cents": batch["hi"].cast(pa.int64()),
+                "n": batch["n"],
+                "sum_winsorized_cents": batch["s"],
+                "mean_winsorized_cents": batch["mean"],
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")
+    return stats.map_batches(rename, batch_format="pyarrow").sort(
+        "event_type"
+    )
 
 
 VALUE_WINSORIZED_SQL = """

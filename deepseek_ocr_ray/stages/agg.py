@@ -326,30 +326,15 @@ def group_median_mad(
                     "mad": pa.array([], g.schema.field(value_col).type),
                 }
             )
-
-        def _codes(col) -> np.ndarray:
-            enc = pa.compute.dictionary_encode(col)
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-
-        codes = [_codes(g[k]) for k in keys]
-        val = g[value_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((val, *codes[::-1]))
-        codes_s = [c[order] for c in codes]
-        changed = np.zeros(n - 1, bool) if n else np.zeros(0, bool)
-        for c in codes_s:
-            changed |= c[1:] != c[:-1]
-        val_s = val[order]
-        cnt_s = g["__cnt_sum"].to_numpy(zero_copy_only=False)[order]
-        starts = np.flatnonzero(np.r_[True, changed])
-        ends = np.r_[starts[1:], n]
+        order, starts, ends, val_s, cnt_s = _hist_group_walk(
+            g, keys, value_col
+        )
         rows, ns, meds, mads = [], [], [], []
         for s, e in zip(starts, ends):
             v, c = val_s[s:e], cnt_s[s:e]
             csum = np.cumsum(c)
             tot = int(csum[-1])
-            rank = max(int(np.ceil(0.5 * tot)) - 1, 0)
+            rank = _disc_rank(tot, 0.5)
             med = v[np.searchsorted(csum, rank, side="right")]
             dev = np.abs(v - med)
             o2 = np.argsort(dev, kind="stable")
@@ -367,6 +352,122 @@ def group_median_mad(
                 "n": pa.array(ns, pa.int64()),
                 "median": pa.array(np.asarray(meds)).cast(vt),
                 "mad": pa.array(np.asarray(mads)).cast(vt),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def _disc_rank(tot: int, q: float) -> int:
+    """DuckDB ``quantile_disc``'s zero-indexed target rank — the smallest
+    value whose CDF reaches q: ``ceil(q·n) − 1`` (NOT ``floor(q·(n−1))``,
+    which diverges at e.g. q=0.95, n=210; probed against DuckDB)."""
+    return max(int(np.ceil(q * tot)) - 1, 0)
+
+
+def _hist_group_walk(g: pa.Table, keys: list[str], value_col: str):
+    """Shared segment walk over a merged (keys, value, __cnt_sum)
+    histogram table: sorts rows by (group, value) using exact per-column
+    dictionary codes as the run delimiter (codes order differently than
+    values — irrelevant, only run identity matters — and unlike a 64-bit
+    hash they cannot merge two distinct groups) and returns
+    ``(order, starts, ends, sorted_values, sorted_counts)`` where
+    ``starts[i]:ends[i]`` slices group i's value-ascending histogram."""
+    n = g.num_rows
+
+    def _codes(col) -> np.ndarray:
+        enc = pa.compute.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    codes = [_codes(g[k]) for k in keys]
+    val = g[value_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((val, *codes[::-1]))
+    codes_s = [c[order] for c in codes]
+    changed = np.zeros(n - 1, bool) if n else np.zeros(0, bool)
+    for c in codes_s:
+        changed |= c[1:] != c[:-1]
+    val_s = val[order]
+    cnt_s = g["__cnt_sum"].to_numpy(zero_copy_only=False)[order]
+    starts = np.flatnonzero(np.r_[True, changed]) if n else np.zeros(0, np.int64)
+    ends = np.r_[starts[1:], n] if n else np.zeros(0, np.int64)
+    return order, starts, ends, val_s, cnt_s
+
+
+def group_winsorized(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT per-group winsorized statistics in ONE histogram pass — the
+    ``quantile_disc`` bounds at ``q_lo``/``q_hi`` plus the count, sum and
+    mean of values CLAMPED to those bounds.  One row per group:
+    ``keys + (lo, hi, n, s, mean)`` with ``mean = s::float64 / n`` (the
+    single SQL-replicable division).
+
+    The naive formulation pays two quantile scans plus a clamp scan; all
+    three statistics are functions of the group's (value, count)
+    histogram, so one exchange and one finalize walk suffice — the
+    clamped sum is ``Σ clamp(v, lo, hi)·cnt`` over histogram rows (int64;
+    fine while Σ|v|·n stays under 2⁶³, i.e. any realistic cents
+    corpus)."""
+    if not (0.0 <= q_lo <= q_hi <= 1.0):
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
+    partial = _make_hist_partial(keys, value_col, n_buckets)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.group_by(keys + [value_col]).aggregate([("__cnt", "sum")])
+        n = g.num_rows
+        vt = g.schema.field(value_col).type
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: g[k] for k in keys},
+                    "lo": pa.array([], vt),
+                    "hi": pa.array([], vt),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "mean": pa.array([], pa.float64()),
+                }
+            )
+        order, starts, ends, val_s, cnt_s = _hist_group_walk(
+            g, keys, value_col
+        )
+        rows, los, his, ns, sums = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            v, c = val_s[s:e], cnt_s[s:e]
+            csum = np.cumsum(c)
+            tot = int(csum[-1])
+            lo = v[np.searchsorted(csum, _disc_rank(tot, q_lo), side="right")]
+            hi = v[np.searchsorted(csum, _disc_rank(tot, q_hi), side="right")]
+            cc = np.minimum(np.maximum(v, lo), hi)
+            rows.append(order[s])
+            los.append(lo)
+            his.append(hi)
+            ns.append(tot)
+            sums.append(int((cc * c).sum()))
+        take = pa.array(np.asarray(rows, np.int64))
+        s_arr = np.asarray(sums, np.int64)
+        n_arr = np.asarray(ns, np.int64)
+        return pa.table(
+            {
+                **{k: g[k].take(take) for k in keys},
+                "lo": pa.array(np.asarray(los)).cast(vt),
+                "hi": pa.array(np.asarray(his)).cast(vt),
+                "n": pa.array(n_arr, pa.int64()),
+                "s": pa.array(s_arr, pa.int64()),
+                "mean": pa.array(
+                    s_arr.astype(np.float64) / n_arr, pa.float64()
+                ),
             }
         )
 

@@ -741,3 +741,106 @@ FROM t JOIN m USING (g) GROUP BY 1 ORDER BY 1
         results.append(got)
     assert results[0].equals(results[1])
     assert results[0].equals(want)
+
+
+def test_group_winsorized_hand_fixture(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_winsorized
+
+    # group a: values 0..9 (n=10); q=0.05 -> rank ceil(0.5)-1=0 -> lo=0,
+    # q=0.95 -> rank ceil(9.5)-1=9 -> hi=9: no clamping, s=45.
+    # group b: 1,1,1,1,100 (n=5); lo rank 0 -> 1, hi rank ceil(4.75)-1=4
+    # -> 100: s=104.  With q_hi=0.75: rank ceil(3.75)-1=3 -> hi=1, s=5.
+    t = pa.table(
+        {
+            "g": ["a"] * 10 + ["b"] * 5,
+            "v": pa.array(list(range(10)) + [1, 1, 1, 1, 100], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = (
+        group_winsorized(ds, ["g"], "v", 0.05, 0.95)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        ["a", 0, 9, 10, 45, 4.5],
+        ["b", 1, 100, 5, 104, 20.8],
+    ]
+    tight = (
+        group_winsorized(ds, ["g"], "v", 0.05, 0.75)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert tight.values.tolist()[1] == ["b", 1, 1, 5, 5, 1.0]
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_group_winsorized_vs_duckdb_and_invariance(ray_session, seed):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_winsorized
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(200, 600))
+    t = pa.table(
+        {
+            "g": pa.array(
+                rng.choice(["x", "y", "z"], n).tolist(), pa.string()
+            ),
+            "v": pa.array(
+                rng.randint(-1000, 1001, n, dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        """
+WITH b AS (
+  SELECT g, quantile_disc(v, 0.05) AS lo, quantile_disc(v, 0.95) AS hi
+  FROM t GROUP BY 1
+),
+w AS (
+  SELECT t.g, least(greatest(t.v, b.lo), b.hi) AS cc
+  FROM t JOIN b USING (g)
+)
+SELECT w.g, CAST(any_value(b.lo) AS BIGINT) AS lo,
+       CAST(any_value(b.hi) AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cc) AS BIGINT) AS s,
+       CAST(sum(cc) AS DOUBLE) / count(*) AS mean
+FROM w JOIN b USING (g) GROUP BY 1 ORDER BY 1
+"""
+    ).df()
+    results = []
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = (
+            group_winsorized(ds, ["g"], "v", 0.05, 0.95)
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        results.append(got)
+    assert results[0].equals(results[1])
+    assert results[0].equals(want)
+
+
+def test_group_winsorized_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_winsorized
+
+    with pytest.raises(ValueError):
+        group_winsorized(
+            ray.data.from_arrow(pa.table({"g": [1], "v": [1]})),
+            ["g"],
+            "v",
+            0.9,
+            0.1,
+        )
