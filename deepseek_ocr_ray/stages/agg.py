@@ -863,6 +863,68 @@ def _grand_total(prev: ray.data.Dataset, value_cols: list[str]) -> ray.data.Data
     )
 
 
+# past this base-level size the CUBE/ROLLUP sub-levels derive through
+# distributed exchanges; under it the reduced lattice fits the driver and
+# every sub-level is a local pyarrow re-aggregate (zero further exchanges)
+LATTICE_DRIVER_MAX_BYTES = 64 << 20
+
+
+def _lattice_driver_levels(
+    base_t: pa.Table,
+    subsets: list[tuple],
+    keys: list[str],
+    key_types: dict,
+    value_cols: list[str],
+) -> ray.data.Dataset:
+    """Driver finish for the CUBE/ROLLUP lattice: the finest level is
+    already reduced to group-count rows, so when it fits the driver every
+    coarser subset is one local pyarrow ``group_by`` over it — byte-equal
+    to the distributed derivation (int64 partials are associative) with
+    zero further exchanges or materialization barriers."""
+    _null_fill = _make_null_fill(keys, key_types, value_cols)
+    tables = [_null_fill(base_t, keys)]
+    for sub in subsets:
+        if sub:
+            g = base_t.group_by(list(sub)).aggregate(
+                [(c, "sum") for c in value_cols]
+            )
+            g = pa.table(
+                {
+                    **{k: g[k] for k in sub},
+                    **{
+                        c: g[f"{c}_sum"].cast(pa.int64())
+                        for c in value_cols
+                    },
+                }
+            )
+        else:
+            g = pa.table(
+                {
+                    c: pa.array(
+                        [int(pa.compute.sum(base_t[c]).as_py() or 0)],
+                        pa.int64(),
+                    )
+                    for c in value_cols
+                }
+            )
+        tables.append(_null_fill(g, list(sub)))
+    return ray.data.from_arrow(
+        pa.concat_tables(tables, promote_options="default")
+    )
+
+
+def _lattice_use_driver(base: ray.data.Dataset, finish: str) -> bool:
+    if finish == "driver":
+        return True
+    if finish == "distributed":
+        return False
+    assert finish == "auto", finish
+    from ..cluster import dataset_size_estimate
+
+    est = dataset_size_estimate(base)
+    return est is not None and est <= LATTICE_DRIVER_MAX_BYTES
+
+
 def _make_null_fill(keys: list[str], key_types: dict, value_cols: list[str]):
     """Shared ROLLUP/CUBE level renderer: key columns absent from a level
     become typed nulls; value columns pass through."""
@@ -887,18 +949,24 @@ def cube_sum(
     *,
     count_col: str = "n",
     n_buckets: int = 64,
+    finish: str = "auto",
 ) -> ray.data.Dataset:
     """SQL ``GROUP BY CUBE(keys...)``: aggregates at EVERY subset of the
     key columns (2^k levels), absent key columns null.
 
     Same one-corpus-pass lattice strategy as :func:`rollup_sum`: the
     finest level runs through :func:`bucket_groupby_sum` and is
-    materialized; every other subset re-aggregates an already-computed
-    superset ONE key larger (any such parent gives the same exact result
-    — int64 partials are associative), so each of the 2^k−1 derived
-    levels costs an exchange over group-count rows, never a second scan.
-    ``len(keys)`` is capped at 4 (16 levels) — beyond that GROUPING SETS
-    explosions are a modeling problem, not an engine one.
+    materialized; then — since that level is already reduced to
+    group-count rows — when it fits the driver
+    (``LATTICE_DRIVER_MAX_BYTES``) every other subset derives as one
+    local pyarrow re-aggregate with ZERO further exchanges, else each
+    subset re-aggregates an already-computed superset ONE key larger
+    through its own exchange (any such parent gives the same exact
+    result — int64 partials are associative).  ``finish`` forces the
+    plan (``auto``/``driver``/``distributed``; both byte-equal under the
+    plan-equality test).  ``len(keys)`` is capped at 4 (16 levels) —
+    beyond that GROUPING SETS explosions are a modeling problem, not an
+    engine one.
     """
     from itertools import combinations
 
@@ -912,6 +980,27 @@ def cube_sum(
     value_cols = list(sum_cols) + [count_col]
     base_schema = base.schema().base_schema
     key_types = {k: base_schema.field(k).type for k in keys}
+
+    if _lattice_use_driver(base, finish):
+        from ..cluster import collect_table
+
+        base_t = collect_table(base)
+        if base_t is None:
+            base_t = pa.table(
+                {
+                    **{k: pa.array([], key_types[k]) for k in keys},
+                    **{c: pa.array([], pa.int64()) for c in value_cols},
+                }
+            )
+        subsets = [
+            sub
+            for depth in range(len(keys) - 1, -1, -1)
+            for sub in combinations(keys, depth)
+        ]
+        return _lattice_driver_levels(
+            base_t, subsets, keys, key_types, value_cols
+        )
+
     _null_fill = _make_null_fill(keys, key_types, value_cols)
 
     computed: dict[tuple, ray.data.Dataset] = {tuple(keys): base}
@@ -952,16 +1041,21 @@ def rollup_sum(
     *,
     count_col: str = "n",
     n_buckets: int = 64,
+    finish: str = "auto",
 ) -> ray.data.Dataset:
     """SQL ``GROUP BY ROLLUP(keys...)``: aggregates at every prefix level
     (full keys → …, first key → grand total), rolled-up key columns null.
 
     The corpus is scanned ONCE: the finest level runs through
-    :func:`bucket_groupby_sum`, is materialized (it is already reduced to
-    one row per key combination), and every coarser level re-aggregates
-    the PREVIOUS level's output — each rollup step costs an exchange over
-    group-count rows, never a second corpus pass.  Sums/counts are int64
-    partials, so every level is exact and parallelism-invariant.
+    :func:`bucket_groupby_sum` and is materialized (it is already
+    reduced to one row per key combination); when it fits the driver
+    (``LATTICE_DRIVER_MAX_BYTES``) every coarser prefix derives as one
+    local pyarrow re-aggregate with zero further exchanges, else each
+    level re-aggregates the PREVIOUS level's output through its own
+    exchange over group-count rows — never a second corpus pass either
+    way.  Sums/counts are int64 partials, so every level is exact and
+    parallelism-invariant; ``finish`` forces the plan
+    (``auto``/``driver``/``distributed``).
     """
     if not keys:
         raise ValueError("rollup needs at least one key")
@@ -971,6 +1065,25 @@ def rollup_sum(
     value_cols = list(sum_cols) + [count_col]
     base_schema = base.schema().base_schema
     key_types = {k: base_schema.field(k).type for k in keys}
+
+    if _lattice_use_driver(base, finish):
+        from ..cluster import collect_table
+
+        base_t = collect_table(base)
+        if base_t is None:
+            base_t = pa.table(
+                {
+                    **{k: pa.array([], key_types[k]) for k in keys},
+                    **{c: pa.array([], pa.int64()) for c in value_cols},
+                }
+            )
+        subsets = [
+            tuple(keys[:depth]) for depth in range(len(keys) - 1, -1, -1)
+        ]
+        return _lattice_driver_levels(
+            base_t, subsets, keys, key_types, value_cols
+        )
+
     _null_fill = _make_null_fill(keys, key_types, value_cols)
 
     levels = [

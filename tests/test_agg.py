@@ -844,3 +844,36 @@ def test_group_winsorized_validation(ray_session):
             0.9,
             0.1,
         )
+
+
+@pytest.mark.parametrize("kernel", ["cube", "rollup"])
+def test_lattice_driver_vs_distributed_plan_equality(ray_session, kernel):
+    import pandas as pd
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import cube_sum, rollup_sum
+
+    rng = np.random.RandomState(23)
+    n = 300
+    t = pa.table(
+        {
+            "a": pa.array(rng.choice(["p", "q", "r"], n).tolist()),
+            "b": pa.array(rng.randint(0, 4, n, dtype=np.int64), pa.int64()),
+            "v": pa.array(rng.randint(-9, 10, n, dtype=np.int64), pa.int64()),
+        }
+    )
+    fn = cube_sum if kernel == "cube" else rollup_sum
+    outs = []
+    for finish in ("driver", "distributed"):
+        ds = ray.data.from_arrow(t).repartition(5)
+        df = (
+            fn(ds, ["a", "b"], ["v"], finish=finish)
+            .to_pandas()
+            .sort_values(["a", "b", "v", "n"], na_position="first")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # grand-total row present exactly once in both
+    both_null = outs[0][outs[0]["a"].isna() & outs[0]["b"].isna()]
+    assert len(both_null) == 1
