@@ -733,42 +733,28 @@ def corpus_filter(
     - ``keep``           — the conjunction.
 
     Scale shape: ONE tokenization pass feeds quality, repetition, and
-    contamination (pure map, broadcast benchmark set); uniqueness costs one
-    map-combined ``groupby(text_hash).min`` plus one planner ``left_outer``
-    join back on doc_id.  Total: one tiny broadcast + two keyed exchanges
-    over hashes/ids — the text itself never shuffles."""
-    from ray.data.aggregate import Min
-
+    contamination (pure map, broadcast benchmark set) AND stamps each
+    row's content hash, so uniqueness rides the SAME scan: everything
+    flows through ONE text_hash-keyed exchange whose groups compute the
+    per-hash min-id winner in C++ and flag each row in place — the
+    winners groupby, the doc-keyed ``left_outer`` join and the second
+    corpus read of the naive composition are all gone.  The exchange
+    carries one slim row per document (hash, id, three int32 flags),
+    never text."""
     from ..functions import text_stats
-    from ..stages.dedup import add_text_hash
+    from ..hashing import string_hash64
+    from ..stages.dedup import md5_fingerprints
+
+    n_buckets = 64
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bench_ref = bench_ngram_ref(ds, ngram, bench_mod)
 
-    # exact-dup winners: md5(text) → min doc_id; rows keyed by winning id
-    winners = (
-        ds.map_batches(add_text_hash, batch_format="pyarrow")
-        .select_columns(["text_hash", "doc_id"])
-        .groupby("text_hash")
-        .aggregate(Min("doc_id"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "win_id": b["min(doc_id)"],
-                    # join planners may not emit the right KEY column in the
-                    # output; the match test rides an explicit marker instead
-                    "is_winner": pa.array(
-                        np.ones(b.num_rows, np.int32)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
-
     def score(batch: pa.Table) -> pa.Table:
-        keep = batch["doc_id"].to_numpy() % bench_mod != 0
-        sub = batch.filter(pa.array(keep))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nb = ids % bench_mod != 0
+        hashes = md5_fingerprints(batch["text"])
+        sub = batch.filter(pa.array(nb))
         n = sub.num_rows
         flat, parent = tokens_flat(sub["text"])
         q = text_stats.quality_columns(sub["text"])
@@ -782,46 +768,79 @@ def corpus_filter(
         _, n_overlap = overlap_arrays(
             flat, parent, ngram, ray.get(bench_ref), n
         )
+        # benchmark rows travel the exchange too (they contest the winner
+        # slot exactly as in the SQL's GROUP BY over ALL documents) with
+        # zeroed flags; they are dropped after the winner resolution
+        fq = np.zeros(len(ids), np.int32)
+        fr = np.zeros(len(ids), np.int32)
+        fc = np.zeros(len(ids), np.int32)
+        fq[nb] = flag_quality
+        fr[nb] = flag_repetition
+        fc[nb] = (n_overlap == 0).astype(np.int32)
+        h = hashes if not isinstance(hashes, pa.ChunkedArray) else hashes.combine_chunks()
+        bucket = string_hash64(h) % np.uint64(n_buckets)
         return pa.table(
             {
-                "doc_id": sub["doc_id"],
-                "flag_quality": pa.array(flag_quality),
-                "flag_repetition": pa.array(flag_repetition),
-                "flag_clean": pa.array((n_overlap == 0).astype(np.int32)),
+                "text_hash": h,
+                "doc_id": batch["doc_id"],
+                "flag_quality": pa.array(fq),
+                "flag_repetition": pa.array(fr),
+                "flag_clean": pa.array(fc),
+                "nb": pa.array(nb.astype(np.int8), pa.int8()),
+                "bucket": pa.array(
+                    bucket.astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    scored = ds.map_batches(score, batch_format="pyarrow")
-    from ..cluster import equi_join
-
-    joined = equi_join(
-        scored,
-        winners,
-        on="doc_id",
-        right_on="win_id",
-        join_type="left_outer",
-        left_cols=["doc_id", "flag_quality", "flag_repetition", "flag_clean"],
-        right_cols=["is_winner"],
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        uniq = pc.is_valid(batch["is_winner"]).cast(pa.int32())
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "flag_quality": pa.array([], pa.int32()),
+                    "flag_repetition": pa.array([], pa.int32()),
+                    "flag_clean": pa.array([], pa.int32()),
+                    "flag_unique": pa.array([], pa.int32()),
+                    "keep": pa.array([], pa.int32()),
+                }
+            )
+        gm = (
+            group.select(["text_hash", "doc_id"])
+            .group_by("text_hash")
+            .aggregate([("doc_id", "min")])
+        )
+        hs = gm["text_hash"]
+        if isinstance(hs, pa.ChunkedArray):
+            hs = hs.combine_chunks()
+        idx = pc.index_in(group["text_hash"], value_set=hs)
+        uniq = pc.cast(
+            pc.equal(group["doc_id"], gm["doc_id_min"].take(idx)),
+            pa.int32(),
+        )
+        out = group.append_column("flag_unique", uniq).filter(
+            pc.equal(group["nb"], 1)
+        )
         keep = pc.multiply(
-            pc.multiply(batch["flag_quality"], batch["flag_repetition"]),
-            pc.multiply(batch["flag_clean"], uniq),
+            pc.multiply(out["flag_quality"], out["flag_repetition"]),
+            pc.multiply(out["flag_clean"], out["flag_unique"]),
         )
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "flag_quality": batch["flag_quality"],
-                "flag_repetition": batch["flag_repetition"],
-                "flag_clean": batch["flag_clean"],
-                "flag_unique": uniq,
+                "doc_id": out["doc_id"],
+                "flag_quality": out["flag_quality"],
+                "flag_repetition": out["flag_repetition"],
+                "flag_clean": out["flag_clean"],
+                "flag_unique": out["flag_unique"],
                 "keep": keep,
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
 
 
 _QUALITY_PASSES_FRAG = """
