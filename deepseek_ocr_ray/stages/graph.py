@@ -236,6 +236,8 @@ def pagerank_int(
     damping_pct: int = 85,
     approx_bytes: int | None = None,
     assume_symmetric: bool = False,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_CC_THRESHOLD,
 ) -> ray.data.Dataset:
     """Integer-exact PageRank power iteration — ``(node, rank_scaled)``.
 
@@ -254,7 +256,13 @@ def pagerank_int(
     the node sets diverge).  Duplicate input edges are deduplicated
     internally (a multigraph would double-count shares).
 
-    Shape: the setup is ONE exchange — edges are map-side distincted and
+    ``strategy``: ``"auto"`` (default) collects the edge list to the
+    driver below ``local_threshold`` rows and runs the whole power
+    iteration as a numpy loop over the SAME int64 expressions (byte-equal
+    plans, per-round joins/exchanges gone — the CC/k-core auto-select
+    convention); ``"distributed"`` / ``"local"`` force a plan.
+
+    Distributed shape: the setup is ONE exchange — edges are map-side distincted and
     bucketed BY SOURCE, so each bucket holds every edge of its sources
     and the finalize emits the globally-distinct edge list with outdeg
     already attached (``pc.index_in`` against the in-bucket degree table);
@@ -274,8 +282,68 @@ def pagerank_int(
 
     if num_iters < 1:
         raise ValueError("num_iters must be >= 1")
+    if strategy not in ("auto", "distributed", "local"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     base = ((100 - damping_pct) * scale) // 100
     N_BUCKETS = 64
+
+    ecols = edges.select_columns([src_col, dst_col]).materialize()
+    if strategy != "distributed":
+        n_rows = ecols.count()
+        if strategy == "local" or n_rows <= local_threshold:
+            # Driver plan (the CC/k-core auto-select convention): below
+            # the shared collect budget the whole power iteration is a
+            # numpy loop — every arithmetic step is the SAME int64
+            # expression the distributed rounds evaluate, so the plans
+            # are byte-equal; per-round joins and exchanges are gone.
+            from ..cluster import collect_table
+
+            etbl = collect_table(ecols)
+            node_t = (
+                etbl.schema.field(src_col).type
+                if etbl is not None
+                else pa.int64()
+            )
+            if etbl is None or etbl.num_rows == 0:
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array([], node_t),
+                            "rank_scaled": pa.array([], pa.int64()),
+                        }
+                    )
+                )
+            u = etbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = etbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((v, u))
+            us, vs = u[order], v[order]
+            keep = np.r_[True, (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])]
+            us, vs = us[keep], vs[keep]
+            nodes = np.unique(us)
+            dst_nodes = np.unique(vs)
+            if not np.array_equal(nodes, dst_nodes):
+                raise ValueError(
+                    "pagerank_int: source and destination node sets differ"
+                    " — symmetrize the edge list (add reverse edges) first"
+                )
+            n = len(nodes)
+            src_idx = np.searchsorted(nodes, us)
+            dst_idx = np.searchsorted(nodes, vs)
+            deg = np.bincount(src_idx, minlength=n).astype(np.int64)
+            r = np.full(n, scale, np.int64)
+            for _ in range(num_iters):
+                share = r[src_idx] // deg[src_idx]
+                s = np.zeros(n, np.int64)
+                np.add.at(s, dst_idx, share)
+                r = base + (damping_pct * s) // 100
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nodes).cast(node_t),
+                        "rank_scaled": pa.array(r, pa.int64()),
+                    }
+                )
+            )
 
     def prep(batch: pa.Table) -> pa.Table:
         t = (
@@ -307,7 +375,7 @@ def pagerank_int(
         )
 
     edges_deg = (
-        edges.map_batches(prep, batch_format="pyarrow")
+        ecols.map_batches(prep, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(fin, batch_format="pyarrow")
         .materialize()
@@ -332,7 +400,7 @@ def pagerank_int(
     if assume_symmetric:
         n_union = n_dst = n_nodes  # caller just symmetrized; skip 2 scans
     else:
-        n_union, n_dst = _check_node_sets(edges, src_col, dst_col)
+        n_union, n_dst = _check_node_sets(ecols, src_col, dst_col)
     # SET (not count) equality both ways: dst ⊆ src via
     # |distinct(src) ∪ distinct(dst)| == |distinct(src)|, and src ⊆ dst
     # via the same union count equalling |distinct(dst)| — a node missing

@@ -424,3 +424,33 @@ def test_broadcast_walk_multi_task_equals_single(ray_session, monkeypatch):
     import pandas as pd
 
     pd.testing.assert_frame_equal(base, many)
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_pagerank_local_vs_distributed_plan_equality(ray_session, seed):
+    import numpy as np
+    import ray.data
+
+    from deepseek_ocr_ray.stages.graph import pagerank_int
+
+    rng = np.random.RandomState(seed)
+    n_nodes = int(rng.randint(20, 60))
+    m = int(rng.randint(40, 200))
+    u = rng.randint(0, n_nodes, m).astype(np.int64)
+    v = rng.randint(0, n_nodes, m).astype(np.int64)
+    # symmetrize so the node-set precondition holds; duplicates kept on
+    # purpose (the internal dedup must behave identically in both plans)
+    eu = np.concatenate([u, v])
+    ev = np.concatenate([v, u])
+    t = pa.table({"src": pa.array(eu), "dst": pa.array(ev)})
+    outs = []
+    for strat in ("local", "distributed"):
+        ds = ray.data.from_arrow(t).repartition(4)
+        df = (
+            pagerank_int(ds, strategy=strat, num_iters=3)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
