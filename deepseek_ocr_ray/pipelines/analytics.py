@@ -874,12 +874,14 @@ def priority_price_quantiles(sf_dir: str) -> ray.data.Dataset:
     ``ceil(q*n) - 1`` of the sorted values — verified empirically, both
     engines doing the index arithmetic in the same IEEE doubles).
 
-    Exact per-group quantiles need the group's values together — a true
-    all-to-all, but only ONE int64 column moves, pre-projected at the scan.
-    With millions of groups the same ``map_groups`` body runs inside the
-    coarse-bucket pattern used everywhere else in this engine.
+    ONE histogram pass (:func:`stages.agg.group_quantiles_disc`): all
+    three probabilities are ranks into the same sorted (group, cents,
+    count) histogram, so one exchange whose volume is groups × distinct
+    cents — independent of row count — serves p25/p50/p95 and the group
+    count together.  The raw-value all-to-all the naive ``map_groups``
+    formulation pays never happens.
     """
-    import math
+    from ..stages.agg import group_quantiles_disc
 
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
 
@@ -891,27 +893,27 @@ def priority_price_quantiles(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    def quantiles(group: pa.Table) -> pa.Table:
-        vals = np.sort(group["cents"].to_numpy(zero_copy_only=False))
-        n = len(vals)
-        pick = lambda q: int(vals[max(math.ceil(q * n) - 1, 0)])  # noqa: E731
-        return pa.table(
-            {
-                "o_orderpriority": pa.array(
-                    [group["o_orderpriority"][0].as_py()], pa.string()
-                ),
-                "n_orders": pa.array([n], pa.int64()),
-                "p25_cents": pa.array([pick(0.25)], pa.int64()),
-                "p50_cents": pa.array([pick(0.50)], pa.int64()),
-                "p95_cents": pa.array([pick(0.95)], pa.int64()),
-            }
+    q = group_quantiles_disc(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        "cents",
+        [0.25, 0.50, 0.95],
+        ["p25_cents", "p50_cents", "p95_cents"],
+        count_col="n_orders",
+    )
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            [
+                "o_orderpriority",
+                "n_orders",
+                "p25_cents",
+                "p50_cents",
+                "p95_cents",
+            ]
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .map_groups(quantiles, batch_format="pyarrow")
-    )
+    return q.map_batches(order_cols, batch_format="pyarrow")
 
 
 PRIORITY_QUANTILES_SQL = """

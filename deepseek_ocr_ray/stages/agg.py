@@ -399,6 +399,69 @@ def _hist_group_walk(g: pa.Table, keys: list[str], value_col: str):
     return order, starts, ends, val_s, cnt_s
 
 
+def group_quantiles_disc(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    qs: list[float],
+    out_cols: list[str],
+    *,
+    count_col: str | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT per-group discrete quantiles at SEVERAL probabilities in ONE
+    histogram pass — one output column per ``qs`` entry (DuckDB
+    ``quantile_disc`` convention at each), plus an optional group count.
+    A per-q ``group_quantile_disc`` chain would scan and exchange once per
+    probability; all of them are ranks into the same sorted (value, count)
+    histogram, so one exchange and one walk serve any number."""
+    if len(qs) != len(out_cols) or not qs:
+        raise ValueError("qs and out_cols must be equal-length, non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"every q must be in [0, 1], got {qs}")
+    partial = _make_hist_partial(keys, value_col, n_buckets)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.group_by(keys + [value_col]).aggregate([("__cnt", "sum")])
+        n = g.num_rows
+        vt = g.schema.field(value_col).type
+        if n == 0:
+            cols = {k: g[k] for k in keys}
+            if count_col:
+                cols[count_col] = pa.array([], pa.int64())
+            for oc in out_cols:
+                cols[oc] = pa.array([], vt)
+            return pa.table(cols)
+        order, starts, ends, val_s, cnt_s = _hist_group_walk(
+            g, keys, value_col
+        )
+        rows, ns = [], []
+        picks: list[list] = [[] for _ in qs]
+        for s, e in zip(starts, ends):
+            v, c = val_s[s:e], cnt_s[s:e]
+            csum = np.cumsum(c)
+            tot = int(csum[-1])
+            rows.append(order[s])
+            ns.append(tot)
+            for j, q in enumerate(qs):
+                picks[j].append(
+                    v[np.searchsorted(csum, _disc_rank(tot, q), side="right")]
+                )
+        take = pa.array(np.asarray(rows, np.int64))
+        cols = {k: g[k].take(take) for k in keys}
+        if count_col:
+            cols[count_col] = pa.array(ns, pa.int64())
+        for oc, pk in zip(out_cols, picks):
+            cols[oc] = pa.array(np.asarray(pk)).cast(vt)
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
 def group_winsorized(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -877,3 +877,61 @@ def test_lattice_driver_vs_distributed_plan_equality(ray_session, kernel):
     # grand-total row present exactly once in both
     both_null = outs[0][outs[0]["a"].isna() & outs[0]["b"].isna()]
     assert len(both_null) == 1
+
+
+@pytest.mark.parametrize("seed", [4, 19])
+def test_group_quantiles_disc_multi_vs_duckdb(ray_session, seed):
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_quantiles_disc
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(150, 500))
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+            "v": pa.array(rng.randint(0, 80, n, dtype=np.int64), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        """
+SELECT g, CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(v, 0.25) AS q25,
+       quantile_disc(v, 0.50) AS q50,
+       quantile_disc(v, 0.95) AS q95
+FROM t GROUP BY 1 ORDER BY 1
+"""
+    ).df()
+    results = []
+    for blocks in (1, 6):
+        got = (
+            group_quantiles_disc(
+                ray.data.from_arrow(t).repartition(blocks),
+                ["g"],
+                "v",
+                [0.25, 0.50, 0.95],
+                ["q25", "q50", "q95"],
+                count_col="n",
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        results.append(got)
+    assert results[0].equals(results[1])
+    assert results[0].equals(want)
+
+
+def test_group_quantiles_disc_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.agg import group_quantiles_disc
+
+    ds = ray.data.from_arrow(pa.table({"g": [1], "v": [1]}))
+    with pytest.raises(ValueError):
+        group_quantiles_disc(ds, ["g"], "v", [0.5], ["a", "b"])
+    with pytest.raises(ValueError):
+        group_quantiles_disc(ds, ["g"], "v", [1.5], ["a"])
