@@ -864,3 +864,40 @@ def test_tpch_shape_fuzz(ray_session, tmp_path, seed, name, sql_attr):
     pd.testing.assert_frame_equal(
         got.sort_index(axis=1), want.sort_index(axis=1), check_dtype=True
     )
+
+
+@pytest.mark.parametrize("seed", [6, 13, 27])
+def test_prior_window_counts_fuzz(ray_session, tmp_path, seed):
+    import pandas as pd
+
+    from deepseek_ocr_ray.pipelines import analytics
+    from deepseek_ocr_ray.stages.windows import prior_window_counts
+
+    d = _rand_events_dir(tmp_path, seed, f"pwc_{seed}")
+    ds = analytics.read_table(
+        d, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    got = (
+        prior_window_counts(
+            ds, anchor_type="t0", count_type="t1", window_sec=4 * 3600.0
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.sql(
+        """
+SELECT p.event_id, p.user_id, CAST(count(v.ts) AS BIGINT) AS n_prior
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 't1'
+ AND v.ts > p.ts - INTERVAL 4 HOUR AND v.ts <= p.ts
+WHERE p.event_type = 't0'
+GROUP BY 1, 2 ORDER BY 1
+"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)

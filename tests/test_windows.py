@@ -867,3 +867,51 @@ def test_ccnet_buckets_order_property(ray_session):
             assert h.min() >= m.max()
         if len(m) and len(t):
             assert m.min() >= t.max()
+
+
+def test_prior_window_counts_boundaries(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import prior_window_counts
+
+    d = dt.datetime
+    t0 = d(2000, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: purchase at 12:00; views at 11:00:00 (exactly t-W,
+        # EXCLUDED by the strict lower edge), 11:00:01 (in), 12:00:00
+        # (tie at t, INCLUDED), 12:00:01 (after, out)
+        (1, 1, d(2000, 1, 1, 11, 0, 0), "view"),
+        (2, 1, d(2000, 1, 1, 11, 0, 1), "view"),
+        (3, 1, t0, "view"),
+        (4, 1, d(2000, 1, 1, 12, 0, 1), "view"),
+        (5, 1, t0, "purchase"),
+        # user 2: same timestamps must not leak across users
+        (6, 2, d(2000, 1, 1, 11, 30, 0), "view"),
+        (7, 2, d(2000, 1, 2, 12, 0, 0), "purchase"),  # a day later: 0
+        # user 3: purchase with no views at all
+        (8, 3, d(2000, 1, 1, 9, 0, 0), "purchase"),
+        # clicks never counted
+        (9, 1, d(2000, 1, 1, 11, 45, 0), "click"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        prior_window_counts(
+            ray.data.from_arrow(t).repartition(3),
+            anchor_type="purchase",
+            count_type="view",
+            window_sec=3600.0,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[5, 1, 2], [7, 2, 0], [8, 3, 0]]
