@@ -3822,16 +3822,18 @@ def q8_market_share(
         os.path.join(sf_dir, "region.parquet"),
         columns=["r_regionkey", "r_name"],
     )
-    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][
-        0
-    ].as_py()
+    rk_col = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    if len(rk_col) == 0:
+        raise ValueError(f"q8_market_share: unknown region {region!r}")
+    rkey = rk_col[0].as_py()
     region_nations = nat.filter(pc.equal(nat["n_regionkey"], rkey))[
         "n_nationkey"
     ].combine_chunks()
     region_nations_ref = ray.put(region_nations)
-    target = nat.filter(pc.equal(nat["n_name"], nation))["n_nationkey"][
-        0
-    ].as_py()
+    tgt_col = nat.filter(pc.equal(nat["n_name"], nation))["n_nationkey"]
+    if len(tgt_col) == 0:
+        raise ValueError(f"q8_market_share: unknown nation {nation!r}")
+    target = tgt_col[0].as_py()
 
     cust = read_table(
         sf_dir, "customer", columns=["c_custkey", "c_nationkey"]

@@ -742,8 +742,8 @@ def corpus_filter(
     carries one slim row per document (hash, id, three int32 flags),
     never text."""
     from ..functions import text_stats
+    from ..functions.text_stats import md5_fingerprints
     from ..hashing import string_hash64
-    from ..stages.dedup import md5_fingerprints
 
     n_buckets = 64
 

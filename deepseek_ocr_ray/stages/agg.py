@@ -226,26 +226,9 @@ def _group_quantile(
                     ),
                 }
             )
-        # sort histogram rows by (group, value) using EXACT per-column
-        # dictionary codes as the run delimiter (codes order differently
-        # than values, which is irrelevant — only run identity matters —
-        # and unlike a 64-bit hash they cannot merge two distinct groups)
-        def _codes(col) -> np.ndarray:
-            enc = pa.compute.dictionary_encode(col)
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-
-        codes = [_codes(g[k]) for k in keys]
-        val = g[value_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((val, *codes[::-1]))
-        codes_s = [c[order] for c in codes]
-        changed = np.zeros(n - 1, bool) if n else np.zeros(0, bool)
-        for c in codes_s:
-            changed |= c[1:] != c[:-1]
-        cnt_s = g["__cnt_sum"].to_numpy(zero_copy_only=False)[order]
-        starts = np.flatnonzero(np.r_[True, changed])
-        ends = np.r_[starts[1:], n]
+        order, starts, ends, val_s, cnt_s = _hist_group_walk(
+            g, keys, value_col
+        )
         csum = np.cumsum(cnt_s)
         run_base = np.where(starts > 0, csum[starts - 1], 0)
         run_tot = csum[ends - 1] - run_base
@@ -256,13 +239,7 @@ def _group_quantile(
         # while quantile_cont interpolates at h = q·(n−1).
         h = q * (run_tot - 1).astype(np.float64)
         frn = np.floor(h).astype(np.int64)
-        if mode == "disc":
-            rank = np.maximum(
-                np.ceil(q * run_tot.astype(np.float64)).astype(np.int64) - 1,
-                0,
-            )
-        else:
-            rank = frn
+        rank = _disc_rank(run_tot, q) if mode == "disc" else frn
         # first histogram row whose cumulative count exceeds the rank
         pick_lo = np.searchsorted(csum, run_base + rank, side="right")
         lo_rows = order[pick_lo]
@@ -274,9 +251,9 @@ def _group_quantile(
             # v_lo*(CRN - h) + v_hi*(h - FRN), v_lo when CRN == FRN
             crn = np.ceil(h).astype(np.int64)
             pick_hi = np.searchsorted(csum, run_base + crn, side="right")
-            vals_f = val.astype(np.float64)
-            vlo = vals_f[order][pick_lo]
-            vhi = vals_f[order][pick_hi]
+            vals_f = val_s.astype(np.float64)
+            vlo = vals_f[pick_lo]
+            vhi = vals_f[pick_hi]
             out = np.where(
                 crn == frn, vlo, vlo * (crn - h) + vhi * (h - frn)
             )
@@ -362,10 +339,16 @@ def group_median_mad(
     )
 
 
-def _disc_rank(tot: int, q: float) -> int:
+def _disc_rank(tot, q: float):
     """DuckDB ``quantile_disc``'s zero-indexed target rank — the smallest
     value whose CDF reaches q: ``ceil(q·n) − 1`` (NOT ``floor(q·(n−1))``,
-    which diverges at e.g. q=0.95, n=210; probed against DuckDB)."""
+    which diverges at e.g. q=0.95, n=210; probed against DuckDB across
+    (q, n) grids).  ``tot`` may be a scalar int or an int64 ndarray; the
+    return matches (Python int / ndarray)."""
+    if isinstance(tot, np.ndarray):
+        return np.maximum(
+            np.ceil(q * tot.astype(np.float64)).astype(np.int64) - 1, 0
+        )
     return max(int(np.ceil(q * tot)) - 1, 0)
 
 
@@ -602,22 +585,9 @@ def group_equidepth(
                 }
             )
 
-        def _codes(col) -> np.ndarray:
-            enc = pa.compute.dictionary_encode(col)
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-
-        codes = [_codes(g[k]) for k in keys]
-        val = g[value_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((val, *codes[::-1]))
-        codes_s = [c[order] for c in codes]
-        changed = np.zeros(n - 1, bool) if n else np.zeros(0, bool)
-        for c in codes_s:
-            changed |= c[1:] != c[:-1]
-        cnt_s = g["__cnt_sum"].to_numpy(zero_copy_only=False)[order]
-        starts = np.flatnonzero(np.r_[True, changed])
-        ends = np.r_[starts[1:], n]
+        order, starts, ends, val_s, cnt_s = _hist_group_walk(
+            g, keys, value_col
+        )
         csum = np.cumsum(cnt_s)
         run_base = np.where(starts > 0, csum[starts - 1], 0)
         run_tot = csum[ends - 1] - run_base  # rows per group
@@ -981,11 +951,35 @@ def _lattice_use_driver(base: ray.data.Dataset, finish: str) -> bool:
         return True
     if finish == "distributed":
         return False
-    assert finish == "auto", finish
+    if finish != "auto":
+        raise ValueError(
+            f"unknown finish {finish!r} (want auto/driver/distributed)"
+        )
     from ..cluster import dataset_size_estimate
 
     est = dataset_size_estimate(base)
     return est is not None and est <= LATTICE_DRIVER_MAX_BYTES
+
+
+def _lattice_collect_base(
+    base: ray.data.Dataset,
+    keys: list[str],
+    key_types: dict,
+    value_cols: list[str],
+) -> pa.Table:
+    """Collect the materialized finest level for the driver finish,
+    synthesizing a typed empty table when the input had no rows."""
+    from ..cluster import collect_table
+
+    base_t = collect_table(base)
+    if base_t is None:
+        base_t = pa.table(
+            {
+                **{k: pa.array([], key_types[k]) for k in keys},
+                **{c: pa.array([], pa.int64()) for c in value_cols},
+            }
+        )
+    return base_t
 
 
 def _make_null_fill(keys: list[str], key_types: dict, value_cols: list[str]):
@@ -1045,23 +1039,17 @@ def cube_sum(
     key_types = {k: base_schema.field(k).type for k in keys}
 
     if _lattice_use_driver(base, finish):
-        from ..cluster import collect_table
-
-        base_t = collect_table(base)
-        if base_t is None:
-            base_t = pa.table(
-                {
-                    **{k: pa.array([], key_types[k]) for k in keys},
-                    **{c: pa.array([], pa.int64()) for c in value_cols},
-                }
-            )
         subsets = [
             sub
             for depth in range(len(keys) - 1, -1, -1)
             for sub in combinations(keys, depth)
         ]
         return _lattice_driver_levels(
-            base_t, subsets, keys, key_types, value_cols
+            _lattice_collect_base(base, keys, key_types, value_cols),
+            subsets,
+            keys,
+            key_types,
+            value_cols,
         )
 
     _null_fill = _make_null_fill(keys, key_types, value_cols)
@@ -1130,21 +1118,15 @@ def rollup_sum(
     key_types = {k: base_schema.field(k).type for k in keys}
 
     if _lattice_use_driver(base, finish):
-        from ..cluster import collect_table
-
-        base_t = collect_table(base)
-        if base_t is None:
-            base_t = pa.table(
-                {
-                    **{k: pa.array([], key_types[k]) for k in keys},
-                    **{c: pa.array([], pa.int64()) for c in value_cols},
-                }
-            )
         subsets = [
             tuple(keys[:depth]) for depth in range(len(keys) - 1, -1, -1)
         ]
         return _lattice_driver_levels(
-            base_t, subsets, keys, key_types, value_cols
+            _lattice_collect_base(base, keys, key_types, value_cols),
+            subsets,
+            keys,
+            key_types,
+            value_cols,
         )
 
     _null_fill = _make_null_fill(keys, key_types, value_cols)

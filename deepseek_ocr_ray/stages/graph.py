@@ -299,11 +299,9 @@ def pagerank_int(
             from ..cluster import collect_table
 
             etbl = collect_table(ecols)
-            node_t = (
-                etbl.schema.field(src_col).type
-                if etbl is not None
-                else pa.int64()
-            )
+            # real column type even when the table is empty — the empty
+            # edge case must emit the same schema as the distributed plan
+            node_t = ecols.schema().base_schema.field(src_col).type
             if etbl is None or etbl.num_rows == 0:
                 return ray.data.from_arrow(
                     pa.table(
