@@ -2387,6 +2387,123 @@ FROM documents ORDER BY doc_id
 """
 
 
+def documents_split_safe(
+    sf_dir: str,
+    *,
+    salt: str = "split42",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    method: str = "md5",
+) -> ray.data.Dataset:
+    """LEAKAGE-SAFE train/val/test split: exact-duplicate documents (same
+    text bytes) always land in the SAME split, because the assignment
+    hashes the dup GROUP's min doc_id rather than each document's own id —
+    the eval-integrity property a plain id split lacks (a test document
+    whose duplicate sits in train is memorized, not generalized).
+    One row per document: ``(doc_id, split)``.
+
+    Shape: ONE text_hash-keyed coarse exchange (the corpus_filter winner
+    machinery) — each group resolves its min-id winner in C++, the split
+    rule runs once per DISTINCT text (never per row), and rows map back
+    through one ``index_in`` probe.  ``method="md5"`` is the SQL-parity
+    rule; ``"fast"`` is the vectorized production hash."""
+    import hashlib as _h
+
+    from ..functions.text_stats import md5_fingerprints
+    from ..hashing import hash64_array, mix64, string_hash64
+
+    if method not in ("fast", "md5"):
+        raise ValueError(f"unknown split method {method!r}")
+    cut1, cut2 = int(train_pct), int(train_pct) + int(val_pct)
+    salt_h = _salt_hash(salt)
+    n_buckets = 64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        h = md5_fingerprints(batch["text"])
+        bucket = string_hash64(h) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "text_hash": h,
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    _LABELS = np.array(["train", "val", "test"])
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "split": pa.array([], pa.string()),
+                }
+            )
+        gm = (
+            group.select(["text_hash", "doc_id"])
+            .group_by("text_hash")
+            .aggregate([("doc_id", "min")])
+        )
+        hs = gm["text_hash"]
+        if isinstance(hs, pa.ChunkedArray):
+            hs = hs.combine_chunks()
+        if method == "fast":
+            b = (
+                mix64(hash64_array(gm["doc_id_min"]) ^ salt_h)
+                % np.uint64(100)
+            ).astype(np.int64)
+        else:
+            sp = f"{salt}:".encode()
+            md5 = _h.md5
+            b = np.array(
+                [
+                    int.from_bytes(
+                        md5(sp + str(v).encode()).digest()[:4], "big"
+                    )
+                    % 100
+                    for v in gm["doc_id_min"].to_pylist()
+                ],
+                np.int64,
+            )
+        lab = np.where(b < cut1, 0, np.where(b < cut2, 1, 2))
+        idx = pc.index_in(group["text_hash"], value_set=hs).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "split": pa.array(_LABELS[lab[idx]].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+DOCUMENTS_SPLIT_SAFE_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),
+w AS (SELECT th, min(doc_id) AS win FROM h GROUP BY 1),
+s AS (
+  SELECT th,
+    CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT th,
+      CAST(('0x' || substr(md5('split42:' || CAST(win AS VARCHAR)), 1, 8))
+           AS UBIGINT) % 100 AS hv
+    FROM w
+  )
+)
+SELECT CAST(h.doc_id AS BIGINT) AS doc_id, s.split
+FROM h JOIN s USING (th) ORDER BY 1
+"""
+
+
 def source_top_terms(
     sf_dir: str, k: int = 5, min_count: int = 10, scale: int = 1_000_000
 ) -> ray.data.Dataset:

@@ -1180,3 +1180,52 @@ def test_line_dedup_cli(tmp_path):
     assert set(t.column_names) == {
         "doc_id", "n_lines", "n_dropped_lines", "text"
     }
+
+
+def test_documents_split_safe_dup_groups_share_split(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deepseek_ocr_ray.pipelines import analytics
+
+    # four distinct texts; text A duplicated across three ids, text B
+    # across two — every dup group must land in ONE split, and the split
+    # must equal the plain-id split OF THE GROUP'S MIN ID
+    texts = {
+        1: "alpha beta", 7: "alpha beta", 909: "alpha beta",
+        2: "gamma", 500: "gamma",
+        3: "delta", 4: "epsilon zeta",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    for method in ("md5", "fast"):
+        out = (
+            analytics.documents_split_safe(str(tmp_path), method=method)
+            .to_pandas()
+            .set_index("doc_id")["split"]
+        )
+        assert len(out) == len(texts)
+        assert out[1] == out[7] == out[909]
+        assert out[2] == out[500]
+        # group split == the min id's own id-split (same salt/rule)
+        ids = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64())})
+        )
+        base = (
+            analytics.train_val_test_split(ids, method=method)
+            .to_pandas()
+            .set_index("doc_id")["split"]
+        )
+        for win, members in [(1, [1, 7, 909]), (2, [2, 500]),
+                             (3, [3]), (4, [4])]:
+            for m in members:
+                assert out[m] == base[win], (method, win, m)
