@@ -3338,6 +3338,36 @@ LIMIT 100
 """
 
 
+def part_name_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> ray.data.Dataset:
+    """Fuzzy self-join on part names: every DISTINCT ``p_name`` pair
+    within byte-level Levenshtein distance ``max_dist``, with each
+    side's corpus row count — the entity-resolution primitive (typo /
+    variant detection over a key column) a naive plan needs an
+    all-pairs cross join for.
+
+    Plan in :mod:`..stages.fuzzy`: distinct reduction → SymSpell
+    deletion-neighborhood banding (variant HASHES only, O(1) each via
+    a prefix/suffix polynomial decomposition) → candidate pairing on
+    the variant hash → exact vectorized cross-pair Levenshtein verify.
+    Three bounded exchanges; the corpus is scanned once."""
+    from ..stages.fuzzy import edit_distance_join
+
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+    return edit_distance_join(ds, "p_name", max_dist=max_dist)
+
+
+PART_NAME_FUZZY_PAIRS_SQL = """
+WITH d AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt FROM part GROUP BY 1
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.cnt AS count_a, b.cnt AS count_b
+FROM d a JOIN d b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 Q5_LOCAL_VOLUME_SQL = """
 SELECT n_name,
        CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)

@@ -1,0 +1,396 @@
+"""Edit-distance similarity join — every DISTINCT-value pair of a string
+column within a Levenshtein bound, WITHOUT comparing all pairs.
+
+Semantics: byte-level Levenshtein over the UTF-8 encoding (exactly
+DuckDB's ``levenshtein``, which counts byte edits — ``levenshtein('é',
+'e') = 2``; equal to character-level on ASCII).  Pairs are emitted once,
+ordered ``name_a < name_b`` bytewise (== Python str order on UTF-8).
+
+Banding: the SymSpell deletion neighborhood.  If ``lev(a, b) ≤ d`` then
+the matched positions of an optimal alignment form a common string
+reachable by ≤ d deletions from EACH side (a loses its deleted +
+substituted bytes, b its inserted + substituted ones), so ``a`` and
+``b`` share at least one member of their ≤ d-deletion variant sets.
+Grouping by variant therefore finds every true pair; a hash collision
+between different variants only ADDS candidates, which the exact verify
+kills — completeness never rests on the hash.
+
+Plan (three bounded exchanges; nothing corpus-sized ever moves):
+
+1. distinct reduction — per-block C++ ``group_by(column).count()`` then
+   the standard coarse-bucket exchange (``stages/agg.py``): one row per
+   distinct value with its global row count.  This is the only stage
+   that sees corpus rows, and it only moves (block-distinct value, n).
+2. variant expansion — zero-exchange ``map_batches`` over the distinct
+   values: each value of byte length L emits ``1 + L + C(L,2)`` variant
+   HASHES (``max_dist = 2``).  No variant string is materialized: a
+   prefix/suffix polynomial-hash decomposition yields every deletion
+   variant's hash in O(1) from two cumulative arrays (the FNV prime is
+   odd, hence invertible mod 2^64, so the mid-segment realignment is a
+   single multiply by the precomputed inverse).
+3. candidate pairing — ONE exchange keyed on the variant hash; each
+   equal-hash run contributes its C(k,2) value pairs via segmented-
+   arange indices (cf. ``dedup.py``), deduplicated within the group by
+   exact within-group rank arithmetic.  Runs are bounded by the number
+   of distinct values within distance ~2d of one another — the
+   operator's own output density, not the corpus size.
+4. pair dedup + verify — ONE exchange on the pair hash; per group an
+   exact C++ ``group_by(name_a, name_b)`` dedup (no hash identity on
+   the output path), then a fully vectorized cross-pair Levenshtein:
+   the classic row DP where the in-row insertion chain
+   ``D[i] = min(t[i], D[i-1]+1)`` is closed into
+   ``i + running_min(t[k] - k)`` — one ``np.minimum.accumulate`` per
+   target byte, every pair advanced simultaneously, zero per-pair
+   Python.
+
+Scale: exchange volumes are (distinct values) → (distinct × C(L,≤d))
+→ (candidate pairs).  The operator targets SHORT string columns
+(names, titles, codes): ``max_len`` (default 64) rejects longer values
+explicitly rather than silently degrading — for long-text similarity
+use the MinHash / SimHash / n-gram families in ``stages/dedup.py``.
+No reference counterpart (the reference has no relational surface);
+fuzzy key matching is table-stakes for entity resolution in corpus
+curation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..hashing import _POLY_P, mix64, splitmix_bucket, string_hash64
+from .agg import bucket_groupby_sum
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+# multiplicative inverse of the FNV prime mod 2^64 (P is odd)
+_POLY_P_INV = np.uint64(pow(int(_POLY_P), -1, 1 << 64))
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("name_a", pa.string()),
+        ("name_b", pa.string()),
+        ("dist", pa.int64()),
+        ("count_a", pa.int64()),
+        ("count_b", pa.int64()),
+    ]
+)
+
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, n+1 relative], data[uint8]) of a large_binary array."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = (
+        np.frombuffer(arr.buffers()[2], np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return off, data
+
+
+def _fold(raw: np.ndarray, length: int) -> np.ndarray:
+    """Finish a raw polynomial hash: fold the variant length, avalanche."""
+    fold = np.uint64((int(length) * int(_GOLDEN)) & 0xFFFFFFFFFFFFFFFF)
+    return mix64(raw ^ fold)
+
+
+def _deletion_variant_hashes(
+    mat: np.ndarray, max_dist: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All ≤ ``max_dist``-deletion variant hashes of each row of a byte
+    matrix ``(m, L)``.
+
+    Returns ``(hashes, row_idx)`` — flat uint64 hashes plus the source
+    row of each.  Hash of a byte string s = ``mix64(Σ (s[t]+1)·P^(len−1−t)
+    XOR len·golden)`` — identical to hashing the materialized variant,
+    but computed in O(1) per variant from prefix/suffix cumulatives.
+    """
+    m, L = mat.shape
+    b1 = mat.astype(np.uint64) + np.uint64(1)
+    powers = np.full(max(L, 1), _POLY_P, np.uint64)
+    if L:
+        powers[0] = np.uint64(1)
+    powers = np.cumprod(powers)  # P^0..P^(L-1), wraps mod 2^64
+
+    # pre[:, j] = hash of prefix s[:j] in its OWN alignment (Σ (s[t]+1)·P^(j−1−t))
+    pre = np.zeros((m, L + 1), np.uint64)
+    for j in range(1, L + 1):
+        pre[:, j] = pre[:, j - 1] * _POLY_P + b1[:, j - 1]
+    # suf[:, j] = Σ_{t≥j} (s[t]+1)·P^(L−1−t)  (full-string alignment)
+    contrib = b1 * powers[::-1][None, :] if L else np.zeros((m, 0), np.uint64)
+    suf = np.zeros((m, L + 1), np.uint64)
+    if L:
+        suf[:, :L] = np.cumsum(contrib[:, ::-1], axis=1)[:, ::-1]
+
+    rows = np.arange(m, dtype=np.int64)
+    hs = [_fold(suf[:, 0], L)]  # d = 0: the value itself
+    idx = [rows]
+    if max_dist >= 1 and L >= 1:
+        # delete position j (variant length L−1): prefix realigns by
+        # P^(L−1−j), suffix after j keeps its exponents (shift left by
+        # one position AND one length — they cancel).
+        for j in range(L):
+            raw = pre[:, j] * powers[L - 1 - j] + suf[:, j + 1]
+            hs.append(_fold(raw, L - 1))
+            idx.append(rows)
+    if max_dist >= 2 and L >= 2:
+        # delete j1 < j2 (variant length L−2): prefix realigns by
+        # P^(L−2−j1); the mid segment (j1, j2) shifts one position at
+        # unchanged length − 1 → multiply by P⁻¹; the tail shifts two
+        # positions at length − 2 → unchanged.
+        for j1 in range(L - 1):
+            j2 = np.arange(j1 + 1, L, dtype=np.int64)
+            # mid = positions strictly between j1 and j2: Σ_{t∈(j1,j2)}
+            mid = (suf[:, j1 + 1][:, None] - suf[:, j2]) * _POLY_P_INV
+            raw = (
+                (pre[:, j1] * powers[L - 2 - j1])[:, None]
+                + mid
+                + suf[:, j2 + 1]
+            )
+            hs.append(_fold(raw, L - 2).ravel())
+            idx.append(np.repeat(rows, len(j2)))
+    return np.concatenate(hs), np.concatenate(idx)
+
+
+def levenshtein_pairs(a: pa.Array, b: pa.Array) -> np.ndarray:
+    """Exact byte-level Levenshtein distance of each (a[i], b[i]) pair,
+    every pair advanced simultaneously — O(maxlen) vector passes, zero
+    per-pair Python.  Inputs are string/binary arrays of equal length."""
+    a = a.cast(pa.large_binary())
+    b = b.cast(pa.large_binary())
+    off_a, dat_a = _binary_parts(a)
+    off_b, dat_b = _binary_parts(b)
+    la = np.diff(off_a).astype(np.int64)
+    lb = np.diff(off_b).astype(np.int64)
+    n = len(la)
+    if n == 0:
+        return np.empty(0, np.int64)
+    La, Lb = int(la.max(initial=0)), int(lb.max(initial=0))
+
+    def gather(off: np.ndarray, dat: np.ndarray, L: int) -> np.ndarray:
+        if L == 0:
+            return np.empty((n, 0), np.uint8)
+        ix = off[:-1, None] + np.arange(L, dtype=np.int64)[None, :]
+        np.clip(ix, 0, max(len(dat) - 1, 0), out=ix)
+        return (
+            dat[ix] if len(dat) else np.zeros((n, L), np.uint8)
+        )  # padded bytes are garbage but never read past each la/lb
+
+    A = gather(off_a, dat_a, La)
+    B = gather(off_b, dat_b, Lb)
+    ar = np.arange(La + 1, dtype=np.int32)
+    prev = np.broadcast_to(ar, (n, La + 1)).copy()  # D[0][i] = i
+    out = la.astype(np.int32).copy()  # pairs with lb == 0
+    for j in range(1, Lb + 1):
+        t = np.empty((n, La + 1), np.int32)
+        t[:, 0] = j
+        cost = (A != B[:, j - 1 : j]).astype(np.int32)
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=t[:, 1:])
+        # D[j][i] = min(t[i], D[j][i−1]+1) = i + running_min(t[k] − k)
+        t -= ar
+        np.minimum.accumulate(t, axis=1, out=t)
+        t += ar
+        hit = lb == j
+        if hit.any():
+            out[hit] = t[hit, la[hit]]
+        prev = t
+    return out.astype(np.int64)
+
+
+def edit_distance_join(
+    ds: ray.data.Dataset,
+    column: str,
+    max_dist: int = 2,
+    *,
+    max_len: int = 64,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """All DISTINCT-value pairs of ``column`` with byte-level Levenshtein
+    distance ≤ ``max_dist`` (1 or 2).  Output one row per unordered pair:
+    ``(name_a, name_b, dist, count_a, count_b)`` with ``name_a < name_b``
+    bytewise and counts = the values' corpus row counts.
+
+    Values longer than ``max_len`` UTF-8 bytes raise (the deletion
+    neighborhood is quadratic in length — this operator targets short
+    key columns; use the MinHash/SimHash families for long text).
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(
+            f"edit_distance_join: max_dist={max_dist!r} must be 1 or 2 "
+            "(the deletion-neighborhood enumeration is bounded by design)"
+        )
+    if max_len < 1:
+        raise ValueError("edit_distance_join: max_len must be >= 1")
+
+    distinct = bucket_groupby_sum(
+        ds.map_batches(
+            lambda b: b.select([column]), batch_format="pyarrow"
+        ),
+        keys=[column],
+        sum_cols=[],
+        count_col="cnt",
+        n_buckets=n_buckets,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vh": pa.array([], pa.int64()),
+                "val": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        vals = batch[column].combine_chunks().cast(pa.large_binary())
+        off, data = _binary_parts(vals)
+        lens = np.diff(off).astype(np.int64)
+        too_long = lens > max_len
+        if too_long.any():
+            bad = int(lens.max())
+            raise ValueError(
+                f"edit_distance_join: a {column!r} value is {bad} UTF-8 "
+                f"bytes (> max_len={max_len}); this operator targets "
+                "short key columns — raise max_len explicitly or use "
+                "the MinHash/SimHash dedup families for long text"
+            )
+        all_h: list[np.ndarray] = []
+        all_i: list[np.ndarray] = []
+        for L in np.unique(lens):
+            sel = np.flatnonzero(lens == L)
+            L = int(L)
+            if L == 0:
+                mat = np.empty((len(sel), 0), np.uint8)
+            else:
+                ix = off[sel, None] + np.arange(L, dtype=np.int64)[None, :]
+                mat = data[ix]
+            hs, rel = _deletion_variant_hashes(mat, max_dist)
+            all_h.append(hs)
+            all_i.append(sel[rel])
+        vh = np.concatenate(all_h)
+        ridx = np.concatenate(all_i)
+        # per-value variant dedup (different deletions can coincide,
+        # e.g. "aab" − pos0 == "aab" − pos1): exact on (row, hash)
+        order = np.lexsort((vh, ridx))
+        vh, ridx = vh[order], ridx[order]
+        keep = np.r_[
+            True, (vh[1:] != vh[:-1]) | (ridx[1:] != ridx[:-1])
+        ]
+        vh, ridx = vh[keep], ridx[keep]
+        take = pa.array(ridx, pa.int64())
+        return pa.table(
+            {
+                "vh": pa.array(vh.view(np.int64), pa.int64()),
+                "val": batch[column].take(take),
+                "cnt": batch["cnt"].take(take).cast(pa.int64()),
+                "bucket": pa.array(
+                    splitmix_bucket(vh, n_buckets).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "name_a": pa.array([], pa.string()),
+                "name_b": pa.array([], pa.string()),
+                "count_a": pa.array([], pa.int64()),
+                "count_b": pa.array([], pa.int64()),
+                "bucket2": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "vh" not in group.column_names:
+            return empty
+        vh = group["vh"].to_numpy(zero_copy_only=False).view(np.uint64)
+        # bytewise value rank within the group — exact pair identity and
+        # canonical (a < b) orientation without any hash on the hot path
+        rank_of_sorted = pc.sort_indices(group["val"]).to_numpy(
+            zero_copy_only=False
+        )
+        rank = np.empty(len(vh), np.int64)
+        rank[rank_of_sorted] = np.arange(len(vh), dtype=np.int64)
+        order = np.lexsort((rank, vh))
+        vh_s, rank_s = vh[order], rank[order]
+        n = len(vh_s)
+        new_run = np.r_[True, vh_s[1:] != vh_s[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id).astype(np.int64)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(run_len)[:-1]], run_len
+        )
+        seg = run_len[run_id] - pos - 1  # partners following each row
+        total = int(seg.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), seg)
+        cum0 = np.r_[0, np.cumsum(seg)[:-1]]
+        b_idx = a_idx + (
+            np.arange(total, dtype=np.int64) - np.repeat(cum0, seg)
+        ) + 1
+        ra, rb = rank_s[a_idx], rank_s[b_idx]
+        lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
+        same = lo == hi  # same value via two colliding variants
+        lo, hi = lo[~same], hi[~same]
+        key = lo * np.int64(n) + hi  # exact within-group pair identity
+        key = np.unique(key)
+        lo, hi = key // np.int64(n), key % np.int64(n)
+        back = np.empty(n, np.int64)  # rank → group row
+        back[rank] = np.arange(n, dtype=np.int64)
+        ta, tb = pa.array(back[lo]), pa.array(back[hi])
+        name_a, name_b = group["val"].take(ta), group["val"].take(tb)
+        pk = mix64(
+            string_hash64(name_a) ^ (string_hash64(name_b) * _GOLDEN)
+        )
+        return pa.table(
+            {
+                "name_a": name_a,
+                "name_b": name_b,
+                "count_a": group["cnt"].take(ta).cast(pa.int64()),
+                "count_b": group["cnt"].take(tb).cast(pa.int64()),
+                "bucket2": pa.array(
+                    splitmix_bucket(pk, n_buckets).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        empty = _PAIR_SCHEMA.empty_table()
+        if group.num_rows == 0 or "name_a" not in group.column_names:
+            return empty
+        # exact pair dedup in C++ — counts are per-value constants, so
+        # min() just picks the shared value
+        g = group.group_by(["name_a", "name_b"]).aggregate(
+            [("count_a", "min"), ("count_b", "min")]
+        )
+        dist = levenshtein_pairs(
+            g["name_a"].combine_chunks(), g["name_b"].combine_chunks()
+        )
+        keep = dist <= max_dist
+        if not keep.any():
+            return empty
+        sel = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "name_a": g["name_a"].take(sel),
+                "name_b": g["name_b"].take(sel),
+                "dist": pa.array(dist[keep], pa.int64()),
+                "count_a": g["count_a_min"].take(sel).cast(pa.int64()),
+                "count_b": g["count_b_min"].take(sel).cast(pa.int64()),
+            }
+        )
+
+    return (
+        distinct.map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby("bucket2")
+        .map_groups(verify, batch_format="pyarrow")
+    )
