@@ -176,43 +176,80 @@ def test_dedup_deterministic_across_parallelism(ray_session, blocks):
 
 def test_ngram_dedup_join_path_equals_carry(ray_session):
     """verify="join" (the 10^12-row plan: pairs → text join → anti-join)
-    must keep exactly the same ids as the carry-text plan."""
+    must keep exactly the same ids as the carry-text plan — under BOTH
+    pair plans (driver-local verify and the distributed text joins)."""
     carry = sorted(
         dedup.ngram_jaccard_dedup(
             _ds(_corpus()), ngram=3, threshold=0.6
         ).to_pandas()["doc_id"]
     )
-    join = sorted(
-        dedup.ngram_jaccard_dedup(
-            _ds(_corpus()), ngram=3, threshold=0.6, verify="join"
-        ).to_pandas()["doc_id"]
-    )
-    assert carry == join
-    assert 1 not in join and 0 in join
+    for plan in ("local", "distributed", "auto"):
+        join = sorted(
+            dedup.ngram_jaccard_dedup(
+                _ds(_corpus()), ngram=3, threshold=0.6, verify="join",
+                pair_plan=plan,
+            ).to_pandas()["doc_id"]
+        )
+        assert carry == join, plan
+        assert 1 not in join and 0 in join
 
 
 def test_ngram_dedup_join_path_parallelism_invariant(ray_session):
-    """The join plan's kept set must not depend on block layout."""
-    outs = [
-        sorted(
-            dedup.ngram_jaccard_dedup(
-                _ds(_corpus(), blocks=b), ngram=3, threshold=0.6, verify="join"
-            ).to_pandas()["doc_id"]
-        )
-        for b in (1, 3, 7)
-    ]
-    assert outs[0] == outs[1] == outs[2]
+    """Neither pair plan's kept set may depend on block layout."""
+    for plan in ("local", "distributed"):
+        outs = [
+            sorted(
+                dedup.ngram_jaccard_dedup(
+                    _ds(_corpus(), blocks=b), ngram=3, threshold=0.6,
+                    verify="join", pair_plan=plan,
+                ).to_pandas()["doc_id"]
+            )
+            for b in (1, 3, 7)
+        ]
+        assert outs[0] == outs[1] == outs[2], plan
 
 
 def test_ngram_dedup_join_path_no_candidates(ray_session):
-    """A corpus with no LSH collisions exercises the empty-pairs joins."""
+    """A corpus with no LSH collisions exercises the empty-pairs path of
+    both plans."""
     tbl = _corpus().slice(3, 7)  # mutually dissimilar docs only
-    kept = sorted(
+    for plan in ("local", "distributed"):
+        kept = sorted(
+            dedup.ngram_jaccard_dedup(
+                _ds(tbl), ngram=3, threshold=0.6, verify="join",
+                pair_plan=plan,
+            ).to_pandas()["doc_id"]
+        )
+        assert kept == list(range(3, 10)), plan
+
+
+def test_ngram_dedup_local_budget_fallback(ray_session):
+    """A text-byte budget of 1 forces _ngram_local_verify to abort its
+    driver collect; the auto/local plans must fall back to the
+    distributed joins and still produce the exact kept set."""
+    want = sorted(
         dedup.ngram_jaccard_dedup(
-            _ds(tbl), ngram=3, threshold=0.6, verify="join"
+            _ds(_corpus()), ngram=3, threshold=0.6, verify="join",
+            pair_plan="distributed",
         ).to_pandas()["doc_id"]
     )
-    assert kept == list(range(3, 10))
+    for plan in ("auto", "local"):
+        got = sorted(
+            dedup.ngram_jaccard_dedup(
+                _ds(_corpus()), ngram=3, threshold=0.6, verify="join",
+                pair_plan=plan, local_max_bytes=1,
+            ).to_pandas()["doc_id"]
+        )
+        assert got == want, plan
+
+
+def test_ngram_dedup_rejects_bad_pair_plan(ray_session):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pair_plan"):
+        dedup.ngram_jaccard_dedup(
+            _ds(_corpus()), verify="join", pair_plan="driver"
+        )
 
 
 def test_incremental_exact_dedup_both_plans(ray_session):
