@@ -98,6 +98,25 @@ def string_hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return h
 
 
+def binary_parts(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, n+1], data[uint8]) of a large_binary array — the
+    canonical raw-buffer extraction (offsets index into the FULL data
+    buffer; ``arr.offset`` slicing is already applied to the offsets).
+    Null slots have zero length — callers that must distinguish null
+    from empty check ``arr.is_valid()`` themselves."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = (
+        np.frombuffer(arr.buffers()[2], np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return off, data
+
+
 def hash64_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Stable vectorized uint64 hash of an integer OR string/binary column."""
     if isinstance(arr, pa.ChunkedArray):

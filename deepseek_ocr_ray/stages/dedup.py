@@ -804,6 +804,11 @@ def incremental_minhash_dedup(
     )
 
 
+NGRAM_LOCAL_MAX_PAIRS = 200_000
+NGRAM_LOCAL_MAX_TEXT_BYTES = 256 * 1024 * 1024
+_MISSING = object()  # gram-cache sentinel (None is a valid cached value)
+
+
 def ngram_jaccard_dedup(
     ds: ray.data.Dataset,
     *,
@@ -815,6 +820,9 @@ def ngram_jaccard_dedup(
     n_buckets: int = 64,
     concurrency=(2, 8),
     verify: str = "join",
+    pair_plan: str = "auto",
+    local_max_pairs: int = NGRAM_LOCAL_MAX_PAIRS,
+    local_max_bytes: int = NGRAM_LOCAL_MAX_TEXT_BYTES,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidates + EXACT word n-gram Jaccard verification.
@@ -825,11 +833,18 @@ def ngram_jaccard_dedup(
       emit distinct candidate pairs, texts are joined back by id
       (``Dataset.join``), pairs verify vectorized, and kept ids come from a
       left-anti join.  Text moves once per candidate pair instead of once
-      per band row — the 10^12-row plan.
+      per band row — the 10^12-row plan.  Within it, ``pair_plan``
+      selects the verify route: ``"auto"`` (default) verifies on the
+      DRIVER when the materialized candidate-pair count is at most
+      ``local_max_pairs`` and the needed texts stream in under
+      ``local_max_bytes`` (both text joins and their aggregator pools
+      disappear), falling back to ``"distributed"`` (the join route)
+      otherwise; ``"local"`` forces the driver attempt.
     - ``verify="carry"`` — texts ride along in the bucket rows
       (``carry_text=True``).  One fewer exchange, but every document's full
       text is replicated ×bands through shuffle #1 (32× byte amplification)
       — explicit opt-in for tiny corpora / SQL-parity experiments only.
+      ``pair_plan`` does not apply (must stay ``"auto"``).
     """
     if verify == "join":
         # the join plan holds the signature pool AND two aggregator pools
@@ -846,7 +861,15 @@ def ngram_jaccard_dedup(
             seed=seed,
             n_buckets=n_buckets,
             concurrency=(1, hi),
+            pair_plan=pair_plan,
+            local_max_pairs=local_max_pairs,
+            local_max_bytes=local_max_bytes,
             **minhash_kwargs,
+        )
+
+    if pair_plan != "auto":
+        raise ValueError(
+            "ngram_jaccard_dedup: pair_plan applies to verify='join' only"
         )
 
     def verify_fn(group: pa.Table) -> pa.Table:
@@ -874,8 +897,6 @@ def ngram_jaccard_dedup(
     )
 
 
-NGRAM_LOCAL_MAX_PAIRS = 200_000
-NGRAM_LOCAL_MAX_TEXT_BYTES = 256 * 1024 * 1024
 
 
 def _ngram_local_verify(
@@ -897,13 +918,20 @@ def _ngram_local_verify(
     through ONE broadcast-filtered corpus scan streamed with a byte
     budget — returns ``None`` if the stream exceeds ``max_text_bytes``
     so the caller falls back to the distributed join plan — and the
-    exact n-gram Jaccard runs once on the driver via the vectorized
-    batch kernel.  Semantics identical to the join plan (inner-join
-    parity: a pair whose id is missing from the corpus never verifies;
-    null texts never verify)."""
+    exact n-gram Jaccard runs once on the driver.  Semantics identical
+    to the join plan: a pair whose id is missing from the corpus never
+    verifies (inner-join parity), null texts never verify, and a
+    DUPLICATED id verifies if ANY of its rows does (the inner join
+    replicates the pair per matching row).  Output ids are int64 on
+    every path, matching the distributed plans."""
     from ..cluster import collect_table
 
-    kept_all = ds.select_columns([id_col])
+    def as_i64(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col].cast(pa.int64())})
+
+    kept_all = ds.select_columns([id_col]).map_batches(
+        as_i64, batch_format="pyarrow"
+    )
     pt = collect_table(pairs_mat)
     if pt is None or pt.num_rows == 0:
         return kept_all
@@ -936,43 +964,54 @@ def _ngram_local_verify(
     order = np.argsort(ids_t, kind="stable")
     ids_s = ids_t[order]
 
-    def locate(q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        p = np.minimum(np.searchsorted(ids_s, q), len(ids_s) - 1)
-        return order[p], ids_s[p] == q
-
-    ia, oka = locate(a)
-    ib, okb = locate(b)
-    ok = oka & okb
+    # each id's run of corpus rows (duplicated ids keep EVERY row, like
+    # the inner join's replication)
+    sa = np.searchsorted(ids_s, a, "left")
+    ea = np.searchsorted(ids_s, a, "right")
+    sb = np.searchsorted(ids_s, b, "left")
+    eb = np.searchsorted(ids_s, b, "right")
+    ok = (ea > sa) & (eb > sb)
     if not ok.any():
         return kept_all
     # scalar set kernel on purpose — a vectorized lexsort variant
-    # measured ~4× slower on short documents — with each unique doc's
-    # gram set built ONCE (keepers pair with many candidates; the
+    # measured ~4× slower on short documents — with each doc row's gram
+    # set built ONCE and cached (keepers pair with many candidates; the
     # pairwise walk then only intersects)
-    ia_k, ib_k = ia[ok], ib[ok]
-    uniq_rows = np.unique(np.concatenate([ia_k, ib_k]))
-    texts_u = tt[text_col].take(pa.array(uniq_rows)).to_pylist()
-    gram_of = {
-        int(r): None if txt is None else word_ngram_set(txt, ngram)
-        for r, txt in zip(uniq_rows.tolist(), texts_u)
-    }
+    texts_list = tt[text_col].to_pylist()
+    gram_of: dict[int, set | None] = {}
 
-    def pair_hit(ra: int, rb: int) -> bool:
-        ga, gb = gram_of[ra], gram_of[rb]
-        if ga is None or gb is None:
-            return False
-        if not ga and not gb:
-            return 1.0 >= threshold
-        inter = len(ga & gb)
-        u = len(ga) + len(gb) - inter
-        return (inter / u if u else 0.0) >= threshold
+    def grams_at(row: int) -> set | None:
+        g = gram_of.get(row, _MISSING)
+        if g is _MISSING:
+            txt = texts_list[row]
+            g = None if txt is None else word_ngram_set(txt, ngram)
+            gram_of[row] = g
+        return g
 
+    def pair_hit(i: int) -> bool:
+        for r in order[sa[i] : ea[i]]:
+            ga = grams_at(int(r))
+            if ga is None:
+                continue
+            for s in order[sb[i] : eb[i]]:
+                gb = grams_at(int(s))
+                if gb is None:
+                    continue
+                if not ga and not gb:
+                    j = 1.0
+                else:
+                    inter = len(ga & gb)
+                    u = len(ga) + len(gb) - inter
+                    j = inter / u if u else 0.0
+                if j >= threshold:
+                    return True
+        return False
+
+    idx_ok = np.flatnonzero(ok)
     hits = np.fromiter(
-        (pair_hit(int(x), int(y)) for x, y in zip(ia_k, ib_k)),
-        dtype=bool,
-        count=len(ia_k),
+        (pair_hit(int(i)) for i in idx_ok), dtype=bool, count=len(idx_ok)
     )
-    drop = np.unique(b[ok][hits])
+    drop = np.unique(b[idx_ok][hits])
     if drop.size == 0:
         return kept_all
     dref = ray.put(drop)

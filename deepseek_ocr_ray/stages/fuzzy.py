@@ -60,37 +60,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..hashing import _POLY_P, mix64, splitmix_bucket, string_hash64
+from ..hashing import _POLY_P, binary_parts, mix64, splitmix_bucket, string_hash64
 from .agg import bucket_groupby_sum
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 # multiplicative inverse of the FNV prime mod 2^64 (P is odd)
 _POLY_P_INV = np.uint64(pow(int(_POLY_P), -1, 1 << 64))
-
-_PAIR_SCHEMA = pa.schema(
-    [
-        ("name_a", pa.string()),
-        ("name_b", pa.string()),
-        ("dist", pa.int64()),
-        ("count_a", pa.int64()),
-        ("count_b", pa.int64()),
-    ]
-)
-
-
-def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(offsets[int64, n+1 relative], data[uint8]) of a large_binary array."""
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    n = len(arr)
-    off = np.frombuffer(arr.buffers()[1], np.int64)[
-        arr.offset : arr.offset + n + 1
-    ]
-    data = (
-        np.frombuffer(arr.buffers()[2], np.uint8)
-        if arr.buffers()[2] is not None
-        else np.empty(0, np.uint8)
-    )
-    return off, data
 
 
 def _fold(raw: np.ndarray, length: int) -> np.ndarray:
@@ -163,8 +138,8 @@ def levenshtein_pairs(a: pa.Array, b: pa.Array) -> np.ndarray:
     per-pair Python.  Inputs are string/binary arrays of equal length."""
     a = a.cast(pa.large_binary())
     b = b.cast(pa.large_binary())
-    off_a, dat_a = _binary_parts(a)
-    off_b, dat_b = _binary_parts(b)
+    off_a, dat_a = binary_parts(a)
+    off_b, dat_b = binary_parts(b)
     la = np.diff(off_a).astype(np.int64)
     lb = np.diff(off_b).astype(np.int64)
     n = len(la)
@@ -209,6 +184,7 @@ def edit_distance_join(
     *,
     max_len: int = 64,
     n_buckets: int = 64,
+    value_type: pa.DataType | None = None,
 ) -> ray.data.Dataset:
     """All DISTINCT-value pairs of ``column`` with byte-level Levenshtein
     distance ≤ ``max_dist`` (1 or 2).  Output one row per unordered pair:
@@ -218,6 +194,12 @@ def edit_distance_join(
     Values longer than ``max_len`` UTF-8 bytes raise (the deletion
     neighborhood is quadratic in length — this operator targets short
     key columns; use the MinHash/SimHash families for long text).
+
+    NULL values never pair (dropped at the scan) — exactly the SQL
+    oracle's behavior (``levenshtein(NULL, x)`` is NULL and a NULL key
+    fails ``a < b``).  ``value_type`` overrides the output string type
+    (defaults to the input column's type; resolving it probes
+    ``ds.schema()``, free on read-backed inputs).
     """
     if max_dist not in (1, 2):
         raise ValueError(
@@ -226,10 +208,19 @@ def edit_distance_join(
         )
     if max_len < 1:
         raise ValueError("edit_distance_join: max_len must be >= 1")
+    if value_type is None:
+        sch = ds.schema()
+        if sch is None:
+            raise ValueError(
+                "edit_distance_join: input has no derivable schema — "
+                "pass value_type=pa.DataType"
+            )
+        value_type = sch.base_schema.field(column).type
+    vt = value_type
 
     distinct = bucket_groupby_sum(
         ds.map_batches(
-            lambda b: b.select([column]), batch_format="pyarrow"
+            lambda b: b.select([column]).drop_null(), batch_format="pyarrow"
         ),
         keys=[column],
         sum_cols=[],
@@ -241,7 +232,7 @@ def edit_distance_join(
         empty = pa.table(
             {
                 "vh": pa.array([], pa.int64()),
-                "val": pa.array([], pa.string()),
+                "val": pa.array([], vt),
                 "cnt": pa.array([], pa.int64()),
                 "bucket": pa.array([], pa.int64()),
             }
@@ -249,7 +240,7 @@ def edit_distance_join(
         if batch.num_rows == 0:
             return empty
         vals = batch[column].combine_chunks().cast(pa.large_binary())
-        off, data = _binary_parts(vals)
+        off, data = binary_parts(vals)
         lens = np.diff(off).astype(np.int64)
         too_long = lens > max_len
         if too_long.any():
@@ -299,8 +290,8 @@ def edit_distance_join(
     def pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                "name_a": pa.array([], pa.string()),
-                "name_b": pa.array([], pa.string()),
+                "name_a": pa.array([], vt),
+                "name_b": pa.array([], vt),
                 "count_a": pa.array([], pa.int64()),
                 "count_b": pa.array([], pa.int64()),
                 "bucket2": pa.array([], pa.int64()),
@@ -362,7 +353,15 @@ def edit_distance_join(
         )
 
     def verify(group: pa.Table) -> pa.Table:
-        empty = _PAIR_SCHEMA.empty_table()
+        empty = pa.table(
+            {
+                "name_a": pa.array([], vt),
+                "name_b": pa.array([], vt),
+                "dist": pa.array([], pa.int64()),
+                "count_a": pa.array([], pa.int64()),
+                "count_b": pa.array([], pa.int64()),
+            }
+        )
         if group.num_rows == 0 or "name_a" not in group.column_names:
             return empty
         # exact pair dedup in C++ — counts are per-value constants, so

@@ -477,3 +477,59 @@ def test_signatures_batch_chunked_and_sliced():
         want = h.signature(t)
         assert np.array_equal(got[i], want)
         assert np.array_equal(got2[i], want)
+
+
+def test_ngram_dedup_local_duplicate_ids_match_distributed(ray_session):
+    """A DUPLICATED id verifies if ANY of its rows does — the inner join
+    replicates the pair per matching row, and the local plan must agree."""
+    import pyarrow as pa
+    import ray
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # id 5 appears twice: one dissimilar row, one near-dup of keeper 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 5, 5, 9], pa.int64()),
+            "text": [base, "zz yy xx ww vv uu tt ss rr qq pp oo",
+                     base + " tail", "completely different words here now"],
+        }
+    )
+    outs = {}
+    for plan in ("local", "distributed"):
+        outs[plan] = sorted(
+            dedup.ngram_jaccard_dedup(
+                ray.data.from_arrow(tbl), ngram=3, threshold=0.5,
+                verify="join", pair_plan=plan,
+            ).to_pandas()["doc_id"]
+        )
+    assert outs["local"] == outs["distributed"]
+    assert 5 not in outs["local"]  # the near-dup row condemns the id
+
+
+def test_ngram_dedup_local_int64_ids_on_every_path(ray_session):
+    """int32 input ids: the local plan's no-candidates early return and
+    its anti path must both emit int64, matching the distributed plans."""
+    import pyarrow as pa
+    import ray
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int32()),
+            "text": ["aa bb cc dd", "ee ff gg hh", "ii jj kk ll"],
+        }
+    )
+    out = dedup.ngram_jaccard_dedup(
+        ray.data.from_arrow(tbl), ngram=3, threshold=0.5,
+        verify="join", pair_plan="local",
+    )
+    assert out.schema().base_schema.field("doc_id").type == pa.int64()
+    assert sorted(r["doc_id"] for r in out.take_all()) == [1, 2, 3]
+
+
+def test_ngram_dedup_carry_rejects_pair_plan(ray_session):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pair_plan"):
+        dedup.ngram_jaccard_dedup(
+            _ds(_corpus()), verify="carry", pair_plan="local"
+        )

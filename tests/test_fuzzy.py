@@ -180,3 +180,29 @@ def test_validation(ray_session):
     long = ray.data.from_arrow(pa.table({"v": ["x" * 100, "ab"]}))
     with pytest.raises(Exception, match="max_len"):
         edit_distance_join(long, "v", max_len=64).take_all()
+
+
+def test_null_values_never_pair(ray_session):
+    """NULLs drop at the scan — SQL parity (levenshtein(NULL,x) is NULL
+    and a NULL key fails a < b), no null-name output rows."""
+    vals = ["a", None, "ab", None, "", "b"]
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+    rows = edit_distance_join(ds, "v", max_dist=2).take_all()
+    got = set((r["name_a"], r["name_b"], r["dist"], r["count_a"], r["count_b"]) for r in rows)
+    assert not any(a is None or b is None for a, b, *_ in got)
+    assert got == _brute_pairs([v for v in vals if v is not None], 2)
+
+
+def test_large_string_column(ray_session):
+    """large_string inputs keep a consistent block schema (typed empties
+    derive from the input column type, not hard-coded string)."""
+    import ray
+
+    vals = ["aa", "ab", "zz"]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.large_string())}))
+    out = edit_distance_join(ds, "v", max_dist=1)
+    assert out.schema().base_schema.field("name_a").type == pa.large_string()
+    rows = out.take_all()
+    assert set((r["name_a"], r["name_b"]) for r in rows) == {("aa", "ab")}
