@@ -2824,6 +2824,181 @@ FROM m ORDER BY l_returnflag
 """
 
 
+def lineitem_price_ols(sf_dir: str) -> ray.data.Dataset:
+    """Per-(return flag, line status) OLS fit of discounted revenue on
+    [1, quantity, discount basis points] — distributed MODEL FITTING via
+    normal equations: the classic one-pass big-data regression.
+
+    Plan (see :func:`stages.linalg.groupwise_ols`): one derive pass
+    integerizes the features with the engine's pinned kernels (round-half-up
+    quantity, basis-point discount, q3's revenue-cents product), per-block
+    C++ ``group_by`` partials + ONE coarse-bucket exchange carry the nine
+    int64 sufficient statistics, and the 3×3 normal equations are solved on
+    the reduced one-row-per-group table with exact integer Cramer
+    determinants (fraction-free Bareiss).  The DuckDB oracle replicates the
+    SAME determinants in HUGEINT and the SAME pinned
+    ``CAST(det_i AS DOUBLE)/CAST(det AS DOUBLE)`` divisions, so the float
+    coefficients hash-match bit-for-bit (singular group ⇒ NaN/NULL,
+    compared equal_nan by the gate)."""
+    from ..stages.linalg import groupwise_ols
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        x0 = np.floor(qty.astype(np.float64) + 0.5).astype(np.int64)
+        x1 = np.floor(disc * 10000.0 + 0.5).astype(np.int64)
+        y = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "x0": pa.array(x0, pa.int64()),
+                "x1": pa.array(x1, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    # largest per-row moment product is x1·y: discount ≤ 0.1 ⇒ x1 ≤ 10³ bp,
+    # extendedprice ≤ ~1.05e5 $ ⇒ y ≤ ~1.05e7 cents, so |x1·y| ≤ ~1.05e10;
+    # declared bound 1.6e10 gives an int64 horizon of ~5e8 rows/group and
+    # the guard in the finish trips loudly past it
+    return groupwise_ols(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["x0", "x1"],
+        "y",
+        max_abs_row_product=16_000_000_000,
+    )
+
+
+LINEITEM_PRICE_OLS_SQL = """
+WITH d AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x0,
+         CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS x1,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x0) AS HUGEINT) AS s0, CAST(sum(x1) AS HUGEINT) AS s1,
+         CAST(sum(x0 * x0) AS HUGEINT) AS s00,
+         CAST(sum(x0 * x1) AS HUGEINT) AS s01,
+         CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x0 * y) AS HUGEINT) AS s0y,
+         CAST(sum(x1 * y) AS HUGEINT) AS s1y
+  FROM d GROUP BY 1, 2
+),
+dets AS (
+  SELECT *,
+    n  * (s00 * s11 - s01 * s01)
+      - s0 * (s0  * s11 - s01 * s1)
+      + s1 * (s0  * s01 - s00 * s1) AS det,
+    sy * (s00 * s11 - s01 * s01)
+      - s0 * (s0y * s11 - s01 * s1y)
+      + s1 * (s0y * s01 - s00 * s1y) AS det0,
+    n  * (s0y * s11 - s01 * s1y)
+      - sy * (s0  * s11 - s01 * s1)
+      + s1 * (s0  * s1y - s0y * s1) AS det1,
+    n  * (s00 * s1y - s0y * s01)
+      - s0 * (s0  * s1y - s0y * s1)
+      + sy * (s0  * s01 - s00 * s1) AS det2
+  FROM m
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(n AS BIGINT) AS n,
+       CAST(s0 AS BIGINT) AS sum_x0, CAST(s1 AS BIGINT) AS sum_x1,
+       CAST(s00 AS BIGINT) AS sum_x0x0, CAST(s01 AS BIGINT) AS sum_x0x1,
+       CAST(s11 AS BIGINT) AS sum_x1x1,
+       CAST(sy AS BIGINT) AS sum_y,
+       CAST(s0y AS BIGINT) AS sum_x0y, CAST(s1y AS BIGINT) AS sum_x1y,
+       CASE WHEN det = 0 THEN NULL
+            ELSE CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0,
+       CASE WHEN det = 0 THEN NULL
+            ELSE CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
+       CASE WHEN det = 0 THEN NULL
+            ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
+FROM dets ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def embedding_covariance(sf_dir: str) -> pa.Table:
+    """Sample covariance matrix of the embedding column (upper triangle,
+    one row per i ≤ j) — distributed DENSE LINEAR ALGEBRA reduction: each
+    block contributes its quantized Gram matrix ``QᵀQ`` and column sums as
+    ONE row (d²+d+1 int64s), the driver merges the bounded-domain partials
+    in exact Python ints, and the pinned float division both sides share
+    derives the covariance.  What crosses the wire is O(blocks·d²),
+    independent of corpus size — the canonical one-pass covariance at
+    100 TB.  Oracle: UNNEST-with-ordinality self-join in DuckDB over the
+    SAME round-half-up 10⁶ quantization."""
+    from ..stages.linalg import covariance_table, vector_moments
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    n, s, g = vector_moments(ds, vec_col="embedding", scale=1_000_000)
+    return covariance_table(n, s, g, scale=1_000_000)
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qx
+  FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+s AS (SELECT i, CAST(sum(qx) AS BIGINT) AS s FROM q GROUP BY 1),
+g AS (SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(a.qx AS HUGEINT) * b.qx) AS BIGINT) AS s_ij
+      FROM q a JOIN q b USING (vec_id) WHERE a.i <= b.i GROUP BY 1, 2)
+SELECT g.i, g.j, nn.n, sa.s AS s_i, sb.s AS s_j, g.s_ij,
+       CAST(nn.n * CAST(g.s_ij AS HUGEINT)
+            - CAST(sa.s AS HUGEINT) * sb.s AS DOUBLE)
+       / (CAST(nn.n AS DOUBLE) * CAST(nn.n - 1 AS DOUBLE)) / 1e12 AS cov_ij
+FROM g, nn
+JOIN s sa ON sa.i = g.i
+JOIN s sb ON sb.i = g.j
+ORDER BY g.i, g.j
+"""
+
+
+def embedding_pca_project(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Top-k PCA projection of the embedding column — fit from the SAME
+    merged exact moments :func:`embedding_covariance` uses (so the fit is
+    parallelism-invariant by construction), eigendecomposition of the d×d
+    covariance on the driver, components broadcast once, projection a
+    streaming per-block matmul.  Output: (vec_id, pc0..pc{k−1}).
+
+    No SQL oracle — eigendecomposition is not expressible in ANSI SQL; the
+    pytest gate pins the projection against a full-data numpy reference
+    and the sign/ordering determinism."""
+    from ..stages.linalg import pca_components, pca_project, vector_moments
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n, s, g = vector_moments(
+        ds.select_columns(["embedding"]), vec_col="embedding", scale=1_000_000
+    )
+    mean, comps = pca_components(n, s, g, scale=1_000_000, k=k)
+    return pca_project(ds, mean, comps).sort("vec_id")
+
+
 def first_k_prefix(
     batch: pa.Table, k: int
 ) -> tuple[pa.Table, np.ndarray]:

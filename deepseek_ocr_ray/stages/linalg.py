@@ -1,0 +1,353 @@
+"""One-pass distributed linear algebra: quantized vector-column moments
+(covariance / PCA) and group-wise OLS model fitting via normal equations.
+
+Two classic "big-data statistics" shapes, both expressed so that EVERYTHING
+crossing the wire is an exact int64 and the only float operations are the
+pinned final divisions both the engine and the DuckDB oracle share:
+
+- **vector moments** — for a ``list<float>`` column, each block contributes
+  the quantized Gram matrix ``QᵀQ`` (d×d), the column sums ``Σq`` and the
+  row count; partials are one ROW per block (d² + d + 1 int64s, ~33 KB at
+  d=64) so the driver merge is a bounded-domain reduction in exact Python
+  ints — the same no-exchange convention the calendar-day / byte-pair
+  aggregates use.  At 100 TB the data streams once; what moves is
+  O(blocks·d²), independent of row count.
+- **group-wise OLS** — ``y ~ b0 + Σ bᵢxᵢ`` per group from the sufficient
+  statistics (n, Σxᵢ, Σxᵢxⱼ, Σy, Σxᵢy): per-block C++ ``group_by`` partials,
+  ONE coarse-bucket exchange carrying a handful of int64 moments per
+  (group, block), then the normal equations are solved on the reduced table
+  (one row per group) with EXACT integer Cramer determinants (fraction-free
+  Bareiss elimination — no float linear algebra anywhere before the final
+  pinned ``float(det_i)/float(det)``).  This mirrors the DuckDB oracle's
+  HUGEINT arithmetic term-for-term, so coefficients hash-match bit-for-bit.
+
+Quantization contract (both sides): ``q = FLOOR(CAST(x AS DOUBLE)·scale
++ 0.5)`` — round-half-up toward +inf, float32→float64 widening exact.
+
+Loud int64 horizons, per the corr-stats convention: block-local Gram
+accumulation guards ``rows·max(q)²`` per block; the OLS finish guards
+``n·max_abs_row_product`` per group.  Past either bound the C++ sums would
+have wrapped silently upstream, so both raise with a decimal128 pointer
+instead of returning numbers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..arrays import ints_to_numpy, list_to_matrix
+
+_I64_MAX = 2**63 - 1
+# guard at 90% of the range so a near-miss cannot round into a wrap
+_I64_SAFE = int(_I64_MAX * 0.9)
+
+
+def int_det(rows: list[list[int]]) -> int:
+    """Exact determinant of a square integer matrix via fraction-free
+    Bareiss elimination — O(n³) exact-int divisions, every intermediate an
+    exact Python int (the interior division is always exact by the Bareiss
+    identity).  Works for any n; the OLS finish calls it on (k+1)×(k+1)
+    systems with k ≤ ~8, on the REDUCED one-row-per-group table only."""
+    n = len(rows)
+    m = [[int(v) for v in r] for r in rows]
+    if any(len(r) != n for r in m):
+        raise ValueError("int_det: matrix is not square")
+    if n == 0:
+        return 1
+    sign = 1
+    prev = 1
+    for k in range(n - 1):
+        if m[k][k] == 0:
+            for r in range(k + 1, n):
+                if m[r][k] != 0:
+                    m[k], m[r] = m[r], m[k]
+                    sign = -sign
+                    break
+            else:
+                return 0
+        pivot = m[k][k]
+        for i in range(k + 1, n):
+            for j in range(k + 1, n):
+                m[i][j] = (m[i][j] * pivot - m[i][k] * m[k][j]) // prev
+            m[i][k] = 0
+        prev = pivot
+    return sign * m[n - 1][n - 1]
+
+
+def quantize_matrix(m: np.ndarray, scale: int) -> np.ndarray:
+    """``FLOOR(CAST(x AS DOUBLE)·scale + 0.5)`` as int64 — the pinned
+    round-half-up quantizer shared with the SQL oracle."""
+    return np.floor(m.astype(np.float64) * float(scale) + 0.5).astype(
+        np.int64
+    )
+
+
+def vector_moments(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, s, g): exact row count, quantized column sums (d,) and Gram
+    matrix (d, d), merged on the driver in exact Python ints (object
+    dtype).  One streaming pass; the exchange is one d²+d+1 row per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = list_to_matrix(batch[vec_col])
+        q = quantize_matrix(m, scale)
+        nb = q.shape[0]
+        if nb:
+            qmax = int(np.abs(q).max())
+            # block-local Gram entries are bounded by rows·max(q)² — guard
+            # BEFORE the int64 matmul can wrap
+            if qmax and nb > _I64_SAFE // (qmax * qmax):
+                raise ValueError(
+                    "vector_moments: block of "
+                    f"{nb} rows × max|q|={qmax} exceeds the int64 Gram "
+                    "horizon — lower the block size or the quantization "
+                    "scale (or stage through decimal128)"
+                )
+        g = q.T @ q
+        s = q.sum(axis=0, dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([nb], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.int64())),
+                "g": pa.array(
+                    [g.reshape(-1).tolist()], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    from ..cluster import collect_table
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
+    if parts is None or parts.num_rows == 0:
+        return 0, np.empty((0,), object), np.empty((0, 0), object)
+    s_rows = [r for r in parts["s"].to_pylist() if r]
+    g_rows = [r for r in parts["g"].to_pylist() if r]
+    n = int(pc.sum(parts["n"]).as_py() or 0)
+    if not s_rows:
+        return n, np.empty((0,), object), np.empty((0, 0), object)
+    d = len(s_rows[0])
+    # object dtype = exact Python-int accumulation (no silent wrap on merge)
+    s = np.array(s_rows, dtype=object).sum(axis=0)
+    g = np.array(g_rows, dtype=object).sum(axis=0).reshape(d, d)
+    hi = max(int(abs(s).max()), int(abs(g).max()))
+    if hi > _I64_MAX:
+        raise ValueError(
+            "vector_moments: merged moments exceed int64 — stage the Gram "
+            "sums through decimal128 before trusting these numbers"
+        )
+    return n, s, g
+
+
+def covariance_table(
+    n: int, s: np.ndarray, g: np.ndarray, *, scale: int = 1_000_000
+) -> pa.Table:
+    """Upper-triangle sample covariance from merged moments — one row per
+    (i ≤ j) with the exact int64 moments plus the pinned float
+    ``cov = double(n·g_ij − s_i·s_j) / (double(n)·double(n−1)) / scale²``
+    the SQL oracle replicates (n < 2 ⇒ NaN)."""
+    d = len(s)
+    ii, jj = np.triu_indices(d)
+    descale = float(scale) * float(scale)
+    i_out, j_out, si, sj, sij, cov = [], [], [], [], [], []
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        a, b, ab = int(s[i]), int(s[j]), int(g[i][j])
+        i_out.append(i)
+        j_out.append(j)
+        si.append(a)
+        sj.append(b)
+        sij.append(ab)
+        if n < 2:
+            cov.append(float("nan"))
+        else:
+            nm = n * ab - a * b
+            cov.append(float(nm) / (float(n) * float(n - 1)) / descale)
+    return pa.table(
+        {
+            "i": pa.array(i_out, pa.int64()),
+            "j": pa.array(j_out, pa.int64()),
+            "n": pa.array([n] * len(i_out), pa.int64()),
+            "s_i": pa.array(si, pa.int64()),
+            "s_j": pa.array(sj, pa.int64()),
+            "s_ij": pa.array(sij, pa.int64()),
+            "cov_ij": pa.array(cov, pa.float64()),
+        }
+    )
+
+
+def pca_components(
+    n: int, s: np.ndarray, g: np.ndarray, *, scale: int = 1_000_000, k: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean (d,), components (d, k)) from merged moments: float covariance
+    → ``numpy.linalg.eigh`` on the driver (d×d, tiny), top-k eigenvectors by
+    descending eigenvalue.  Deterministic sign: each component's
+    largest-|entry| coordinate is made positive, so the projection is
+    invariant to parallelism AND to eigh's sign freedom."""
+    if n < 2:
+        raise ValueError("pca_components: need at least 2 rows")
+    d = len(s)
+    sf = s.astype(np.float64)
+    gf = g.astype(np.float64)
+    cov = (gf * n - np.outer(sf, sf)) / (
+        float(n) * float(n - 1) * float(scale) * float(scale)
+    )
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][: min(k, d)]
+    comps = evecs[:, order].copy()
+    for c in range(comps.shape[1]):
+        pivot = int(np.argmax(np.abs(comps[:, c])))
+        if comps[pivot, c] < 0:
+            comps[:, c] = -comps[:, c]
+    mean = sf / (float(n) * float(scale))
+    return mean, comps
+
+
+def pca_project(
+    ds: ray.data.Dataset,
+    mean: np.ndarray,
+    comps: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Project every vector onto the fitted components — (id, pc0..pck−1)
+    float64.  The (mean, components) pair ships ONCE via ``ray.put`` and is
+    read inside every task; the projection is one (rows × d) @ (d × k)
+    matmul per block, streaming."""
+    fit_ref = ray.put((mean.astype(np.float64), comps.astype(np.float64)))
+    k = comps.shape[1]
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, w = ray.get(fit_ref)
+        m = list_to_matrix(batch[vec_col]).astype(np.float64)
+        p = (m - mu) @ w
+        cols = {id_col: batch[id_col]}
+        for c in range(k):
+            cols[f"pc{c}"] = pa.array(p[:, c], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def groupwise_ols(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    x_cols: list[str],
+    y_col: str,
+    *,
+    max_abs_row_product: int,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group OLS of ``y ~ b0 + Σ bᵢ·x_cols[i]`` over int64-exact feature
+    columns (the caller quantizes — cents / basis points / counts).
+
+    Plan: one derive pass appends the per-row moment products; per-block C++
+    ``group_by`` partials + ONE coarse-bucket exchange reduce them
+    (``bucket_groupby_agg``); the finish runs on one row per group, building
+    the (k+1)×(k+1) normal equations in exact Python ints and solving by
+    Cramer with :func:`int_det`.  The only floats are the pinned
+    ``float(det_i)/float(det)`` divisions the oracle mirrors
+    (singular group ⇒ NaN coefficients, NULL in SQL, compared equal_nan).
+
+    ``max_abs_row_product`` — caller-declared bound on |any per-row moment
+    product| (e.g. max|x·y|); the finish refuses groups past the int64 sum
+    horizon rather than returning silently-wrapped C++ sums.
+
+    Output: group_cols, n, sum_x{i}, sum_x{i}x{j} (i ≤ j), sum_y,
+    sum_x{i}y, b0..b{k} — sorted by group_cols.
+    """
+    from .agg import bucket_groupby_agg
+
+    k = len(x_cols)
+    if k == 0:
+        raise ValueError("groupwise_ols: need at least one feature column")
+    if max_abs_row_product <= 0:
+        raise ValueError("groupwise_ols: max_abs_row_product must be > 0")
+    horizon = _I64_SAFE // int(max_abs_row_product)
+
+    xx_names = [
+        (i, j, f"sum_x{i}x{j}") for i in range(k) for j in range(i, k)
+    ]
+
+    def derive(batch: pa.Table) -> pa.Table:
+        xs = [ints_to_numpy(batch[c]) for c in x_cols]
+        y = ints_to_numpy(batch[y_col])
+        cols: dict[str, object] = {c: batch[c] for c in group_cols}
+        for i in range(k):
+            cols[f"sum_x{i}"] = pa.array(xs[i], pa.int64())
+            cols[f"sum_x{i}y"] = pa.array(xs[i] * y, pa.int64())
+        for i, j, name in xx_names:
+            cols[name] = pa.array(xs[i] * xs[j], pa.int64())
+        cols["sum_y"] = pa.array(y, pa.int64())
+        return pa.table(cols)
+
+    aggs: list[tuple[str | None, str, str]] = [(None, "count", "n")]
+    for i in range(k):
+        aggs.append((f"sum_x{i}", "sum", f"sum_x{i}"))
+    for _, _, name in xx_names:
+        aggs.append((name, "sum", name))
+    aggs.append(("sum_y", "sum", "sum_y"))
+    for i in range(k):
+        aggs.append((f"sum_x{i}y", "sum", f"sum_x{i}y"))
+
+    red = bucket_groupby_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        group_cols,
+        aggs,
+        n_buckets=n_buckets,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rows = batch.num_rows
+        n = batch["n"].to_pylist()
+        if rows and max(n) > horizon:
+            raise ValueError(
+                "groupwise_ols: a group exceeds the int64 moment horizon "
+                f"({horizon} rows at max_abs_row_product="
+                f"{max_abs_row_product}); stage the moments through "
+                "decimal128 before trusting these sums"
+            )
+        sx = [batch[f"sum_x{i}"].to_pylist() for i in range(k)]
+        sxy = [batch[f"sum_x{i}y"].to_pylist() for i in range(k)]
+        sy = batch["sum_y"].to_pylist()
+        sxx: dict[tuple[int, int], list[int]] = {}
+        for i, j, name in xx_names:
+            col = batch[name].to_pylist()
+            sxx[(i, j)] = col
+            sxx[(j, i)] = col
+        coef: list[list[float]] = [[] for _ in range(k + 1)]
+        for r in range(rows):
+            # normal equations: A[0][0]=n, A[0][1+i]=Σxᵢ, A[1+i][1+j]=Σxᵢxⱼ
+            a = [[0] * (k + 1) for _ in range(k + 1)]
+            a[0][0] = n[r]
+            for i in range(k):
+                a[0][1 + i] = sx[i][r]
+                a[1 + i][0] = sx[i][r]
+                for j in range(k):
+                    a[1 + i][1 + j] = sxx[(i, j)][r]
+            rhs = [sy[r]] + [sxy[i][r] for i in range(k)]
+            det = int_det(a)
+            for c in range(k + 1):
+                if det == 0:
+                    coef[c].append(float("nan"))
+                    continue
+                ac = [row[:] for row in a]
+                for rr in range(k + 1):
+                    ac[rr][c] = rhs[rr]
+                coef[c].append(float(int_det(ac)) / float(det))
+        out = batch
+        for c in range(k + 1):
+            out = out.append_column(
+                f"b{c}", pa.array(coef[c], pa.float64())
+            )
+        return out
+
+    return red.map_batches(finish, batch_format="pyarrow").sort(group_cols)

@@ -1,0 +1,330 @@
+"""stages/linalg.py — exact integer determinants, group-wise OLS via
+normal equations, quantized vector moments / covariance / PCA."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_ray.stages.linalg import (
+    covariance_table,
+    groupwise_ols,
+    int_det,
+    pca_components,
+    pca_project,
+    quantize_matrix,
+    vector_moments,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- int_det
+
+
+def test_int_det_vs_numpy():
+    rng = np.random.default_rng(7)
+    for n in range(1, 7):
+        for _ in range(20):
+            m = rng.integers(-9, 10, size=(n, n))
+            expect = round(float(np.linalg.det(m.astype(np.float64))))
+            assert int_det(m.tolist()) == expect
+
+
+def test_int_det_edge_cases():
+    assert int_det([]) == 1
+    assert int_det([[5]]) == 5
+    # singular (duplicate rows)
+    assert int_det([[1, 2], [1, 2]]) == 0
+    # zero pivot forces the row swap (sign flip)
+    assert int_det([[0, 1], [1, 0]]) == -1
+    # a case whose Bareiss interior exceeds the naive pivot range
+    m = [[3, 1, 4], [1, 5, 9], [2, 6, 5]]
+    assert int_det(m) == round(float(np.linalg.det(np.array(m, float))))
+    with pytest.raises(ValueError):
+        int_det([[1, 2, 3], [4, 5, 6]])
+
+
+def test_int_det_big_integers_exact():
+    # beyond float53 precision — numpy would round, Bareiss must not
+    base = 10**12
+    m = [[base, base + 1], [base - 1, base]]
+    # det = base² − (base+1)(base−1) = 1
+    assert int_det(m) == 1
+
+
+# ----------------------------------------------------------- quantization
+
+
+def test_quantize_matrix_pinned_formula():
+    m = np.array(
+        [[0.0, 1.5e-6, -1.5e-6, -5e-7, 0.4999995]], dtype=np.float32
+    )
+    q = quantize_matrix(m, 1_000_000)
+    # FLOOR(double(x)·1e6 + 0.5): float32 storage widens exactly first
+    expect = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    assert (q == expect).all()
+    assert q.dtype == np.int64
+
+
+# ------------------------------------------------------------------- OLS
+
+
+def _ols_fixture() -> pa.Table:
+    rng = np.random.default_rng(11)
+    n = 400
+    x0 = rng.integers(1, 50, n)
+    x1 = rng.integers(0, 1000, n)
+    grp = np.where(rng.random(n) < 0.5, "A", "B")
+    # noiseless integer plane per group ⇒ Cramer recovers it EXACTLY
+    y = np.where(grp == "A", 3 + 2 * x0 - x1, -7 + 5 * x0 + 4 * x1)
+    return pa.table(
+        {
+            "g": pa.array(grp.tolist(), pa.string()),
+            "x0": pa.array(x0, pa.int64()),
+            "x1": pa.array(x1, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+
+
+def test_groupwise_ols_exact_recovery(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_ols_fixture()).repartition(5)
+    out = groupwise_ols(
+        ds, ["g"], ["x0", "x1"], "y", max_abs_row_product=10**9
+    ).to_pandas()
+    assert list(out["g"]) == ["A", "B"]
+    a, b = out.iloc[0], out.iloc[1]
+    assert (a["b0"], a["b1"], a["b2"]) == (3.0, 2.0, -1.0)
+    assert (b["b0"], b["b1"], b["b2"]) == (-7.0, 5.0, 4.0)
+    # moments are exact int64 and n covers every row
+    assert int(out["n"].sum()) == 400
+
+
+def test_groupwise_ols_matches_lstsq(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    n = 300
+    x0 = rng.integers(-20, 20, n)
+    x1 = rng.integers(0, 100, n)
+    y = rng.integers(-1000, 1000, n)
+    t = pa.table(
+        {
+            "g": pa.array(["z"] * n),
+            "x0": pa.array(x0, pa.int64()),
+            "x1": pa.array(x1, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    out = groupwise_ols(
+        ray.data.from_arrow(t).repartition(3),
+        ["g"],
+        ["x0", "x1"],
+        "y",
+        max_abs_row_product=10**8,
+    ).to_pandas()
+    X = np.column_stack([np.ones(n), x0, x1]).astype(np.float64)
+    ref, *_ = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)
+    got = out[["b0", "b1", "b2"]].to_numpy()[0]
+    assert np.allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_groupwise_ols_singular_group_nan(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": pa.array(["s"] * 10),
+            "x0": pa.array([4] * 10, pa.int64()),  # constant ⇒ collinear
+            "x1": pa.array(list(range(10)), pa.int64()),
+            "y": pa.array(list(range(10)), pa.int64()),
+        }
+    )
+    out = groupwise_ols(
+        ray.data.from_arrow(t), ["g"], ["x0", "x1"], "y",
+        max_abs_row_product=10**6,
+    ).to_pandas()
+    assert np.isnan(out[["b0", "b1", "b2"]].to_numpy()).all()
+
+
+def test_groupwise_ols_layout_invariance(ray_session):
+    import ray.data
+
+    t = _ols_fixture()
+    outs = []
+    for parts in (1, 7):
+        out = groupwise_ols(
+            ray.data.from_arrow(t).repartition(parts),
+            ["g"],
+            ["x0", "x1"],
+            "y",
+            max_abs_row_product=10**9,
+        ).to_pandas()
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+
+
+def test_groupwise_ols_horizon_guard(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_ols_fixture())
+    with pytest.raises(Exception, match="moment horizon"):
+        groupwise_ols(
+            ds, ["g"], ["x0", "x1"], "y", max_abs_row_product=2**62
+        ).to_pandas()
+
+
+def test_groupwise_ols_validation(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_ols_fixture())
+    with pytest.raises(ValueError):
+        groupwise_ols(ds, ["g"], [], "y", max_abs_row_product=10)
+    with pytest.raises(ValueError):
+        groupwise_ols(ds, ["g"], ["x0"], "y", max_abs_row_product=0)
+
+
+# -------------------------------------------------- vector moments / cov
+
+
+def _vec_table(n=97, d=5, seed=2) -> tuple[pa.Table, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d)).astype(np.float32) * 0.3
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in m], pa.list_(pa.float32())
+            ),
+        }
+    )
+    return t, m
+
+
+def test_vector_moments_match_numpy(ray_session):
+    import ray.data
+
+    t, m = _vec_table()
+    n, s, g = vector_moments(
+        ray.data.from_arrow(t).repartition(4), scale=1_000_000
+    )
+    q = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    assert n == 97
+    assert (s.astype(np.int64) == q.sum(axis=0)).all()
+    assert (g.astype(np.int64) == q.T @ q).all()
+
+
+def test_vector_moments_partition_invariance(ray_session):
+    import ray.data
+
+    t, _ = _vec_table()
+    r1 = vector_moments(ray.data.from_arrow(t).repartition(1))
+    r9 = vector_moments(ray.data.from_arrow(t).repartition(9))
+    assert r1[0] == r9[0]
+    assert (r1[1] == r9[1]).all() and (r1[2] == r9[2]).all()
+
+
+def test_covariance_table_matches_numpy(ray_session):
+    import ray.data
+
+    t, m = _vec_table(n=50, d=4)
+    n, s, g = vector_moments(ray.data.from_arrow(t))
+    cov = covariance_table(n, s, g).to_pandas()
+    assert len(cov) == 4 * 5 // 2
+    q = np.floor(m.astype(np.float64) * 1e6 + 0.5)
+    ref = np.cov(q, rowvar=False) / 1e12  # sample covariance, ddof=1
+    for _, r in cov.iterrows():
+        assert abs(r["cov_ij"] - ref[int(r["i"]), int(r["j"])]) < 1e-12
+
+
+def test_covariance_small_n_nan():
+    t = covariance_table(
+        1, np.array([3], dtype=object), np.array([[9]], dtype=object)
+    )
+    assert np.isnan(t["cov_ij"].to_numpy(zero_copy_only=False)).all()
+
+
+def test_vector_moments_block_guard(ray_session):
+    import ray.data
+
+    t, _ = _vec_table(n=10, d=3)
+    with pytest.raises(Exception, match="Gram horizon"):
+        vector_moments(ray.data.from_arrow(t), scale=10**12)
+
+
+# -------------------------------------------------------------------- PCA
+
+
+def test_pca_project_matches_full_numpy(ray_session):
+    import ray.data
+
+    t, m = _vec_table(n=200, d=6, seed=5)
+    ds = ray.data.from_arrow(t)
+    n, s, g = vector_moments(ds.select_columns(["embedding"]))
+    mean, comps = pca_components(n, s, g, k=2)
+    out = (
+        pca_project(ds, mean, comps)
+        .sort("vec_id")
+        .to_pandas()
+    )
+    # reference: same quantized covariance → eigh → same sign convention
+    q = np.floor(m.astype(np.float64) * 1e6 + 0.5)
+    cov = np.cov(q, rowvar=False, ddof=1) / 1e12
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    w = evecs[:, order].copy()
+    for c in range(2):
+        piv = int(np.argmax(np.abs(w[:, c])))
+        if w[piv, c] < 0:
+            w[:, c] = -w[:, c]
+    ref = (m.astype(np.float64) - q.sum(axis=0) / (200 * 1e6)) @ w
+    got = out[["pc0", "pc1"]].to_numpy()
+    assert np.allclose(got, ref, atol=1e-9)
+    # variance ordering: pc0 carries at least as much as pc1
+    assert got[:, 0].var() >= got[:, 1].var()
+
+
+def test_pca_components_determinism_and_signs(ray_session):
+    import ray.data
+
+    t, _ = _vec_table(n=120, d=5, seed=9)
+    runs = []
+    for parts in (2, 8):
+        n, s, g = vector_moments(
+            ray.data.from_arrow(t)
+            .select_columns(["embedding"])
+            .repartition(parts)
+        )
+        runs.append(pca_components(n, s, g, k=3))
+    assert np.allclose(runs[0][0], runs[1][0])
+    assert np.allclose(runs[0][1], runs[1][1])
+    comps = runs[0][1]
+    for c in range(comps.shape[1]):
+        piv = int(np.argmax(np.abs(comps[:, c])))
+        assert comps[piv, c] > 0
+
+
+def test_pca_components_validation():
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        pca_components(
+            1, np.array([1], dtype=object), np.array([[1]], dtype=object)
+        )
+
+
+# --------------------------------------------------------------- queries
+
+
+def test_embedding_pca_project_query(ray_session):
+    from deepseek_ocr_ray.pipelines.analytics import embedding_pca_project
+
+    out = embedding_pca_project(SF_DIR).to_pandas()
+    assert list(out.columns) == ["vec_id", "pc0", "pc1"]
+    assert len(out) == 500
+    assert out["vec_id"].is_monotonic_increasing
+    # two runs are bit-identical (fit from exact merged moments)
+    again = embedding_pca_project(SF_DIR).to_pandas()
+    assert out.equals(again)
