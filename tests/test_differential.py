@@ -847,6 +847,9 @@ _TPCH_SHAPES = [
     ("q12_priority_by_status", "Q12_PRIORITY_BY_STATUS_SQL"),
     ("q22_idle_customers", "Q22_IDLE_CUSTOMERS_SQL"),
     ("q8_market_share", "Q8_MARKET_SHARE_SQL"),
+    # group-wise OLS: exact Cramer determinants vs DuckDB's HUGEINT
+    # expansion over random quantities/prices/discounts
+    ("lineitem_price_ols", "LINEITEM_PRICE_OLS_SQL"),
 ]
 
 
@@ -901,3 +904,49 @@ GROUP BY 1, 2 ORDER BY 1
 """
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [4, 19, 33])
+def test_embedding_covariance_fuzz(ray_session, tmp_path, seed):
+    """Random embeddings (random dim, negatives/zeros/tiny values, a
+    CONSTANT coordinate for the zero-variance edge) — the engine's
+    driver-merged Gram moments must match DuckDB's UNNEST self-join
+    bit-for-bit, moments and pinned float covariance alike."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines import analytics
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(2, 300))
+    dim = int(rng.randint(2, 9))
+    m = rng.normal(0, 0.4, size=(n, dim)).astype(np.float32)
+    m[:, 0] = 0.125  # constant coordinate: cov(0, j) rows exercise nm = 0
+    m[rng.randint(0, n)] = 0.0  # an all-zero vector
+    d = str(tmp_path / f"emb_{seed}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in m], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+        row_group_size=max(1, n // int(rng.randint(1, 5))),
+    )
+    got = analytics.embedding_covariance(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = con.sql(analytics.EMBEDDING_COVARIANCE_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1), want.sort_index(axis=1), check_dtype=True
+    )
