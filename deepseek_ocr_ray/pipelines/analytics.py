@@ -2979,6 +2979,50 @@ ORDER BY g.i, g.j
 """
 
 
+def embedding_class_stats(sf_dir: str) -> pa.Table:
+    """Per-(label, dimension) Gaussian feature statistics of the embedding
+    column — the sufficient statistics of a Gaussian Naive Bayes /
+    nearest-centroid CLASSIFIER fit (the classification twin of
+    :func:`lineitem_price_ols`): one row per (label, dim) with exact int64
+    moments (n, Σq, Σq²) and the pinned float mean/variance both sides
+    share.  Each block emits one (2d+2)-int64 row per LOCAL label via a
+    lexsort + ``add.reduceat`` segment pass (labels × dims is a bounded
+    domain), the driver merges in exact Python ints — no exchange, one
+    streaming scan at any corpus size."""
+    from ..stages.linalg import grouped_vector_moments
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    return grouped_vector_moments(
+        ds, group_col="label", vec_col="embedding", scale=1_000_000
+    )
+
+
+EMBEDDING_CLASS_STATS_SQL = """
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qx
+  FROM embeddings
+),
+m AS (
+  SELECT label, dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qx) AS BIGINT) AS s,
+         CAST(sum(CAST(qx AS HUGEINT) * qx) AS BIGINT) AS s2
+  FROM q GROUP BY 1, 2
+)
+SELECT label, dim, n, s, s2,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean,
+       CASE WHEN n < 2 THEN NULL
+            ELSE CAST(n * CAST(s2 AS HUGEINT)
+                      - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e12
+       END AS var
+FROM m ORDER BY label, dim
+"""
+
+
 def embedding_pca_project(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     """Top-k PCA projection of the embedding column — fit from the SAME
     merged exact moments :func:`embedding_covariance` uses (so the fit is

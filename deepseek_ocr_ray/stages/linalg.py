@@ -147,6 +147,122 @@ def vector_moments(
     return n, s, g
 
 
+def grouped_vector_moments(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> pa.Table:
+    """Per-group per-dimension exact moments of a ``list<float>`` column —
+    the sufficient statistics of a Gaussian Naive Bayes / nearest-centroid
+    fit: one row per (group, dim) with ``(n, s = Σq, s2 = Σq²)`` in exact
+    int64 plus the pinned sample variance
+    ``var = double(n·s2 − s·s) / (double(n)·double(n−1)) / scale²`` and
+    mean ``double(s) / double(n) / scale`` the SQL oracle replicates.
+
+    Plan: each block lexsort-groups its rows by the group key and emits
+    ONE row per (local group): count, Σq and Σq² vectors — the exchange
+    is groups×(2d+2) int64s per block, a bounded domain merged on the
+    driver in exact Python ints (the :func:`vector_moments` convention,
+    keyed).  Per-block accumulation is one segment-``add.reduceat`` pass
+    over the quantized matrix — no per-row Python."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = list_to_matrix(batch[vec_col])
+        q = quantize_matrix(m, scale)
+        nb = q.shape[0]
+        if nb:
+            qmax = int(np.abs(q).max())
+            if qmax and nb > _I64_SAFE // (qmax * qmax):
+                raise ValueError(
+                    "grouped_vector_moments: block of "
+                    f"{nb} rows × max|q|={qmax} exceeds the int64 moment "
+                    "horizon — lower the block size or the quantization "
+                    "scale (or stage through decimal128)"
+                )
+        g = ints_to_numpy(batch[group_col])
+        order = np.argsort(g, kind="stable")
+        gs, qs = g[order], q[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        counts = np.diff(np.append(starts, len(gs)))
+        s = np.add.reduceat(qs, starts, axis=0) if len(gs) else qs[:0]
+        s2 = (
+            np.add.reduceat(qs * qs, starts, axis=0)
+            if len(gs)
+            else qs[:0]
+        )
+        return pa.table(
+            {
+                "g": pa.array(gs[starts] if len(gs) else [], pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array(
+                    [r.tolist() for r in s], pa.list_(pa.int64())
+                ),
+                "s2": pa.array(
+                    [r.tolist() for r in s2], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    from ..cluster import collect_table
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
+    out_g, out_i, out_n, out_s, out_s2 = [], [], [], [], []
+    if parts is not None and parts.num_rows:
+        # exact Python-int merge per (group, dim) — bounded domain
+        acc: dict[int, list] = {}
+        gl = parts["g"].to_pylist()
+        nl = parts["n"].to_pylist()
+        sl = parts["s"].to_pylist()
+        s2l = parts["s2"].to_pylist()
+        for gk, nn, sv, s2v in zip(gl, nl, sl, s2l):
+            if gk in acc:
+                a = acc[gk]
+                a[0] += nn
+                a[1] = [x + y for x, y in zip(a[1], sv)]
+                a[2] = [x + y for x, y in zip(a[2], s2v)]
+            else:
+                acc[gk] = [nn, list(sv), list(s2v)]
+        for gk in sorted(acc):
+            nn, sv, s2v = acc[gk]
+            for i, (a, b) in enumerate(zip(sv, s2v)):
+                if abs(a) > _I64_MAX or b > _I64_MAX:
+                    raise ValueError(
+                        "grouped_vector_moments: merged moments exceed "
+                        "int64 — stage through decimal128"
+                    )
+                out_g.append(gk)
+                out_i.append(i)
+                out_n.append(nn)
+                out_s.append(a)
+                out_s2.append(b)
+    descale = float(scale) * float(scale)
+    mean = [
+        float(a) / float(nn) / float(scale)
+        for a, nn in zip(out_s, out_n)
+    ]
+    var = [
+        (
+            float(nn * b - a * a) / (float(nn) * float(nn - 1)) / descale
+            if nn >= 2
+            else float("nan")
+        )
+        for a, b, nn in zip(out_s, out_s2, out_n)
+    ]
+    return pa.table(
+        {
+            group_col: pa.array(out_g, pa.int64()),
+            "dim": pa.array(out_i, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "s": pa.array(out_s, pa.int64()),
+            "s2": pa.array(out_s2, pa.int64()),
+            "mean": pa.array(mean, pa.float64()),
+            "var": pa.array(var, pa.float64()),
+        }
+    )
+
+
 def covariance_table(
     n: int, s: np.ndarray, g: np.ndarray, *, scale: int = 1_000_000
 ) -> pa.Table:

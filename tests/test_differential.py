@@ -950,3 +950,48 @@ def test_embedding_covariance_fuzz(ray_session, tmp_path, seed):
     pd.testing.assert_frame_equal(
         got.sort_index(axis=1), want.sort_index(axis=1), check_dtype=True
     )
+
+
+@pytest.mark.parametrize("seed", [8, 25, 51])
+def test_embedding_class_stats_fuzz(ray_session, tmp_path, seed):
+    """Random labeled embeddings (skewed labels incl. a SINGLETON class
+    for the n=1 NaN/NULL variance edge) — grouped vector moments must
+    match DuckDB's UNNEST GROUP BY bit-for-bit."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines import analytics
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(10, 250))
+    dim = int(rng.randint(2, 8))
+    m = rng.normal(0, 0.4, size=(n, dim)).astype(np.float32)
+    lab = (rng.zipf(1.7, n) % 5).astype(np.int32)
+    lab[0] = 99  # singleton class → n=1 variance edge
+    d = str(tmp_path / f"cls_{seed}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in m], pa.list_(pa.float32())
+                ),
+                "label": pa.array(lab, pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+        row_group_size=max(1, n // int(rng.randint(1, 5))),
+    )
+    got = analytics.embedding_class_stats(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = con.sql(analytics.EMBEDDING_CLASS_STATS_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1), want.sort_index(axis=1), check_dtype=True
+    )

@@ -9,6 +9,7 @@ import pytest
 
 from deepseek_ocr_ray.stages.linalg import (
     covariance_table,
+    grouped_vector_moments,
     groupwise_ols,
     int_det,
     pca_components,
@@ -254,6 +255,75 @@ def test_vector_moments_block_guard(ray_session):
     t, _ = _vec_table(n=10, d=3)
     with pytest.raises(Exception, match="Gram horizon"):
         vector_moments(ray.data.from_arrow(t), scale=10**12)
+
+
+# ---------------------------------------------------- grouped moments
+
+
+def _labeled_vec_table(n=120, d=4, n_labels=3, seed=6) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d)).astype(np.float32) * 0.3
+    return pa.table(
+        {
+            "label": pa.array(
+                rng.integers(0, n_labels, n).tolist(), pa.int32()
+            ),
+            "embedding": pa.array(
+                [row.tolist() for row in m], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def test_grouped_vector_moments_match_numpy(ray_session):
+    import ray.data
+
+    t = _labeled_vec_table()
+    out = grouped_vector_moments(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pandas()
+    m = np.array([r for r in t["embedding"].to_pylist()], np.float32)
+    q = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    lab = np.asarray(t["label"].to_pylist())
+    assert len(out) == len(np.unique(lab)) * 4
+    for _, r in out.iterrows():
+        rows = q[lab == r["label"], int(r["dim"])]
+        assert r["n"] == len(rows)
+        assert r["s"] == rows.sum()
+        assert r["s2"] == (rows * rows).sum()
+        assert abs(r["mean"] - rows.mean() / 1e6) < 1e-12
+        assert abs(r["var"] - rows.var(ddof=1) / 1e12) < 1e-10
+
+
+def test_grouped_vector_moments_layout_invariance(ray_session):
+    import ray.data
+
+    t = _labeled_vec_table(seed=13)
+    outs = [
+        grouped_vector_moments(
+            ray.data.from_arrow(t).repartition(p)
+        ).to_pandas()
+        for p in (1, 9)
+    ]
+    assert outs[0].equals(outs[1])
+
+
+def test_grouped_vector_moments_single_row_group_nan(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "label": pa.array([0, 1, 1], pa.int32()),
+            "embedding": pa.array(
+                [[0.1, 0.2], [0.3, 0.4], [0.5, 0.6]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = grouped_vector_moments(ray.data.from_arrow(t)).to_pandas()
+    v0 = out[out["label"] == 0]["var"]
+    assert np.isnan(v0.to_numpy()).all()  # n=1 group
+    assert np.isfinite(out[out["label"] == 1]["var"].to_numpy()).all()
 
 
 # -------------------------------------------------------------------- PCA
