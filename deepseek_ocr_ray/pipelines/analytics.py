@@ -3043,6 +3043,47 @@ def embedding_pca_project(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     return pca_project(ds, mean, comps).sort("vec_id")
 
 
+def embedding_logreg(
+    sf_dir: str, *, lr: float = 10.0, iters: int = 50
+) -> pa.Table:
+    """Train a logistic-regression classifier (label ≥ 5 vs < 5) on the
+    embedding column — distributed ITERATIVE model fitting, the
+    pagerank-style broadcast-refit loop applied to ML: each of the
+    ``iters`` full-batch passes broadcasts the weight vector, every block
+    returns ONE exact-int64 gradient row (quantized ppm residuals ×
+    quantized features — see :func:`stages.linalg.logreg_fit`), and the
+    driver merges + updates.  Bit-for-bit parallelism-invariant, which
+    float gradient sums cannot be.  Output: one row per coefficient
+    (dim = −1 is the intercept), deterministic at any layout.
+
+    No SQL oracle — an iterative optimizer is not expressible in ANSI
+    SQL; the pytest gate pins bit-equality against a driver-local
+    replica of the same quantized recipe, parallelism invariance, and
+    exact recovery on an engineered separable fixture."""
+    from ..stages.linalg import logreg_fit
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def binarize(batch: pa.Table) -> pa.Table:
+        y = pc.cast(
+            pc.greater_equal(batch["label"], 5), pa.int64()
+        )
+        return pa.table({"y": y, "embedding": batch["embedding"]})
+
+    w, b, _n = logreg_fit(
+        ds.map_batches(binarize, batch_format="pyarrow"),
+        label_col="y",
+        lr=lr,
+        iters=iters,
+    )
+    return pa.table(
+        {
+            "dim": pa.array([-1] + list(range(len(w))), pa.int64()),
+            "weight": pa.array([b] + w.tolist(), pa.float64()),
+        }
+    )
+
+
 def first_k_prefix(
     batch: pa.Table, k: int
 ) -> tuple[pa.Table, np.ndarray]:

@@ -467,3 +467,143 @@ def groupwise_ols(
         return out
 
     return red.map_batches(finish, batch_format="pyarrow").sort(group_cols)
+
+
+# Below this (metadata-estimated) input size the training loop materializes
+# the dataset once so the T full-batch passes re-read blocks from the object
+# store instead of re-executing the scan; above it the loop streams each
+# pass (the only option at corpus scale — never materialize 100 TB).
+LOGREG_CACHE_MAX_BYTES = 256 << 20
+
+
+def logreg_fit(
+    ds: ray.data.Dataset,
+    *,
+    label_col: str,
+    vec_col: str = "embedding",
+    lr: float = 10.0,
+    iters: int = 50,
+    scale: int = 1_000_000,
+    cache_max_bytes: int = LOGREG_CACHE_MAX_BYTES,
+) -> tuple[np.ndarray, float, int]:
+    """Full-batch logistic regression over a ``list<float>`` feature column
+    and a 0/1 integer label — distributed ITERATIVE model fitting (the
+    pagerank-style broadcast-refit loop, for ML): every iteration broadcasts
+    the weight vector, each block computes one exact-int64 gradient partial,
+    and the driver merges + updates.
+
+    Parallelism-invariant BIT-FOR-BIT, the property float gradient sums
+    cannot have: per-row margins depend only on that row and the broadcast
+    weights, the residual quantizes to ppm ints (``floor((p−y)·10⁶+0.5)``),
+    so the per-block partial ``Gⱼ = Σ rᵢ·qᵢⱼ`` is an exact int64 whose merge
+    order cannot matter; the only float state is the (d+1)-vector updated on
+    the driver with one fixed-order expression per iteration.  The loud
+    block horizon (rows·10⁶·max|q|) trips before the int64 sum can wrap.
+
+    Each iteration is ONE streaming pass whose exchange is one
+    (d+2)-int64 row per block — at 100 TB the loop costs T scans and moves
+    O(T·blocks·d) bytes.  Inputs under ``cache_max_bytes`` (metadata
+    estimate) are materialized once so the passes re-read object-store
+    blocks instead of re-executing the scan.
+
+    Returns ``(w, b, n)`` — feature weights (d,), intercept, row count."""
+    from ..cluster import collect_table, dataset_size_estimate
+
+    if iters < 1:
+        raise ValueError("logreg_fit: iters must be >= 1")
+    est = dataset_size_estimate(ds)
+    if est is not None and est <= cache_max_bytes:
+        ds = ds.materialize()
+
+    state_ref = None
+
+    def grad_partial(batch: pa.Table) -> pa.Table:
+        w, b = ray.get(state_ref)
+        m = list_to_matrix(batch[vec_col])
+        q = quantize_matrix(m, scale)
+        y = ints_to_numpy(batch[label_col])
+        nb = q.shape[0]
+        if nb:
+            qmax = int(np.abs(q).max())
+            if qmax and nb > _I64_SAFE // (qmax * 1_000_000):
+                raise ValueError(
+                    "logreg_fit: block of "
+                    f"{nb} rows × max|q|={qmax} exceeds the int64 gradient "
+                    "horizon — lower the block size or the quantization "
+                    "scale"
+                )
+        z = (q / float(scale)) @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = np.floor((p - y) * 1e6 + 0.5).astype(np.int64)
+        g = q.T @ r
+        return pa.table(
+            {
+                "n": pa.array([nb], pa.int64()),
+                "g0": pa.array([int(r.sum())], pa.int64()),
+                "g": pa.array([g.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    w = None
+    b = 0.0
+    n_total = 0
+    for _ in range(iters):
+        state_ref = ray.put(
+            (w if w is not None else np.zeros(0, np.float64), b)
+        )
+        # first pass discovers d lazily: zeros(0) dots as zeros(d) would
+        # only if d == 0, so seed the real width on iteration 1 below
+        if w is None:
+            # probe one row for the width (cheap limit-1 scan)
+            first = ds.limit(1).take_all()
+            d = len(first[0][vec_col]) if first else 0
+            w = np.zeros(d, np.float64)
+            state_ref = ray.put((w, b))
+        parts = collect_table(
+            ds.map_batches(grad_partial, batch_format="pyarrow")
+        )
+        if parts is None or parts.num_rows == 0:
+            return w, b, 0
+        n_total = int(pc.sum(parts["n"]).as_py() or 0)
+        if n_total == 0:
+            return w, b, 0
+        g_rows = [r for r in parts["g"].to_pylist() if r]
+        # exact Python-int merge — layout-order-proof
+        g = np.array(g_rows, dtype=object).sum(axis=0)
+        g0 = sum(parts["g0"].to_pylist())
+        denom = 1e6 * float(scale) * float(n_total)
+        w = w - lr * (g.astype(np.float64) / denom)
+        b = b - lr * (float(g0) / 1e6 / float(n_total))
+    return w, b, n_total
+
+
+def logreg_score(
+    ds: ray.data.Dataset,
+    w: np.ndarray,
+    b: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Score every row under a fitted model — (id, score ppm, predicted) —
+    one streaming pass, weights broadcast once."""
+    fit_ref = ray.put((w.astype(np.float64), float(b)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ww, bb = ray.get(fit_ref)
+        q = quantize_matrix(list_to_matrix(batch[vec_col]), scale)
+        p = 1.0 / (1.0 + np.exp(-((q / float(scale)) @ ww + bb)))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "score_ppm": pa.array(
+                    np.floor(p * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "predicted": pa.array(
+                    (p >= 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -398,3 +398,119 @@ def test_embedding_pca_project_query(ray_session):
     # two runs are bit-identical (fit from exact merged moments)
     again = embedding_pca_project(SF_DIR).to_pandas()
     assert out.equals(again)
+
+
+# ----------------------------------------------------------------- logreg
+
+
+def _blob_table(n=160, d=5, seed=21, sep=3.0) -> pa.Table:
+    """Two well-separated Gaussian blobs — linearly separable."""
+    rng = np.random.default_rng(seed)
+    half = n // 2
+    m = np.vstack(
+        [
+            rng.normal(-sep / 2, 0.3, size=(half, d)),
+            rng.normal(sep / 2, 0.3, size=(n - half, d)),
+        ]
+    ).astype(np.float32) * 0.2
+    y = np.r_[np.zeros(half, np.int64), np.ones(n - half, np.int64)]
+    perm = rng.permutation(n)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "y": pa.array(y[perm], pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in m[perm]], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def _logreg_driver_replica(t: pa.Table, lr: float, iters: int, scale=10**6):
+    """The SAME quantized recipe on driver-local arrays — logreg_fit must
+    match it bit-for-bit (exact-int gradients make merge order moot)."""
+    m = np.array([r for r in t["embedding"].to_pylist()], np.float32)
+    q = np.floor(m.astype(np.float64) * scale + 0.5).astype(np.int64)
+    y = np.asarray(t["y"].to_pylist(), np.int64)
+    n = len(y)
+    w = np.zeros(q.shape[1], np.float64)
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-((q / float(scale)) @ w + b)))
+        r = np.floor((p - y) * 1e6 + 0.5).astype(np.int64)
+        g = np.array([int(v) for v in (q.T @ r)], dtype=object)
+        w = w - lr * (g.astype(np.float64) / (1e6 * float(scale) * n))
+        b = b - lr * (float(int(r.sum())) / 1e6 / float(n))
+    return w, b
+
+
+def test_logreg_separable_fixture(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.linalg import logreg_fit, logreg_score
+
+    t = _blob_table()
+    ds = ray.data.from_arrow(t).repartition(4)
+    w, b, n = logreg_fit(ds, label_col="y", lr=10.0, iters=40)
+    assert n == 160
+    scored = logreg_score(ds, w, b).to_pandas().sort_values("vec_id")
+    truth = t.to_pandas().sort_values("vec_id")
+    acc = (scored["predicted"].to_numpy() == truth["y"].to_numpy()).mean()
+    assert acc == 1.0
+
+
+def test_logreg_parallelism_invariance_bitwise(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.linalg import logreg_fit
+
+    t = _blob_table(seed=5)
+    runs = [
+        logreg_fit(
+            ray.data.from_arrow(t).repartition(p),
+            label_col="y",
+            lr=7.0,
+            iters=12,
+        )
+        for p in (1, 9)
+    ]
+    assert np.array_equal(runs[0][0], runs[1][0])
+    assert runs[0][1] == runs[1][1]
+
+
+def test_logreg_matches_driver_replica_bitwise(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.linalg import logreg_fit
+
+    t = _blob_table(seed=11, n=90, d=3)
+    w, b, _ = logreg_fit(
+        ray.data.from_arrow(t).repartition(6),
+        label_col="y",
+        lr=4.0,
+        iters=9,
+    )
+    wr, br = _logreg_driver_replica(t, lr=4.0, iters=9)
+    assert np.array_equal(w, wr)
+    assert b == br
+
+
+def test_logreg_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.linalg import logreg_fit
+
+    with pytest.raises(ValueError, match="iters"):
+        logreg_fit(
+            ray.data.from_arrow(_blob_table()), label_col="y", iters=0
+        )
+
+
+def test_embedding_logreg_query(ray_session):
+    from deepseek_ocr_ray.pipelines.analytics import embedding_logreg
+
+    out = embedding_logreg(SF_DIR, iters=10).to_pandas()
+    assert list(out.columns) == ["dim", "weight"]
+    assert len(out) == 65 and out["dim"].iloc[0] == -1
+    again = embedding_logreg(SF_DIR, iters=10).to_pandas()
+    assert out.equals(again)
