@@ -478,12 +478,13 @@ def test_logreg_parallelism_invariance_bitwise(ray_session):
     assert runs[0][1] == runs[1][1]
 
 
-def test_logreg_matches_driver_replica_bitwise(ray_session):
+@pytest.mark.parametrize("seed", [11, 29, 47])
+def test_logreg_matches_driver_replica_bitwise(ray_session, seed):
     import ray.data
 
     from deepseek_ocr_ray.stages.linalg import logreg_fit
 
-    t = _blob_table(seed=11, n=90, d=3)
+    t = _blob_table(seed=seed, n=90, d=3)
     w, b, _ = logreg_fit(
         ray.data.from_arrow(t).repartition(6),
         label_col="y",
