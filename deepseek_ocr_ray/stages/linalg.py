@@ -360,6 +360,7 @@ def groupwise_ols(
     y_col: str,
     *,
     max_abs_row_product: int,
+    ridge: int = 0,
     n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Per-group OLS of ``y ~ b0 + Σ bᵢ·x_cols[i]`` over int64-exact feature
@@ -377,6 +378,12 @@ def groupwise_ols(
     product| (e.g. max|x·y|); the finish refuses groups past the int64 sum
     horizon rather than returning silently-wrapped C++ sums.
 
+    ``ridge`` — integer L2 penalty λ added to the FEATURE diagonal of the
+    normal equations (``XᵀX + λI``, intercept unpenalized — standard ridge
+    in the features' integer units): the system stays exact-integer, so the
+    Cramer solve and its determinism carry over unchanged, and a collinear
+    group becomes solvable for any λ > 0.
+
     Output: group_cols, n, sum_x{i}, sum_x{i}x{j} (i ≤ j), sum_y,
     sum_x{i}y, b0..b{k} — sorted by group_cols.
     """
@@ -387,6 +394,9 @@ def groupwise_ols(
         raise ValueError("groupwise_ols: need at least one feature column")
     if max_abs_row_product <= 0:
         raise ValueError("groupwise_ols: max_abs_row_product must be > 0")
+    if ridge < 0:
+        raise ValueError("groupwise_ols: ridge must be >= 0")
+    ridge = int(ridge)
     horizon = _I64_SAFE // int(max_abs_row_product)
 
     xx_names = [
@@ -449,6 +459,7 @@ def groupwise_ols(
                 a[1 + i][0] = sx[i][r]
                 for j in range(k):
                     a[1 + i][1 + j] = sxx[(i, j)][r]
+                a[1 + i][1 + i] += ridge
             rhs = [sy[r]] + [sxy[i][r] for i in range(k)]
             det = int_det(a)
             for c in range(k + 1):

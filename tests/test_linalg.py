@@ -515,3 +515,76 @@ def test_embedding_logreg_query(ray_session):
     assert len(out) == 65 and out["dim"].iloc[0] == -1
     again = embedding_logreg(SF_DIR, iters=10).to_pandas()
     assert out.equals(again)
+
+
+# ------------------------------------------------------------------ ridge
+
+
+def test_groupwise_ols_ridge_matches_numpy(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    n = 250
+    x0 = rng.integers(-15, 15, n)
+    x1 = rng.integers(0, 60, n)
+    y = rng.integers(-500, 500, n)
+    t = pa.table(
+        {
+            "g": pa.array(["r"] * n),
+            "x0": pa.array(x0, pa.int64()),
+            "x1": pa.array(x1, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    lam = 1000
+    out = groupwise_ols(
+        ray.data.from_arrow(t).repartition(4),
+        ["g"],
+        ["x0", "x1"],
+        "y",
+        max_abs_row_product=10**8,
+        ridge=lam,
+    ).to_pandas()
+    X = np.column_stack([np.ones(n), x0, x1]).astype(np.float64)
+    A = X.T @ X + np.diag([0.0, lam, lam])
+    ref = np.linalg.solve(A, X.T @ y.astype(np.float64))
+    got = out[["b0", "b1", "b2"]].to_numpy()[0]
+    assert np.allclose(got, ref, rtol=1e-9, atol=1e-9)
+    # ridge=0 equals the unpenalized fit
+    base = groupwise_ols(
+        ray.data.from_arrow(t), ["g"], ["x0", "x1"], "y",
+        max_abs_row_product=10**8,
+    ).to_pandas()
+    zero = groupwise_ols(
+        ray.data.from_arrow(t), ["g"], ["x0", "x1"], "y",
+        max_abs_row_product=10**8, ridge=0,
+    ).to_pandas()
+    assert base.equals(zero)
+
+
+def test_groupwise_ols_ridge_solves_collinear_group(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": pa.array(["s"] * 12),
+            "x0": pa.array([7] * 12, pa.int64()),  # constant ⇒ singular
+            "x1": pa.array(list(range(12)), pa.int64()),
+            "y": pa.array([2 * v for v in range(12)], pa.int64()),
+        }
+    )
+    out = groupwise_ols(
+        ray.data.from_arrow(t), ["g"], ["x0", "x1"], "y",
+        max_abs_row_product=10**6, ridge=5,
+    ).to_pandas()
+    assert np.isfinite(out[["b0", "b1", "b2"]].to_numpy()).all()
+
+
+def test_groupwise_ols_ridge_validation(ray_session):
+    import ray.data
+
+    with pytest.raises(ValueError, match="ridge"):
+        groupwise_ols(
+            ray.data.from_arrow(_ols_fixture()), ["g"], ["x0"], "y",
+            max_abs_row_product=10, ridge=-1,
+        )
