@@ -528,7 +528,19 @@ def logreg_fit(
 
     state_ref = None
 
+    _empty_grad = pa.table(
+        {
+            "n": pa.array([], pa.int64()),
+            "g0": pa.array([], pa.int64()),
+            "g": pa.array([], pa.list_(pa.int64())),
+        }
+    )
+
     def grad_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # an empty block's (0, 0) feature matrix cannot dot the weight
+            # vector — contribute nothing instead of a shape error
+            return _empty_grad
         w, b = ray.get(state_ref)
         m = list_to_matrix(batch[vec_col])
         q = quantize_matrix(m, scale)
@@ -602,6 +614,14 @@ def logreg_score(
     fit_ref = ray.put((w.astype(np.float64), float(b)))
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "score_ppm": pa.array([], pa.int64()),
+                    "predicted": pa.array([], pa.int64()),
+                }
+            )
         ww, bb = ray.get(fit_ref)
         q = quantize_matrix(list_to_matrix(batch[vec_col]), scale)
         p = 1.0 / (1.0 + np.exp(-((q / float(scale)) @ ww + bb)))

@@ -588,3 +588,28 @@ def test_groupwise_ols_ridge_validation(ray_session):
             ray.data.from_arrow(_ols_fixture()), ["g"], ["x0"], "y",
             max_abs_row_product=10, ridge=-1,
         )
+
+
+def test_logreg_empty_blocks(ray_session):
+    """A zero-row block must contribute nothing, not a (0,0)@(d,) shape
+    error — built by filtering one partition empty."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.linalg import logreg_fit, logreg_score
+
+    t = _blob_table(seed=3, n=60, d=4)
+    full = ray.data.from_arrow(t).repartition(6)
+    # an impossible predicate empties blocks downstream of the filter map
+    import pyarrow.compute as _pc
+
+    def drop_some(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.less(batch["vec_id"], 40))
+
+    ds = full.map_batches(drop_some, batch_format="pyarrow")
+    w, b, n = logreg_fit(ds, label_col="y", lr=5.0, iters=4)
+    assert n == 40
+    ref_t = t.filter(_pc.less(t["vec_id"], 40))
+    wr, br = _logreg_driver_replica(ref_t, lr=5.0, iters=4)
+    assert np.array_equal(w, wr) and b == br
+    scored = logreg_score(ds, w, b).to_pandas()
+    assert len(scored) == 40
