@@ -342,6 +342,12 @@ def pca_project(
     k = comps.shape[1]
 
     def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # an empty block's (0, 0) matrix cannot subtract the (d,) mean
+            cols = {id_col: batch[id_col]}
+            for c in range(k):
+                cols[f"pc{c}"] = pa.array([], pa.float64())
+            return pa.table(cols)
         mu, w = ray.get(fit_ref)
         m = list_to_matrix(batch[vec_col]).astype(np.float64)
         p = (m - mu) @ w

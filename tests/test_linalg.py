@@ -613,3 +613,23 @@ def test_logreg_empty_blocks(ray_session):
     assert np.array_equal(w, wr) and b == br
     scored = logreg_score(ds, w, b).to_pandas()
     assert len(scored) == 40
+
+
+def test_pca_project_empty_blocks(ray_session):
+    import ray.data
+    import pyarrow.compute as _pc
+
+    t, _ = _vec_table(n=80, d=4, seed=8)
+    ds = ray.data.from_arrow(t).repartition(8)
+    n, s, g = vector_moments(ds.select_columns(["embedding"]))
+    mean, comps = pca_components(n, s, g, k=2)
+
+    def drop_some(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.less(batch["vec_id"], 30))
+
+    out = (
+        pca_project(ds.map_batches(drop_some, batch_format="pyarrow"),
+                    mean, comps)
+        .to_pandas()
+    )
+    assert len(out) == 30
