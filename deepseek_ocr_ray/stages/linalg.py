@@ -168,7 +168,21 @@ def grouped_vector_moments(
     keyed).  Per-block accumulation is one segment-``add.reduceat`` pass
     over the quantized matrix — no per-row Python."""
 
+    _empty_partial = pa.table(
+        {
+            "g": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.list_(pa.int64())),
+            "s2": pa.array([], pa.list_(pa.int64())),
+        }
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # starts = flatnonzero(r_[True, ...]) is [0] even for an empty
+            # key array, so the counts column would come out length 1
+            # against length-0 moment columns — contribute nothing instead
+            return _empty_partial
         m = list_to_matrix(batch[vec_col])
         q = quantize_matrix(m, scale)
         nb = q.shape[0]
@@ -216,7 +230,17 @@ def grouped_vector_moments(
         nl = parts["n"].to_pylist()
         sl = parts["s"].to_pylist()
         s2l = parts["s2"].to_pylist()
+        width = len(sl[0])
         for gk, nn, sv, s2v in zip(gl, nl, sl, s2l):
+            if len(sv) != width or len(s2v) != width:
+                # zip() would silently truncate to the shorter vector and
+                # mix row counts across widths — ragged corpora must fail
+                # loudly, matching list_to_matrix's per-block contract
+                raise ValueError(
+                    "grouped_vector_moments: blocks disagree on the "
+                    f"embedding width ({len(sv)} vs {width}) — the corpus "
+                    "mixes vector dimensions"
+                )
             if gk in acc:
                 a = acc[gk]
                 a[0] += nn
@@ -409,16 +433,36 @@ def groupwise_ols(
         (i, j, f"sum_x{i}x{j}") for i in range(k) for j in range(i, k)
     ]
 
+    def _checked(prod: np.ndarray, what: str) -> np.ndarray:
+        # the horizon guard in finish is only as honest as the caller's
+        # declared bound — verify it against the ACTUAL per-row products
+        # here, where int64 wrap would otherwise be silent
+        if len(prod) and int(np.abs(prod).max()) > max_abs_row_product:
+            raise ValueError(
+                f"groupwise_ols: |{what}| reaches "
+                f"{int(np.abs(prod).max())}, above the declared "
+                f"max_abs_row_product={max_abs_row_product} — raise the "
+                "bound (and re-check the int64 horizon) or rescale the "
+                "features"
+            )
+        return prod
+
     def derive(batch: pa.Table) -> pa.Table:
         xs = [ints_to_numpy(batch[c]) for c in x_cols]
         y = ints_to_numpy(batch[y_col])
         cols: dict[str, object] = {c: batch[c] for c in group_cols}
         for i in range(k):
-            cols[f"sum_x{i}"] = pa.array(xs[i], pa.int64())
-            cols[f"sum_x{i}y"] = pa.array(xs[i] * y, pa.int64())
+            cols[f"sum_x{i}"] = pa.array(
+                _checked(xs[i], f"x{i}"), pa.int64()
+            )
+            cols[f"sum_x{i}y"] = pa.array(
+                _checked(xs[i] * y, f"x{i}·y"), pa.int64()
+            )
         for i, j, name in xx_names:
-            cols[name] = pa.array(xs[i] * xs[j], pa.int64())
-        cols["sum_y"] = pa.array(y, pa.int64())
+            cols[name] = pa.array(
+                _checked(xs[i] * xs[j], f"x{i}·x{j}"), pa.int64()
+            )
+        cols["sum_y"] = pa.array(_checked(y, "y"), pa.int64())
         return pa.table(cols)
 
     aggs: list[tuple[str | None, str, str]] = [(None, "count", "n")]
@@ -573,21 +617,14 @@ def logreg_fit(
             }
         )
 
-    w = None
+    # probe one row for the feature width (cheap limit-1 scan)
+    first = ds.limit(1).take_all()
+    d = len(first[0][vec_col]) if first else 0
+    w = np.zeros(d, np.float64)
     b = 0.0
     n_total = 0
     for _ in range(iters):
-        state_ref = ray.put(
-            (w if w is not None else np.zeros(0, np.float64), b)
-        )
-        # first pass discovers d lazily: zeros(0) dots as zeros(d) would
-        # only if d == 0, so seed the real width on iteration 1 below
-        if w is None:
-            # probe one row for the width (cheap limit-1 scan)
-            first = ds.limit(1).take_all()
-            d = len(first[0][vec_col]) if first else 0
-            w = np.zeros(d, np.float64)
-            state_ref = ray.put((w, b))
+        state_ref = ray.put((w, b))
         parts = collect_table(
             ds.map_batches(grad_partial, batch_format="pyarrow")
         )

@@ -633,3 +633,82 @@ def test_pca_project_empty_blocks(ray_session):
         .to_pandas()
     )
     assert len(out) == 30
+
+
+# ------------------------------------------------- review-hardening pins
+
+
+def test_grouped_vector_moments_empty_blocks(ray_session):
+    """A zero-row block must contribute nothing (the flatnonzero([True])
+    degenerate starts row would otherwise emit a length-1 counts column
+    against length-0 moment columns)."""
+    import ray.data
+    import pyarrow.compute as _pc
+
+    t = _labeled_vec_table(n=80, seed=31)
+    ids = pa.table(
+        {
+            "rid": pa.array(range(80), pa.int64()),
+            "label": t["label"],
+            "embedding": t["embedding"],
+        }
+    )
+    ds = ray.data.from_arrow(ids).repartition(8)
+
+    def drop_some(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.less(batch["rid"], 40))
+
+    got = grouped_vector_moments(
+        ds.map_batches(drop_some, batch_format="pyarrow")
+    ).to_pandas()
+    ref = grouped_vector_moments(
+        ray.data.from_arrow(ids.filter(_pc.less(ids["rid"], 40)))
+    ).to_pandas()
+    assert got.equals(ref)
+
+
+def test_grouped_vector_moments_ragged_width_loud(ray_session):
+    """Blocks that disagree on the embedding width must raise, not
+    silently zip-truncate the merge."""
+    import ray.data
+
+    t1 = pa.table(
+        {
+            "label": pa.array([0, 0], pa.int32()),
+            "embedding": pa.array(
+                [[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    t2 = pa.table(
+        {
+            "label": pa.array([0, 1], pa.int32()),
+            "embedding": pa.array(
+                [[0.7, 0.8], [0.9, 1.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    with pytest.raises(Exception, match="width"):
+        grouped_vector_moments(ds)
+
+
+def test_groupwise_ols_declared_bound_enforced(ray_session):
+    """An untrue max_abs_row_product declaration must fail loudly in the
+    derive pass, not flow wrapped products into the sums."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4),
+            "x0": pa.array([10**6] * 4, pa.int64()),
+            "x1": pa.array([1, 2, 3, 4], pa.int64()),
+            "y": pa.array([10**6] * 4, pa.int64()),
+        }
+    )
+    # true |x0·y| is 1e12; declare 1e9 → the per-block check must trip
+    with pytest.raises(Exception, match="max_abs_row_product"):
+        groupwise_ols(
+            ray.data.from_arrow(t), ["g"], ["x0", "x1"], "y",
+            max_abs_row_product=10**9,
+        ).to_pandas()
