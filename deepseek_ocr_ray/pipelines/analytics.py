@@ -4281,6 +4281,9 @@ def q8_market_share(
         left_cols=["o_orderkey", "o_year"],
         right_cols=[],
         approx_bytes=table_file_bytes(sf_dir, "orders", "customer"),
+        # the region prune can filter the customer dim to zero rows
+        # (no derivable schema on a fully-filtered computed stream)
+        right_types={"c_custkey": pa.int64()},
     )
 
     part = read_table(
@@ -4324,6 +4327,8 @@ def q8_market_share(
         left_cols=["l_orderkey", "l_suppkey", "cents"],
         right_cols=[],
         approx_bytes=table_file_bytes(sf_dir, "lineitem", "part"),
+        # the p_type prune can filter the part dim to zero rows
+        right_types={"p_partkey": pa.int64()},
     )
 
     supp = read_table(
@@ -4359,6 +4364,9 @@ def q8_market_share(
         left_cols=["cents", "is_target"],
         right_cols=["o_year"],
         approx_bytes=table_file_bytes(sf_dir, "lineitem", "orders"),
+        # ord_cust is itself a join over the region-pruned customer dim
+        # and can be empty-computed (no derivable schema)
+        right_types={"o_orderkey": pa.int64(), "o_year": pa.int64()},
     )
 
     def year_partial(batch: pa.Table) -> pa.Table:
@@ -6100,4 +6108,395 @@ SELECT g.event_type, strftime(g.d, '%Y-%m-%d') AS day,
         ORDER BY l.d DESC LIMIT 1) AS filled_cents
 FROM grid g
 ORDER BY g.event_type, day
+"""
+
+
+def q9_profit_by_nation(sf_dir: str, name_word: str = "widget") -> pa.Table:
+    """TPC-H Q9 shape — product-type profit by supplier nation and order
+    year: for parts whose name contains ``name_word``, per-(nation, year)
+    profit ``sum(rev_cents − cost_cents·qty)`` where the revenue is q3's
+    pinned integer-cents kernel and the unit cost is ``p_retailprice`` in
+    cents (the testdata has no partsupp, so the retail price stands in
+    for ``ps_supplycost`` — the five-table join + name-LIKE prune +
+    profit-expression shape of ref TPC-H Q9 is unchanged).  One row per
+    (nation, order year), name-then-year ordered; profit may be negative.
+
+    Scale plan: nation is a tiny driver dim; part prunes AT THE SCAN to
+    the name match (~1/|name words| of the dim) and ships through the
+    planner join (broadcast under the cap); lineitem scans once, joins
+    the pruned part projection FIRST (cutting the fact stream), tags
+    supplier nation via the broadcast supplier dim, and the orderkey
+    join runs volume-sized through the planner.  The profit sums
+    collapse per block over the bounded (25 nations × ~7 years) domain
+    and merge on the driver in exact Python ints — no aggregate
+    exchange.  Per-row |profit| < 2⁴⁰ cents and per-block partial sums
+    stay far inside int64 for any realistic block size."""
+    import pyarrow.parquet as _pq
+
+    from ..cluster import collect_table
+
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    name_of = {
+        int(k): v
+        for k, v in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
+        )
+    }
+
+    def part_prep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(
+            pc.match_substring(batch["p_name"], name_word)
+        )
+        cost = np.floor(
+            sub["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": sub["p_partkey"],
+                "cost_cents": pa.array(cost, pa.int64()),
+            }
+        )
+
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).map_batches(part_prep, batch_format="pyarrow")
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_partkey": batch["l_partkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "rev_cents": pa.array(rev, pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+            }
+        )
+
+    li_part = equi_join(
+        read_table(
+            sf_dir,
+            "lineitem",
+            columns=[
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        join_type="inner",
+        left_cols=["l_orderkey", "l_suppkey", "rev_cents", "qty"],
+        right_cols=["cost_cents"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "part"),
+        # the name prune can filter the part dim to zero rows
+        right_types={"p_partkey": pa.int64(), "cost_cents": pa.int64()},
+    )
+
+    def profit(batch: pa.Table) -> pa.Table:
+        rev = batch["rev_cents"].to_numpy(zero_copy_only=False)
+        cost = batch["cost_cents"].to_numpy(zero_copy_only=False)
+        qty = batch["qty"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "profit_cents": pa.array(rev - cost * qty, pa.int64()),
+            }
+        )
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li_supp = equi_join(
+        li_part.map_batches(profit, batch_format="pyarrow"),
+        supp,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        join_type="inner",
+        left_cols=["l_orderkey", "profit_cents"],
+        right_cols=["s_nationkey"],
+        strategy="broadcast",
+    )
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_year": pc.cast(
+                    pc.strftime(batch["o_orderdate"], format="%Y"), pa.int64()
+                ),
+            }
+        )
+
+    joined = equi_join(
+        li_supp,
+        read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]
+        ).map_batches(ord_prep, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        join_type="inner",
+        left_cols=["profit_cents", "s_nationkey"],
+        right_cols=["o_year"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "orders"),
+    )
+
+    def nation_year_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["s_nationkey", "o_year", "profit_cents"])
+            .group_by(["s_nationkey", "o_year"])
+            .aggregate([("profit_cents", "sum")])
+        )
+        return pa.table(
+            {
+                "nk": g["s_nationkey"].cast(pa.int64()),
+                "o_year": g["o_year"],
+                "profit": g["profit_cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        joined.map_batches(nation_year_partial, batch_format="pyarrow")
+    )
+    acc: dict[tuple[str, int], int] = {}
+    if t is not None and t.num_rows:
+        for nk, y, p in zip(
+            t["nk"].to_pylist(), t["o_year"].to_pylist(), t["profit"].to_pylist()
+        ):
+            key = (name_of[int(nk)], int(y))
+            acc[key] = acc.get(key, 0) + int(p)
+    rows = sorted(acc.items())
+    return pa.table(
+        {
+            "nation": pa.array([k[0] for k, _ in rows], pa.string()),
+            "o_year": pa.array([k[1] for k, _ in rows], pa.int64()),
+            "profit_cents": pa.array([v for _, v in rows], pa.int64()),
+        }
+    )
+
+
+def q9_profit_by_nation_sql(name_word: str = "widget") -> str:
+    return f"""
+WITH v AS (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT)
+           - CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+             * CAST(l_quantity AS BIGINT) AS profit_cents
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%{name_word}%'
+)
+SELECT nation, o_year, CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+FROM v GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+Q9_PROFIT_BY_NATION_SQL = q9_profit_by_nation_sql()
+
+
+def q21_waiting_suppliers(sf_dir: str, limit: int = 100) -> pa.Table:
+    """TPC-H Q21 shape — the lone failing supplier of multi-supplier
+    orders: over finished (``o_orderstatus = 'F'``) orders whose
+    lineitems come from AT LEAST two distinct suppliers (the EXISTS
+    self-join) and where EXACTLY ONE supplier has returned
+    (``l_returnflag = 'R'``) lines (the NOT-EXISTS self-join), count each
+    such supplier's qualifying returned lines — ``numwait`` desc,
+    name-tie-broken, top ``limit``.  (Ref TPC-H Q21 flags failure by
+    ``l_receiptdate > l_commitdate``; the testdata carries neither
+    column, so the return flag is the failure marker — the correlated
+    EXISTS + NOT-EXISTS double fact-self-join shape is unchanged.)
+
+    Scale plan: both correlated subqueries collapse to per-order
+    supplier statistics — a returned line l1 qualifies iff its order is
+    'F', spans ≥ 2 distinct suppliers and has exactly ONE failing
+    supplier (necessarily l1's own).  Each block reduces lineitem to
+    per-(orderkey, suppkey) partials in C++ (fail_any, fail_rows); the
+    F-orderkeys from the pruned orders scan ride the SAME orderkey-keyed
+    sort exchange as marker rows (suppkey = −1) — ONE volume-sized
+    exchange carrying reduced pairs and bare keys, never lineitem rows,
+    and every order's rows land in one bucket so the per-bucket walk is
+    exact.  The walk merges partials and derives the stats fully
+    vectorized (lexsort + reduceat), emitting one (suppkey, numwait)
+    partial per surviving supplier per bucket; those slim rows take a
+    second tiny keyed exchange, join the supplier dim for names through
+    the planner (broadcast under the cap), and the final top-``limit``
+    sorts distributed on (numwait desc, s_name) — a total order, so the
+    limit edge is deterministic."""
+    from ..cluster import collect_table
+    from ..hashing import id_bucket_array
+    from ..stages.agg import bucket_groupby_sum
+
+    n_buckets = assembly_buckets_for_bytes(
+        table_file_bytes(sf_dir, "lineitem", "orders")
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "fail": pc.cast(
+                    pc.equal(batch["l_returnflag"], "R"), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("fail", "max"), ("fail", "sum")]
+        )
+        out = pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "l_suppkey": g["l_suppkey"],
+                "fail_any": g["fail_max"].cast(pa.int64()),
+                "fail_rows": g["fail_sum"].cast(pa.int64()),
+            }
+        )
+        return out.append_column(
+            "obucket", id_bucket_array(out["l_orderkey"], n_buckets)
+        )
+
+    def ord_marker(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        zero = pa.array(np.zeros(sub.num_rows, np.int64), pa.int64())
+        t = pa.table(
+            {
+                "l_orderkey": sub["o_orderkey"],
+                "l_suppkey": pa.array(
+                    np.full(sub.num_rows, -1, np.int64), pa.int64()
+                ),
+                "fail_any": zero,
+                "fail_rows": zero,
+            }
+        )
+        return t.append_column(
+            "obucket", id_bucket_array(t["l_orderkey"], n_buckets)
+        )
+
+    pairs = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    markers = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(ord_marker, batch_format="pyarrow")
+
+    def empty_counts() -> pa.Table:
+        return pa.table(
+            {
+                "suppkey": pa.array([], pa.int64()),
+                "numwait": pa.array([], pa.int64()),
+            }
+        )
+
+    def walk(group: pa.Table) -> pa.Table:
+        ok = group["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = group["l_suppkey"].to_numpy(zero_copy_only=False)
+        fa = group["fail_any"].to_numpy(zero_copy_only=False)
+        fr = group["fail_rows"].to_numpy(zero_copy_only=False)
+        marker = sk == -1
+        f_orders = np.unique(ok[marker])
+        real = ~marker
+        ok, sk, fa, fr = ok[real], sk[real], fa[real], fr[real]
+        if ok.size == 0 or f_orders.size == 0:
+            return empty_counts()
+        # merge the per-block (orderkey, suppkey) partials
+        o = np.lexsort((sk, ok))
+        ok, sk, fa, fr = ok[o], sk[o], fa[o], fr[o]
+        new_pair = np.flatnonzero(
+            np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+        )
+        m_ok = ok[new_pair]
+        m_sk = sk[new_pair]
+        m_fa = (np.add.reduceat(fa, new_pair) > 0).astype(np.int64)
+        m_fr = np.add.reduceat(fr, new_pair)
+        # per-order stats over the merged pairs
+        ord_starts = np.flatnonzero(np.r_[True, m_ok[1:] != m_ok[:-1]])
+        n_supp = np.diff(np.r_[ord_starts, m_ok.size])
+        n_fail = np.add.reduceat(m_fa, ord_starts)
+        is_f = np.isin(m_ok[ord_starts], f_orders)
+        qual = is_f & (n_fail == 1) & (n_supp >= 2)
+        run_of_pair = np.cumsum(
+            np.r_[0, (m_ok[1:] != m_ok[:-1]).astype(np.int64)]
+        )
+        keep = qual[run_of_pair] & (m_fa == 1)
+        if not keep.any():
+            return empty_counts()
+        t = pa.table(
+            {
+                "suppkey": pa.array(m_sk[keep], pa.int64()),
+                "numwait": pa.array(m_fr[keep], pa.int64()),
+            }
+        )
+        g = t.group_by("suppkey").aggregate([("numwait", "sum")])
+        return pa.table(
+            {
+                "suppkey": g["suppkey"],
+                "numwait": g["numwait_sum"].cast(pa.int64()),
+            }
+        )
+
+    per_bucket = (
+        pairs.union(markers)
+        .groupby("obucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+    counts = bucket_groupby_sum(per_bucket, ["suppkey"], ["numwait"])
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = equi_join(
+        supp,
+        counts,
+        on="s_suppkey",
+        right_on="suppkey",
+        join_type="inner",
+        left_cols=["s_name"],
+        right_cols=["numwait"],
+        approx_bytes=table_file_bytes(sf_dir, "supplier"),
+        right_types={"suppkey": pa.int64(), "numwait": pa.int64()},
+    )
+    # an all-orders-disqualified corpus leaves every block a zero-column
+    # Sort empty (map_batches never sees empty blocks, so they can't be
+    # retyped in-stream) — the top-limit result is ≤ limit rows by
+    # construction, so collect it with a typed-empty fallback
+    top = collect_table(
+        out.sort(["numwait", "s_name"], descending=[True, False]).limit(limit)
+    )
+    if top is None:
+        return pa.table(
+            {
+                "s_name": pa.array([], pa.string()),
+                "numwait": pa.array([], pa.int64()),
+            }
+        )
+    return top.select(["s_name", "numwait"])
+
+
+Q21_WAITING_SUPPLIERS_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """

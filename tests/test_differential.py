@@ -670,6 +670,21 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
         pa.table(
             {
                 "p_partkey": pa.array(range(n_p), pa.int64()),
+                "p_name": pa.array(
+                    [
+                        f"{a} {b}"
+                        for a, b in zip(
+                            rng.choice(
+                                ["cold", "small", "large", "blue"], n_p
+                            ),
+                            rng.choice(["widget", "bolt", "rod"], n_p),
+                        )
+                    ],
+                    pa.string(),
+                ),
+                "p_retailprice": pa.array(
+                    np.round(rng.uniform(1, 2000, n_p), 2), pa.float64()
+                ),
                 "p_brand": pa.array(
                     [
                         f"Brand#{b}"
@@ -778,6 +793,9 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
                     ).tolist(),
                     pa.string(),
                 ),
+                "o_orderstatus": pa.array(
+                    rng.choice(["P", "O", "F"], n_o).tolist(), pa.string()
+                ),
             }
         ),
         os.path.join(d, "orders.parquet"),
@@ -847,6 +865,11 @@ _TPCH_SHAPES = [
     ("q12_priority_by_status", "Q12_PRIORITY_BY_STATUS_SQL"),
     ("q22_idle_customers", "Q22_IDLE_CUSTOMERS_SQL"),
     ("q8_market_share", "Q8_MARKET_SHARE_SQL"),
+    # Q9: five-table profit by (nation, year); Q21: the correlated
+    # EXISTS + NOT-EXISTS double fact-self-join collapsed to per-order
+    # supplier stats on one orderkey-keyed exchange
+    ("q9_profit_by_nation", "Q9_PROFIT_BY_NATION_SQL"),
+    ("q21_waiting_suppliers", "Q21_WAITING_SUPPLIERS_SQL"),
     # group-wise OLS: exact Cramer determinants vs DuckDB's HUGEINT
     # expansion over random quantities/prices/discounts
     ("lineitem_price_ols", "LINEITEM_PRICE_OLS_SQL"),

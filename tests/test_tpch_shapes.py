@@ -544,3 +544,124 @@ def test_q8_market_share_boundaries(ray_session, tmp_path):
         )
     )
     assert got == [(1995, 10000, 12500, 800000), (1996, 0, 6000, 0)]
+
+
+def test_q9_profit_name_filter_and_negative_profit(ray_session, tmp_path):
+    # p1 matches the name word; p2 must not.  Line 3's cost exceeds its
+    # revenue → a negative per-(nation, year) profit must survive.
+    d = dt.datetime
+    _write(
+        tmp_path,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(["N_A", "N_B"], pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_nationkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_name": pa.array(["green widget", "red bolt"], pa.string()),
+                "p_retailprice": pa.array([10.0, 5.0], pa.float64()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_orderdate": pa.array(
+                    [d(1995, 3, 1), d(1996, 7, 1)], pa.timestamp("us")
+                ),
+            }
+        ),
+    )
+    _lineitem(
+        tmp_path,
+        [
+            # rev 9000c − cost 1000c×2 → +7000 (N_A, 1995)
+            (1, 1, 1, 2.0, 100.0, 0.1),
+            # name-filtered out
+            (1, 2, 1, 1.0, 999.0, 0.0),
+            # rev 1000c − 1000c×3 → −2000 (N_B, 1996)
+            (2, 1, 2, 3.0, 10.0, 0.0),
+            # rev 2500c − 1000c → +1500 (N_A, 1996)
+            (2, 1, 1, 1.0, 50.0, 0.5),
+        ],
+        ("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"),
+    )
+    out = analytics.q9_profit_by_nation(str(tmp_path))
+    got = list(
+        zip(
+            out["nation"].to_pylist(),
+            out["o_year"].to_pylist(),
+            out["profit_cents"].to_pylist(),
+        )
+    )
+    assert got == [("N_A", 1995, 7000), ("N_A", 1996, 1500),
+                   ("N_B", 1996, -2000)]
+
+
+def test_q21_exists_notexists_and_row_counting(ray_session, tmp_path):
+    # o1: lone failing supplier 1 among two → counts 1.
+    # o2: BOTH suppliers fail → NOT-EXISTS kills it.
+    # o3: single-supplier order → EXISTS kills it.
+    # o4: status 'O' → excluded.
+    # o5: supplier 3 fails TWICE (two l1 rows) beside a clean supplier
+    #     → counts 2 (Q21's count(*) is over qualifying lineitem ROWS).
+    # o6: supplier 1 fails twice beside a clean supplier → +2 → S1 = 3.
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "s_name": pa.array(["S1", "S2", "S3", "S4"], pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "o_orderstatus": pa.array(
+                    ["F", "F", "F", "O", "F", "F"], pa.string()
+                ),
+            }
+        ),
+    )
+    _lineitem(
+        tmp_path,
+        [
+            (1, 1, "R"), (1, 2, "N"),
+            (2, 1, "R"), (2, 2, "R"),
+            (3, 1, "R"),
+            (4, 1, "R"), (4, 2, "N"),
+            (5, 3, "R"), (5, 3, "R"), (5, 4, "A"),
+            (6, 1, "R"), (6, 1, "R"), (6, 4, "N"),
+        ],
+        ("l_orderkey", "l_suppkey", "l_returnflag"),
+    )
+    out = analytics.q21_waiting_suppliers(str(tmp_path)).to_pandas()
+    got = list(zip(out["s_name"], out["numwait"]))
+    assert got == [("S1", 3), ("S3", 2)]
