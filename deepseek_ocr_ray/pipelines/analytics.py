@@ -6227,6 +6227,12 @@ def q9_profit_by_nation(sf_dir: str, name_word: str = "widget") -> pa.Table:
         left_cols=["l_orderkey", "profit_cents"],
         right_cols=["s_nationkey"],
         strategy="broadcast",
+        # a name_word matching NO part empties this computed side
+        left_types={
+            "l_orderkey": pa.int64(),
+            "l_suppkey": pa.int64(),
+            "profit_cents": pa.int64(),
+        },
     )
 
     def ord_prep(batch: pa.Table) -> pa.Table:
@@ -6250,6 +6256,14 @@ def q9_profit_by_nation(sf_dir: str, name_word: str = "widget") -> pa.Table:
         left_cols=["profit_cents", "s_nationkey"],
         right_cols=["o_year"],
         approx_bytes=table_file_bytes(sf_dir, "lineitem", "orders"),
+        # a name_word matching NO part empties the computed left side
+        # (no derivable schema); s_nationkey rides through the broadcast
+        # join with the supplier scan's own int32
+        left_types={
+            "l_orderkey": pa.int64(),
+            "profit_cents": pa.int64(),
+            "s_nationkey": pa.int32(),
+        },
     )
 
     def nation_year_partial(batch: pa.Table) -> pa.Table:

@@ -665,3 +665,60 @@ def test_q21_exists_notexists_and_row_counting(ray_session, tmp_path):
     out = analytics.q21_waiting_suppliers(str(tmp_path)).to_pandas()
     got = list(zip(out["s_name"], out["numwait"]))
     assert got == [("S1", 3), ("S3", 2)]
+
+
+def test_q9_no_matching_parts_returns_typed_empty(ray_session, tmp_path):
+    # A name_word matching NOTHING empties the computed lineitem⋈part
+    # side before the orders join — the declared left_types must carry
+    # the schema through to a typed 3-column empty result.
+    d = dt.datetime
+    _write(
+        tmp_path,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([0], pa.int32()),
+                "n_name": pa.array(["N_A"], pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([1], pa.int64()),
+                "s_nationkey": pa.array([0], pa.int32()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1], pa.int64()),
+                "p_name": pa.array(["red bolt"], pa.string()),
+                "p_retailprice": pa.array([5.0], pa.float64()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_orderdate": pa.array([d(1995, 3, 1)], pa.timestamp("us")),
+            }
+        ),
+    )
+    _lineitem(
+        tmp_path,
+        [(1, 1, 1, 2.0, 100.0, 0.1)],
+        ("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"),
+    )
+    out = analytics.q9_profit_by_nation(str(tmp_path), name_word="widget")
+    assert out.num_rows == 0
+    assert out.column_names == ["nation", "o_year", "profit_cents"]
