@@ -6514,3 +6514,191 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# skyline / BFS / entropy (round-4 closing additions)
+# ---------------------------------------------------------------------------
+
+
+def part_skyline(sf_dir: str) -> ray.data.Dataset:
+    """Pareto frontier of the part catalog — every part not dominated on
+    (price ↓, size ↑): no other part is at-most-as-expensive AND
+    at-least-as-big with one strict inequality.  The multi-objective
+    shortlist primitive (cheapest-per-capability).  Plan: per-block
+    vectorized local skyline (a superset filter — locally dominated ⇒
+    globally dominated), then the same kernel once over the collected
+    candidates; only frontier candidates cross the wire
+    (``stages/pareto.py``).  Prices integerize to cents per the engine
+    convention so the dominance test is exact on both sides."""
+    from ..stages.pareto import skyline
+
+    ds = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"].cast(pa.int64()),
+                "price_cents": _cents(batch["p_retailprice"]),
+                "p_size": batch["p_size"].cast(pa.int64()),
+            }
+        )
+
+    return skyline(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        x_col="price_cents",
+        y_col="p_size",
+        carry_cols=["p_partkey"],
+    )
+
+
+PART_SKYLINE_SQL = """
+WITH p AS (
+  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+         CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT a.p_partkey, a.price_cents, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+)
+"""
+
+
+def source_lang_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Shannon entropy of each source's language distribution (corpus
+    diversity audit), integer-exact under the driver hash gate: counts
+    per (source, lang) reduce map-side through one coarse-bucket exchange;
+    each group's ``c·ln(c)`` term is quantized to a ppm INTEGER before
+    summation — ``FLOOR(c*LN(c)*1e6 + 0.5)`` on both sides — so the sums
+    are exact int64 and the only float expression is the final pinned
+    ``ln(n) − s/(n·1e6)``.  ``math.log`` (C libm) is bit-identical to
+    DuckDB's ``LN`` over the full count range (verified 1..2·10⁶);
+    numpy's SIMD ``np.log`` is NOT (1-ULP off on ~25% of integers) and
+    must not be used here.  The (source, lang) domain is bounded, so the
+    reduced table merges on the driver per the engine convention."""
+    import math
+
+    from ..cluster import collect_table
+    from ..stages.agg import bucket_groupby_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+    counts = bucket_groupby_agg(ds, ["source", "lang"], [(None, "count", "c")])
+    tbl = collect_table(counts)
+    if tbl is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_langs": pa.array([], pa.int64()),
+                    "entropy_ppm": pa.array([], pa.int64()),
+                }
+            )
+        )
+    srcs = tbl["source"].to_pylist()
+    cs = tbl["c"].to_pylist()
+    agg: dict[str, list[int]] = {}
+    for s, c in zip(srcs, cs):
+        a = agg.setdefault(s, [0, 0, 0])  # n_docs, n_langs, s_term
+        a[0] += c
+        a[1] += 1
+        # exact-int term: one double expression per group, same op order
+        # as the SQL `FLOOR(c*LN(c)*1e6 + 0.5)`
+        a[2] += int(math.floor((float(c) * math.log(c)) * 1e6 + 0.5))
+    out_src = sorted(agg)
+    n_docs = [agg[s][0] for s in out_src]
+    n_langs = [agg[s][1] for s in out_src]
+    ent = [
+        int(
+            math.floor(
+                (math.log(n) - float(sv) / (float(n) * 1e6)) * 1e6 + 0.5
+            )
+        )
+        for n, sv in ((agg[s][0], agg[s][2]) for s in out_src)
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "n_langs": pa.array(n_langs, pa.int64()),
+                "entropy_ppm": pa.array(ent, pa.int64()),
+            }
+        )
+    )
+
+
+SOURCE_LANG_ENTROPY_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+), t AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(CAST(FLOOR(c*LN(c)*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       CAST(FLOOR((LN(n_docs) - CAST(s AS DOUBLE)/(CAST(n_docs AS DOUBLE)*1e6))*1e6 + 0.5) AS BIGINT) AS entropy_ppm
+FROM t
+"""
+
+
+def supplier_part_hops(
+    sf_dir: str, *, source_suppkey: int = 1, max_hops: int = 3
+) -> ray.data.Dataset:
+    """BFS hop levels from one supplier over the bipartite supplier↔part
+    purchase graph (node ids namespaced part·2 / supp·2+1, the
+    ``part_supplier_pagerank`` convention): hop 1 = the supplier's parts,
+    hop 2 = suppliers sharing those parts, hop 3 = their parts — the
+    supply-chain blast-radius query.  The iterative-frontier plan
+    (``stages/graph.py bfs_levels``): edges materialize once and only
+    STREAM per hop, the frontier broadcasts once per hop via ``ray.put``,
+    blocks emit distinct candidates only.  Oracle: DuckDB recursive CTE
+    with min-hop fold."""
+    from ..stages.graph import bfs_levels
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        pk = pc.multiply(batch["l_partkey"].cast(pa.int64()), 2)
+        sk = pc.add(pc.multiply(batch["l_suppkey"].cast(pa.int64()), 2), 1)
+        return pa.table({"u": pk, "v": sk})
+
+    edges = li.map_batches(mk, batch_format="pyarrow")
+    return bfs_levels(
+        edges,
+        [2 * source_suppkey + 1],
+        max_hops=max_hops,
+        bidirectional=True,
+    )
+
+
+SUPPLIER_PART_HOPS_SQL = """
+WITH RECURSIVE bfs(node, hop) AS (
+  SELECT CAST(3 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+  UNION
+  SELECT e.dst, b.hop + 1
+  FROM bfs b
+  JOIN (
+    SELECT CAST(l_partkey AS BIGINT)*2 AS src,
+           CAST(l_suppkey AS BIGINT)*2 + 1 AS dst
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(l_suppkey AS BIGINT)*2 + 1,
+           CAST(l_partkey AS BIGINT)*2
+    FROM lineitem
+  ) e ON e.src = b.node
+  WHERE b.hop < 3
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+FROM bfs GROUP BY node
+"""

@@ -1214,3 +1214,105 @@ def kcore_members(
     raise RuntimeError(
         f"kcore_members did not converge within {max_rounds} rounds"
     )
+
+
+def bfs_levels(
+    edges: ray.data.Dataset,
+    sources: "list[int] | np.ndarray",
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_hops: int = 4,
+    bidirectional: bool = True,
+) -> ray.data.Dataset:
+    """Multi-source breadth-first hop levels: ``(node, hop)`` with the
+    MINIMUM hop distance from any source, for every node within
+    ``max_hops``.  Sources are always emitted at hop 0, present in the
+    edge list or not (the SQL seed row mirrors this).
+
+    The iterative-frontier plan — the third graph-loop shape beside
+    fixed-iteration PageRank and label-propagation components:
+
+    * the edge Dataset is symmetrized (when ``bidirectional``) and
+      materialized ONCE; each hop is one streaming pass over its blocks —
+      edges never shuffle and are never re-read from storage;
+    * the current frontier ships once per hop as a sorted int64 array via
+      ``ray.put`` (broadcast, not per-batch); each block probes it with
+      ``searchsorted`` and emits only its DISTINCT in-frontier neighbor
+      candidates (``np.unique``), so the per-hop exchange is bounded by
+      the NODE domain — never the 100-TB edge count;
+    * visited/level state merges on the driver — the engine's
+      bounded-domain convention: nodes are the catalog-side dimension
+      (parts × suppliers here), facts only stream.  A node table too big
+      for one machine needs the label-propagation formulation instead
+      (``connected_components``-style joins), noted as the upgrade path.
+
+    Early-exits when a frontier empties.  Raises on ``max_hops < 0``.
+    """
+    import ray as _ray
+
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    src = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if src.size == 0:
+        raise ValueError("bfs_levels needs at least one source node")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch[u_col].cast(pa.int64())
+        v = batch[v_col].cast(pa.int64())
+        if bidirectional:
+            return pa.concat_tables(
+                [pa.table({"eu": u, "ev": v}), pa.table({"eu": v, "ev": u})]
+            ).combine_chunks()
+        return pa.table({"eu": u, "ev": v})
+
+    edges2 = edges.map_batches(prep, batch_format="pyarrow").materialize()
+
+    visited = src.copy()  # sorted
+    out_nodes = [src]
+    out_hops = [np.zeros(src.size, dtype=np.int64)]
+    frontier = src
+
+    from ..cluster import collect_table
+
+    for hop in range(1, max_hops + 1):
+        if frontier.size == 0:
+            break
+        frontier_ref = _ray.put(frontier)  # sorted int64
+
+        def probe(batch: pa.Table, _ref=frontier_ref) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64())})
+            f = _ray.get(_ref)
+            u = batch["eu"].to_numpy(zero_copy_only=False)
+            v = batch["ev"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(f, u)
+            np.clip(pos, 0, f.size - 1, out=pos)
+            hit = f[pos] == u
+            cand = np.unique(v[hit])
+            return pa.table({"node": pa.array(cand, pa.int64())})
+
+        tbl = collect_table(
+            edges2.map_batches(probe, batch_format="pyarrow")
+        )
+        if tbl is None:
+            break
+        cand = np.unique(tbl["node"].to_numpy(zero_copy_only=False))
+        new = cand[
+            ~np.isin(cand, visited, assume_unique=True, kind="sort")
+        ]
+        if new.size == 0:
+            break
+        out_nodes.append(new)
+        out_hops.append(np.full(new.size, hop, dtype=np.int64))
+        visited = np.union1d(visited, new)
+        frontier = new
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.concatenate(out_nodes), pa.int64()),
+                "hop": pa.array(np.concatenate(out_hops), pa.int64()),
+            }
+        )
+    )
