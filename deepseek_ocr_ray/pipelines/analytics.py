@@ -6702,3 +6702,118 @@ WITH RECURSIVE bfs(node, hop) AS (
 SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
 FROM bfs GROUP BY node
 """
+
+
+def orders_merge_cdc(sf_dir: str) -> ray.data.Dataset:
+    """MERGE INTO over the orders table (``state/merge.py``) — the
+    lakehouse upsert/delete primitive applied to a deterministic CDC
+    batch synthesized from the table itself: keys ``%97==0`` upsert with
+    bumped custkey/price, keys ``%89==3`` (not already upserting) delete,
+    and keys ``%101==5`` re-enter as genuine inserts under a ``+10⁹`` key
+    offset no base key can reach.  Plan: the change-key vector broadcasts
+    once, ONE streaming anti-probe pass over base blocks, upsert rows
+    appended as the tail — zero shuffle, base rows move at most once.
+    Prices integerize to cents so both sides are exact."""
+    from ..state.merge import merge_into
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    raw = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    base = raw.map_batches(prep, batch_format="pyarrow")
+
+    empty_changes = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "price_cents": pa.array([], pa.int64()),
+            "op": pa.array([], pa.string()),
+        }
+    )
+
+    def mk_changes(batch: pa.Table) -> pa.Table:
+        t = prep(batch)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        up = (k % 97) == 0
+        de = ((k % 89) == 3) & ~up
+        ins = (k % 101) == 5
+        parts = []
+        if up.any():
+            s = t.filter(pa.array(up))
+            parts.append(
+                pa.table(
+                    {
+                        "o_orderkey": s["o_orderkey"],
+                        "o_custkey": pc.add(s["o_custkey"], 1),
+                        "price_cents": pc.add(s["price_cents"], 11),
+                        "op": pa.array(["u"] * s.num_rows, pa.string()),
+                    }
+                )
+            )
+        if de.any():
+            s = t.filter(pa.array(de))
+            parts.append(
+                pa.table(
+                    {
+                        "o_orderkey": s["o_orderkey"],
+                        "o_custkey": s["o_custkey"],
+                        "price_cents": s["price_cents"],
+                        "op": pa.array(["d"] * s.num_rows, pa.string()),
+                    }
+                )
+            )
+        if ins.any():
+            s = t.filter(pa.array(ins))
+            parts.append(
+                pa.table(
+                    {
+                        "o_orderkey": pc.add(s["o_orderkey"], 1_000_000_000),
+                        "o_custkey": s["o_custkey"],
+                        "price_cents": pc.add(s["price_cents"], 7),
+                        "op": pa.array(["u"] * s.num_rows, pa.string()),
+                    }
+                )
+            )
+        if not parts:
+            return empty_changes
+        return pa.concat_tables(parts)
+
+    changes = raw.map_batches(mk_changes, batch_format="pyarrow")
+    return merge_into(base, changes, key_col="o_orderkey")
+
+
+ORDERS_MERGE_CDC_SQL = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+),
+ups AS (
+  SELECT o_orderkey, o_custkey + 1 AS o_custkey,
+         price_cents + 11 AS price_cents
+  FROM base WHERE o_orderkey % 97 = 0
+),
+dels AS (
+  SELECT o_orderkey FROM base
+  WHERE o_orderkey % 89 = 3 AND o_orderkey % 97 <> 0
+),
+ins AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+         price_cents + 7 AS price_cents
+  FROM base WHERE o_orderkey % 101 = 5
+)
+SELECT b.o_orderkey, b.o_custkey, b.price_cents FROM base b
+WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+  AND b.o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+UNION ALL SELECT o_orderkey, o_custkey, price_cents FROM ups
+UNION ALL SELECT o_orderkey, o_custkey, price_cents FROM ins
+"""
