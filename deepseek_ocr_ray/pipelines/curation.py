@@ -1203,6 +1203,150 @@ LIMIT {k}
 """
 
 
+def hybrid_search_rrf(
+    sf_dir: str,
+    *,
+    terms: list[str] | None = None,
+    query_vec_id: int = 0,
+    k: int = TFIDF_K,
+    rrf_k: int = 60,
+) -> "pa.Table":
+    """Hybrid retrieval — reciprocal-rank fusion of the lexical and the
+    vector leg over the same corpus (``documents.doc_id`` ≡
+    ``embeddings.vec_id``): BM25 top-k for ``terms`` fuses with exact
+    cosine top-k for query vector ``query_vec_id`` under the standard RRF
+    rule, integerized so both sides are exact —
+
+        rrf_ppm(d) = Σ_leg  10⁶ // (rrf_k + rank_leg(d))
+
+    with an absent leg contributing 0 (the union-of-top-k convention).
+    Each leg runs its existing distributed plan (one stats pass + one
+    scoring pass for BM25; broadcast query matrix + block-local top-k for
+    the vector leg); the fusion itself touches only the two ≤k-row top
+    lists, so it is a driver op at any corpus size.  Ranks tie-break by
+    doc id on both sides (the legs' own convention)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..stages.similarity import brute_force_topk
+
+    bm = collect_table(search_bm25(sf_dir, terms=terms, k=k))
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq_mod.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
+    )
+    qvec = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    ann = collect_table(
+        brute_force_topk(
+            emb,
+            qvec,
+            np.array([query_vec_id], dtype=np.int64),
+            k=k,
+            dtype=np.float64,
+        )
+    )
+
+    ranks: dict[int, list[int]] = {}  # doc_id -> [bm25_rank, ann_rank]
+    if bm is not None and bm.num_rows:
+        order = np.lexsort(
+            (
+                bm["doc_id"].to_numpy(zero_copy_only=False),
+                -bm["score"].to_numpy(zero_copy_only=False),
+            )
+        )
+        for r, i in enumerate(order, 1):
+            ranks.setdefault(int(bm["doc_id"][int(i)].as_py()), [0, 0])[0] = r
+    if ann is not None and ann.num_rows:
+        nid = ann["neighbor_id"].to_numpy(zero_copy_only=False)
+        rk = ann["rank"].to_numpy(zero_copy_only=False)
+        for d, r in zip(nid, rk):
+            ranks.setdefault(int(d), [0, 0])[1] = int(r)
+
+    docs = sorted(ranks)
+    bm_r = [ranks[d][0] for d in docs]
+    an_r = [ranks[d][1] for d in docs]
+    rrf = [
+        (1_000_000 // (rrf_k + b) if b else 0)
+        + (1_000_000 // (rrf_k + a) if a else 0)
+        for b, a in zip(bm_r, an_r)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "bm25_rank": pa.array(bm_r, pa.int64()),
+            "ann_rank": pa.array(an_r, pa.int64()),
+            "rrf_ppm": pa.array(rrf, pa.int64()),
+        }
+    )
+
+
+def hybrid_search_rrf_sql(
+    terms: list[str] | None = None,
+    query_vec_id: int = 0,
+    k: int = TFIDF_K,
+    rrf_k: int = 60,
+) -> str:
+    terms = list(terms or TFIDF_TERMS)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH toksall AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toksall GROUP BY 1),
+l AS (SELECT CAST(sum(dl) AS BIGINT) AS len_total FROM dl),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM toksall WHERE tok IN ({in_list}) GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toksall WHERE tok IN ({in_list}) GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         CAST(sum(
+           (((n.n_docs * {BM25_SCALE}) // df.df) * 44000 * tf.tf)
+           // (20000*tf.tf + 6000 + 18*((dl.dl * 1000 * n.n_docs) // l.len_total))
+         ) AS BIGINT) AS score
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN l
+  GROUP BY 1
+  ORDER BY score DESC, doc_id
+  LIMIT {k}
+),
+bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS bm25_rank
+  FROM bm
+),
+q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id = {query_vec_id}
+),
+s AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c
+  FROM q, embeddings e WHERE e.vec_id <> {query_vec_id}
+),
+annr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS BIGINT)
+           AS ann_rank
+  FROM s QUALIFY ann_rank <= {k}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(b.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+       CAST(COALESCE(a.ann_rank, 0) AS BIGINT) AS ann_rank,
+       CAST(COALESCE(1000000 // ({rrf_k} + b.bm25_rank), 0)
+          + COALESCE(1000000 // ({rrf_k} + a.ann_rank), 0) AS BIGINT)
+         AS rrf_ppm
+FROM bmr b FULL OUTER JOIN annr a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # cross-source contamination matrix
 # ---------------------------------------------------------------------------
