@@ -6704,17 +6704,17 @@ FROM bfs GROUP BY node
 """
 
 
-def orders_merge_cdc(sf_dir: str) -> ray.data.Dataset:
-    """MERGE INTO over the orders table (``state/merge.py``) — the
-    lakehouse upsert/delete primitive applied to a deterministic CDC
-    batch synthesized from the table itself: keys ``%97==0`` upsert with
-    bumped custkey/price, keys ``%89==3`` (not already upserting) delete,
-    and keys ``%101==5`` re-enter as genuine inserts under a ``+10⁹`` key
-    offset no base key can reach.  Plan: the change-key vector broadcasts
-    once, ONE streaming anti-probe pass over base blocks, upsert rows
-    appended as the tail — zero shuffle, base rows move at most once.
-    Prices integerize to cents so both sides are exact."""
-    from ..state.merge import merge_into
+def _orders_cdc_streams(
+    sf_dir: str,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """(base, changes) for the orders CDC family: base is the prepped
+    ``(o_orderkey, o_custkey, price_cents)`` projection and changes is
+    the deterministic CDC batch synthesized from the table itself —
+    keys ``%97==0`` upsert with bumped custkey/price, keys ``%89==3``
+    (not already upserting) delete, and keys ``%101==5`` re-enter as
+    genuine inserts under a ``+10⁹`` key offset no base key can reach.
+    Shared by ``orders_merge_cdc`` (the write) and
+    ``orders_snapshot_diff`` (the read-side inverse)."""
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -6787,7 +6787,52 @@ def orders_merge_cdc(sf_dir: str) -> ray.data.Dataset:
         return pa.concat_tables(parts)
 
     changes = raw.map_batches(mk_changes, batch_format="pyarrow")
+    return base, changes
+
+
+def orders_merge_cdc(sf_dir: str) -> ray.data.Dataset:
+    """MERGE INTO over the orders table (``state/merge.py``) — the
+    lakehouse upsert/delete primitive applied to the deterministic CDC
+    batch of :func:`_orders_cdc_streams`.  Plan: the change-key vector
+    broadcasts once, ONE streaming anti-probe pass over base blocks,
+    upsert rows appended as the tail — zero shuffle, base rows move at
+    most once.  Prices integerize to cents so both sides are exact."""
+    from ..state.merge import merge_into
+
+    base, changes = _orders_cdc_streams(sf_dir)
     return merge_into(base, changes, key_col="o_orderkey")
+
+
+def orders_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """Snapshot diff (``state/diff.py``) — the read-side inverse of the
+    MERGE primitive: diffing ``merge_into(base, cdc)`` against ``base``
+    must recover exactly the CDC batch (upserts of existing keys →
+    ``'changed'``, deletes → ``'deleted'``, offset-key inserts →
+    ``'added'``; every untouched key — the overwhelming majority —
+    emits nothing).  The diff's exchange carries (key, fingerprint,
+    side) triples only — 17 bytes/row at any row width — through one
+    volume-sized coarse-bucket exchange; value columns never move."""
+    from ..state.diff import table_diff
+    from ..state.merge import merge_into
+
+    base, changes = _orders_cdc_streams(sf_dir)
+    new = merge_into(base, changes, key_col="o_orderkey")
+    return table_diff(base, new, key_col="o_orderkey")
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey FROM orders
+)
+SELECT o_orderkey, 'changed' AS change FROM base
+WHERE o_orderkey % 97 = 0
+UNION ALL
+SELECT o_orderkey, 'deleted' AS change FROM base
+WHERE o_orderkey % 89 = 3 AND o_orderkey % 97 <> 0
+UNION ALL
+SELECT o_orderkey + 1000000000 AS o_orderkey, 'added' AS change FROM base
+WHERE o_orderkey % 101 = 5
+"""
 
 
 ORDERS_MERGE_CDC_SQL = """
