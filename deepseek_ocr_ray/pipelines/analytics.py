@@ -6820,6 +6820,115 @@ def orders_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     return table_diff(base, new, key_col="o_orderkey")
 
 
+ZONEMAP_CACHE_ROOT = "/tmp/dsor_zonemap_cache"
+
+
+def orders_zonemap_revenue(sf_dir: str) -> "pd.DataFrame":
+    """Zone-map data skipping (``state/zonemap.py``) end to end: orders
+    land date-SORTED across many parquet files (the clustered layout the
+    compaction/sort step produces — cached per ``sf_dir`` under a
+    completion marker), a footer-only manifest records per-file min/max,
+    and a one-year range scan reads ONLY the overlapping files (the
+    residual range is still pushed down row-level inside them, so
+    correctness never depends on the pruning — the zone map only shrinks
+    the file list).  Monthly revenue partials collapse per block over the
+    bounded 12-month domain and merge on the driver in exact ints — zero
+    exchange.  The pruning ratio is asserted in tests; here the point is
+    byte-exact equality with the oracle running the same predicate over
+    the UNSORTED original table."""
+    import json as _json
+    import shutil as _shutil
+
+    import pandas as pd
+
+    from ..cluster import collect_table
+    from ..state.zonemap import build_zonemap, scan_pruned
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(ZONEMAP_CACHE_ROOT, tag)
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        _shutil.rmtree(cache, ignore_errors=True)
+        (
+            read_table(
+                sf_dir,
+                "orders",
+                columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+            )
+            .sort("o_orderdate")
+            .write_parquet(cache)
+        )
+        with open(marker, "w") as f:
+            _json.dump({"sf_dir": sf_dir}, f)
+    build_zonemap(cache, ["o_orderdate"])
+
+    lo = pa.scalar("1997-01-01").cast(pa.timestamp("us")).as_py()
+    hi = pa.scalar("1997-12-31").cast(pa.timestamp("us")).as_py()
+    ds, _read, _total = scan_pruned(
+        cache, "o_orderdate", lo, hi, columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "month": pa.array([], pa.string()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "month": pc.strftime(batch["o_orderdate"], format="%Y-%m"),
+                "revenue_cents": _cents(batch["o_totalprice"]),
+                "n_orders": pa.array(
+                    np.ones(batch.num_rows, np.int64), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("month").aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")]
+        )
+        return pa.table(
+            {
+                "month": g["month"],
+                "revenue_cents": g["revenue_cents_sum"].cast(pa.int64()),
+                "n_orders": g["n_orders_sum"].cast(pa.int64()),
+            }
+        )
+
+    t = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
+    acc: dict[str, list[int]] = {}
+    if t is not None and t.num_rows:
+        for m, r, n in zip(
+            t["month"].to_pylist(),
+            t["revenue_cents"].to_pylist(),
+            t["n_orders"].to_pylist(),
+        ):
+            a = acc.setdefault(m, [0, 0])
+            a[0] += r
+            a[1] += n
+    months = sorted(acc)
+    return pd.DataFrame(
+        {
+            "month": months,
+            "revenue_cents": [acc[m][0] for m in months],
+            "n_orders": [acc[m][1] for m in months],
+        }
+    )
+
+
+ORDERS_ZONEMAP_REVENUE_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1
+"""
+
+
 ORDERS_SNAPSHOT_DIFF_SQL = """
 WITH base AS (
   SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey FROM orders
