@@ -6971,3 +6971,736 @@ WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM ups)
 UNION ALL SELECT o_orderkey, o_custkey, price_cents FROM ups
 UNION ALL SELECT o_orderkey, o_custkey, price_cents FROM ins
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q16 / Q20 shapes — the four partsupp-centric queries,
+# adapted to this schema (no partsupp table: part↔supplier facts derive
+# from lineitem; ref TPC-H spec §2.4.2/.11/.16/.20).  With these, all 22
+# TPC-H query shapes are expressed on the engine.
+# ---------------------------------------------------------------------------
+
+
+def _nation_region_dims(sf_dir: str):
+    """The two catalog micro-dims (≤25 / 5 rows by TPC-H construction) —
+    driver-side reads, shared by the region-scoped shapes."""
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = _pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    return nat, reg
+
+
+def q2_min_cost_supplier(
+    sf_dir: str,
+    region: str = "EUROPE",
+    max_size: int = 5,
+    name_suffix: str = "widget",
+    limit: int = 100,
+) -> ray.data.Dataset:
+    """TPC-H Q2 shape — the minimum-cost-supplier query: for every part in
+    one size/name family, the region's supplier(s) offering it at the
+    regional minimum cost (ALL ties kept, the correlated-MIN subquery
+    semantics), ordered by supplier account balance desc.  Columns
+    ``(s_acctbal_cents, s_name, n_name, p_partkey, p_name, cost_cents)``,
+    top ``limit`` rows.
+
+    The testdata has no partsupp, so the supply cost of a (part,
+    supplier) pair is derived as ``MIN(cents(l_extendedprice))`` over
+    that pair's lineitems — exact integer cents, so the driver hash gate
+    binds bit-for-bit.
+
+    Scale plan: region/nation are driver micro-dims (≤25 rows by TPC-H
+    construction); the supplier dim streams, prunes to the region per
+    block and tags nation names via a searchsorted probe of the bounded
+    nation map; lineitem scans ONCE — a planner left-semi join prunes it
+    to region suppliers, each block reduces to per-(part, supplier) min
+    partials in C++, and ONE volume-sized exchange finishes the pair
+    costs.  The per-part regional min is a second reduction over the
+    already-pair-bounded table, the winner filter is one planner join +
+    vectorized compare, and supplier attributes attach through the
+    planner (broadcast below the cap).  The fact table never re-exchanges
+    and nothing materializes on the driver."""
+    nat, reg = _nation_region_dims(sf_dir)
+    rk_col = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    if len(rk_col) == 0:
+        raise ValueError(f"q2_min_cost_supplier: unknown region {region!r}")
+    rkey = rk_col[0].as_py()
+    rnat = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    # bounded nation map (≤25 entries) — closure capture, sorted for the
+    # per-block searchsorted n_name attach
+    nk = rnat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nk)
+    nk_sorted = nk[order]
+    nname_sorted = rnat["n_name"].combine_chunks().take(
+        pa.array(order, pa.int64())
+    )
+    nk_set = pa.array(nk_sorted, pa.int64())
+
+    def supp_tag(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            pc.cast(batch["s_nationkey"], pa.int64()), value_set=nk_set
+        )
+        sub = batch.filter(keep)
+        sk = sub["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        idx = np.searchsorted(nk_sorted, sk)
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(sub["s_suppkey"], pa.int64()),
+                "s_name": sub["s_name"],
+                "s_acctbal_cents": _cents(sub["s_acctbal"]),
+                "n_name": nname_sorted.take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    supp = read_table(
+        sf_dir,
+        "supplier",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).map_batches(supp_tag, batch_format="pyarrow")
+
+    li = equi_join(
+        read_table(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        ),
+        supp.select_columns(["s_suppkey"]),
+        on="l_suppkey",
+        right_on="s_suppkey",
+        join_type="left_semi",
+        left_cols=["l_partkey", "l_suppkey", "l_extendedprice"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "supplier"),
+        right_types={"s_suppkey": pa.int64()},
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_partkey": batch["l_partkey"],
+                    "l_suppkey": batch["l_suppkey"],
+                    "cost_cents": _cents(batch["l_extendedprice"]),
+                }
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("cost_cents", "min")])
+        )
+        return g.rename_columns(["l_partkey", "l_suppkey", "cost_cents"])
+
+    from ..stages.agg import bucket_groupby_agg
+
+    ps = bucket_groupby_agg(
+        li.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        [("cost_cents", "min", "cost_cents")],
+        n_buckets=assembly_buckets_for_bytes(
+            table_file_bytes(sf_dir, "lineitem")
+        ),
+    )
+
+    fp = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_size"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.less_equal(b["p_size"], max_size),
+                pc.ends_with(b["p_name"], pattern=name_suffix),
+            )
+        ).select(["p_partkey", "p_name"]),
+        batch_format="pyarrow",
+    )
+
+    psf = equi_join(
+        ps,
+        fp,
+        on="l_partkey",
+        right_on="p_partkey",
+        join_type="inner",
+        left_cols=["l_partkey", "l_suppkey", "cost_cents"],
+        right_cols=["p_name"],
+        approx_bytes=table_file_bytes(sf_dir, "part"),
+        left_types={
+            "l_partkey": pa.int64(),
+            "l_suppkey": pa.int64(),
+            "cost_cents": pa.int64(),
+        },
+        right_types={"p_partkey": pa.int64(), "p_name": pa.string()},
+    )
+
+    mins = bucket_groupby_agg(
+        psf.select_columns(["l_partkey", "cost_cents"]),
+        ["l_partkey"],
+        [("cost_cents", "min", "mc")],
+    ).map_batches(
+        lambda b: b.rename_columns(["pk", "mc"]), batch_format="pyarrow"
+    )
+
+    winners = equi_join(
+        psf,
+        mins,
+        on="l_partkey",
+        right_on="pk",
+        join_type="inner",
+        left_cols=["l_partkey", "l_suppkey", "cost_cents", "p_name"],
+        right_cols=["mc"],
+        left_types={
+            "l_partkey": pa.int64(),
+            "l_suppkey": pa.int64(),
+            "cost_cents": pa.int64(),
+            "p_name": pa.string(),
+        },
+        right_types={"pk": pa.int64(), "mc": pa.int64()},
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["cost_cents"], b["mc"])).drop_columns(
+            ["mc"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    out = equi_join(
+        supp,
+        winners,
+        on="s_suppkey",
+        right_on="l_suppkey",
+        join_type="inner",
+        left_cols=["s_acctbal_cents", "s_name", "n_name"],
+        right_cols=["l_partkey", "p_name", "cost_cents"],
+        approx_bytes=table_file_bytes(sf_dir, "supplier", "lineitem"),
+        left_types={
+            "s_suppkey": pa.int64(),
+            "s_acctbal_cents": pa.int64(),
+            "s_name": pa.string(),
+            "n_name": pa.string(),
+        },
+        right_types={
+            "l_suppkey": pa.int64(),
+            "l_partkey": pa.int64(),
+            "p_name": pa.string(),
+            "cost_cents": pa.int64(),
+        },
+    ).map_batches(
+        lambda b: b.rename_columns(
+            [
+                "s_acctbal_cents",
+                "s_name",
+                "n_name",
+                "p_partkey",
+                "p_name",
+                "cost_cents",
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+    # the top-limit result is ≤ limit rows by construction — collect with
+    # a typed-empty fallback (Ray's Sort emits zero-column blocks for an
+    # all-empty input, stripping the schema; q21 convention)
+    from ..cluster import collect_table
+
+    top = collect_table(
+        out.sort(
+            ["s_acctbal_cents", "n_name", "s_name", "p_partkey"],
+            descending=[True, False, False, False],
+        ).limit(limit)
+    )
+    if top is None:
+        return pa.table(
+            {
+                "s_acctbal_cents": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "p_partkey": pa.array([], pa.int64()),
+                "p_name": pa.array([], pa.string()),
+                "cost_cents": pa.array([], pa.int64()),
+            }
+        )
+    return top
+
+
+Q2_MIN_COST_SUPPLIER_SQL = """
+WITH rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cc
+  FROM lineitem JOIN rs ON rs.s_suppkey = l_suppkey
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size <= 5 AND p_name LIKE '%widget'
+),
+psf AS (
+  SELECT ps.pk, ps.sk, ps.cc, fp.p_name
+  FROM ps JOIN fp ON fp.p_partkey = ps.pk
+),
+m AS (SELECT pk, MIN(cc) AS mc FROM psf GROUP BY 1)
+SELECT CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name, psf.pk AS p_partkey, p_name, cc AS cost_cents
+FROM psf JOIN m ON m.pk = psf.pk AND psf.cc = m.mc
+         JOIN rs ON rs.s_suppkey = psf.sk
+ORDER BY 1 DESC, 3, 2, 4
+LIMIT 100
+"""
+
+
+def q11_important_parts(
+    sf_dir: str, nation: str = "NATION_3", multiplier: int = 2
+) -> ray.data.Dataset:
+    """TPC-H Q11 shape — important-stock identification: the parts whose
+    value supplied by ONE nation's suppliers exceeds ``multiplier×`` the
+    mean per-part value (the HAVING-against-a-global-aggregate shape;
+    TPC-H's fixed ``0.0001/SF`` fraction is scale-dependent, so the
+    scale-free 2×-mean form replaces it), value-ordered desc.  Columns
+    ``(p_partkey, value_cents)``.
+
+    Value of a part = Σ cents(l_extendedprice) over its lineitems from
+    the nation's suppliers (no partsupp in this schema) — exact int64.
+
+    The global predicate ``value·n > m·total`` is evaluated as
+    ``value ≥ m·total // n + 1`` with the threshold computed ONCE on the
+    driver in arbitrary-precision Python ints (the product ``value·n``
+    could overflow int64 vectorized at 100 TB; the single-threshold form
+    cannot, and is algebraically identical for integers).
+
+    Scale plan: the nation's supplier keys prune lineitem through a
+    planner left-semi join; per-part cents sums reduce map-side through
+    ONE volume-sized exchange; the reduced per-part table materializes
+    once (part-domain-bounded — the catalog side), its total/count are
+    two scalar consumptions, and the threshold filter + sort run over the
+    reduced table only."""
+    nat, _ = _nation_region_dims(sf_dir)
+    nk_col = nat.filter(pc.equal(nat["n_name"], nation))["n_nationkey"]
+    if len(nk_col) == 0:
+        raise ValueError(f"q11_important_parts: unknown nation {nation!r}")
+    nkey = nk_col[0].as_py()
+
+    supp_keys = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": pc.cast(
+                    b.filter(
+                        pc.equal(pc.cast(b["s_nationkey"], pa.int64()), nkey)
+                    )["s_suppkey"],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = equi_join(
+        read_table(
+            sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_suppkey"]
+        ),
+        supp_keys,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        join_type="left_semi",
+        left_cols=["l_partkey", "l_extendedprice"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "supplier"),
+        right_types={"s_suppkey": pa.int64()},
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_partkey": batch["l_partkey"],
+                    "v": _cents(batch["l_extendedprice"]),
+                }
+            )
+            .group_by("l_partkey")
+            .aggregate([("v", "sum")])
+        )
+        return pa.table(
+            {
+                "p_partkey": g["l_partkey"],
+                "value_cents": g["v_sum"].cast(pa.int64()),
+            }
+        )
+
+    from ..stages.agg import bucket_groupby_sum
+
+    v = bucket_groupby_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["p_partkey"],
+        ["value_cents"],
+        n_buckets=assembly_buckets_for_bytes(
+            table_file_bytes(sf_dir, "lineitem")
+        ),
+    ).materialize()
+
+    n = v.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "value_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    tot = int(v.sum("value_cents"))
+    # value·n > m·tot  ⟺  value ≥ m·tot//n + 1 (exact for integers; the
+    # threshold is one Python bigint, immune to int64 overflow)
+    thresh = (int(multiplier) * tot) // int(n) + 1
+    kept = v.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["value_cents"], thresh)),
+        batch_format="pyarrow",
+    ).materialize()
+    if kept.count() == 0:
+        # Ray's Sort emits zero-COLUMN blocks for an all-empty input,
+        # stripping the schema (from_arrow round-trips an empty table the
+        # same way) — return the typed-empty Arrow table directly (the
+        # engine's typed-empty convention; see q21_waiting_suppliers)
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+    return kept.sort(["value_cents", "p_partkey"], descending=[True, False])
+
+
+Q11_IMPORTANT_PARTS_SQL = """
+WITH s AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+),
+v AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS val
+  FROM lineitem JOIN s ON s_suppkey = l_suppkey
+  GROUP BY 1
+),
+g AS (SELECT CAST(sum(val) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n FROM v)
+SELECT pk AS p_partkey, val AS value_cents
+FROM v, g
+WHERE val * n > 2 * tot
+ORDER BY 2 DESC, 1
+"""
+
+
+def q16_part_supplier_counts(
+    sf_dir: str,
+    brand_excl: str = "Brand#23",
+    type_excl: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 5, 9, 14, 19, 23, 36, 45),
+    acctbal_floor: float = 1000.0,
+) -> ray.data.Dataset:
+    """TPC-H Q16 shape — parts/supplier relationship: how many distinct
+    suppliers can supply each (brand, type, size) combination, excluding
+    one brand, one type, sizes outside a list, and "at-risk" suppliers
+    (account balance below ``acctbal_floor`` — the stand-in for Q16's
+    ``Customer…Complaints`` comment scan; the testdata has no comments).
+    Columns ``(p_brand, p_type, p_size, supplier_cnt)``, count-desc
+    ordered.
+
+    Scale plan: each lineitem block reduces to its DISTINCT (part,
+    supplier) pairs in C++ before anything moves; the at-risk exclusion
+    is a planner anti-join; part attributes attach through the planner
+    after the part scan prunes; the grouped COUNT(DISTINCT) runs on the
+    engine's tagged-distinct-pairs exchange (one keyed exchange whose
+    volume is the block-distinct pair count, independent of row count)."""
+    bad = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": pc.cast(
+                    b.filter(pc.less(b["s_acctbal"], acctbal_floor))[
+                        "s_suppkey"
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    pairs = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda b: b.group_by(["l_partkey", "l_suppkey"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    pairs = equi_join(
+        pairs,
+        bad,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        join_type="left_anti",
+        left_cols=["l_partkey", "l_suppkey"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "supplier"),
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64()},
+        right_types={"s_suppkey": pa.int64()},
+    )
+
+    size_set = pa.array(list(sizes), pa.int32())
+    fp = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.not_equal(b["p_brand"], brand_excl),
+                    pc.not_equal(b["p_type"], type_excl),
+                ),
+                pc.is_in(pc.cast(b["p_size"], pa.int32()), value_set=size_set),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = equi_join(
+        pairs,
+        fp,
+        on="l_partkey",
+        right_on="p_partkey",
+        join_type="inner",
+        left_cols=["l_suppkey"],
+        right_cols=["p_brand", "p_type", "p_size"],
+        approx_bytes=table_file_bytes(sf_dir, "part", "lineitem"),
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64()},
+        right_types={
+            "p_partkey": pa.int64(),
+            "p_brand": pa.string(),
+            "p_type": pa.string(),
+            "p_size": pa.int32(),
+        },
+    )
+
+    from ..stages.agg import group_count_distinct
+
+    cnt = group_count_distinct(
+        joined,
+        ["p_brand", "p_type", "p_size"],
+        ["l_suppkey"],
+        out_col="supplier_cnt",
+    ).map_batches(
+        lambda b: b.drop_columns(["column"]), batch_format="pyarrow"
+    )
+    # group count is bounded by the brand×type×size attribute lattice —
+    # materialize the reduced table so the all-empty case can return a
+    # typed empty instead of Sort's schema-stripped zero-column blocks
+    cnt = cnt.materialize()
+    if cnt.count() == 0:
+        return pa.table(
+            {
+                "p_brand": pa.array([], pa.string()),
+                "p_type": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int32()),
+                "supplier_cnt": pa.array([], pa.int64()),
+            }
+        )
+    return cnt.sort(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        descending=[True, False, False, False],
+    )
+
+
+Q16_PART_SUPPLIER_COUNTS_SQL = """
+WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0),
+pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+ORDER BY 4 DESC, 1, 2, 3
+"""
+
+
+def q20_dominant_suppliers(
+    sf_dir: str, name_prefix: str = "blue", year: int = 1997
+) -> ray.data.Dataset:
+    """TPC-H Q20 shape — potential part promotion: the suppliers who, for
+    SOME part in one name family, shipped strictly more than half of that
+    part's total quantity in one year (the nested correlated-aggregate IN
+    shape; TPC-H's ``availqty > 0.5·sum(qty)`` becomes supplier dominance
+    ``2·qty(p,s) > total_qty(p)`` — the testdata has no availqty).
+    Columns ``(s_suppkey, s_name)``, name-ordered.
+
+    Scale plan: the name family's partkeys prune lineitem through a
+    planner left-semi join after the year prunes at the scan; per-(part,
+    supplier) quantity sums reduce map-side through ONE volume-sized
+    exchange; per-part totals are a second reduction over the
+    pair-bounded table; the dominance filter is a planner join +
+    vectorized compare; qualifying supplier keys global-distinct through
+    a tiny keyed exchange before the name join so no supplier row ever
+    replicates."""
+    lo, hi = _ts(year), _ts(year + 1)
+
+    fp = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.starts_with(b["p_name"], pattern=name_prefix)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def year_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        sub = batch.filter(keep)
+        q = sub["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": sub["l_partkey"],
+                "l_suppkey": sub["l_suppkey"],
+                "qty": pa.array(q, pa.int64()),
+            }
+        )
+
+    li = equi_join(
+        read_table(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        ).map_batches(year_prep, batch_format="pyarrow"),
+        fp,
+        on="l_partkey",
+        right_on="p_partkey",
+        join_type="left_semi",
+        left_cols=["l_partkey", "l_suppkey", "qty"],
+        approx_bytes=table_file_bytes(sf_dir, "lineitem", "part"),
+        left_types={
+            "l_partkey": pa.int64(),
+            "l_suppkey": pa.int64(),
+            "qty": pa.int64(),
+        },
+        right_types={"p_partkey": pa.int64()},
+    )
+
+    from ..stages.agg import bucket_groupby_agg, bucket_groupby_sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("qty", "sum")]
+        )
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "l_suppkey": g["l_suppkey"],
+                "qty": g["qty_sum"].cast(pa.int64()),
+            }
+        )
+
+    q = bucket_groupby_sum(
+        li.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        ["qty"],
+        n_buckets=assembly_buckets_for_bytes(
+            table_file_bytes(sf_dir, "lineitem")
+        ),
+    )
+
+    tot = bucket_groupby_sum(
+        q.select_columns(["l_partkey", "qty"]),
+        ["l_partkey"],
+        ["qty"],
+    ).map_batches(
+        lambda b: b.rename_columns(["pk", "tot"]), batch_format="pyarrow"
+    )
+
+    dom = equi_join(
+        q,
+        tot,
+        on="l_partkey",
+        right_on="pk",
+        join_type="inner",
+        left_cols=["l_suppkey", "qty"],
+        right_cols=["tot"],
+        left_types={
+            "l_partkey": pa.int64(),
+            "l_suppkey": pa.int64(),
+            "qty": pa.int64(),
+        },
+        right_types={"pk": pa.int64(), "tot": pa.int64()},
+    ).map_batches(
+        # 2·qty fits int64 (qty ≤ tot ≤ int64 by the sum's own bound / 2
+        # — quantities are ≤ 50 per row so a part needs 9·10¹⁷ rows to
+        # overflow; the bucket sum would have wrapped first and loudly)
+        lambda b: pa.table(
+            {
+                "l_suppkey": b.filter(
+                    pc.greater(
+                        pc.multiply_checked(b["qty"], pa.scalar(2, pa.int64())),
+                        b["tot"],
+                    )
+                )["l_suppkey"]
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    distinct_sk = bucket_groupby_agg(
+        dom, ["l_suppkey"], [(None, "count", "_n")]
+    ).map_batches(
+        lambda b: b.drop_columns(["_n"]), batch_format="pyarrow"
+    )
+
+    out = equi_join(
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        distinct_sk,
+        on="s_suppkey",
+        right_on="l_suppkey",
+        join_type="inner",
+        left_cols=["s_suppkey", "s_name"],
+        approx_bytes=table_file_bytes(sf_dir, "supplier", "lineitem"),
+        right_types={"l_suppkey": pa.int64()},
+    )
+    # qualifying suppliers are a reduced catalog-side set — materialize
+    # so the all-empty case returns a typed empty (Sort strips the schema
+    # off an all-empty stream; q21 convention)
+    out = out.materialize()
+    if out.count() == 0:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+            }
+        )
+    return out.sort("s_name")
+
+
+Q20_DOMINANT_SUPPLIERS_SQL = """
+WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+q AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN fp ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+t AS (SELECT pk, CAST(sum(qty) AS BIGINT) AS tot FROM q GROUP BY 1)
+SELECT DISTINCT s_suppkey, s_name
+FROM q JOIN t USING (pk) JOIN supplier ON s_suppkey = q.sk
+WHERE 2 * q.qty > t.tot
+ORDER BY s_name
+"""

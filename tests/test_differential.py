@@ -715,6 +715,9 @@ def _rand_tpch_dir(tmp_path, seed: int, tag: str) -> str:
                 "s_nationkey": pa.array(
                     rng.randint(0, 5, n_s).astype("int32"), pa.int32()
                 ),
+                "s_acctbal": pa.array(
+                    np.round(rng.uniform(-2000, 8000, n_s), 2), pa.float64()
+                ),
             }
         ),
         os.path.join(d, "supplier.parquet"),
@@ -873,6 +876,12 @@ _TPCH_SHAPES = [
     # group-wise OLS: exact Cramer determinants vs DuckDB's HUGEINT
     # expansion over random quantities/prices/discounts
     ("lineitem_price_ols", "LINEITEM_PRICE_OLS_SQL"),
+    # Q2/Q11/Q16/Q20: the partsupp-family shapes (part↔supplier facts
+    # derived from lineitem) — completes all 22 TPC-H query shapes
+    ("q2_min_cost_supplier", "Q2_MIN_COST_SUPPLIER_SQL"),
+    ("q11_important_parts", "Q11_IMPORTANT_PARTS_SQL"),
+    ("q16_part_supplier_counts", "Q16_PART_SUPPLIER_COUNTS_SQL"),
+    ("q20_dominant_suppliers", "Q20_DOMINANT_SUPPLIERS_SQL"),
 ]
 
 

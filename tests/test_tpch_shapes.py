@@ -722,3 +722,236 @@ def test_q9_no_matching_parts_returns_typed_empty(ray_session, tmp_path):
     out = analytics.q9_profit_by_nation(str(tmp_path), name_word="widget")
     assert out.num_rows == 0
     assert out.column_names == ["nation", "o_year", "profit_cents"]
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q16 / Q20 — the partsupp-family shapes (adapted: part↔supplier
+# facts derive from lineitem)
+# ---------------------------------------------------------------------------
+
+
+def _write_region_nation(tmp_path) -> None:
+    _write(
+        tmp_path,
+        "region",
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": pa.array(
+                    ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+                    pa.string(),
+                ),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(5), pa.int32()),
+                "n_name": pa.array(
+                    [f"NATION_{k}" for k in range(5)], pa.string()
+                ),
+                "n_regionkey": pa.array([k % 5 for k in range(5)], pa.int32()),
+            }
+        ),
+    )
+
+
+def _write_supplier(tmp_path, rows: list[tuple]) -> None:
+    """rows: (s_suppkey, s_name, s_nationkey, s_acctbal)."""
+    _write(
+        tmp_path,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+                "s_name": pa.array([r[1] for r in rows], pa.string()),
+                "s_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+                "s_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+    )
+
+
+def test_q2_regional_min_ties_and_out_of_region(ray_session, tmp_path):
+    # EUROPE = regionkey 3 = NATION_3 (the k%5 layout).  s1/s2 in-region,
+    # s3 out-of-region with a CHEAPER offer that must be ignored.
+    _write_region_nation(tmp_path)
+    _write_supplier(
+        tmp_path,
+        [(1, "SA", 3, 100.0), (2, "SB", 3, 200.0), (3, "SC", 0, 999.0)],
+    )
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_name": pa.array(
+                    ["cold widget", "large widget", "blue rod"], pa.string()
+                ),
+                "p_size": pa.array([3, 10, 2], pa.int32()),
+            }
+        ),
+    )
+    _lineitem(
+        tmp_path,
+        [
+            (1, 1, 10.0),   # pair (p1,s1) cost 1000
+            (1, 1, 12.0),   # min stays 1000
+            (1, 2, 10.0),   # pair (p1,s2) cost 1000 — exact tie, both kept
+            (1, 3, 1.0),    # out-of-region supplier: ignored entirely
+            (2, 1, 5.0),    # part filtered out (size 10)
+            (3, 2, 5.0),    # part filtered out (suffix "rod")
+        ],
+        ("l_partkey", "l_suppkey", "l_extendedprice"),
+    )
+    out = analytics.q2_min_cost_supplier(str(tmp_path)).to_pandas()
+    got = list(
+        zip(
+            out["s_acctbal_cents"],
+            out["s_name"],
+            out["n_name"],
+            out["p_partkey"],
+            out["p_name"],
+            out["cost_cents"],
+        )
+    )
+    # acctbal desc: SB (20000) before SA (10000); both at the tied min
+    assert got == [
+        (20000, "SB", "NATION_3", 1, "cold widget", 1000),
+        (10000, "SA", "NATION_3", 1, "cold widget", 1000),
+    ]
+
+
+def test_q11_threshold_strict_and_boundary(ray_session, tmp_path):
+    # multiplier=2: keep parts with value·n > 2·total
+    _write_region_nation(tmp_path)
+    _write_supplier(
+        tmp_path, [(1, "SA", 3, 100.0), (2, "SB", 0, 100.0)]
+    )
+    # values: p1=10000, p2=p3=p4=2000 from s1 (NATION_3); s2's rows ignored
+    _lineitem(
+        tmp_path,
+        [
+            (1, 1, 100.0),
+            (2, 1, 20.0),
+            (3, 1, 20.0),
+            (4, 1, 20.0),
+            (1, 2, 999.0),  # other-nation supplier: excluded
+        ],
+        ("l_partkey", "l_suppkey", "l_extendedprice"),
+    )
+    out = analytics.q11_important_parts(str(tmp_path)).to_pandas()
+    # tot=16000, n=4 → keep v·4 > 32000 → only p1 (40000)
+    assert list(zip(out["p_partkey"], out["value_cents"])) == [(1, 10000)]
+
+    # exact boundary: every part at exactly 2×mean → v·n == 2·tot for the
+    # top part → strict predicate excludes EVERYTHING
+    import shutil
+
+    d2 = os.path.join(str(tmp_path), "boundary")
+    os.makedirs(d2)
+    for f in ("region", "nation", "supplier"):
+        shutil.copy(
+            os.path.join(str(tmp_path), f + ".parquet"),
+            os.path.join(d2, f + ".parquet"),
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "l_suppkey": pa.array([1, 1, 1, 1], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [50.0, 20.0, 20.0, 10.0], pa.float64()
+                ),
+            }
+        ),
+        os.path.join(d2, "lineitem.parquet"),
+    )
+    # tot=10000, n=4: p1 5000·4 == 2·10000 exactly → excluded (strict >)
+    out2 = analytics.q11_important_parts(d2).to_pandas()
+    assert len(out2) == 0
+    assert list(out2.columns) == ["p_partkey", "value_cents"]
+
+
+def test_q16_exclusions_and_distinct_count(ray_session, tmp_path):
+    _write_supplier(
+        tmp_path,
+        [(1, "SA", 0, 5000.0), (2, "SB", 0, 500.0), (3, "SC", 0, 2000.0)],
+    )
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "p_brand": pa.array(
+                    ["Brand#1", "Brand#23", "Brand#2", "Brand#2", "Brand#3"],
+                    pa.string(),
+                ),
+                "p_type": pa.array(
+                    ["STANDARD", "STANDARD", "PROMO", "STANDARD", "STANDARD"],
+                    pa.string(),
+                ),
+                "p_size": pa.array([5, 5, 5, 7, 5], pa.int32()),
+            }
+        ),
+    )
+    _lineitem(
+        tmp_path,
+        [
+            (1, 1), (1, 1),  # duplicate pair → counts once
+            (1, 2),          # at-risk supplier (bal 500 < 1000) → excluded
+            (1, 3),
+            (5, 1),
+            (2, 1),          # excluded brand
+            (3, 1),          # excluded type
+            (4, 1),          # excluded size
+        ],
+        ("l_partkey", "l_suppkey"),
+    )
+    out = analytics.q16_part_supplier_counts(str(tmp_path)).to_pandas()
+    got = list(
+        zip(out["p_brand"], out["p_type"], out["p_size"], out["supplier_cnt"])
+    )
+    assert got == [
+        ("Brand#1", "STANDARD", 5, 2),
+        ("Brand#3", "STANDARD", 5, 1),
+    ]
+
+
+def test_q20_dominance_strict_year_and_prefix(ray_session, tmp_path):
+    d = dt.datetime
+    _write_supplier(
+        tmp_path,
+        [(1, "SA", 0, 0.0), (2, "SB", 0, 0.0), (3, "SC", 0, 0.0)],
+    )
+    _write(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_name": pa.array(
+                    ["blue rod", "blue bolt", "cold widget"], pa.string()
+                ),
+            }
+        ),
+    )
+    _lineitem(
+        tmp_path,
+        [
+            (1, 1, 6.0, d(1997, 5, 1)),    # p1 tot 10: s1 has 6 → 12>10 ✓
+            (1, 2, 4.0, d(1997, 6, 1)),    # s2 has 4 → 8<10 ✗
+            (2, 1, 5.0, d(1997, 2, 1)),    # p2 tot 10: exactly half each
+            (2, 2, 5.0, d(1997, 3, 1)),    # → 10==10, strict > excludes both
+            (1, 2, 100.0, d(1996, 7, 1)),  # wrong year: ignored
+            (3, 3, 50.0, d(1997, 8, 1)),   # non-"blue" part: ignored
+        ],
+        ("l_partkey", "l_suppkey", "l_quantity", "l_shipdate"),
+    )
+    out = analytics.q20_dominant_suppliers(str(tmp_path)).to_pandas()
+    assert list(zip(out["s_suppkey"], out["s_name"])) == [(1, "SA")]
