@@ -7704,3 +7704,143 @@ FROM q JOIN t USING (pk) JOIN supplier ON s_suppkey = q.sk
 WHERE 2 * q.qty > t.tot
 ORDER BY s_name
 """
+
+
+def _orders_version_log(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic multi-version change log synthesized from orders for
+    the SCD2 family: every key inserts at a v0 timestamp; keys ``%3==0``
+    upsert again at v1 with a bumped price EXCEPT keys ``%33==0`` whose v1
+    repeats v0's values exactly (exercising unchanged-upsert suppression);
+    keys ``%5==0`` delete at v2 (closing the open version); keys
+    ``%15==0`` — which by construction already upserted at v1 and deleted
+    at v2 — re-insert at v3 (an open second lifetime).  Timestamp bands
+    (1000+, 2000+, 3000+, 4000+) are disjoint so no (key, ts) collides.
+
+    Value columns are ``(o_custkey, price_cents)``; delete rows carry
+    NULL values (a delete's values are ignored by SCD2 semantics)."""
+
+    def mk_log(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].cast(pa.int64())
+        k = key.to_numpy(zero_copy_only=False)
+        cust = batch["o_custkey"].cast(pa.int64())
+        price = _cents(batch["o_totalprice"])
+        pv = price.to_numpy(zero_copy_only=False)
+        n = k.size
+
+        m3 = (k % 3) == 0
+        m33 = (k % 33) == 0
+        m5 = (k % 5) == 0
+        m15 = (k % 15) == 0
+        i3 = np.flatnonzero(m3)
+        i5 = np.flatnonzero(m5)
+        i15 = np.flatnonzero(m15)
+
+        keys = np.concatenate([k, k[i3], k[i5], k[i15]])
+        ts = np.concatenate(
+            [
+                1000 + (k % 7),
+                2000 + (k[i3] % 11),
+                3000 + (k[i5] % 13),
+                4000 + (k[i15] % 17),
+            ]
+        )
+        op = pa.array(
+            ["upsert"] * n
+            + ["upsert"] * i3.size
+            + ["delete"] * i5.size
+            + ["upsert"] * i15.size,
+            pa.string(),
+        )
+        cust_np = cust.to_numpy(zero_copy_only=False)
+        cust_out = np.concatenate(
+            [cust_np, cust_np[i3], np.zeros(i5.size, np.int64), cust_np[i15]]
+        )
+        p1 = np.where(m33[i3], pv[i3], pv[i3] + 111)
+        price_out = np.concatenate(
+            [pv, p1, np.zeros(i5.size, np.int64), pv[i15] + 7777]
+        )
+        null_mask = np.concatenate(
+            [
+                np.zeros(n, bool),
+                np.zeros(i3.size, bool),
+                np.ones(i5.size, bool),
+                np.zeros(i15.size, bool),
+            ]
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+                "op": op,
+                "o_custkey": pa.array(cust_out, mask=null_mask, type=pa.int64()),
+                "price_cents": pa.array(
+                    price_out, mask=null_mask, type=pa.int64()
+                ),
+            }
+        )
+
+    raw = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return raw.map_batches(mk_log, batch_format="pyarrow")
+
+
+def orders_scd2(sf_dir: str) -> ray.data.Dataset:
+    """SCD type-2 dimension build (``state/scd.py``) over the synthetic
+    orders change log — version intervals with unchanged-upsert
+    suppression, delete-closed lifetimes, and an open re-insert tail.
+    ONE volume-sized keyed exchange; the per-bucket walk is a lexsort plus
+    shifted-array masks (suppression, within-key lead, emission) with no
+    per-row Python."""
+    from ..state.scd import scd2_build
+
+    return scd2_build(
+        _orders_version_log(sf_dir), key_col="o_orderkey", ts_col="ts"
+    )
+
+
+ORDERS_SCD2_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS c,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS p
+  FROM orders
+),
+log AS (
+  SELECT k, CAST(1000 + (k % 7) AS BIGINT) AS ts, 'upsert' AS op, c, p
+  FROM base
+  UNION ALL
+  SELECT k, 2000 + (k % 11), 'upsert', c,
+         CASE WHEN k % 33 = 0 THEN p ELSE p + 111 END
+  FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT k, 3000 + (k % 13), 'delete', NULL, NULL
+  FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT k, 4000 + (k % 17), 'upsert', c, p + 7777
+  FROM base WHERE k % 15 = 0
+),
+prevs AS (
+  SELECT k, ts, op, c, p,
+         LAG(op) OVER w AS p_op,
+         LAG(c)  OVER w AS p_c,
+         LAG(p)  OVER w AS p_p
+  FROM log WINDOW w AS (PARTITION BY k ORDER BY ts)
+),
+kept AS (
+  SELECT * FROM prevs
+  -- COALESCE: LAG is NULL on each key's first row and WHERE NOT(NULL)
+  -- would silently drop it under three-valued logic
+  WHERE NOT (op = 'upsert' AND COALESCE(p_op, '') = 'upsert'
+             AND c IS NOT DISTINCT FROM p_c
+             AND p IS NOT DISTINCT FROM p_p)
+),
+vers AS (
+  SELECT k, ts, op, c, p,
+         LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+  FROM kept
+)
+SELECT k AS o_orderkey, c AS o_custkey, p AS price_cents,
+       ts AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM vers WHERE op = 'upsert'
+"""
