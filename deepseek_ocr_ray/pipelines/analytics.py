@@ -7844,3 +7844,58 @@ SELECT k AS o_orderkey, c AS o_custkey, p AS price_cents,
        (valid_to IS NULL) AS is_current
 FROM vers WHERE op = 'upsert'
 """
+
+
+def events_zscore_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Grouped z-score outlier detection (``stages/agg.group_standardize``)
+    — the StandardScaler shape every feature pipeline needs: each event's
+    value standardizes against its type's population mean/std and only
+    rows with ``|z| > 3`` survive.  Moments are exact int64 cents through
+    ONE reduced exchange (one row per type); the per-row z is the pinned
+    float recipe ``(double(c) − double(S)/double(n)) · n / sqrt(double(
+    n·Q − S²))``-equivalent the SQL oracle replicates term-for-term
+    (sqrt/div/sub are IEEE-correctly-rounded, so numpy and DuckDB agree
+    bit-for-bit)."""
+    from ..stages.agg import group_standardize
+
+    events = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    cents = events.map_batches(prep, batch_format="pyarrow")
+    return group_standardize(
+        cents, ["event_type"], "cents", min_abs_z=3.0
+    )
+
+
+EVENTS_ZSCORE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(cents) AS s, SUM(cents * cents) AS q
+  FROM c GROUP BY 1
+),
+st AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         SQRT(CAST(n * q - s * s AS DOUBLE)) / CAST(n AS DOUBLE) AS sd
+  FROM m WHERE n * q - s * s > 0
+)
+SELECT event_id, c.event_type, cents,
+       (CAST(cents AS DOUBLE) - mu) / sd AS z
+FROM c JOIN st USING (event_type)
+WHERE ABS((CAST(cents AS DOUBLE) - mu) / sd) > 3
+"""

@@ -1159,3 +1159,176 @@ def rollup_sum(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+_I64_SAFE = int((2**63 - 1) * 0.9)
+_ZS_SQRT_SAFE = int((_I64_SAFE) ** 0.5)  # |v| bound so v*v can't wrap
+
+
+def group_standardize(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    min_abs_z: float | None = None,
+    max_groups: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Grouped z-score standardization (the StandardScaler of feature
+    pipelines): for each row, ``z = (v − μ_g) / σ_g`` with the group's
+    POPULATION mean/std, per the engine's exactness contract — both pass
+    through exact int64 moments ``(n, Σv, Σv²)`` and finish with the
+    pinned float recipe the SQL oracle mirrors term-for-term::
+
+        μ  = double(Σv) / double(n)
+        σ  = sqrt(double(n·Σv² − (Σv)²)) / double(n)
+        z  = (double(v) − μ) / σ
+
+    ``sqrt`` and the arithmetic ops are IEEE-correctly-rounded, so numpy
+    and DuckDB agree bit-for-bit (unlike ``log`` — see
+    ``source_lang_entropy``).  Zero-variance groups (including n=1) have
+    no defined z: their rows are DROPPED when ``min_abs_z`` is set (they
+    cannot be outliers) and carry NULL z otherwise.
+
+    Plan — two streaming scans, zero row-level exchange:
+
+    1. moments pass: per-block C++ ``group_by`` partials through
+       :func:`bucket_groupby_agg` (sum/sumsq/count/max|v|) reduce to ONE
+       row per group; the reduced table collects to the driver (capped at
+       ``max_groups`` — a wider domain needs the bucketed-join
+       standardizer, raise named) where ``n·Σv² − (Σv)²`` runs in exact
+       Python ints and the int64 moment horizon is checked HONESTLY:
+       count and max are wrap-free aggregates, so ``n·max|v|² ≤ I64_SAFE``
+       proves after the fact that no Σv² partial could have wrapped;
+    2. standardize pass: the per-group (μ, σ) vectors broadcast once via
+       ``ray.put`` keyed by the group-key hash64 (driver-side collision
+       check over the full hash list makes the lookup exact, not
+       probabilistic) and each block probes them with one searchsorted.
+
+    The value column must be integer (quantize floats to cents/ppm per
+    the engine convention) with ``|v| ≤ ~3.03e9`` so ``v²`` fits int64.
+    """
+    import ray as _ray
+
+    schema = ds.schema().base_schema
+    names = list(schema.names)
+    for c in [*keys, value_col]:
+        if c not in names:
+            raise ValueError(f"column {c!r} not in the input")
+    if isinstance(schema, pa.Schema):
+        vtyp = schema.field(value_col).type
+        is_int = pa.types.is_integer(vtyp)
+    else:  # pandas-block dataset: numpy dtypes ride in schema.types
+        vtyp = schema.types[names.index(value_col)]
+        is_int = np.issubdtype(vtyp, np.integer)
+    if not is_int:
+        raise ValueError(
+            f"{value_col!r} must be integer (got {vtyp}) — quantize floats "
+            "to cents/ppm per the engine convention"
+        )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if v.size:
+            m = int(np.abs(v).max())
+            if m > _ZS_SQRT_SAFE:
+                raise ValueError(
+                    f"group_standardize: |{value_col}| up to {m} overflows "
+                    "the int64 v² horizon — rescale the quantization"
+                )
+        return pa.table(
+            {
+                **{k: batch[k] for k in keys},
+                "_v": pa.array(v, pa.int64()),
+                "_v2": pa.array(v * v, pa.int64()),
+                "_av": pa.array(np.abs(v), pa.int64()),
+            }
+        )
+
+    stats_ds = bucket_groupby_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys,
+        [
+            ("_v", "sum", "_s"),
+            ("_v2", "sum", "_q"),
+            (None, "count", "_n"),
+            ("_av", "max", "_m"),
+        ],
+        n_buckets=n_buckets,
+    )
+    stats = pa.concat_tables(
+        _ray.get(stats_ds.to_arrow_refs()), promote_options="default"
+    )
+    if stats.num_rows > max_groups:
+        raise ValueError(
+            f"group_standardize: {stats.num_rows} groups exceed the "
+            f"driver-side cap ({max_groups}) — use a bucketed-join "
+            "standardizer for unbounded group domains"
+        )
+
+    n_arr = stats["_n"].to_numpy(zero_copy_only=False)
+    s_col = stats["_s"].to_numpy(zero_copy_only=False)
+    q_col = stats["_q"].to_numpy(zero_copy_only=False)
+    m_col = stats["_m"].to_numpy(zero_copy_only=False)
+    # wrap-free honesty check: count and max never wrap, so if every
+    # group's n·max² fits, no Σv² partial anywhere could have wrapped
+    risk = np.flatnonzero(
+        m_col.astype(object) * m_col.astype(object) * n_arr.astype(object)
+        > _I64_SAFE
+    )
+    if risk.size:
+        raise ValueError(
+            "group_standardize: a group exceeds the int64 Σv² horizon "
+            f"(n={int(n_arr[risk[0]])}, max|v|={int(m_col[risk[0]])}) — "
+            "rescale the quantization"
+        )
+
+    mu = np.empty(stats.num_rows, np.float64)
+    sd = np.empty(stats.num_rows, np.float64)
+    defined = np.zeros(stats.num_rows, bool)
+    for i in range(stats.num_rows):
+        n_i, s_i, q_i = int(n_arr[i]), int(s_col[i]), int(q_col[i])
+        var_num = n_i * q_i - s_i * s_i  # exact Python ints
+        mu[i] = float(s_i) / float(n_i)
+        if var_num > 0:
+            sd[i] = float(var_num) ** 0.5 / float(n_i)
+            defined[i] = True
+        else:
+            sd[i] = 0.0
+
+    ghash = hash64_columns(stats.select(keys), keys).view(np.int64)
+    order = np.argsort(ghash, kind="stable")
+    gh_sorted = ghash[order]
+    if gh_sorted.size > 1 and (gh_sorted[1:] == gh_sorted[:-1]).any():
+        raise ValueError(
+            "group_standardize: hash64 collision between distinct group "
+            "keys — widen the key hash"
+        )
+    lookup_ref = _ray.put(
+        (gh_sorted, mu[order], sd[order], defined[order])
+    )
+    thr = None if min_abs_z is None else float(min_abs_z)
+
+    def standardize(batch: pa.Table) -> pa.Table:
+        gh_s, mu_s, sd_s, def_s = _ray.get(lookup_ref)
+        out_cols = {c: batch[c] for c in batch.column_names}
+        if batch.num_rows == 0:
+            out_cols["z"] = pa.array([], pa.float64())
+            return pa.table(out_cols)
+        h = hash64_columns(batch.select(keys), keys).view(np.int64)
+        pos = np.searchsorted(gh_s, h)
+        np.clip(pos, 0, max(gh_s.size - 1, 0), out=pos)
+        ok = (gh_s[pos] == h) & def_s[pos] if gh_s.size else np.zeros(h.size, bool)
+        v = batch[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        z = np.full(v.size, np.nan, np.float64)
+        z[ok] = (v[ok].astype(np.float64) - mu_s[pos[ok]]) / sd_s[pos[ok]]
+        if thr is not None:
+            keep = ok & (np.abs(z) > thr)
+            t = pa.table(out_cols).filter(pa.array(keep))
+            return t.append_column(
+                "z", pa.array(z[keep], pa.float64())
+            )
+        out_cols["z"] = pa.array(z, mask=~ok, type=pa.float64())
+        return pa.table(out_cols)
+
+    return ds.map_batches(standardize, batch_format="pyarrow")

@@ -5,6 +5,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pytest
+import ray
+import ray.data
 
 from deepseek_ocr_ray.stages.agg import bucket_groupby_sum
 
@@ -935,3 +937,142 @@ def test_group_quantiles_disc_validation(ray_session):
         group_quantiles_disc(ds, ["g"], "v", [0.5], ["a", "b"])
     with pytest.raises(ValueError):
         group_quantiles_disc(ds, ["g"], "v", [1.5], ["a"])
+
+
+# ---------------------------------------------------------------- zscore
+
+
+def _zs_duck(df, thr=None):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = """
+WITH m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s, SUM(v*v) AS q
+  FROM t GROUP BY 1
+),
+st AS (
+  SELECT g, CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+         SQRT(CAST(n*q - s*s AS DOUBLE))/CAST(n AS DOUBLE) AS sd
+  FROM m WHERE n*q - s*s > 0
+)
+SELECT id, t.g, v, (CAST(v AS DOUBLE) - mu)/sd AS z
+FROM t JOIN st USING (g)
+"""
+    if thr is not None:
+        sql += f" WHERE ABS((CAST(v AS DOUBLE) - mu)/sd) > {thr}"
+    return con.sql(sql + " ORDER BY id").df()
+
+
+def _zs_frame(seed, n=500, ngroups=6):
+    rng = np.random.default_rng(seed)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, ngroups, n).astype(str),
+            "v": rng.integers(-1000, 5000, n).astype(np.int64),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_group_standardize_differential(ray_session, seed):
+    from deepseek_ocr_ray.stages.agg import group_standardize
+
+    df = _zs_frame(seed)
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        group_standardize(ds, ["g"], "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = _zs_duck(df)
+    assert got["id"].tolist() == want["id"].tolist()
+    # bit-exact float parity (the driver hash gate compares raw values)
+    assert got["z"].tolist() == want["z"].tolist()
+
+
+def test_group_standardize_threshold(ray_session):
+    from deepseek_ocr_ray.stages.agg import group_standardize
+
+    df = _zs_frame(7, n=800)
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        group_standardize(ds, ["g"], "v", min_abs_z=1.5)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = _zs_duck(df, thr=1.5)
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["z"].tolist() == want["z"].tolist()
+
+
+def test_group_standardize_degenerate_groups(ray_session):
+    """n=1 and zero-variance groups: NULL z without a threshold, dropped
+    with one."""
+    from deepseek_ocr_ray.stages.agg import group_standardize
+
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(6, dtype=np.int64),
+            "g": ["a", "a", "a", "const", "const", "solo"],
+            "v": np.array([0, 10, 20, 5, 5, 9], np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = (
+        group_standardize(ds, ["g"], "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got["z"].isna().tolist() == [False, False, False, True, True, True]
+    thr = group_standardize(ds, ["g"], "v", min_abs_z=0.5).to_pandas()
+    assert set(thr["g"]) == {"a"}
+
+
+def test_group_standardize_layout_invariance(ray_session):
+    from deepseek_ocr_ray.stages.agg import group_standardize
+
+    df = _zs_frame(3)
+    ref = None
+    for nblocks in (1, 3, 9):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = (
+            group_standardize(ds, ["g"], "v")
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        vals = got["z"].tolist()
+        if ref is None:
+            ref = vals
+        else:
+            assert vals == ref
+
+
+def test_group_standardize_validation(ray_session):
+    from deepseek_ocr_ray.stages.agg import group_standardize
+
+    import pandas as pd
+
+    df = pd.DataFrame({"g": ["a"], "v": [1.5]})
+    with pytest.raises(ValueError, match="must be integer"):
+        group_standardize(ray.data.from_pandas(df), ["g"], "v")
+    df2 = pd.DataFrame({"g": ["a"], "v": np.array([1], np.int64)})
+    with pytest.raises(ValueError, match="not in the input"):
+        group_standardize(ray.data.from_pandas(df2), ["nope"], "v")
+    big = pd.DataFrame(
+        {"g": ["a", "a"], "v": np.array([2**32, 5], np.int64)}
+    )
+    with pytest.raises(Exception, match="horizon"):
+        group_standardize(
+            ray.data.from_pandas(big), ["g"], "v"
+        ).materialize()
