@@ -7899,3 +7899,37 @@ SELECT event_id, c.event_type, cents,
 FROM c JOIN st USING (event_type)
 WHERE ABS((CAST(cents AS DOUBLE) - mu) / sd) > 3
 """
+
+
+def part_categorical_encode(sf_dir: str) -> ray.data.Dataset:
+    """Categorical feature encoding (``stages/encode.categorical_encode``)
+    — p_brand and p_type dictionary-encode to their sorted-vocabulary
+    dense ranks, the deterministic OrdinalEncoder every tabular feature
+    pipeline starts with.  Two streaming scans: a per-block C++ distinct
+    reduce builds each vocabulary (collected volume is blocks × vocab, not
+    rows), the sorted vocab arrays broadcast once, and the encode pass is
+    one ``pc.index_in`` hash probe per block.  Sorted order == SQL
+    ``ROW_NUMBER() OVER (ORDER BY v) − 1`` on the distinct set."""
+    from ..stages.encode import categorical_encode
+
+    parts = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type"]
+    )
+    return categorical_encode(parts, ["p_brand", "p_type"])
+
+
+PART_CATEGORICAL_ENCODE_SQL = """
+WITH bv AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT p_brand AS v FROM part WHERE p_brand IS NOT NULL)
+),
+cv AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT p_type AS v FROM part WHERE p_type IS NOT NULL)
+)
+SELECT p_partkey, p_brand, p_type,
+       bv.idx AS p_brand_idx, cv.idx AS p_type_idx
+FROM part
+LEFT JOIN bv ON p_brand = bv.v
+LEFT JOIN cv ON p_type = cv.v
+"""
