@@ -7933,3 +7933,52 @@ FROM part
 LEFT JOIN bv ON p_brand = bv.v
 LEFT JOIN cv ON p_type = cv.v
 """
+
+
+def orders_target_encode(sf_dir: str) -> ray.data.Dataset:
+    """Leave-one-out target encoding (``stages/encode.target_encode``) —
+    each order's priority encodes as the mean total price of all OTHER
+    orders sharing the priority, the leakage-safe categorical feature.
+    Exact int64 cent sums through one reduced exchange (one row per
+    priority), then one pinned float division per row the SQL oracle
+    replicates term-for-term; singleton categories yield NULL."""
+    from ..stages.encode import target_encode
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    return target_encode(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        "price_cents",
+        out_col="te",
+    )
+
+
+ORDERS_TARGET_ENCODE_SQL = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+),
+m AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(price_cents) AS s
+  FROM c GROUP BY 1
+)
+SELECT o_orderkey, c.o_orderpriority, price_cents,
+       CASE WHEN n > 1
+            THEN CAST(s - price_cents AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+       END AS te
+FROM c JOIN m USING (o_orderpriority)
+"""

@@ -1228,7 +1228,13 @@ def group_standardize(
         )
 
     def derive(batch: pa.Table) -> pa.Table:
-        v = batch[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = batch[value_col]
+        if col.null_count:
+            raise ValueError(
+                f"group_standardize: {value_col!r} contains nulls — a null "
+                "has no z-score; filter or impute first"
+            )
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         if v.size:
             m = int(np.abs(v).max())
             if m > _ZS_SQRT_SAFE:

@@ -100,3 +100,138 @@ def categorical_encode(
         return out
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def target_encode(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    target_col: str,
+    *,
+    out_col: str = "te",
+    loo: bool = True,
+    max_groups: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Leave-one-out target encoding — the supervised sibling of
+    :func:`categorical_encode`: each row gets its category's mean target
+    EXCLUDING the row itself (``(Σv_g − v) / (n_g − 1)``), the classic
+    leakage-safe categorical feature.  ``loo=False`` gives the plain
+    category mean ``Σv_g / n_g``.
+
+    Exactness contract: the target must be integer (quantize per the
+    engine convention); group sums ride exact int64 (the wrap-free
+    ``n·max|v| ≤ I64_SAFE`` honesty check, as in ``group_standardize``),
+    and the per-row finish is ONE pinned float division —
+    ``double(Σv − v) / double(n − 1)`` — that DuckDB replicates
+    term-for-term (HUGEINT-minus cast to DOUBLE is correctly rounded, as
+    is int64→double).  Singleton groups (n=1) have no leave-one-out mean:
+    NULL out.
+
+    Plan: the moments pass reduces to one (n, Σv, max|v|) row per group
+    via the C++ bucket aggregate; the reduced table collects to the
+    driver (capped — unbounded domains want the join encode), and the
+    (n, s) vectors broadcast once via collision-checked hash64 for the
+    searchsorted probe in the encode pass.  Two streaming scans, zero
+    row-level exchange.
+    """
+    import numpy as np
+
+    import ray as _ray
+
+    from ..hashing import hash64_columns
+    from .agg import _I64_SAFE, bucket_groupby_agg
+
+    schema = ds.schema().base_schema
+    if not isinstance(schema, pa.Schema):
+        raise ValueError("target_encode requires an Arrow-block dataset")
+    for c in [*keys, target_col]:
+        if c not in schema.names:
+            raise ValueError(f"column {c!r} not in the input")
+    if out_col in schema.names:
+        raise ValueError(f"output column {out_col!r} already exists")
+    if not pa.types.is_integer(schema.field(target_col).type):
+        raise ValueError(
+            f"{target_col!r} must be integer (got "
+            f"{schema.field(target_col).type}) — quantize floats to "
+            "cents/ppm per the engine convention"
+        )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch[target_col]
+        if col.null_count:
+            raise ValueError(
+                f"target_encode: {target_col!r} contains nulls — filter or "
+                "impute the target first"
+            )
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                **{k: batch[k] for k in keys},
+                "_v": pa.array(v, pa.int64()),
+                "_av": pa.array(np.abs(v), pa.int64()),
+            }
+        )
+
+    stats_ds = bucket_groupby_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys,
+        [("_v", "sum", "_s"), (None, "count", "_n"), ("_av", "max", "_m")],
+        n_buckets=n_buckets,
+    )
+    stats = pa.concat_tables(
+        _ray.get(stats_ds.to_arrow_refs()), promote_options="default"
+    )
+    if stats.num_rows > max_groups:
+        raise ValueError(
+            f"target_encode: {stats.num_rows} groups exceed the driver-side "
+            f"cap ({max_groups}) — use a join encode for unbounded domains"
+        )
+    n_arr = stats["_n"].to_numpy(zero_copy_only=False)
+    s_arr = stats["_s"].to_numpy(zero_copy_only=False)
+    m_arr = stats["_m"].to_numpy(zero_copy_only=False)
+    # wrap-free honesty check: count and max never wrap, so if every
+    # group's n·max|v| fits, no Σv partial anywhere could have wrapped
+    risk = np.flatnonzero(
+        m_arr.astype(object) * n_arr.astype(object) > _I64_SAFE
+    )
+    if risk.size:
+        raise ValueError(
+            "target_encode: a group exceeds the int64 Σv horizon "
+            f"(n={int(n_arr[risk[0]])}, max|v|={int(m_arr[risk[0]])}) — "
+            "rescale the quantization"
+        )
+    ghash = hash64_columns(stats.select(keys), keys).view(np.int64)
+    order = np.argsort(ghash, kind="stable")
+    gh_sorted = ghash[order]
+    if gh_sorted.size > 1 and (gh_sorted[1:] == gh_sorted[:-1]).any():
+        raise ValueError(
+            "target_encode: hash64 collision between distinct group keys"
+        )
+    lookup_ref = _ray.put((gh_sorted, n_arr[order], s_arr[order]))
+    use_loo = bool(loo)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        gh_s, n_s, s_s = _ray.get(lookup_ref)
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.float64()))
+        h = hash64_columns(batch.select(keys), keys).view(np.int64)
+        pos = np.searchsorted(gh_s, h)
+        np.clip(pos, 0, max(gh_s.size - 1, 0), out=pos)
+        # every key is in the vocab by construction; the probe is exact
+        v = batch[target_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_g = n_s[pos]
+        s_g = s_s[pos]
+        if use_loo:
+            ok = n_g > 1
+            te = np.full(v.size, np.nan, np.float64)
+            te[ok] = (s_g[ok] - v[ok]).astype(np.float64) / (
+                n_g[ok] - 1
+            ).astype(np.float64)
+            col = pa.array(te, mask=~ok, type=pa.float64())
+        else:
+            col = pa.array(
+                s_g.astype(np.float64) / n_g.astype(np.float64), pa.float64()
+            )
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(encode, batch_format="pyarrow")

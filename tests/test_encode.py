@@ -111,3 +111,103 @@ def test_large_string_input(ray_session):
     )
     got = categorical_encode(_ds(tbl), ["c"]).to_pandas()
     assert sorted(zip(got["id"], got["c_idx"])) == [(0, 1), (1, 0)]
+
+
+# ------------------------------------------------------------- target
+
+
+def _te_duck(df, loo=True):
+    con = duckdb.connect()
+    con.register("t", df)
+    expr = (
+        "CASE WHEN n > 1 THEN CAST(s - v AS DOUBLE)/CAST(n - 1 AS DOUBLE) END"
+        if loo
+        else "CAST(s AS DOUBLE)/CAST(n AS DOUBLE)"
+    )
+    return con.sql(
+        f"""
+WITH m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s FROM t GROUP BY 1
+)
+SELECT id, t.g, v, {expr} AS te
+FROM t JOIN m USING (g) ORDER BY id
+"""
+    ).df()
+
+
+@pytest.mark.parametrize("loo", [True, False])
+def test_target_encode_differential(ray_session, loo):
+    from deepseek_ocr_ray.stages.encode import target_encode
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 8, n).astype(str),
+            "v": rng.integers(-500, 9000, n).astype(np.int64),
+        }
+    )
+    # force a singleton group for the NULL edge
+    df.loc[n - 1, "g"] = "solo"
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    got = (
+        target_encode(_ds(tbl, 5), ["g"], "v", loo=loo)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = _te_duck(df, loo=loo)
+    assert got["id"].tolist() == want["id"].tolist()
+    g = [None if pd.isna(x) else x for x in got["te"]]
+    w = [None if pd.isna(x) else x for x in want["te"]]
+    assert g == w  # bit-exact floats + the singleton NULL
+
+
+def test_target_encode_layout_invariance(ray_session):
+    from deepseek_ocr_ray.stages.encode import target_encode
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(200), pa.int64()),
+            "g": pa.array([f"g{i}" for i in rng.integers(0, 5, 200)]),
+            "v": pa.array(rng.integers(0, 100, 200), pa.int64()),
+        }
+    )
+    ref = None
+    for nblocks in (1, 4, 9):
+        got = (
+            target_encode(_ds(tbl, nblocks), ["g"], "v")
+            .to_pandas()
+            .sort_values("id")["te"]
+            .tolist()
+        )
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref
+
+
+def test_target_encode_validation(ray_session):
+    from deepseek_ocr_ray.stages.encode import target_encode
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"], pa.string()),
+            "v": pa.array([1.5], pa.float64()),
+            "te": pa.array([0], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="must be integer"):
+        target_encode(_ds(tbl.drop_columns(["te"])), ["g"], "v")
+    with pytest.raises(ValueError, match="already exists"):
+        target_encode(_ds(tbl.set_column(1, "v", pa.array([1], pa.int64()))), ["g"], "v")
+    nulls = pa.table(
+        {
+            "g": pa.array(["a", "a"], pa.string()),
+            "v": pa.array([1, None], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="contains nulls"):
+        target_encode(_ds(nulls), ["g"], "v").materialize()
