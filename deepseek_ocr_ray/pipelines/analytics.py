@@ -7982,3 +7982,79 @@ SELECT o_orderkey, c.o_orderpriority, price_cents,
        END AS te
 FROM c JOIN m USING (o_orderpriority)
 """
+
+
+def lineitem_quality_audit(sf_dir: str) -> pa.Table:
+    """Data-quality constraint audit (``state/quality.py``) — the
+    Deequ/dbt-test data card over lineitem: not-null, accepted-range,
+    uniqueness and referential checks folded into one
+    (check_name, violations, passed) table.  The mix is deliberately
+    half-failing (quantity range and bare-orderkey uniqueness violate;
+    the true PK, the FKs and the null checks pass) so the oracle pins
+    non-trivial counts in both directions.  Every check streams its
+    table once; only ``unique`` exchanges (distinct keys), and the FK
+    parents broadcast once as sorted key vectors."""
+    from ..state.quality import (
+        check_foreign_key,
+        check_not_null,
+        check_range,
+        check_unique,
+        quality_audit,
+    )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_suppkey",
+            "l_returnflag", "l_quantity", "l_discount",
+        ],
+    )
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey"])
+    return quality_audit(
+        [
+            ("l_returnflag_not_null", lambda: check_not_null(li, "l_returnflag")),
+            ("l_quantity_range_1_25", lambda: check_range(li, "l_quantity", 1, 25)),
+            ("l_discount_range_0_005", lambda: check_range(li, "l_discount", 0.0, 0.05)),
+            ("pk_orderkey_linenumber_unique",
+             lambda: check_unique(li, ["l_orderkey", "l_linenumber"])),
+            ("orderkey_unique", lambda: check_unique(li, ["l_orderkey"])),
+            ("fk_suppkey_supplier",
+             lambda: check_foreign_key(li, "l_suppkey", supp, "s_suppkey")),
+        ]
+    )
+
+
+LINEITEM_QUALITY_AUDIT_SQL = """
+WITH checks AS (
+  SELECT 'l_returnflag_not_null' AS check_name,
+         CAST(COUNT(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT)
+           AS violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity_range_1_25',
+         CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 25)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount_range_0_005',
+         CAST(COUNT(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.05)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'pk_orderkey_linenumber_unique',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+           (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber
+            HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'orderkey_unique',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+           (SELECT 1 FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'fk_suppkey_supplier',
+         CAST(COUNT(*) FILTER (WHERE l_suppkey IS NOT NULL AND l_suppkey
+              NOT IN (SELECT s_suppkey FROM supplier)) AS BIGINT)
+  FROM lineitem
+)
+SELECT check_name, violations, (violations = 0) AS passed FROM checks
+"""
