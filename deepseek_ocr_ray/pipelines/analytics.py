@@ -8058,3 +8058,49 @@ WITH checks AS (
 )
 SELECT check_name, violations, (violations = 0) AS passed FROM checks
 """
+
+
+def customer_running_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Running-total window aggregate (``windows.group_running_sum``) —
+    each order's cumulative cents per customer in order-date order (ties
+    broken by orderkey for the total order SQL's running window also
+    needs): SUM(...) OVER (PARTITION BY custkey ORDER BY date, key ROWS
+    UNBOUNDED PRECEDING).  One coarse-bucket exchange, then a single
+    global cumsum minus each run's prefix base — no per-group loop."""
+    from ..stages.windows import group_running_sum
+
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    out = group_running_sum(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        order_cols=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+        col="price_cents",
+        out_col="running_cents",
+    )
+    return out.drop_columns(["o_orderdate"])
+
+
+CUSTOMER_RUNNING_REVENUE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM orders
+"""

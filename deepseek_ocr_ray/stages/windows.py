@@ -1210,3 +1210,103 @@ def rolling_distinct_daily(
         )
 
     return agg.map_batches(to_day, batch_format="pyarrow").sort("day")
+
+
+def group_running_sum(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    col: str,
+    out_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``SUM(col) OVER (PARTITION BY keys ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` — the running-total window aggregate
+    (cumulative revenue per customer, balance after each transaction).
+    Integer-only per the engine's exactness contract (a float running sum
+    would still be deterministic here since each group computes in one
+    fixed order, but int keeps it bit-trivial and matches the cents/ppm
+    convention); NULL values add nothing and carry the running total
+    forward, exactly SQL's null-skipping SUM — a group whose prefix is
+    all-NULL yields NULL, not 0.
+
+    Same skeleton as :func:`with_lag` (one coarse-bucket exchange, C++
+    sort per bucket): the walk is ONE global ``np.cumsum`` minus each
+    run's offset (the prefix total just before the run starts) — no
+    per-group loop.  ``order_cols`` should be a total order (include a
+    unique id), as for any SQL running window.
+    """
+    from ..hashing import hash64_columns
+
+    schema = ds.schema().base_schema
+    if not pa.types.is_integer(schema.field(col).type):
+        raise ValueError(
+            f"{col!r} must be integer (got {schema.field(col).type}) — "
+            "quantize floats to cents/ppm per the engine convention"
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(c) -> np.ndarray:
+        enc = pc.dictionary_encode(c)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys] + list(order_cols)
+        )
+        n = g.num_rows
+        if n == 0:
+            out = {c: g[c] for c in g.column_names}
+            out[out_col] = pa.array([], pa.int64())
+            return pa.table(out)
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        vcol = g[col].cast(pa.int64())
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        valid = np.asarray(vcol.is_valid())
+        v = vcol.to_numpy(zero_copy_only=False)
+        v = np.where(valid, v, 0).astype(np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        # int64 honesty: the global cumsum's CROSS-run wrap cancels in the
+        # base subtraction (two's complement), but each run's true total
+        # must itself fit — guard max run length × max |v|
+        starts = np.flatnonzero(new_run)
+        run_len = int(np.diff(np.append(starts, n)).max())
+        vmax = int(np.abs(v).max()) if n else 0
+        if vmax and run_len > int((2**63 - 1) * 0.9) // vmax:
+            raise ValueError(
+                "group_running_sum: a group risks the int64 running-total "
+                f"horizon (len {run_len} × max|v| {vmax}) — rescale the "
+                "quantization"
+            )
+        total = np.cumsum(v)
+        # prefix total just before each run starts
+        base = np.where(run_start > 0, total[run_start - 1], 0)
+        run_sum = total - base
+        # SQL SUM over an all-NULL prefix is NULL: a row's window has a
+        # value iff any valid value appeared in its run so far
+        seen = np.cumsum(valid.astype(np.int64))
+        seen_base = np.where(run_start > 0, seen[run_start - 1], 0)
+        has_val = (seen - seen_base) > 0
+        out = {c: g[c] for c in g.column_names}
+        out[out_col] = pa.array(run_sum, mask=~has_val, type=pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )

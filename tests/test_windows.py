@@ -915,3 +915,114 @@ def test_prior_window_counts_boundaries(ray_session):
         .reset_index(drop=True)
     )
     assert out.values.tolist() == [[5, 1, 2], [7, 2, 0], [8, 3, 0]]
+
+
+# ------------------------------------------------------- running sum
+
+
+def test_group_running_sum_fixture(ray_session):
+    import ray
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "t": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+            "v": pa.array([10, None, 5, None, 7, None], pa.int64()),
+        }
+    )
+    got = (
+        windows.group_running_sum(
+            ray.data.from_arrow(tbl).repartition(3),
+            keys=["k"],
+            order_cols=[("t", "ascending")],
+            col="v",
+            out_col="rs",
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+    )
+    import pandas as pd
+
+    vals = [None if pd.isna(x) else int(x) for x in got["rs"]]
+    # k=1: 10, 10 (null adds nothing), 15; k=2: NULL (all-null prefix), 7;
+    # k=3: NULL
+    assert vals == [10, 10, 15, None, 7, None]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_group_running_sum_differential(ray_session, seed):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, n).astype(np.int64),
+            "t": rng.permutation(n).astype(np.int64),
+            "v": pd.array(
+                np.where(rng.random(n) < 0.15, pd.NA, rng.integers(-50, 100, n)),
+                dtype="Int64",
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+SELECT k, t, CAST(SUM(v) OVER (PARTITION BY k ORDER BY t
+     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rs
+FROM t ORDER BY k, t
+"""
+    ).df()
+    tbl = pa.table(
+        {
+            "k": pa.array(df["k"], pa.int64()),
+            "t": pa.array(df["t"], pa.int64()),
+            "v": pa.array(
+                [None if x is pd.NA else int(x) for x in df["v"]], pa.int64()
+            ),
+        }
+    )
+    got = (
+        windows.group_running_sum(
+            ray.data.from_arrow(tbl).repartition(6),
+            keys=["k"],
+            order_cols=[("t", "ascending")],
+            col="v",
+            out_col="rs",
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    g = [None if pd.isna(x) else int(x) for x in got["rs"]]
+    w = [None if pd.isna(x) else int(x) for x in want["rs"]]
+    assert g == w
+
+
+def test_group_running_sum_validation_and_horizon(ray_session):
+    import ray
+
+    f = pa.table({"k": pa.array([1], pa.int64()), "t": pa.array([1], pa.int64()),
+                  "v": pa.array([1.5], pa.float64())})
+    with pytest.raises(ValueError, match="must be integer"):
+        windows.group_running_sum(
+            ray.data.from_arrow(f), keys=["k"],
+            order_cols=[("t", "ascending")], col="v", out_col="rs",
+        )
+    big = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "t": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([2**62, 2**62, 2**62], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="horizon"):
+        windows.group_running_sum(
+            ray.data.from_arrow(big), keys=["k"],
+            order_cols=[("t", "ascending")], col="v", out_col="rs",
+        ).materialize()
