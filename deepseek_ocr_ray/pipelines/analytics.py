@@ -8104,3 +8104,55 @@ SELECT o_orderkey, o_custkey,
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM orders
 """
+
+
+def events_value_bins(sf_dir: str) -> ray.data.Dataset:
+    """Grouped equi-depth discretization (``stages/encode.quantile_bin``)
+    — each event's value cents map to one of 8 per-type quantile bins,
+    the KBinsDiscretizer shape.  The bin is ``#{bounds ≤ v}`` over the
+    type's exact discrete quantiles (DuckDB ``quantile_disc``) so equal
+    values always share a bin — deterministic where NTILE is not.  ONE
+    histogram exchange builds all 7 bounds per type; the assign pass is a
+    broadcast row-vs-bounds comparison."""
+    from ..stages.encode import quantile_bin
+
+    events = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    return quantile_bin(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        "cents",
+        8,
+    )
+
+
+EVENTS_VALUE_BINS_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  -- quantile_disc needs CONSTANT probabilities: the list form
+  SELECT event_type,
+         UNNEST(quantile_disc(cents,
+           [1.0/8, 2.0/8, 3.0/8, 4.0/8, 5.0/8, 6.0/8, 7.0/8])) AS b
+  FROM c GROUP BY event_type
+)
+SELECT event_id, c.event_type, cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bounds
+        WHERE bounds.event_type = c.event_type AND bounds.b <= c.cents)
+         AS bin
+FROM c
+"""

@@ -235,3 +235,104 @@ def target_encode(
         return batch.append_column(out_col, col)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def quantile_bin(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    n_bins: int,
+    *,
+    out_col: str = "bin",
+    max_groups: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Grouped equi-depth discretization — the KBinsDiscretizer of feature
+    pipelines: each row's value maps to ``#{i : b_i ≤ v}`` where the
+    ``b_i`` are the group's EXACT discrete quantiles at
+    ``i/n_bins, i = 1..n_bins−1`` (DuckDB ``quantile_disc`` convention).
+    Counting bounds ≤ v (instead of SQL ``NTILE``, whose tie assignment is
+    row-order-dependent) makes the bin a pure function of (value, group
+    value multiset): equal values always share a bin, and results are
+    layout/parallelism invariant.  Bins range 0..n_bins−1; skewed groups
+    may leave some bins empty — that is the well-defined answer, not an
+    error.
+
+    Plan: the bounds come out of ONE histogram exchange
+    (:func:`agg.group_quantiles_disc` — all n_bins−1 ranks walk the same
+    sorted per-group histogram), collect driver-side (capped), broadcast
+    as a (groups × n_bins−1) matrix keyed by collision-checked hash64,
+    and the assign pass is one row-vs-bounds comparison per block
+    (``(B[pos] ≤ v[:,None]).sum(1)`` — n_bins is small by definition).
+    """
+    import numpy as np
+
+    import ray as _ray
+
+    from ..hashing import hash64_columns
+    from .agg import group_quantiles_disc
+
+    if not 2 <= n_bins <= 1024:
+        raise ValueError(f"n_bins must be in [2, 1024], got {n_bins}")
+    schema = ds.schema().base_schema
+    if not isinstance(schema, pa.Schema):
+        raise ValueError("quantile_bin requires an Arrow-block dataset")
+    for c in [*keys, value_col]:
+        if c not in schema.names:
+            raise ValueError(f"column {c!r} not in the input")
+    if out_col in schema.names:
+        raise ValueError(f"output column {out_col!r} already exists")
+    if not pa.types.is_integer(schema.field(value_col).type):
+        raise ValueError(
+            f"{value_col!r} must be integer (got "
+            f"{schema.field(value_col).type}) — quantize floats per the "
+            "engine convention"
+        )
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bcols = [f"_b{i}" for i in range(1, n_bins)]
+    bounds_ds = group_quantiles_disc(
+        ds, list(keys), value_col, qs, bcols, n_buckets=n_buckets
+    )
+    parts = _ray.get(bounds_ds.to_arrow_refs())
+    parts = [t for t in parts if bcols[0] in t.column_names]
+    bounds = pa.concat_tables(parts, promote_options="default")
+    if bounds.num_rows > max_groups:
+        raise ValueError(
+            f"quantile_bin: {bounds.num_rows} groups exceed the driver-side "
+            f"cap ({max_groups}) — use a join discretizer for unbounded "
+            "group domains"
+        )
+    B = np.stack(
+        [
+            bounds[c].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            for c in bcols
+        ],
+        axis=1,
+    ) if bounds.num_rows else np.zeros((0, n_bins - 1), np.int64)
+    ghash = hash64_columns(bounds.select(keys), keys).view(np.int64)
+    order = np.argsort(ghash, kind="stable")
+    gh_sorted = ghash[order]
+    if gh_sorted.size > 1 and (gh_sorted[1:] == gh_sorted[:-1]).any():
+        raise ValueError(
+            "quantile_bin: hash64 collision between distinct group keys"
+        )
+    lookup_ref = _ray.put((gh_sorted, B[order]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        gh_s, B_s = _ray.get(lookup_ref)
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        if batch[value_col].null_count:
+            raise ValueError(
+                f"quantile_bin: {value_col!r} contains nulls — a null has "
+                "no bin; filter or impute first"
+            )
+        h = hash64_columns(batch.select(keys), keys).view(np.int64)
+        pos = np.searchsorted(gh_s, h)
+        np.clip(pos, 0, max(gh_s.size - 1, 0), out=pos)
+        v = batch[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bins = (B_s[pos] <= v[:, None]).sum(axis=1).astype(np.int64)
+        return batch.append_column(out_col, pa.array(bins, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

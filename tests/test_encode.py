@@ -211,3 +211,99 @@ def test_target_encode_validation(ray_session):
     )
     with pytest.raises(Exception, match="contains nulls"):
         target_encode(_ds(nulls), ["g"], "v").materialize()
+
+
+# ------------------------------------------------------------- binning
+
+
+def _qb_duck(df, n_bins):
+    con = duckdb.connect()
+    con.register("t", df)
+    qlist = ", ".join(f"{i}.0/{n_bins}" for i in range(1, n_bins))
+    return con.sql(
+        f"""
+WITH bounds AS (
+  SELECT g, UNNEST(quantile_disc(v, [{qlist}])) AS b
+  FROM t GROUP BY g
+)
+SELECT id, t.g, v,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bounds
+        WHERE bounds.g = t.g AND bounds.b <= t.v) AS bin
+FROM t ORDER BY id
+"""
+    ).df()
+
+
+@pytest.mark.parametrize("n_bins", [2, 4, 8])
+def test_quantile_bin_differential(ray_session, n_bins):
+    from deepseek_ocr_ray.stages.encode import quantile_bin
+
+    rng = np.random.default_rng(n_bins)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 5, n).astype(str),
+            # heavy ties to exercise the deterministic tie rule
+            "v": rng.integers(0, 12, n).astype(np.int64),
+        }
+    )
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    got = (
+        quantile_bin(_ds(tbl, 4), ["g"], "v", n_bins)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = _qb_duck(df, n_bins)
+    assert got["bin"].tolist() == want["bin"].tolist()
+    # equal (g, v) pairs always share a bin
+    m = got.groupby(["g", "v"])["bin"].nunique()
+    assert (m == 1).all()
+
+
+def test_quantile_bin_layout_and_range(ray_session):
+    from deepseek_ocr_ray.stages.encode import quantile_bin
+
+    rng = np.random.default_rng(0)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(300), pa.int64()),
+            "g": pa.array(["a"] * 300, pa.string()),
+            "v": pa.array(rng.integers(-100, 100, 300), pa.int64()),
+        }
+    )
+    ref = None
+    for nblocks in (1, 5):
+        got = (
+            quantile_bin(_ds(tbl, nblocks), ["g"], "v", 10)
+            .to_pandas()
+            .sort_values("id")["bin"]
+            .tolist()
+        )
+        assert min(got) >= 0 and max(got) <= 9
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref
+
+
+def test_quantile_bin_validation(ray_session):
+    from deepseek_ocr_ray.stages.encode import quantile_bin
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"], pa.string()),
+            "v": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="n_bins"):
+        quantile_bin(_ds(tbl), ["g"], "v", 1)
+    nulls = pa.table(
+        {
+            "g": pa.array(["a", "a", "a"], pa.string()),
+            "v": pa.array([1, 2, None], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="contains nulls"):
+        quantile_bin(_ds(nulls), ["g"], "v", 2).materialize()
