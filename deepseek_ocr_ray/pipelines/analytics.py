@@ -8156,3 +8156,95 @@ SELECT event_id, c.event_type, cents,
          AS bin
 FROM c
 """
+
+
+def part_cosine_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Item-item cosine similarity over co-purchase baskets — the
+    collaborative-filtering primitive: for every part pair co-bought in
+    ≥ 2 orders, ``cos = n_pair / sqrt(n_i · n_j)`` with n_i the part's
+    distinct-order count.  Composes the existing co-occurrence edge list
+    (:func:`basket_pair_counts` — pair expansion bounded by basket size,
+    partial counts through one keyed exchange) with per-part distinct
+    order counts (two reduced C++ bucket aggregates: distinct (order,
+    part), then count per part); the part-count table is catalog-bounded,
+    collects once and broadcasts sorted for a searchsorted probe in the
+    pairs stream — the cosine costs ZERO extra exchange.  The float
+    finish ``double(n)/sqrt(double(n_i)·double(n_j))`` is all
+    correctly-rounded IEEE ops, so numpy and DuckDB agree bit-for-bit."""
+    import ray as _ray
+
+    from ..stages.agg import bucket_groupby_agg
+
+    pairs = basket_pair_counts(sf_dir)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    distinct = bucket_groupby_agg(
+        li, ["l_orderkey", "l_partkey"], [(None, "count", "_n")]
+    )
+    counts = bucket_groupby_agg(
+        distinct.select_columns(["l_partkey"]),
+        ["l_partkey"],
+        [(None, "count", "n")],
+    )
+    parts_tbl = pa.concat_tables(
+        [
+            t
+            for t in _ray.get(counts.to_arrow_refs())
+            if "l_partkey" in t.column_names
+        ],
+        promote_options="default",
+    )
+    pk = parts_tbl["l_partkey"].to_numpy(zero_copy_only=False)
+    nv = parts_tbl["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pk, kind="stable")
+    lookup_ref = _ray.put((pk[order], nv[order].astype(np.float64)))
+
+    def cosine(batch: pa.Table) -> pa.Table:
+        keys, nf = _ray.get(lookup_ref)
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p1": pa.array([], pa.int64()),
+                    "p2": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        p1 = t["p1"].to_numpy(zero_copy_only=False)
+        p2 = t["p2"].to_numpy(zero_copy_only=False)
+        i1 = np.searchsorted(keys, p1)
+        i2 = np.searchsorted(keys, p2)
+        cos = t["n_orders"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ) / np.sqrt(nf[i1] * nf[i2])
+        return pa.table(
+            {
+                "p1": t["p1"],
+                "p2": t["p2"],
+                "n_orders": t["n_orders"],
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(cosine, batch_format="pyarrow")
+
+
+PART_COSINE_PAIRS_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
+SELECT p1, p2, n_orders,
+       CAST(n_orders AS DOUBLE) /
+       SQRT(CAST(c1.n AS DOUBLE) * CAST(c2.n AS DOUBLE)) AS cosine
+FROM pairs
+JOIN cnt c1 ON c1.p = p1
+JOIN cnt c2 ON c2.p = p2
+WHERE n_orders >= 2
+"""

@@ -1027,3 +1027,39 @@ def test_embedding_class_stats_fuzz(ray_session, tmp_path, seed):
     pd.testing.assert_frame_equal(
         got.sort_index(axis=1), want.sort_index(axis=1), check_dtype=True
     )
+
+
+def test_part_cosine_pairs_fixture(ray_session, tmp_path):
+    """Hand-computed cosine over a 3-order basket fixture, plus the
+    distinct-per-order rule (a part repeated in one order counts once)."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines import analytics
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+            # order 1: parts 10, 20 (20 twice -> once); order 2: 10, 20;
+            # order 3: 10, 30
+            "l_partkey": pa.array([10, 20, 20, 10, 20, 10, 30], pa.int64()),
+        }
+    )
+    d = tmp_path / "cosfix"
+    os.makedirs(d)
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    got = (
+        analytics.part_cosine_pairs(str(d))
+        .to_pandas()
+        .sort_values(["p1", "p2"])
+        .reset_index(drop=True)
+    )
+    # only (10, 20) co-occurs >= 2 times: n=2, n_10=3, n_20=2
+    assert got["p1"].tolist() == [10]
+    assert got["p2"].tolist() == [20]
+    assert got["n_orders"].tolist() == [2]
+    import math
+
+    assert got["cosine"].tolist() == [2.0 / math.sqrt(3.0 * 2.0)]
