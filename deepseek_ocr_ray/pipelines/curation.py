@@ -4624,3 +4624,113 @@ SELECT lang,
             AS BIGINT) AS text_hash_sum
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+CSV_CACHE_ROOT = "/tmp/dsor_csv_cache"
+
+
+def documents_csv_roundtrip(sf_dir: str) -> pa.Table:
+    """CSV interchange proof over the documents table — the fourth-format
+    twin of :func:`documents_jsonl_roundtrip`: export through the
+    partitioned CSV sink, re-ingest through the ROBUST quarantine reader
+    (``sources/csv.py`` — whole-file Arrow parse, so quoted embedded
+    newlines survive), and fold per-language (docs, chars, md5 text-hash
+    sum).  The hash sum folds every text byte, so equality with the SQL
+    oracle on the ORIGINAL parquet proves the loop lossless for this
+    corpus (all strings non-null — CSV's empty-vs-null ambiguity, stated
+    in the module docstring, never triggers).  Export cached per
+    ``sf_dir`` under a completion marker; a quarantined row raises."""
+    import json as _json
+    import os as _os
+
+    from ..sources.csv import read_csv, write_csv
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = _os.path.join(CSV_CACHE_ROOT, tag)
+    marker = _os.path.join(cache, "_COMPLETE")
+    if not _os.path.exists(marker):
+        import shutil as _shutil
+
+        _shutil.rmtree(cache, ignore_errors=True)
+        docs = read_table(
+            sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
+        )
+        write_csv(docs, cache)
+        with open(marker, "w") as f:
+            _json.dump({"sf_dir": sf_dir}, f)
+
+    back = read_csv(
+        [
+            _os.path.join(cache, f)
+            for f in sorted(_os.listdir(cache))
+            if f.endswith(".csv")
+        ],
+        {
+            "doc_id": pa.int64(),
+            "text": pa.string(),
+            "lang": pa.string(),
+            "n_chars": pa.int64(),
+        },
+    )
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        errs = batch["error"]
+        if errs.null_count != len(errs):
+            bad = batch.filter(pc.is_valid(errs))["error"].to_pylist()
+            raise ValueError(
+                f"csv round-trip quarantined {len(bad)} rows; first: {bad[0]}"
+            )
+        hashes = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                for t in batch["text"].to_pylist()
+            ],
+            np.int64,
+        )
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "docs": pa.array(np.ones(len(hashes), np.int64), pa.int64()),
+                "chars": batch["n_chars"],
+                "text_hash_sum": pa.array(hashes, pa.int64()),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("docs", "sum"), ("chars", "sum"), ("text_hash_sum", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "docs": g["docs_sum"].cast(pa.int64()),
+                "chars": g["chars_sum"].cast(pa.int64()),
+                "text_hash_sum": g["text_hash_sum_sum"].cast(pa.int64()),
+            }
+        )
+
+    from ..cluster import collect_table
+
+    t = collect_table(back.map_batches(lang_partial, batch_format="pyarrow"))
+    acc: dict[str, list[int]] = {}
+    if t is not None and t.num_rows:
+        for lang, d, c, h in zip(
+            t["lang"].to_pylist(),
+            t["docs"].to_pylist(),
+            t["chars"].to_pylist(),
+            t["text_hash_sum"].to_pylist(),
+        ):
+            cur = acc.setdefault(lang, [0, 0, 0])
+            cur[0] += int(d)
+            cur[1] += int(c)
+            cur[2] += int(h)
+    rows = sorted(acc.items())
+    return pa.table(
+        {
+            "lang": pa.array([k for k, _ in rows], pa.string()),
+            "docs": pa.array([v[0] for _, v in rows], pa.int64()),
+            "chars": pa.array([v[1] for _, v in rows], pa.int64()),
+            "text_hash_sum": pa.array([v[2] for _, v in rows], pa.int64()),
+        }
+    )
+
+
+DOCUMENTS_CSV_ROUNDTRIP_SQL = DOCUMENTS_JSONL_ROUNDTRIP_SQL
