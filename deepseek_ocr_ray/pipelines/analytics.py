@@ -8248,3 +8248,80 @@ JOIN cnt c1 ON c1.p = p1
 JOIN cnt c2 ON c2.p = p2
 WHERE n_orders >= 2
 """
+
+
+def orders_ivm_refresh(sf_dir: str) -> ray.data.Dataset:
+    """Incremental aggregate view maintenance (``state/ivm.py``) — the
+    materialized view (orders per customer: count + cent sum) refreshes
+    from a deterministic CDC batch (orders ``%7==1`` delete with their
+    full image; ``%11==2`` re-insert with bumped cents) WITHOUT
+    rescanning base facts: the delta folds map-side to per-key partials,
+    and ONE coarse-bucket exchange merges the two group-domain-sized
+    sides with a searchsorted alignment.  SUM/COUNT are
+    self-maintainable; a key driven negative or cancelled with a nonzero
+    sum raises loudly."""
+    from ..stages.agg import bucket_groupby_agg
+    from ..state.ivm import incremental_agg
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    facts = orders.map_batches(prep, batch_format="pyarrow")
+    view = bucket_groupby_agg(
+        facts.select_columns(["o_custkey", "cents"]),
+        ["o_custkey"],
+        [(None, "count", "n"), ("cents", "sum", "cents")],
+    )
+
+    def mk_changes(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cv = batch["cents"].to_numpy(zero_copy_only=False)
+        de = np.flatnonzero(ok % 7 == 1)
+        ins = np.flatnonzero(ok % 11 == 2)
+        return pa.table(
+            {
+                "op": pa.array(
+                    ["delete"] * de.size + ["insert"] * ins.size, pa.string()
+                ),
+                "o_custkey": pa.array(
+                    np.concatenate([ck[de], ck[ins]]), pa.int64()
+                ),
+                "cents": pa.array(
+                    np.concatenate([cv[de], cv[ins] + 999]), pa.int64()
+                ),
+            }
+        )
+
+    changes = facts.map_batches(mk_changes, batch_format="pyarrow")
+    return incremental_agg(
+        view, changes, key_col="o_custkey", count_col="n", sum_cols=["cents"]
+    )
+
+
+ORDERS_IVM_REFRESH_SQL = """
+WITH base AS (
+  SELECT o_custkey AS k,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         o_orderkey AS ok
+  FROM orders
+),
+parts AS (
+  SELECT k, 1 AS cnt, v AS sv FROM base
+  UNION ALL SELECT k, -1, -v FROM base WHERE ok % 7 = 1
+  UNION ALL SELECT k, 1, v + 999 FROM base WHERE ok % 11 = 2
+)
+SELECT k AS o_custkey, CAST(SUM(cnt) AS BIGINT) AS n,
+       CAST(SUM(sv) AS BIGINT) AS cents
+FROM parts GROUP BY k HAVING SUM(cnt) > 0
+"""

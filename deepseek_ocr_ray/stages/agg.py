@@ -51,6 +51,11 @@ def bucket_groupby_agg(
     """
     if not aggs:
         raise ValueError("nothing to aggregate")
+    # a COMPUTED all-empty stream has no schema (Dataset.schema() is None
+    # on Ray 2.49) — the float-sum validation below is then unavailable;
+    # the aggregate itself is still correct on the typed empty
+    sch = ds.schema()
+    base = sch.base_schema if sch is not None else None
     seen = set(keys)
     for col, fn, out in aggs:
         if fn not in AGG_FNS:
@@ -58,8 +63,8 @@ def bucket_groupby_agg(
         if out in seen:
             raise ValueError(f"duplicate output column {out!r}")
         seen.add(out)
-        if fn != "count":
-            typ = ds.schema().base_schema.field(col).type
+        if fn != "count" and base is not None:
+            typ = base.field(col).type
             if fn in ("sum", "mean") and not (
                 pa.types.is_integer(typ) or pa.types.is_boolean(typ)
             ):
