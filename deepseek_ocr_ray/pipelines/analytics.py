@@ -8325,3 +8325,31 @@ SELECT k AS o_custkey, CAST(SUM(cnt) AS BIGINT) AS n,
        CAST(SUM(sv) AS BIGINT) AS cents
 FROM parts GROUP BY k HAVING SUM(cnt) > 0
 """
+
+
+def user_top_event(sf_dir: str) -> ray.data.Dataset:
+    """Per-user modal event type (``stages/agg.group_mode``) — the
+    categorical aggregate the mean/quantile family lacked: each user's
+    most frequent event_type with deterministic ties (count desc, type
+    asc — SQL's bare mode() leaves ties unspecified, so the oracle is
+    the pinned ROW_NUMBER form).  One histogram exchange (volume = users
+    × distinct types per block); the finalize is a C++ sort + first-row
+    mask."""
+    from ..stages.agg import group_mode
+
+    events = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return group_mode(
+        events, ["user_id"], "event_type", out_col="top_event", count_out="n"
+    )
+
+
+USER_TOP_EVENT_SQL = """
+SELECT user_id, top_event, n FROM (
+  SELECT user_id, event_type AS top_event,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
+) WHERE rn = 1
+"""

@@ -1343,3 +1343,88 @@ def group_standardize(
         return pa.table(out_cols)
 
     return ds.map_batches(standardize, batch_format="pyarrow")
+
+
+def group_mode(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    out_col: str = "mode",
+    count_out: str = "mode_n",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT per-group mode — the most frequent NON-NULL value, ties
+    broken by the smallest value (SQL's bare ``mode()`` leaves ties
+    unspecified; this pins them, so results are layout/parallelism
+    invariant and the oracle is the deterministic
+    ``ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, v ASC)`` form).
+
+    Histogram plan (shared with the quantile family): the map side
+    reduces each block to per-(group, value) counts in C++, ONE keyed
+    exchange moves partial histogram rows (volume = groups × distinct
+    values per block, independent of row count), and the finalize is a
+    C++ sort by (group, count desc, value asc) + a first-row-per-run
+    mask — works for integer AND string values, no Python per row."""
+    partial = _make_hist_partial(keys, value_col, n_buckets)
+
+    schema = ds.schema().base_schema
+
+    def _ftype(name: str) -> pa.DataType:
+        if isinstance(schema, pa.Schema):
+            return schema.field(name).type
+        # pandas-block dataset: numpy dtypes / object ride in schema.types
+        t = schema.types[list(schema.names).index(name)]
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    vt = _ftype(value_col)
+    empty = pa.table(
+        {
+            **{k: pa.array([], _ftype(k)) for k in keys},
+            out_col: pa.array([], vt),
+            count_out: pa.array([], pa.int64()),
+        }
+    )
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.is_valid(batch[value_col]))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.group_by(keys + [value_col]).aggregate([("__cnt", "sum")])
+        n = g.num_rows
+        if n == 0:
+            return empty
+        s = g.sort_by(
+            [(k, "ascending") for k in keys]
+            + [("__cnt_sum", "descending"), (value_col, "ascending")]
+        )
+
+        def _codes(col) -> np.ndarray:
+            enc = pa.compute.dictionary_encode(col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(s[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        t = s.filter(pa.array(new_run))
+        return pa.table(
+            {
+                **{k: t[k] for k in keys},
+                out_col: t[value_col],
+                count_out: t["__cnt_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(drop_null, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -1076,3 +1076,69 @@ def test_group_standardize_validation(ray_session):
         group_standardize(
             ray.data.from_pandas(big), ["g"], "v"
         ).materialize()
+
+
+# ---------------------------------------------------------------- mode
+
+
+def test_group_mode_fixture(ray_session):
+    from deepseek_ocr_ray.stages.agg import group_mode
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 3 + ["c"], pa.string()),
+            # a: x×2, y×2 (tie -> smaller "x"), z×1; b: nulls ignored,
+            # w wins; c: single null-only group -> no output row
+            "v": pa.array(
+                ["y", "x", "z", "x", "y", "w", None, "w", None], pa.string()
+            ),
+        }
+    )
+    got = (
+        group_mode(ray.data.from_arrow(tbl).repartition(3), ["g"], "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got["g"].tolist() == ["a", "b"]
+    assert got["mode"].tolist() == ["x", "w"]
+    assert got["mode_n"].tolist() == [2, 2]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_group_mode_differential(ray_session, seed):
+    import duckdb
+    import pandas as pd
+
+    from deepseek_ocr_ray.stages.agg import group_mode
+
+    rng = np.random.RandomState(seed)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 40, n).astype(np.int64),
+            "v": rng.randint(0, 6, n).astype(np.int64),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+SELECT g, v AS mode, n FROM (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY COUNT(*) DESC, v ASC) rn
+  FROM t GROUP BY g, v) WHERE rn = 1 ORDER BY g
+"""
+    ).df()
+    got = (
+        group_mode(
+            ray.data.from_pandas(df).repartition(5), ["g"], "v",
+            count_out="n",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["mode"].tolist() == want["mode"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
