@@ -8353,3 +8353,83 @@ SELECT user_id, top_event, n FROM (
   GROUP BY user_id, event_type
 ) WHERE rn = 1
 """
+
+
+PARTITIONED_CACHE_ROOT = "/tmp/dsor_partitioned_cache"
+
+
+def orders_partitioned_prune(sf_dir: str) -> pa.Table:
+    """Hive-partitioned layout end to end (``state/partitioned.py``):
+    orders land once as an ``o_orderpriority=<v>/`` tree (cached per
+    sf_dir behind the atomic manifest), then a two-priority scan reads
+    ONLY those directories — partition pruning with zero manifest pages
+    — and aggregates count + cent sum per priority.  The oracle runs the
+    same predicate over the ORIGINAL table, so equality proves the
+    write→discover→prune→read loop lossless (the partition column itself
+    is recovered from the hive path)."""
+    import os as _os
+
+    from ..state.partitioned import read_partitions, write_partitioned
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = _os.path.join(PARTITIONED_CACHE_ROOT, tag)
+    if not _os.path.exists(_os.path.join(root, "_PARTITIONED.json")):
+        orders = read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+        )
+        write_partitioned(orders, root, ["o_orderpriority"])
+
+    want = ["1-URGENT", "3-MEDIUM"]
+    ds = read_partitions(root, want)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        g = t.group_by("o_orderpriority").aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n": g["n_sum"].cast(pa.int64()),
+                "cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    from ..cluster import collect_table
+
+    t = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
+    acc: dict[str, list[int]] = {}
+    if t is not None and t.num_rows:
+        for p, n, c in zip(
+            t["o_orderpriority"].to_pylist(),
+            t["n"].to_pylist(),
+            t["cents"].to_pylist(),
+        ):
+            cur = acc.setdefault(p, [0, 0])
+            cur[0] += int(n)
+            cur[1] += int(c)
+    rows = sorted(acc.items())
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([k for k, _ in rows], pa.string()),
+            "n": pa.array([v[0] for _, v in rows], pa.int64()),
+            "cents": pa.array([v[1] for _, v in rows], pa.int64()),
+        }
+    )
+
+
+ORDERS_PARTITIONED_PRUNE_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+GROUP BY 1 ORDER BY 1
+"""
