@@ -8433,3 +8433,50 @@ FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
 GROUP BY 1 ORDER BY 1
 """
+
+
+def customer_rolling3_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Row-based rolling window (``windows.group_rolling_sum``) — each
+    order's trailing-3-order cent sum per customer: SUM(...) OVER
+    (PARTITION BY custkey ORDER BY date, key ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW).  The walk is cumsum minus the run-clamped shifted
+    cumsum — two gathers, no per-group loop."""
+    from ..stages.windows import group_rolling_sum
+
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    out = group_rolling_sum(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        order_cols=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+        col="price_cents",
+        out_col="rolling3_cents",
+        window=3,
+    )
+    return out.drop_columns(["o_orderdate"])
+
+
+CUSTOMER_ROLLING3_REVENUE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling3_cents
+FROM orders
+"""

@@ -1310,3 +1310,101 @@ def group_running_sum(
         .groupby("bucket")
         .map_groups(walk, batch_format="pyarrow")
     )
+
+
+def group_rolling_sum(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    col: str,
+    out_col: str,
+    window: int,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``SUM(col) OVER (PARTITION BY keys ORDER BY order_cols ROWS
+    BETWEEN window−1 PRECEDING AND CURRENT ROW)`` — the row-based rolling
+    aggregate beside the time-based ``sliding_window_daily``.  Integer
+    only; SQL null semantics (a NULL adds nothing; a frame whose values
+    are all NULL yields NULL).
+
+    Same one-exchange skeleton as :func:`group_running_sum`; the walk is
+    the cumsum-minus-shifted-cumsum identity with the shift CLAMPED at
+    each run's start (``total[i] − total[max(i−window, run_start)−1]``) —
+    two gathers, no per-group loop.  The int64 horizon bounds
+    ``min(window, max run length) × max|v|``.
+    """
+    from ..hashing import hash64_columns
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    schema = ds.schema().base_schema
+    if not pa.types.is_integer(schema.field(col).type):
+        raise ValueError(
+            f"{col!r} must be integer (got {schema.field(col).type}) — "
+            "quantize floats to cents/ppm per the engine convention"
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(c) -> np.ndarray:
+        enc = pc.dictionary_encode(c)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys] + list(order_cols)
+        )
+        n = g.num_rows
+        if n == 0:
+            out = {c: g[c] for c in g.column_names}
+            out[out_col] = pa.array([], pa.int64())
+            return pa.table(out)
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        vcol = g[col].cast(pa.int64())
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        valid = np.asarray(vcol.is_valid())
+        v = vcol.to_numpy(zero_copy_only=False)
+        v = np.where(valid, v, 0).astype(np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        starts = np.flatnonzero(new_run)
+        run_len = int(np.diff(np.append(starts, n)).max())
+        vmax = int(np.abs(v).max()) if n else 0
+        eff = min(window, run_len)
+        if vmax and eff > int((2**63 - 1) * 0.9) // vmax:
+            raise ValueError(
+                "group_rolling_sum: the frame risks the int64 horizon "
+                f"(window {eff} × max|v| {vmax}) — rescale the quantization"
+            )
+        total = np.cumsum(v)
+        seen = np.cumsum(valid.astype(np.int64))
+        # frame start: max(i − window + 1, run_start); base index is one
+        # before it (−1 → contribute 0)
+        fstart = np.maximum(idx - window + 1, run_start)
+        base_idx = fstart - 1
+        has_base = base_idx >= 0
+        base = np.where(has_base, total[np.maximum(base_idx, 0)], 0)
+        roll = total - base
+        sbase = np.where(has_base, seen[np.maximum(base_idx, 0)], 0)
+        has_val = (seen - sbase) > 0
+        out = {c: g[c] for c in g.column_names}
+        out[out_col] = pa.array(roll, mask=~has_val, type=pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )

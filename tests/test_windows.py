@@ -1026,3 +1026,102 @@ def test_group_running_sum_validation_and_horizon(ray_session):
             ray.data.from_arrow(big), keys=["k"],
             order_cols=[("t", "ascending")], col="v", out_col="rs",
         ).materialize()
+
+
+def test_group_rolling_sum_fixture(ray_session):
+    import pandas as pd
+    import ray
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "t": pa.array([1, 2, 3, 4, 1], pa.int64()),
+            "v": pa.array([10, 20, None, 40, 7], pa.int64()),
+        }
+    )
+    got = (
+        windows.group_rolling_sum(
+            ray.data.from_arrow(tbl).repartition(2),
+            keys=["k"],
+            order_cols=[("t", "ascending")],
+            col="v",
+            out_col="rs",
+            window=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+    )
+    vals = [None if pd.isna(x) else int(x) for x in got["rs"]]
+    # k=1 window 2: [10], [10,20]=30, [20,null]=20, [null,40]=40; k=2: 7
+    assert vals == [10, 30, 20, 40, 7]
+
+
+@pytest.mark.parametrize("window", [1, 3, 5])
+def test_group_rolling_sum_differential(ray_session, window):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    rng = np.random.default_rng(window)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n).astype(np.int64),
+            "t": rng.permutation(n).astype(np.int64),
+            "v": pd.array(
+                np.where(rng.random(n) < 0.2, pd.NA, rng.integers(-30, 60, n)),
+                dtype="Int64",
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        f"""
+SELECT k, t, CAST(SUM(v) OVER (PARTITION BY k ORDER BY t
+     ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS rs
+FROM t ORDER BY k, t
+"""
+    ).df()
+    tbl = pa.table(
+        {
+            "k": pa.array(df["k"], pa.int64()),
+            "t": pa.array(df["t"], pa.int64()),
+            "v": pa.array(
+                [None if x is pd.NA else int(x) for x in df["v"]], pa.int64()
+            ),
+        }
+    )
+    got = (
+        windows.group_rolling_sum(
+            ray.data.from_arrow(tbl).repartition(5),
+            keys=["k"],
+            order_cols=[("t", "ascending")],
+            col="v",
+            out_col="rs",
+            window=window,
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    g = [None if pd.isna(x) else int(x) for x in got["rs"]]
+    w = [None if pd.isna(x) else int(x) for x in want["rs"]]
+    assert g == w
+
+
+def test_group_rolling_sum_validation(ray_session):
+    import ray
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "t": pa.array([1], pa.int64()),
+            "v": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="window"):
+        windows.group_rolling_sum(
+            ray.data.from_arrow(tbl), keys=["k"],
+            order_cols=[("t", "ascending")], col="v", out_col="rs", window=0,
+        )
