@@ -4734,3 +4734,131 @@ def documents_csv_roundtrip(sf_dir: str) -> pa.Table:
 
 
 DOCUMENTS_CSV_ROUNDTRIP_SQL = DOCUMENTS_JSONL_ROUNDTRIP_SQL
+
+
+EVOLVED_CACHE_ROOT = "/tmp/dsor_evolved_cache"
+
+
+def documents_evolved_union(sf_dir: str) -> pa.Table:
+    """Schema-evolution read end to end (``sources/evolved.py``): the
+    documents corpus lands as TWO schema generations (gen A — even
+    doc_ids, only (doc_id, lang); gen B — odd doc_ids, the full
+    (doc_id, lang, n_chars, source)), then ONE union-by-name read
+    aligns both (missing columns → typed nulls) and aggregates per
+    lang: docs, char sum (gen A contributes nothing, SQL null-skipping
+    SUM), and the missing-chars count.  The oracle nulls the same
+    columns on the ORIGINAL table with the parity CASE, so equality
+    proves the footer sweep → version grouping → align → union loop.
+    Cached per sf_dir under a completion marker."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.evolved import read_parquet_evolved
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = _os.path.join(EVOLVED_CACHE_ROOT, tag)
+    marker = _os.path.join(cache, "_COMPLETE")
+    if not _os.path.exists(marker):
+        import shutil as _shutil
+
+        _shutil.rmtree(cache, ignore_errors=True)
+        _os.makedirs(cache)
+        docs = read_table(
+            sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "source"]
+        )
+
+        def split_gen(batch: pa.Table, gen: int) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array(ids % 2 == gen))
+            if gen == 0:
+                return t.select(["doc_id", "lang"])
+            return t
+
+        import ray as _ray
+
+        tables = _ray.get(docs.to_arrow_refs())
+        a = pa.concat_tables(
+            [split_gen(t, 0) for t in tables], promote_options="default"
+        )
+        b = pa.concat_tables(
+            [split_gen(t, 1) for t in tables], promote_options="default"
+        )
+        _pq.write_table(a, _os.path.join(cache, "gen_a.parquet"))
+        _pq.write_table(b, _os.path.join(cache, "gen_b.parquet"))
+        with open(marker, "w") as f:
+            _json.dump({"sf_dir": sf_dir}, f)
+
+    ds = read_parquet_evolved(
+        [
+            _os.path.join(cache, f)
+            for f in sorted(_os.listdir(cache))
+            if f.endswith(".parquet")
+        ],
+        {
+            "doc_id": pa.int64(),
+            "lang": pa.string(),
+            "n_chars": pa.int64(),
+            "source": pa.string(),
+        },
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"]
+        valid = pc.is_valid(nc)
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "docs": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+                "chars": pc.fill_null(nc, 0).cast(pa.int64()),
+                "missing_chars": pc.invert(valid).cast(pa.int64()),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("docs", "sum"), ("chars", "sum"), ("missing_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "docs": g["docs_sum"].cast(pa.int64()),
+                "chars": g["chars_sum"].cast(pa.int64()),
+                "missing_chars": g["missing_chars_sum"].cast(pa.int64()),
+            }
+        )
+
+    from ..cluster import collect_table
+
+    t = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
+    acc: dict[str, list[int]] = {}
+    if t is not None and t.num_rows:
+        for lang, d, c, m in zip(
+            t["lang"].to_pylist(),
+            t["docs"].to_pylist(),
+            t["chars"].to_pylist(),
+            t["missing_chars"].to_pylist(),
+        ):
+            cur = acc.setdefault(lang, [0, 0, 0])
+            cur[0] += int(d)
+            cur[1] += int(c)
+            cur[2] += int(m)
+    rows = sorted(acc.items())
+    return pa.table(
+        {
+            "lang": pa.array([k for k, _ in rows], pa.string()),
+            "docs": pa.array([v[0] for _, v in rows], pa.int64()),
+            "chars": pa.array([v[1] for _, v in rows], pa.int64()),
+            "missing_chars": pa.array([v[2] for _, v in rows], pa.int64()),
+        }
+    )
+
+
+DOCUMENTS_EVOLVED_UNION_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS missing_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
