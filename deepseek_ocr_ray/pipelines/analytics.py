@@ -8480,3 +8480,26 @@ SELECT o_orderkey, o_custkey,
          AS rolling3_cents
 FROM orders
 """
+
+
+def user_event_concat(sf_dir: str) -> ray.data.Dataset:
+    """Per-user string_agg (``stages/agg.group_concat``) — every event
+    type the user emitted, value-ascending (the PINNED order that makes
+    the list a pure function of the multiset; bare string_agg is
+    input-order nondeterministic).  Duplicates compress to counts on the
+    map side, so the exchange carries users × distinct types, not
+    events."""
+    from ..stages.agg import group_concat
+
+    events = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return group_concat(
+        events, ["user_id"], "event_type", out_col="types_csv"
+    )
+
+
+USER_EVENT_CONCAT_SQL = """
+SELECT user_id,
+       COALESCE(string_agg(event_type, ',' ORDER BY event_type), '')
+         AS types_csv
+FROM events GROUP BY user_id
+"""

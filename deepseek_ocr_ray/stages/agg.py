@@ -1428,3 +1428,100 @@ def group_mode(
         .groupby("bucket")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def group_concat(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    sep: str = ",",
+    out_col: str = "concat",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``string_agg(value, sep ORDER BY value)`` per group — the
+    list-building aggregate, with the order PINNED to value-ascending so
+    the result is a pure function of the group's value multiset
+    (a bare ``string_agg`` is input-order-dependent and therefore
+    nondeterministic under parallelism).  NULL values are skipped, like
+    SQL; a group of only nulls emits an empty string (DuckDB returns
+    NULL there — the oracle COALESCEs; stated so the parity is explicit).
+
+    Histogram plan: duplicates compress to per-(group, value) COUNTS on
+    the map side, so the exchange carries groups × distinct values per
+    block, not rows; the finalize sorts each group's histogram once in
+    C++ and builds the string with one ``str.join`` per group (O(groups)
+    Python on the reduced table, per the corr-stats convention)."""
+    schema = ds.schema().base_schema
+    if isinstance(schema, pa.Schema):
+        vt = schema.field(value_col).type
+        if not (pa.types.is_string(vt) or pa.types.is_large_string(vt)):
+            raise ValueError(
+                f"{value_col!r} must be string (got {vt}) — cast numbers "
+                "to their canonical text form first"
+            )
+    partial = _make_hist_partial(keys, value_col, n_buckets)
+
+    def _ftype(name: str) -> pa.DataType:
+        if isinstance(schema, pa.Schema):
+            return schema.field(name).type
+        t = schema.types[list(schema.names).index(name)]
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    empty = pa.table(
+        {
+            **{k: pa.array([], _ftype(k)) for k in keys},
+            out_col: pa.array([], pa.string()),
+        }
+    )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = group.group_by(keys + [value_col]).aggregate([("__cnt", "sum")])
+        n = g.num_rows
+        if n == 0:
+            return empty
+        s = g.sort_by(
+            [(k, "ascending") for k in keys] + [(value_col, "ascending")]
+        )
+
+        def _codes(col) -> np.ndarray:
+            enc = pa.compute.dictionary_encode(col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(s[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n)
+        # null VALUES skip (SQL), but their rows kept the group present
+        vals = s[value_col].to_pylist()
+        cnts = s["__cnt_sum"].to_pylist()
+        joined = [
+            sep.join(
+                v
+                for v, c in zip(vals[a:b], cnts[a:b])
+                if v is not None
+                for _ in range(int(c))
+            )
+            for a, b in zip(starts, ends)
+        ]
+        take = pa.array(starts.astype(np.int64))
+        return pa.table(
+            {
+                **{k: s[k].take(take) for k in keys},
+                out_col: pa.array(joined, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

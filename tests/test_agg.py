@@ -1142,3 +1142,76 @@ SELECT g, v AS mode, n FROM (
     assert got["g"].tolist() == want["g"].tolist()
     assert got["mode"].tolist() == want["mode"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
+
+
+# -------------------------------------------------------------- concat
+
+
+def test_group_concat_fixture(ray_session):
+    from deepseek_ocr_ray.stages.agg import group_concat
+
+    tbl = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "v": pa.array(["b", "a", "b", "x", None, None], pa.string()),
+        }
+    )
+    got = (
+        group_concat(ray.data.from_arrow(tbl).repartition(3), ["g"], "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got["g"].tolist() == [1, 2, 3]
+    assert got["concat"].tolist() == ["a,b,b", "x", ""]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_group_concat_differential(ray_session, seed):
+    import duckdb
+    import pandas as pd
+
+    from deepseek_ocr_ray.stages.agg import group_concat
+
+    rng = np.random.RandomState(seed)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 30, n).astype(np.int64),
+            "v": np.where(
+                rng.rand(n) < 0.1, None, rng.randint(0, 8, n).astype(str)
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT g, COALESCE(string_agg(v, ',' ORDER BY v), '') AS c "
+        "FROM t GROUP BY g ORDER BY g"
+    ).df()
+    tbl = pa.table(
+        {
+            "g": pa.array(df["g"], pa.int64()),
+            "v": pa.array(df["v"].tolist(), pa.string()),
+        }
+    )
+    got = (
+        group_concat(
+            ray.data.from_arrow(tbl).repartition(5), ["g"], "v", out_col="c"
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["c"].tolist() == want["c"].tolist()
+
+
+def test_group_concat_validation(ray_session):
+    from deepseek_ocr_ray.stages.agg import group_concat
+
+    tbl = pa.table(
+        {"g": pa.array([1], pa.int64()), "v": pa.array([2], pa.int64())}
+    )
+    with pytest.raises(ValueError, match="must be string"):
+        group_concat(ray.data.from_arrow(tbl), ["g"], "v")
