@@ -8503,3 +8503,55 @@ SELECT user_id,
          AS types_csv
 FROM events GROUP BY user_id
 """
+
+
+def events_impute_value(sf_dir: str) -> ray.data.Dataset:
+    """Group-mean imputation (``stages/encode.impute_group_mean``) —
+    event cents nulled deterministically (``event_id %13 == 0``) then
+    filled with the round-half-up per-type mean of the remaining rows;
+    the fill is the pinned ``FLOOR(double(Σv)/double(n) + 0.5)`` both
+    sides share, and ``was_imputed`` marks filled rows.  Two streaming
+    scans, zero row-level exchange."""
+    from ..stages.encode import impute_group_mean
+
+    events = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].cast(pa.int64())
+        iv = ids.to_numpy(zero_copy_only=False)
+        cents = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": ids,
+                "event_type": batch["event_type"],
+                "cents": pa.array(cents, mask=(iv % 13 == 0), type=pa.int64()),
+            }
+        )
+
+    return impute_group_mean(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        "cents",
+    )
+
+
+EVENTS_IMPUTE_VALUE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(COUNT(cents) AS BIGINT) AS n, SUM(cents) AS s
+  FROM c GROUP BY 1 HAVING COUNT(cents) > 0
+)
+SELECT event_id, c.event_type,
+       COALESCE(cents,
+         CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT))
+         AS cents,
+       (cents IS NULL AND m.event_type IS NOT NULL) AS was_imputed
+FROM c LEFT JOIN m USING (event_type)
+"""

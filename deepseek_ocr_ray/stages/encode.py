@@ -336,3 +336,140 @@ def quantile_bin(
         return batch.append_column(out_col, pa.array(bins, pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def impute_group_mean(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    flag_col: str | None = "was_imputed",
+    max_groups: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Group-mean null imputation — the SimpleImputer of feature
+    pipelines: every NULL value fills with the round-half-up of its
+    group's non-null mean, ``FLOOR(double(Σv)/double(n) + 0.5)`` (the
+    pinned IEEE recipe the SQL oracle replicates; the fill stays the
+    column's integer type).  A group with NO non-null values has no
+    mean: its nulls stay NULL.  ``flag_col`` (optional) marks filled
+    rows.
+
+    Plan: the non-null moments reduce to one (n, Σv, max|v|) row per
+    group (C++ bucket aggregate; wrap-free ``n·max|v|`` horizon
+    honesty), collect driver-side (capped), and broadcast via
+    collision-checked hash64 for the searchsorted probe in the fill
+    pass.  Two streaming scans, zero row-level exchange.
+    """
+    import numpy as np
+
+    import ray as _ray
+
+    from ..hashing import hash64_columns
+    from .agg import _I64_SAFE, bucket_groupby_agg
+
+    schema = ds.schema().base_schema
+    if not isinstance(schema, pa.Schema):
+        raise ValueError("impute_group_mean requires an Arrow-block dataset")
+    for c in [*keys, value_col]:
+        if c not in schema.names:
+            raise ValueError(f"column {c!r} not in the input")
+    if flag_col is not None and flag_col in schema.names:
+        raise ValueError(f"flag column {flag_col!r} already exists")
+    if not pa.types.is_integer(schema.field(value_col).type):
+        raise ValueError(
+            f"{value_col!r} must be integer (got "
+            f"{schema.field(value_col).type}) — quantize floats per the "
+            "engine convention"
+        )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[value_col]))
+        v = t[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                **{k: t[k] for k in keys},
+                "_v": pa.array(v, pa.int64()),
+                "_av": pa.array(np.abs(v), pa.int64()),
+            }
+        )
+
+    stats_ds = bucket_groupby_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys,
+        [("_v", "sum", "_s"), (None, "count", "_n"), ("_av", "max", "_m")],
+        n_buckets=n_buckets,
+    )
+    parts = [
+        t
+        for t in _ray.get(stats_ds.to_arrow_refs())
+        if "_s" in t.column_names
+    ]
+    if parts:
+        stats = pa.concat_tables(parts, promote_options="default")
+    else:
+        stats = pa.table(
+            {
+                **{k: pa.array([], schema.field(k).type) for k in keys},
+                "_s": pa.array([], pa.int64()),
+                "_n": pa.array([], pa.int64()),
+                "_m": pa.array([], pa.int64()),
+            }
+        )
+    if stats.num_rows > max_groups:
+        raise ValueError(
+            f"impute_group_mean: {stats.num_rows} groups exceed the "
+            f"driver-side cap ({max_groups})"
+        )
+    n_arr = stats["_n"].to_numpy(zero_copy_only=False)
+    s_arr = stats["_s"].to_numpy(zero_copy_only=False)
+    m_arr = stats["_m"].to_numpy(zero_copy_only=False)
+    risk = np.flatnonzero(
+        m_arr.astype(object) * n_arr.astype(object) > _I64_SAFE
+    )
+    if risk.size:
+        raise ValueError(
+            "impute_group_mean: a group exceeds the int64 Σv horizon — "
+            "rescale the quantization"
+        )
+    fill = np.floor(
+        s_arr.astype(np.float64) / n_arr.astype(np.float64) + 0.5
+    ).astype(np.int64) if stats.num_rows else np.zeros(0, np.int64)
+    ghash = hash64_columns(stats.select(keys), keys).view(np.int64)
+    order = np.argsort(ghash, kind="stable")
+    gh_sorted = ghash[order]
+    if gh_sorted.size > 1 and (gh_sorted[1:] == gh_sorted[:-1]).any():
+        raise ValueError(
+            "impute_group_mean: hash64 collision between distinct group keys"
+        )
+    lookup_ref = _ray.put((gh_sorted, fill[order]))
+    vtyp = schema.field(value_col).type
+
+    def fill_pass(batch: pa.Table) -> pa.Table:
+        gh_s, fill_s = _ray.get(lookup_ref)
+        col = batch[value_col]
+        is_null = pc.is_null(col)
+        n_null = pc.sum(is_null.cast(pa.int64())).as_py() or 0
+        out = batch
+        if n_null and gh_s.size:
+            h = hash64_columns(batch.select(keys), keys).view(np.int64)
+            pos = np.searchsorted(gh_s, h)
+            np.clip(pos, 0, gh_s.size - 1, out=pos)
+            known = gh_s[pos] == h  # all-null groups have no stats row
+            nulls = np.asarray(is_null)
+            do = nulls & known
+            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            filled = np.where(do, fill_s[pos], 0).astype(np.int64)
+            keep_null = nulls & ~do
+            merged = np.where(nulls, filled, np.where(np.isnan(vals), 0, vals)).astype(np.int64)
+            new_col = pa.array(merged, mask=keep_null, type=pa.int64()).cast(vtyp)
+            i = batch.column_names.index(value_col)
+            out = batch.set_column(i, value_col, new_col)
+            flags = do
+        else:
+            flags = np.zeros(batch.num_rows, bool)
+        if flag_col is not None:
+            out = out.append_column(flag_col, pa.array(flags))
+        return out
+
+    return ds.map_batches(fill_pass, batch_format="pyarrow")

@@ -307,3 +307,101 @@ def test_quantile_bin_validation(ray_session):
     )
     with pytest.raises(Exception, match="contains nulls"):
         quantile_bin(_ds(nulls), ["g"], "v", 2).materialize()
+
+
+# ------------------------------------------------------------ imputer
+
+
+def test_impute_group_mean_fixture(ray_session):
+    from deepseek_ocr_ray.stages.encode import impute_group_mean
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+            # a: mean(10, 15) = 12.5 -> 13 (round half up); b: no nulls;
+            # c: all-null group stays null
+            "v": pa.array([10, 15, None, 7, None, None], pa.int64()),
+        }
+    )
+    got = (
+        impute_group_mean(_ds(tbl, 3), ["g"], "v")
+        .to_pandas()
+        .sort_values(["g", "v"], na_position="last")
+        .reset_index(drop=True)
+    )
+    a_vals = sorted(got[got["g"] == "a"]["v"].tolist())
+    assert a_vals == [10, 13, 15]
+    b_vals = got[got["g"] == "b"]["v"].tolist()
+    assert sorted(b_vals) == [7, 7]
+    assert pd.isna(got[got["g"] == "c"]["v"]).all()
+    flags = got.groupby("g")["was_imputed"].sum()
+    assert flags["a"] == 1 and flags["b"] == 1 and flags["c"] == 0
+
+
+def test_impute_group_mean_differential(ray_session):
+    import duckdb
+
+    from deepseek_ocr_ray.stages.encode import impute_group_mean
+
+    rng = np.random.default_rng(4)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 9, n).astype(str),
+            "v": pd.array(
+                np.where(rng.random(n) < 0.2, pd.NA, rng.integers(-50, 400, n)),
+                dtype="Int64",
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+WITH m AS (
+  SELECT g, CAST(COUNT(v) AS BIGINT) AS n, SUM(v) AS s
+  FROM t GROUP BY g HAVING COUNT(v) > 0
+)
+SELECT id,
+       COALESCE(v, CAST(FLOOR(CAST(s AS DOUBLE)/CAST(n AS DOUBLE) + 0.5)
+                        AS BIGINT)) AS v,
+       (t.v IS NULL AND m.g IS NOT NULL) AS f
+FROM t LEFT JOIN m USING (g) ORDER BY id
+"""
+    ).df()
+    tbl = pa.table(
+        {
+            "id": pa.array(df["id"], pa.int64()),
+            "g": pa.array(df["g"], pa.string()),
+            "v": pa.array(
+                [None if x is pd.NA else int(x) for x in df["v"]], pa.int64()
+            ),
+        }
+    )
+    got = (
+        impute_group_mean(_ds(tbl, 5), ["g"], "v", flag_col="f")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    gv = [None if pd.isna(x) else int(x) for x in got["v"]]
+    wv = [None if pd.isna(x) else int(x) for x in want["v"]]
+    assert gv == wv
+    assert got["f"].tolist() == want["f"].tolist()
+
+
+def test_impute_validation(ray_session):
+    from deepseek_ocr_ray.stages.encode import impute_group_mean
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"], pa.string()),
+            "v": pa.array([1.5], pa.float64()),
+            "was_imputed": pa.array([True]),
+        }
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        impute_group_mean(_ds(tbl), ["g"], "v")
+    with pytest.raises(ValueError, match="must be integer"):
+        impute_group_mean(_ds(tbl.drop_columns(["was_imputed"])), ["g"], "v")
