@@ -8555,3 +8555,128 @@ SELECT event_id, c.event_type,
        (cents IS NULL AND m.event_type IS NOT NULL) AS was_imputed
 FROM c LEFT JOIN m USING (event_type)
 """
+
+
+def contrastive_negatives(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    n_ids: int,
+    k: int = 3,
+    method: str = "md5",
+    salt: str = "neg42",
+) -> ray.data.Dataset:
+    """Deterministic negative sampling for contrastive training — each id
+    gets ``k`` pseudo-random negatives drawn from the DENSE id domain
+    ``0..n_ids−1`` (validate density before calling; a sparse domain
+    wants a ranked-id indirection first).  The negative is a pure
+    function of (id, rank, salt): ``H(id:rank) % n_ids``, self-collisions
+    stepping to the next id — so shards are resumable and
+    parallelism-invariant by construction, the export-shard discipline.
+
+    ``method="md5"`` is the SQL-parity rule (DuckDB replicates the digest
+    arithmetic exactly); ``method="fast"`` is the production path —
+    the same splitmix64 mix the samplers use, zero per-row Python.
+    Zero exchange: one streaming map over the id column."""
+    import hashlib as _h
+
+    from ..hashing import hash64_array, mix64
+
+    if method not in ("fast", "md5"):
+        raise ValueError(f"method must be 'fast' or 'md5', got {method!r}")
+    if n_ids < 2:
+        raise ValueError("need at least 2 ids to draw a negative")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    salt_h = _salt_hash(salt)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = ids.size
+        rep_ids = np.repeat(ids, k)
+        ranks = np.tile(np.arange(k, dtype=np.int64), n)
+        if method == "fast":
+            h = mix64(
+                hash64_array(pa.array(rep_ids * np.int64(k) + ranks, pa.int64()))
+                ^ salt_h
+            )
+            neg = (h % np.uint64(n_ids)).astype(np.int64)
+        else:
+            md5 = _h.md5
+            neg = np.fromiter(
+                (
+                    int.from_bytes(
+                        md5(f"{i}:{r}".encode()).digest()[:4], "big"
+                    )
+                    % n_ids
+                    for i, r in zip(rep_ids, ranks)
+                ),
+                np.int64,
+                count=rep_ids.size,
+            )
+        hit = neg == rep_ids
+        neg[hit] = (neg[hit] + 1) % n_ids
+        return pa.table(
+            {
+                id_col: pa.array(rep_ids, pa.int64()),
+                "neg_rank": pa.array(ranks, pa.int64()),
+                "neg_id": pa.array(neg, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+
+def embedding_negatives(sf_dir: str) -> ray.data.Dataset:
+    """Contrastive negative pairs over the embedding ids (k = 3, md5
+    SQL-parity mode).  The id domain's density is validated from one
+    cheap aggregate (min/max/count over the id column) before the
+    streaming expand."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id"])
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(ids).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(ids).as_py()], pa.int64()),
+                "n": pa.array([len(ids)], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in _ray.get(
+            ds.map_batches(bounds, batch_format="pyarrow").to_arrow_refs()
+        )
+        if "n" in t.column_names and t.num_rows
+    ]
+    merged = pa.concat_tables(parts, promote_options="default")
+    lo = min(merged["lo"].to_pylist())
+    hi = max(merged["hi"].to_pylist())
+    n = sum(merged["n"].to_pylist())
+    if lo != 0 or hi != n - 1:
+        raise ValueError(
+            f"vec_id domain [{lo}, {hi}] with {n} rows is not dense — "
+            "rank the ids first"
+        )
+    return contrastive_negatives(ds, id_col="vec_id", n_ids=n, k=3)
+
+
+EMBEDDING_NEGATIVES_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM embeddings),
+raw AS (
+  SELECT vec_id, CAST(r.j AS BIGINT) AS neg_rank,
+         CAST(CAST(('0x' || substr(md5(vec_id || ':' || r.j), 1, 8))
+              AS UBIGINT) % (SELECT c FROM n) AS BIGINT) AS neg
+  FROM embeddings, range(0, 3) r(j)
+)
+SELECT vec_id, neg_rank,
+       CASE WHEN neg = vec_id THEN (neg + 1) % (SELECT c FROM n)
+            ELSE neg END AS neg_id
+FROM raw
+"""

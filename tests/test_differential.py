@@ -1063,3 +1063,61 @@ def test_part_cosine_pairs_fixture(ray_session, tmp_path):
     import math
 
     assert got["cosine"].tolist() == [2.0 / math.sqrt(3.0 * 2.0)]
+
+
+def test_contrastive_negatives_invariants(ray_session):
+    """fast/md5 modes: determinism, self-exclusion, range, layout
+    invariance; validation of the dense-domain guard."""
+    import pandas as pd
+
+    import ray
+
+    from deepseek_ocr_ray.pipelines.analytics import contrastive_negatives
+
+    ids = pa.table({"i": pa.array(np.arange(97), pa.int64())})
+    for method in ("md5", "fast"):
+        ref = None
+        for nblocks in (1, 4):
+            ds = ray.data.from_arrow(ids).repartition(nblocks)
+            got = (
+                contrastive_negatives(
+                    ds, id_col="i", n_ids=97, k=3, method=method
+                )
+                .to_pandas()
+                .sort_values(["i", "neg_rank"])
+                .reset_index(drop=True)
+            )
+            assert len(got) == 97 * 3
+            assert (got["neg_id"] != got["i"]).all()
+            assert got["neg_id"].between(0, 96).all()
+            cur = got["neg_id"].tolist()
+            if ref is None:
+                ref = cur
+            else:
+                assert cur == ref
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        contrastive_negatives(
+            ray.data.from_arrow(ids), id_col="i", n_ids=97, method="x"
+        )
+
+
+def test_embedding_negatives_dense_guard(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = tmp_path / "sparse"
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"vec_id": pa.array([0, 2, 5], pa.int64())}),
+        str(d / "embeddings.parquet"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not dense"):
+        analytics.embedding_negatives(str(d))
