@@ -8680,3 +8680,71 @@ SELECT vec_id, neg_rank,
             ELSE neg END AS neg_id
 FROM raw
 """
+
+
+BLOOM_CACHE_ROOT = "/tmp/dsor_bloomindex_cache"
+
+
+def orders_bloom_lookup(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-filter data skipping (``state/bloomindex.py``) end to end —
+    the equality complement of the zone map: orders land date-sorted
+    across many files (cached per sf_dir), so ONE customer's orders
+    scatter and every file's custkey [min,max] overlaps the lookup — the
+    zone map cannot prune.  The per-file Bloom filter can: a file whose
+    k probe bits miss provably lacks the customer, and the residual
+    equality filter inside the kept files makes the result exact
+    regardless of false positives.  The pruning ratio is asserted in
+    tests; here the point is byte-exact equality with the oracle's plain
+    predicate over the original table."""
+    import json as _json
+    import shutil as _shutil
+
+    from ..state.bloomindex import build_bloom_index, scan_pruned_eq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(BLOOM_CACHE_ROOT, tag)
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        _shutil.rmtree(cache, ignore_errors=True)
+        (
+            read_table(
+                sf_dir,
+                "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            )
+            .sort("o_orderdate")
+            .write_parquet(cache)
+        )
+        with open(marker, "w") as f:
+            _json.dump({"sf_dir": sf_dir}, f)
+    build_bloom_index(cache, "o_custkey")
+
+    ds = scan_pruned_eq(
+        cache, "o_custkey", 42, columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "price_cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+ORDERS_BLOOM_LOOKUP_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM orders WHERE o_custkey = 42
+"""
