@@ -8748,3 +8748,86 @@ SELECT o_orderkey, o_custkey,
        CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
 FROM orders WHERE o_custkey = 42
 """
+
+
+ZORDER_CACHE_ROOT = "/tmp/dsor_zorder_cache"
+
+
+def lineitem_zorder_scan(sf_dir: str) -> "pd.DataFrame":
+    """Z-order clustering end to end (``state/zorder.py``): lineitem
+    lands Morton-clustered by (l_partkey, l_suppkey) — each file a small
+    SUBCUBE of the 2-D key space (cached per sf_dir) — so the plain zone
+    map prunes range scans on EITHER column; here the scan filters on
+    l_suppkey, the SECOND interleaved column, which a single-column sort
+    on partkey could never prune.  The residual range applies inside the
+    kept files (zonemap contract: correctness never depends on the
+    pruning) and the revenue aggregate merges driver-side over one
+    row."""
+    import json as _json
+    import shutil as _shutil
+
+    import pandas as pd
+
+    from ..cluster import collect_table
+    from ..state.zonemap import build_zonemap, scan_pruned
+    from ..state.zorder import zorder_write
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(ZORDER_CACHE_ROOT, tag)
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        _shutil.rmtree(cache, ignore_errors=True)
+        li = read_table(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        zorder_write(li, ["l_partkey", "l_suppkey"], cache, n_files=32)
+        with open(marker, "w") as f:
+            _json.dump({"sf_dir": sf_dir}, f)
+    build_zonemap(cache, ["l_partkey", "l_suppkey"])
+
+    # suppkey spans 0..9 at sf0.001 and 0..99 at sf0.01 — [2, 4] is
+    # non-empty at every scale and prunes once files subdivide the cube
+    ds, _read, _total = scan_pruned(
+        cache, "l_suppkey", 2, 4, columns=["l_suppkey", "l_extendedprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "revenue_cents": pa.array(
+                    [
+                        int(
+                            _cents(batch["l_extendedprice"])
+                            .to_numpy(zero_copy_only=False)
+                            .sum()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    t = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
+    n = rev = 0
+    if t is not None and t.num_rows:
+        n = sum(t["n"].to_pylist())
+        rev = sum(t["revenue_cents"].to_pylist())
+    return pd.DataFrame({"n": [int(n)], "revenue_cents": [int(rev)]})
+
+
+LINEITEM_ZORDER_SCAN_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem WHERE l_suppkey BETWEEN 2 AND 4
+"""
