@@ -8831,3 +8831,50 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
             AS BIGINT) AS revenue_cents
 FROM lineitem WHERE l_suppkey BETWEEN 2 AND 4
 """
+
+
+def lineitem_grouping_sets(sf_dir: str) -> ray.data.Dataset:
+    """GROUPING SETS (``stages/agg.grouping_sets_sum``) — the
+    arbitrary-subset generalization CUBE and ROLLUP specialize: quantity
+    and revenue totals at ((flag, status), (flag), (status), ()) in ONE
+    corpus pass, every coarser set derived from the reduced full-key
+    aggregate."""
+    from ..stages.agg import grouping_sets_sum
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(
+                    np.floor(q + 0.5).astype(np.int64), pa.int64()
+                ),
+                "cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+
+    return grouping_sets_sum(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("l_returnflag", "l_linestatus"), ("l_returnflag",), ("l_linestatus",), ()],
+        ["qty", "cents"],
+    )
+
+
+LINEITEM_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())
+"""

@@ -56,6 +56,17 @@ def bucket_groupby_agg(
     # the aggregate itself is still correct on the typed empty
     sch = ds.schema()
     base = sch.base_schema if sch is not None else None
+    if base is not None and not isinstance(base, pa.Schema):
+        # pandas-block dataset: numpy dtypes ride in schema.types
+        names = list(base.names)
+        types = list(base.types)
+        fields = []
+        for n_, t_ in zip(names, types):
+            try:
+                fields.append(pa.field(n_, pa.from_numpy_dtype(t_)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append(pa.field(n_, pa.string()))
+        base = pa.schema(fields)
     seen = set(keys)
     for col, fn, out in aggs:
         if fn not in AGG_FNS:
@@ -1525,3 +1536,112 @@ def group_concat(
         .groupby("bucket")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def grouping_sets_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[tuple],
+    sum_cols: list[str],
+    *,
+    count_col: str = "n",
+    n_buckets: int = 64,
+    finish: str = "auto",
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY GROUPING SETS (...)`` — the arbitrary-subset
+    generalization CUBE (every subset) and ROLLUP (every prefix) are
+    special cases of.  Key columns absent from a set render as typed
+    nulls, exactly the SQL output shape (and with the same ambiguity SQL
+    has without ``GROUPING()``: a genuinely-NULL key value collides with
+    a coarser set's row — both sides of the oracle share it, stated
+    here).
+
+    Same one-corpus-pass lattice strategy: the FULL-key aggregate runs
+    once through :func:`bucket_groupby_sum` and every requested set
+    derives from that already-reduced table — locally on the driver when
+    it fits (``LATTICE_DRIVER_MAX_BYTES``), else through one exchange per
+    set (byte-equal; int64 partials are associative).  A set that IS the
+    full key list reuses the base directly."""
+    if not keys:
+        raise ValueError("grouping sets need at least one key")
+    if not sets:
+        raise ValueError("need at least one grouping set")
+    norm: list[tuple] = []
+    for s in sets:
+        t = tuple(s)
+        if len(set(t)) != len(t):
+            raise ValueError(f"duplicate column in grouping set {t}")
+        for c in t:
+            if c not in keys:
+                raise ValueError(f"grouping-set column {c!r} not in keys")
+        t = tuple(k for k in keys if k in t)  # canonical key order
+        if t in norm:
+            raise ValueError(f"duplicate grouping set {t}")
+        norm.append(t)
+
+    base = bucket_groupby_sum(
+        ds, keys, sum_cols, count_col=count_col, n_buckets=n_buckets
+    ).materialize()
+    value_cols = list(sum_cols) + [count_col]
+    base_schema = base.schema().base_schema
+    key_types = {k: base_schema.field(k).type for k in keys}
+    _null_fill = _make_null_fill(keys, key_types, value_cols)
+    full = tuple(keys)
+
+    if _lattice_use_driver(base, finish):
+        base_t = _lattice_collect_base(base, keys, key_types, value_cols)
+        tables = []
+        for sub in norm:
+            if sub == full:
+                g = base_t
+            elif sub:
+                g0 = base_t.group_by(list(sub)).aggregate(
+                    [(c, "sum") for c in value_cols]
+                )
+                g = pa.table(
+                    {
+                        **{k: g0[k] for k in sub},
+                        **{
+                            c: g0[f"{c}_sum"].cast(pa.int64())
+                            for c in value_cols
+                        },
+                    }
+                )
+            else:
+                g = pa.table(
+                    {
+                        c: pa.array(
+                            [int(pa.compute.sum(base_t[c]).as_py() or 0)],
+                            pa.int64(),
+                        )
+                        for c in value_cols
+                    }
+                )
+            tables.append(_null_fill(g, list(sub)))
+        return ray.data.from_arrow(
+            pa.concat_tables(tables, promote_options="default")
+        )
+
+    levels = []
+    for sub in norm:
+        if sub == full:
+            nxt = base
+        elif sub:
+            nxt = bucket_groupby_sum(
+                base.select_columns(list(sub) + value_cols),
+                list(sub),
+                value_cols,
+                n_buckets=n_buckets,
+            )
+        else:
+            nxt = _grand_total(base, value_cols)
+        levels.append(
+            nxt.map_batches(
+                lambda b, _p=sub: _null_fill(b, list(_p)),
+                batch_format="pyarrow",
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

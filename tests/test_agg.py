@@ -1215,3 +1215,71 @@ def test_group_concat_validation(ray_session):
     )
     with pytest.raises(ValueError, match="must be string"):
         group_concat(ray.data.from_arrow(tbl), ["g"], "v")
+
+
+# ------------------------------------------------------- grouping sets
+
+
+@pytest.mark.parametrize("finish", ["driver", "distributed"])
+def test_grouping_sets_differential(ray_session, finish):
+    import duckdb
+    import pandas as pd
+
+    from deepseek_ocr_ray.stages.agg import grouping_sets_sum
+
+    rng = np.random.RandomState(2)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "a": rng.randint(0, 4, n).astype(str),
+            "b": rng.randint(0, 3, n).astype(str),
+            "v": rng.randint(-20, 50, n).astype(np.int64),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+SELECT a, b, CAST(SUM(v) AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY GROUPING SETS ((a, b), (b), ())
+ORDER BY a NULLS FIRST, b NULLS FIRST
+"""
+    ).df()
+    got = (
+        grouping_sets_sum(
+            ray.data.from_pandas(df).repartition(4),
+            ["a", "b"],
+            [("a", "b"), ("b",), ()],
+            ["v"],
+            finish=finish,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], na_position="first")
+        .reset_index(drop=True)
+    )
+    for c in ("a", "b"):
+        g = [None if pd.isna(x) else x for x in got[c]]
+        w = [None if pd.isna(x) else x for x in want[c]]
+        assert g == w, c
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_grouping_sets_validation(ray_session):
+    from deepseek_ocr_ray.stages.agg import grouping_sets_sum
+
+    tbl = pa.table(
+        {
+            "a": pa.array(["x"], pa.string()),
+            "v": pa.array([1], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="at least one grouping set"):
+        grouping_sets_sum(ds, ["a"], [], ["v"])
+    with pytest.raises(ValueError, match="not in keys"):
+        grouping_sets_sum(ds, ["a"], [("z",)], ["v"])
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        grouping_sets_sum(ds, ["a"], [("a",), ("a",)], ["v"])
+    with pytest.raises(ValueError, match="duplicate column"):
+        grouping_sets_sum(ds, ["a"], [("a", "a")], ["v"])
