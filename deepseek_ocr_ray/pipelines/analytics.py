@@ -8878,3 +8878,55 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
                         (l_linestatus), ())
 """
+
+
+def orders_scd2_asof(sf_dir: str) -> ray.data.Dataset:
+    """Time travel — the ``AS OF`` read the SCD2 table exists to serve:
+    the state of the dimension at T = 2500 is the version rows whose
+    interval covers T (``valid_from ≤ T < valid_to``, open intervals
+    included) — a PURE streaming filter over the scd2_build output, no
+    extra exchange.  At T=2500 the v0 inserts and v1 upserts (ts bands
+    1000+/2000+) have applied while the v2 deletes and v3 re-inserts
+    (3000+/4000+) have not, so the snapshot differs from both the base
+    and the final state."""
+    from ..state.scd import scd2_build
+
+    scd = scd2_build(
+        _orders_version_log(sf_dir), key_col="o_orderkey", ts_col="ts"
+    )
+
+    T = 2500
+
+    def asof(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "valid_from" not in batch.column_names:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "price_cents": pa.array([], pa.int64()),
+                }
+            )
+        vf = batch["valid_from"].to_numpy(zero_copy_only=False)
+        vt = batch["valid_to"]
+        open_or_later = pc.fill_null(pc.greater(vt, T), True).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (vf <= T) & open_or_later
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": t["price_cents"],
+            }
+        )
+
+    return scd.map_batches(asof, batch_format="pyarrow")
+
+
+ORDERS_SCD2_ASOF_SQL = f"""
+WITH scd AS ({ORDERS_SCD2_SQL})
+SELECT o_orderkey, o_custkey, price_cents
+FROM scd
+WHERE valid_from <= 2500 AND (valid_to IS NULL OR valid_to > 2500)
+"""

@@ -270,3 +270,31 @@ def test_differential_random(ray_session, seed):
         g = [None if pd.isna(x) else x for x in got[col]]
         w = [None if pd.isna(x) else x for x in want[col]]
         assert g == w, col
+
+
+def test_asof_snapshot_semantics(ray_session):
+    """AS OF T over the fixture: versions whose interval covers T."""
+    got = scd2_build(_ds(LOG), key_col="k", ts_col="ts")
+    tbl = pa.concat_tables(
+        ray.get(got.to_arrow_refs()), promote_options="default"
+    ).to_pandas()
+
+    def asof(T):
+        live = tbl[
+            (tbl["valid_from"] <= T)
+            & (tbl["valid_to"].isna() | (tbl["valid_to"] > T))
+        ]
+        return sorted(zip(live["k"], live["v"].where(live["v"].notna(), None)))
+
+    # T=15: first versions only
+    assert asof(15) == [
+        (1, "a"), (2, "x"), (3, "s"), (5, None), (6, "z"),
+    ]
+    # T=25: k1 upserted to b, k4 inserted, k6 deleted
+    assert asof(25) == [
+        (1, "b"), (2, "x"), (3, "s"), (4, "y"), (5, None),
+    ]
+    # T=45: final state (open rows only)
+    assert asof(45) == sorted(
+        (k, v) for k, v, _f, vt, cur in EXPECT if cur
+    )
