@@ -256,6 +256,76 @@ def cmd_bpe_train(args: argparse.Namespace) -> int:
     return 0
 
 
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Re-pack a fragmented parquet directory into ~target-byte files
+    (state/compact.py — idempotent, atomic, never deletes the source)."""
+    _ensure_ray(args.num_cpus)
+    from .state.compact import compact_parquet
+
+    out = compact_parquet(
+        args.input, args.output, target_bytes=args.target_mb * (1 << 20)
+    )
+    print(json.dumps({"output": out}))
+    return 0
+
+
+def cmd_zorder(args: argparse.Namespace) -> int:
+    """Morton-cluster a parquet directory by two integer columns and
+    build the zone map over the result (state/zorder.py + zonemap)."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .state.zonemap import build_zonemap
+    from .state.zorder import zorder_write
+
+    ds = ray.data.read_parquet(args.input)
+    zorder_write(ds, [args.col1, args.col2], args.output, n_files=args.files)
+    manifest = build_zonemap(args.output, [args.col1, args.col2])
+    print(json.dumps({"output": args.output, "zonemap": manifest}))
+    return 0
+
+
+def cmd_quality_audit(args: argparse.Namespace) -> int:
+    """Run the not-null / range / unique constraint checks against a
+    parquet table and print the data card (state/quality.py)."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .state.quality import (
+        check_not_null,
+        check_range,
+        check_unique,
+        quality_audit,
+    )
+
+    ds = ray.data.read_parquet(args.input)
+    checks = []
+    for col in args.not_null or []:
+        checks.append((f"{col}_not_null", (lambda c=col: check_not_null(ds, c))))
+    for spec in args.range or []:
+        col, lo, hi = spec.split(":")
+        checks.append(
+            (
+                f"{col}_range_{lo}_{hi}",
+                (lambda c=col, a=float(lo), b=float(hi): check_range(ds, c, a, b)),
+            )
+        )
+    for cols in args.unique or []:
+        keys = cols.split(",")
+        checks.append(
+            (f"unique_{'_'.join(keys)}", (lambda k=keys: check_unique(ds, k)))
+        )
+    if not checks:
+        print("no checks requested", file=sys.stderr)
+        return 2
+    card = quality_audit(checks)
+    for row in card.to_pylist():
+        print(json.dumps(row))
+    return 0 if all(r["passed"] for r in card.to_pylist()) else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deepseek_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -370,6 +440,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     pbt.add_argument("--num-cpus", dest="num_cpus", type=int, default=None)
     pbt.set_defaults(fn=cmd_bpe_train)
+
+    pc_ = sub.add_parser("compact", help="re-pack small parquet files")
+    pc_.add_argument("--input", required=True)
+    pc_.add_argument("--output", required=True)
+    pc_.add_argument("--target-mb", type=int, default=128)
+    pc_.add_argument("--num-cpus", type=int, default=None)
+    pc_.set_defaults(fn=cmd_compact)
+
+    pz = sub.add_parser("zorder", help="Morton-cluster by two columns + zone map")
+    pz.add_argument("--input", required=True)
+    pz.add_argument("--output", required=True)
+    pz.add_argument("--col1", required=True)
+    pz.add_argument("--col2", required=True)
+    pz.add_argument("--files", type=int, default=32)
+    pz.add_argument("--num-cpus", type=int, default=None)
+    pz.set_defaults(fn=cmd_zorder)
+
+    pqa = sub.add_parser("quality-audit", help="constraint checks -> data card")
+    pqa.add_argument("--input", required=True)
+    pqa.add_argument("--not-null", action="append", metavar="COL")
+    pqa.add_argument("--range", action="append", metavar="COL:LO:HI")
+    pqa.add_argument("--unique", action="append", metavar="COL[,COL...]")
+    pqa.add_argument("--num-cpus", type=int, default=None)
+    pqa.set_defaults(fn=cmd_quality_audit)
 
     args = p.parse_args(argv)
     rc = args.fn(args)
