@@ -8930,3 +8930,47 @@ SELECT o_orderkey, o_custkey, price_cents
 FROM scd
 WHERE valid_from <= 2500 AND (valid_to IS NULL OR valid_to > 2500)
 """
+
+
+def orders_minmax_scaled(sf_dir: str) -> ray.data.Dataset:
+    """Grouped min-max scaling (``stages/encode.group_minmax_scale``) —
+    each order's price scales to [0, 1] within its priority: the
+    MinMaxScaler beside the z-score standardizer.  Min/max are wrap-free
+    aggregates (no int64 horizon exists), and the per-row finish mirrors
+    the SQL NULLIF form term-for-term."""
+    from ..stages.encode import group_minmax_scale
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    return group_minmax_scale(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        "price_cents",
+    )
+
+
+ORDERS_MINMAX_SCALED_SQL = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+),
+m AS (
+  SELECT o_orderpriority, MIN(v) AS mn, MAX(v) AS mx FROM c GROUP BY 1
+)
+SELECT o_orderkey, c.o_orderpriority, v AS price_cents,
+       (CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) /
+       NULLIF(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE), 0.0) AS scaled
+FROM c JOIN m USING (o_orderpriority)
+"""

@@ -473,3 +473,110 @@ def impute_group_mean(
         return out
 
     return ds.map_batches(fill_pass, batch_format="pyarrow")
+
+
+def group_minmax_scale(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    out_col: str = "scaled",
+    max_groups: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Grouped min-max scaling — the MinMaxScaler beside
+    :func:`~..stages.agg.group_standardize`'s z-score: each row maps to
+    ``(v − min_g) / (max_g − min_g)`` in [0, 1].  Min and max are
+    WRAP-FREE aggregates, so unlike the moment-based scalers no int64
+    horizon exists at any scale; the per-row finish is ONE pinned float
+    division (int64→double casts and the subtraction/division are
+    correctly rounded — numpy ≡ DuckDB bit-for-bit).  A constant group
+    (min == max) has no scale: NULL out, matching the SQL NULLIF oracle.
+    NULL values raise loudly (impute first — :func:`impute_group_mean`).
+
+    Same two-scan zero-row-exchange plan as the encode family: one
+    (min, max) row per group through the C++ bucket aggregate,
+    driver-capped collect, collision-checked hash64 broadcast +
+    searchsorted probe."""
+    import numpy as np
+
+    import ray as _ray
+
+    from ..hashing import hash64_columns
+    from .agg import bucket_groupby_agg
+
+    schema = ds.schema().base_schema
+    if not isinstance(schema, pa.Schema):
+        raise ValueError("group_minmax_scale requires an Arrow-block dataset")
+    for c in [*keys, value_col]:
+        if c not in schema.names:
+            raise ValueError(f"column {c!r} not in the input")
+    if out_col in schema.names:
+        raise ValueError(f"output column {out_col!r} already exists")
+    if not pa.types.is_integer(schema.field(value_col).type):
+        raise ValueError(
+            f"{value_col!r} must be integer (got "
+            f"{schema.field(value_col).type}) — quantize floats per the "
+            "engine convention"
+        )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch[value_col]
+        if col.null_count:
+            raise ValueError(
+                f"group_minmax_scale: {value_col!r} contains nulls — "
+                "filter or impute first"
+            )
+        return pa.table(
+            {
+                **{k: batch[k] for k in keys},
+                "_v": col.cast(pa.int64()),
+            }
+        )
+
+    stats_ds = bucket_groupby_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys,
+        [("_v", "min", "_lo"), ("_v", "max", "_hi")],
+        n_buckets=n_buckets,
+    )
+    parts = [
+        t
+        for t in _ray.get(stats_ds.to_arrow_refs())
+        if "_lo" in t.column_names
+    ]
+    stats = pa.concat_tables(parts, promote_options="default")
+    if stats.num_rows > max_groups:
+        raise ValueError(
+            f"group_minmax_scale: {stats.num_rows} groups exceed the "
+            f"driver-side cap ({max_groups})"
+        )
+    lo = stats["_lo"].to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = stats["_hi"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ghash = hash64_columns(stats.select(keys), keys).view(np.int64)
+    order = np.argsort(ghash, kind="stable")
+    gh_sorted = ghash[order]
+    if gh_sorted.size > 1 and (gh_sorted[1:] == gh_sorted[:-1]).any():
+        raise ValueError(
+            "group_minmax_scale: hash64 collision between distinct group "
+            "keys"
+        )
+    lookup_ref = _ray.put((gh_sorted, lo[order], hi[order]))
+
+    def scale(batch: pa.Table) -> pa.Table:
+        gh_s, lo_s, hi_s = _ray.get(lookup_ref)
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.float64()))
+        h = hash64_columns(batch.select(keys), keys).view(np.int64)
+        pos = np.searchsorted(gh_s, h)
+        np.clip(pos, 0, max(gh_s.size - 1, 0), out=pos)
+        v = batch[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        span = hi_s[pos] - lo_s[pos]
+        ok = span > 0
+        s = np.full(v.size, np.nan, np.float64)
+        s[ok] = (v[ok].astype(np.float64) - lo_s[pos][ok]) / span[ok]
+        return batch.append_column(
+            out_col, pa.array(s, mask=~ok, type=pa.float64())
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")

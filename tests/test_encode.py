@@ -405,3 +405,64 @@ def test_impute_validation(ray_session):
         impute_group_mean(_ds(tbl), ["g"], "v")
     with pytest.raises(ValueError, match="must be integer"):
         impute_group_mean(_ds(tbl.drop_columns(["was_imputed"])), ["g"], "v")
+
+
+# ------------------------------------------------------------- minmax
+
+
+def test_group_minmax_scale_differential(ray_session):
+    import duckdb
+
+    from deepseek_ocr_ray.stages.encode import group_minmax_scale
+
+    rng = np.random.default_rng(6)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 7, n).astype(str),
+            "v": rng.integers(-300, 900, n).astype(np.int64),
+        }
+    )
+    # force a constant group for the NULL edge
+    df.loc[df["g"] == "6", "v"] = 55
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+WITH m AS (SELECT g, MIN(v) mn, MAX(v) mx FROM t GROUP BY 1)
+SELECT id, (CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) /
+       NULLIF(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE), 0.0) AS s
+FROM t JOIN m USING (g) ORDER BY id
+"""
+    ).df()
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    got = (
+        group_minmax_scale(_ds(tbl, 5), ["g"], "v", out_col="s")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    g = [None if pd.isna(x) else x for x in got["s"]]
+    w = [None if pd.isna(x) else x for x in want["s"]]
+    assert g == w  # bit-exact incl. constant-group NULLs
+    live = got[got["s"].notna()]["s"]
+    assert live.between(0.0, 1.0).all()
+
+
+def test_group_minmax_scale_validation(ray_session):
+    from deepseek_ocr_ray.stages.encode import group_minmax_scale
+
+    nulls = pa.table(
+        {
+            "g": pa.array(["a", "a"], pa.string()),
+            "v": pa.array([1, None], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="contains nulls"):
+        group_minmax_scale(_ds(nulls), ["g"], "v").materialize()
+    f = pa.table(
+        {"g": pa.array(["a"], pa.string()), "v": pa.array([1.5], pa.float64())}
+    )
+    with pytest.raises(ValueError, match="must be integer"):
+        group_minmax_scale(_ds(f), ["g"], "v")
