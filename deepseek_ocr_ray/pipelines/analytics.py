@@ -3628,6 +3628,36 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def part_name_jw(sf_dir: str, min_jw: float = 0.84) -> ray.data.Dataset:
+    """Jaro-Winkler-scored fuzzy self-join (``fuzzy.jaro_winkler_join``):
+    the Levenshtein-≤2 candidate pairs of :func:`part_name_fuzzy_pairs`
+    scored with byte-level Jaro-Winkler and kept at ``jw >= min_jw`` —
+    the prefix-weighted similarity entity resolution actually ranks by.
+    The JW kernel is bit-identical to DuckDB's
+    ``jaro_winkler_similarity`` (same greedy window matching, same op
+    order — fuzz-pinned in tests), so the double column survives the
+    driver's value-hash gate; the score/filter pass adds ZERO exchanges
+    to the edit-distance join's three."""
+    from ..stages.fuzzy import jaro_winkler_join
+
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+    return jaro_winkler_join(ds, "p_name", min_jw=min_jw)
+
+
+PART_NAME_JW_SQL = """
+WITH d AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt FROM part GROUP BY 1
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.cnt AS count_a, b.cnt AS count_b,
+       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+FROM d a JOIN d b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+  AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.84
+"""
+
+
 Q5_LOCAL_VOLUME_SQL = """
 SELECT n_name,
        CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)

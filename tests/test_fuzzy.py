@@ -206,3 +206,159 @@ def test_large_string_column(ray_session):
     assert out.schema().base_schema.field("name_a").type == pa.large_string()
     rows = out.take_all()
     assert set((r["name_a"], r["name_b"]) for r in rows) == {("aa", "ab")}
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler
+
+
+def _jw_ref(s1: str, s2: str) -> float:
+    """Independent scalar byte-level Jaro-Winkler — the DuckDB
+    ``jaro_winkler_similarity`` algorithm (greedy window matching,
+    (m/l1 + m/l2 + (m−t)/m)/3, 0.7-gated ℓ·0.1 prefix boost), written
+    per-character so the vectorized kernel is tested against a separate
+    derivation."""
+    a, b = s1.encode(), s2.encode()
+    l1, l2 = len(a), len(b)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(a):
+        for j in range(max(0, i - md), min(l2, i + md + 1)):
+            if not m2[j] and b[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    sim = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if sim > 0.7:
+        pl = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x == y:
+                pl += 1
+            else:
+                break
+        sim = sim + pl * 0.1 * (1.0 - sim)
+    return sim
+
+
+def test_jaro_winkler_pairs_vs_reference():
+    from deepseek_ocr_ray.stages.fuzzy import jaro_winkler_pairs
+
+    import random
+
+    rng = random.Random(17)
+    pairs = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"),
+        ("", ""),
+        ("a", ""),
+        ("", "a"),
+        ("a", "a"),
+        ("ab", "ab"),
+        ("abc", "abc"),
+        ("ab", "ba"),
+        ("abcd", "abdc"),
+        ("cold widget", "small widget"),
+    ]
+    for alpha in ("ab", "abcdef"):
+        for _ in range(800):
+            s1 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+            s2 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+            r = rng.random()
+            if r < 0.25:
+                s2 = s1
+            elif r < 0.5 and s1:
+                i = rng.randrange(len(s1))
+                s2 = s1[:i] + rng.choice(alpha) + s1[i + 1 :]
+            pairs.append((s1, s2))
+    a = pa.array([p[0] for p in pairs])
+    b = pa.array([p[1] for p in pairs])
+    got = jaro_winkler_pairs(a, b)
+    for k, (s1, s2) in enumerate(pairs):
+        want = _jw_ref(s1, s2)
+        assert got[k] == want, (s1, s2, got[k], want)
+
+
+def test_jaro_winkler_duckdb_bit_parity():
+    """The kernel must be BIT-equal to DuckDB's jaro_winkler_similarity
+    (the oracle emits the raw double) — fuzz across alphabets."""
+    import struct
+
+    import duckdb
+
+    from deepseek_ocr_ray.stages.fuzzy import jaro_winkler_pairs
+
+    import random
+
+    rng = random.Random(99)
+    pairs = []
+    for alpha in ("ab", "abcdefghijklmnop"):
+        for _ in range(1500):
+            s1 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 20)))
+            s2 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 20)))
+            r = rng.random()
+            if r < 0.2:
+                s2 = s1
+            elif r < 0.4 and s1:
+                i = rng.randrange(len(s1))
+                s2 = s1[:i] + rng.choice(alpha) + s1[i + 1 :]
+            elif r < 0.5 and s1:
+                i = rng.randrange(len(s1))
+                s2 = s1[:i] + s1[i + 1 :]
+            pairs.append((s1, s2))
+    a = pa.array([p[0] for p in pairs])
+    b = pa.array([p[1] for p in pairs])
+    mine = jaro_winkler_pairs(a, b)
+    con = duckdb.connect()
+    con.register("t", pa.table({"a": a, "b": b}))
+    want = con.sql("SELECT jaro_winkler_similarity(a, b) AS s FROM t").arrow()[
+        "s"
+    ].to_numpy(zero_copy_only=False)
+    for k in range(len(pairs)):
+        assert struct.pack("d", mine[k]) == struct.pack("d", want[k]), (
+            pairs[k],
+            mine[k],
+            want[k],
+        )
+
+
+def test_jaro_winkler_join_fixture(ray_session):
+    """End-to-end: candidates from the lev band, scored and filtered;
+    equal strings never pair (distinct values), threshold drops the
+    low-prefix pair."""
+    import ray
+
+    from deepseek_ocr_ray.stages.fuzzy import jaro_winkler_join
+
+    vals = ["martha", "marhta", "martha", "bartha", "xyz", "zyx"]
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(2)
+    rows = jaro_winkler_join(ds, "v", min_jw=0.0).take_all()
+    got = {(r["name_a"], r["name_b"]): (r["dist"], r["jw"], r["count_a"], r["count_b"]) for r in rows}
+    assert ("marhta", "martha") in got
+    d, jw, ca, cb = got[("marhta", "martha")]
+    assert d == 2 and jw == _jw_ref("marhta", "martha") and (ca, cb) == (1, 2)
+    # threshold pass drops pairs below min_jw but keeps schema
+    hi = jaro_winkler_join(ds, "v", min_jw=0.95).take_all()
+    assert all(r["jw"] >= 0.95 for r in hi)
+    assert rows and all(
+        set(r) == {"name_a", "name_b", "dist", "count_a", "count_b", "jw"}
+        for r in rows
+    )

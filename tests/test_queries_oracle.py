@@ -76,7 +76,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def _oracle_keys():
     import __ray_entry__ as e
 
-    return sorted(e.oracle_sql().keys())
+    keys = sorted(e.oracle_sql().keys())
+    # Optional chunking for the sandbox's ~20-min background-run cap:
+    # ORACLE_SHARD="i/n" selects every n-th key starting at i.
+    shard = os.environ.get("ORACLE_SHARD")
+    if shard:
+        i, n = (int(x) for x in shard.split("/"))
+        keys = keys[i::n]
+    return keys
 
 
 @pytest.mark.parametrize("name", _oracle_keys())
