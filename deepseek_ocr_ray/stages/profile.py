@@ -187,3 +187,89 @@ def profile_table(
             "max_val": pa.array(out["max_val"], pa.string()),
         }
     )
+
+
+def chi2_independence(
+    ds: ray.data.Dataset,
+    row_col: str,
+    col_col: str,
+    *,
+    scale: int = 10**6,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Pearson chi-squared test of independence between two categorical
+    columns — THE dataset-audit primitive for "is label distribution
+    independent of source" questions (category-vs-category dependence
+    screening before training-mix decisions).
+
+    Statistic over the FULL R×C grid (zero-observed cells contribute
+    their expectation ``r·c/n`` — summing only observed cells is a
+    different, wrong statistic; a test pins this):
+
+        chi2 = Σ_cells (o − e)² / e,   e = r·c / n
+             = Σ_cells (o·n − r·c)² / (r·c·n)    (exact rational form)
+
+    Exactness recipe (the ``linalg.py`` convention): the numerator
+    ``(o·n − r·c)²`` and denominator ``r·c·n`` are EXACT integers
+    (arbitrary-precision Python ints driver-side, HUGEINT in SQL — at
+    corpus scale ``o·n`` overflows int64, so the finalize uses object
+    ints, not numpy), then per cell ONE pinned rounding chain
+    ``FLOOR(DOUBLE(num)/DOUBLE(den) · scale + 0.5)`` — int→double
+    conversion and each float op are correctly rounded identically on
+    both sides — and the per-cell ppm ints SUM order-free.
+
+    Plan: ONE count exchange over the corpus (map-side combined
+    ``group_by().count()`` per block, coarse-bucket reduce); the R×C
+    contingency table — bounded by the two cardinalities, NOT the corpus
+    — collects to the driver for the exact finalize.  NULL categories are
+    rejected loudly (SQL GROUP BY would silently make NULL a level).
+
+    Returns a one-row ``pa.Table``: ``chi2_ppm`` (BIGINT, the statistic
+    × ``scale``), ``dof`` = (R−1)(C−1), ``n_rows``, ``r_levels``,
+    ``c_levels``.
+    """
+    from .agg import bucket_groupby_sum
+
+    cells = bucket_groupby_sum(
+        ds.map_batches(
+            lambda b: b.select([row_col, col_col]), batch_format="pyarrow"
+        ),
+        keys=[row_col, col_col],
+        sum_cols=[],
+        count_col="o",
+        n_buckets=n_buckets,
+    ).take_all()
+    if any(c[row_col] is None or c[col_col] is None for c in cells):
+        raise ValueError(
+            "chi2_independence: NULL category values — impute or filter "
+            "first (a silent NULL level would change dof and the statistic)"
+        )
+    obs: dict[tuple, int] = {
+        (c[row_col], c[col_col]): int(c["o"]) for c in cells
+    }
+    r_tot: dict = {}
+    c_tot: dict = {}
+    for (r, c), o in obs.items():
+        r_tot[r] = r_tot.get(r, 0) + o
+        c_tot[c] = c_tot.get(c, 0) + o
+    n = sum(r_tot.values())
+    chi2_ppm = 0
+    if n:
+        for r, rt in r_tot.items():
+            for c, ct in c_tot.items():
+                o = obs.get((r, c), 0)
+                num = (o * n - rt * ct) ** 2  # exact (Python int)
+                den = rt * ct * n
+                chi2_ppm += int(
+                    np.floor(float(num) / float(den) * scale + 0.5)
+                )
+    dof = max(len(r_tot) - 1, 0) * max(len(c_tot) - 1, 0)
+    return pa.table(
+        {
+            "chi2_ppm": pa.array([chi2_ppm], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "n_rows": pa.array([n], pa.int64()),
+            "r_levels": pa.array([len(r_tot)], pa.int64()),
+            "c_levels": pa.array([len(c_tot)], pa.int64()),
+        }
+    )

@@ -55,3 +55,131 @@ def test_profile_table_rejects_floats(ray_session):
     tab = pa.table({"f": pa.array([1.5, 2.5])})
     with pytest.raises(ValueError, match="rendering"):
         profile_table(ray.data.from_arrow(tab), ["f"])
+
+
+# ---------------------------------------------------------------------------
+# chi-squared independence
+
+
+def _chi2_ref(rows):
+    """Independent exact-fraction chi2 over the full grid, quantized with
+    the module's pinned recipe."""
+    from fractions import Fraction
+
+    import math
+
+    obs = {}
+    for r, c in rows:
+        obs[(r, c)] = obs.get((r, c), 0) + 1
+    rt, ct = {}, {}
+    for (r, c), o in obs.items():
+        rt[r] = rt.get(r, 0) + o
+        ct[c] = ct.get(c, 0) + o
+    n = sum(rt.values())
+    ppm = 0
+    for r in rt:
+        for c in ct:
+            o = obs.get((r, c), 0)
+            num = (o * n - rt[r] * ct[c]) ** 2
+            den = rt[r] * ct[c] * n
+            ppm += int(math.floor(float(num) / float(den) * 10**6 + 0.5))
+    exact = sum(
+        Fraction((obs.get((r, c), 0) * n - rt[r] * ct[c]) ** 2, rt[r] * ct[c] * n)
+        for r in rt
+        for c in ct
+    )
+    return ppm, float(exact), (len(rt) - 1) * (len(ct) - 1), n
+
+
+def test_chi2_independence_fixture(ray_session):
+    """Engineered 2×2 with a ZERO-observed cell — the full-grid sum must
+    include its expectation term (sum-over-observed-only is a different
+    statistic)."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import chi2_independence
+
+    rows = [("A", "x"), ("A", "x"), ("A", "y"), ("B", "x")]
+    t = pa.table(
+        {
+            "r": pa.array([p[0] for p in rows]),
+            "c": pa.array([p[1] for p in rows]),
+        }
+    )
+    got = chi2_independence(
+        ray.data.from_arrow(t).repartition(2), "r", "c"
+    ).to_pylist()[0]
+    ppm, exact, dof, n = _chi2_ref(rows)
+    assert got["chi2_ppm"] == ppm
+    assert abs(got["chi2_ppm"] / 1e6 - exact) < 1e-3
+    assert got["dof"] == dof == 1
+    assert (got["n_rows"], got["r_levels"], got["c_levels"]) == (4, 2, 2)
+    # the zero cell (B, y) contributes rt·ct/n = 1·1/4 — drop it and the
+    # statistic would be smaller by exactly that term
+    assert got["chi2_ppm"] >= 250000
+
+
+def test_chi2_perfect_independence_is_zero(ray_session):
+    """An exactly independent contingency table scores 0."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import chi2_independence
+
+    rows = []
+    for r, mult_r in (("A", 1), ("B", 2)):
+        for c, mult_c in (("x", 1), ("y", 3)):
+            rows += [(r, c)] * (mult_r * mult_c)
+    t = pa.table(
+        {
+            "r": pa.array([p[0] for p in rows]),
+            "c": pa.array([p[1] for p in rows]),
+        }
+    )
+    got = chi2_independence(
+        ray.data.from_arrow(t).repartition(3), "r", "c"
+    ).to_pylist()[0]
+    assert got["chi2_ppm"] == 0
+    assert got["dof"] == 1
+
+
+def test_chi2_random_differential(ray_session):
+    """Random tables vs the exact-fraction reference, block-invariant."""
+    import random
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import chi2_independence
+
+    rng = random.Random(5)
+    for trial in range(3):
+        rows = [
+            (rng.choice("ABCD"), rng.choice("xyz")) for _ in range(200)
+        ]
+        t = pa.table(
+            {
+                "r": pa.array([p[0] for p in rows]),
+                "c": pa.array([p[1] for p in rows]),
+            }
+        )
+        for nblocks in (1, 4):
+            got = chi2_independence(
+                ray.data.from_arrow(t).repartition(nblocks), "r", "c"
+            ).to_pylist()[0]
+            ppm, exact, dof, n = _chi2_ref(rows)
+            assert got["chi2_ppm"] == ppm
+            assert got["dof"] == dof and got["n_rows"] == n
+
+
+def test_chi2_null_category_raises(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import chi2_independence
+
+    t = pa.table(
+        {
+            "r": pa.array(["A", None, "B"]),
+            "c": pa.array(["x", "y", "x"]),
+        }
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        chi2_independence(ray.data.from_arrow(t), "r", "c")
