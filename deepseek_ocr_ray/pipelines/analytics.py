@@ -8136,6 +8136,48 @@ FROM orders
 """
 
 
+def events_ewma(sf_dir: str, alpha: float = 0.25) -> ray.data.Dataset:
+    """Per-user EWMA of event values (``windows.group_ewma``) — the
+    smoothing recurrence ``s_i = 0.75·s_{i−1} + 0.25·v_i`` in event-time
+    order, bit-equal to the oracle's recursive CTE because both sides run
+    the identical two-rounding-site float step (α = 0.25 is a power of
+    two, so ``α·v`` is an exact exponent shift).  One coarse-bucket
+    exchange; the walk is O(max events per user) vector passes."""
+    from ..stages.windows import group_ewma
+
+    events = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = group_ewma(
+        events,
+        keys=["user_id"],
+        order_cols=[("ts", "ascending"), ("event_id", "ascending")],
+        col="value",
+        out_col="ewma",
+        alpha=alpha,
+    )
+    return out.drop_columns(["ts"])
+
+
+EVENTS_EWMA_SQL = """
+WITH RECURSIVE ordered AS MATERIALIZED (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT user_id, event_id, value, rn, value AS ewma
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.value, o.rn,
+         0.75 * r.ewma + 0.25 * o.value
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id, value, ewma FROM rec
+"""
+
+
 def events_value_bins(sf_dir: str) -> ray.data.Dataset:
     """Grouped equi-depth discretization (``stages/encode.quantile_bin``)
     — each event's value cents map to one of 8 per-type quantile bins,

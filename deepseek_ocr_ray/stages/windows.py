@@ -1408,3 +1408,102 @@ def group_rolling_sum(
         .groupby("bucket")
         .map_groups(walk, batch_format="pyarrow")
     )
+
+
+def group_ewma(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    col: str,
+    out_col: str,
+    alpha: float,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group exponentially weighted moving average — the smoothing
+    recurrence ``s_0 = v_0;  s_i = (1−α)·s_{i−1} + α·v_i`` (pandas
+    ``ewm(adjust=False)``), SQL-expressible only as a recursive CTE.
+
+    Bit-exactness contract: both sides evaluate the recurrence with the
+    IDENTICAL float op sequence — ``(1−α)`` folds to one correctly-rounded
+    constant, then per step one multiply (correctly rounded), one
+    ``α·v`` multiply, and one add.  With α a negative power of two (0.5,
+    0.25, 0.125…) ``α·v`` is an exact exponent shift, leaving exactly two
+    rounding sites per step, identical in numpy and DuckDB — the oracle
+    must spell the SAME decimal literal for α.
+
+    Vectorization: a sequential recurrence cannot use a closed form
+    without changing the rounding, so the walk loops over GROUP-LOCAL
+    POSITIONS (step k updates every group's k-th row at once) — O(max
+    group length) vector passes, zero per-row Python.  Groups are whole
+    by construction (one coarse-bucket exchange, the running-sum
+    skeleton); the pass count is bounded by the heaviest key's row count,
+    the operator's documented partitioning assumption.
+
+    ``col`` must be float64 and non-null (impute first — a silently
+    skipped NULL would desynchronize the two sides' recurrences).
+    """
+    from ..hashing import hash64_columns
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a = np.float64(alpha)
+    om = np.float64(1.0) - a  # the oracle's constant-folded (1 − α)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(c) -> np.ndarray:
+        enc = pc.dictionary_encode(c)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys] + list(order_cols)
+        )
+        n = g.num_rows
+        out = {c: g[c] for c in g.column_names}
+        if n == 0:
+            out[out_col] = pa.array([], pa.float64())
+            return pa.table(out)
+        vcol = g[col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        if not pa.types.is_float64(vcol.type):
+            raise ValueError(
+                f"group_ewma: {col!r} must be float64 (got {vcol.type})"
+            )
+        if vcol.null_count:
+            raise ValueError(
+                f"group_ewma: {col!r} has NULLs — impute first "
+                "(stages/encode.impute_value); a skipped NULL would "
+                "desynchronize the recurrence vs the SQL oracle"
+            )
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, n))
+        s = np.empty(n, np.float64)
+        s[starts] = v[starts]
+        max_len = int(run_len.max())
+        for k in range(1, max_len):
+            sel = starts[run_len > k] + k
+            # the pinned two-rounding step: om·prev (rounded) + a·v
+            s[sel] = om * s[sel - 1] + a * v[sel]
+        out[out_col] = pa.array(s, pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )

@@ -1125,3 +1125,130 @@ def test_group_rolling_sum_validation(ray_session):
             ray.data.from_arrow(tbl), keys=["k"],
             order_cols=[("t", "ascending")], col="v", out_col="rs", window=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# group_ewma
+
+
+def test_group_ewma_recurrence_fixture(ray_session):
+    """Hand-walked recurrence: s_0 = v_0, s_i = 0.75·s_{i−1} + 0.25·v_i,
+    per key, in order — out-of-order input and a second group."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_ewma
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "o": pa.array([2, 0, 1, 1, 0], pa.int64()),
+            "v": pa.array([8.0, 4.0, 2.0, 10.0, 6.0], pa.float64()),
+        }
+    )
+    rows = group_ewma(
+        ray.data.from_arrow(t).repartition(2),
+        keys=["k"],
+        order_cols=[("o", "ascending")],
+        col="v",
+        out_col="ewma",
+        alpha=0.25,
+    ).take_all()
+    got = {(r["k"], r["o"]): r["ewma"] for r in rows}
+    # key 1 in o-order: v = 4, 2, 8
+    s1 = 4.0
+    s2 = 0.75 * s1 + 0.25 * 2.0
+    s3 = 0.75 * s2 + 0.25 * 8.0
+    assert got[(1, 0)] == s1 and got[(1, 1)] == s2 and got[(1, 2)] == s3
+    # key 2 in o-order: v = 6, 10
+    assert got[(2, 0)] == 6.0 and got[(2, 1)] == 0.75 * 6.0 + 0.25 * 10.0
+
+
+def test_group_ewma_block_invariance(ray_session):
+    import random
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_ewma
+
+    rng = random.Random(3)
+    n = 400
+    t = pa.table(
+        {
+            "k": pa.array([rng.randrange(7) for _ in range(n)], pa.int64()),
+            "o": pa.array(list(range(n)), pa.int64()),
+            "v": pa.array([rng.uniform(-5, 5) for _ in range(n)], pa.float64()),
+        }
+    )
+    outs = []
+    for nblocks in (1, 5):
+        rows = group_ewma(
+            ray.data.from_arrow(t).repartition(nblocks),
+            keys=["k"],
+            order_cols=[("o", "ascending")],
+            col="v",
+            out_col="ewma",
+            alpha=0.5,
+        ).take_all()
+        outs.append(sorted((r["k"], r["o"], r["ewma"]) for r in rows))
+    assert outs[0] == outs[1]
+    # sequential reference with the same op order
+    import numpy as np
+
+    ref = {}
+    by_k = {}
+    for k, o, v in sorted(zip(t["k"].to_pylist(), t["o"].to_pylist(), t["v"].to_pylist())):
+        if k not in by_k:
+            by_k[k] = np.float64(v)
+        else:
+            by_k[k] = np.float64(0.5) * by_k[k] + np.float64(0.5) * np.float64(v)
+        ref[(k, o)] = float(by_k[k])
+    got = {(k, o): e for k, o, e in outs[0]}
+    assert got == ref
+
+
+def test_group_ewma_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_ewma
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "o": pa.array([0, 1], pa.int64()),
+            "v": pa.array([1.0, None], pa.float64()),
+        }
+    )
+    with pytest.raises(Exception, match="NULL"):
+        group_ewma(
+            ray.data.from_arrow(t),
+            keys=["k"],
+            order_cols=[("o", "ascending")],
+            col="v",
+            out_col="e",
+            alpha=0.25,
+        ).take_all()
+    with pytest.raises(ValueError, match="alpha"):
+        group_ewma(
+            ray.data.from_arrow(t),
+            keys=["k"],
+            order_cols=[("o", "ascending")],
+            col="v",
+            out_col="e",
+            alpha=0.0,
+        )
+    ti = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "o": pa.array([0], pa.int64()),
+            "v": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="float64"):
+        group_ewma(
+            ray.data.from_arrow(ti),
+            keys=["k"],
+            order_cols=[("o", "ascending")],
+            col="v",
+            out_col="e",
+            alpha=0.25,
+        ).take_all()
