@@ -8136,6 +8136,53 @@ FROM orders
 """
 
 
+def events_rolling_minmax(sf_dir: str, window: int = 7) -> ray.data.Dataset:
+    """Rolling 7-row min AND max of per-user event value cents
+    (``windows.group_rolling_extremes``) — both extremes in ONE walk over
+    ONE coarse-bucket exchange via the van Herk–Gil-Werman block
+    decomposition (O(n) total, window-width-independent; extremes admit
+    no cumsum identity so the rolling-sum trick doesn't apply)."""
+    from ..stages.windows import group_rolling_extremes
+
+    events = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "ts": batch["ts"],
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "value_cents": _cents(batch["value"]),
+            }
+        )
+
+    out = group_rolling_extremes(
+        events.map_batches(prep, batch_format="pyarrow"),
+        keys=["user_id"],
+        order_cols=[("ts", "ascending"), ("event_id", "ascending")],
+        col="value_cents",
+        window=window,
+    )
+    return out.drop_columns(["ts"])
+
+
+EVENTS_ROLLING_MINMAX_SQL = """
+SELECT event_id, user_id,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+       CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS roll_min,
+       CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS roll_max
+FROM events
+"""
+
+
 def events_ewma(sf_dir: str, alpha: float = 0.25) -> ray.data.Dataset:
     """Per-user EWMA of event values (``windows.group_ewma``) — the
     smoothing recurrence ``s_i = 0.75·s_{i−1} + 0.25·v_i`` in event-time

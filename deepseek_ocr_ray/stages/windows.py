@@ -1507,3 +1507,143 @@ def group_ewma(
         .groupby("bucket")
         .map_groups(walk, batch_format="pyarrow")
     )
+
+
+def group_rolling_extremes(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    col: str,
+    window: int,
+    out_min: str | None = "roll_min",
+    out_max: str | None = "roll_max",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``MIN(col) OVER (... ROWS BETWEEN window−1 PRECEDING AND
+    CURRENT ROW)`` and/or ``MAX(...)`` — the rolling extremes beside
+    :func:`group_rolling_sum` (extremes admit no cumsum identity, so
+    this walk is the van Herk–Gil-Werman block decomposition: one
+    forward and one backward ``minimum.accumulate`` over width-``window``
+    blocks, then every full frame is ``min(R[frame_start], L[i])`` —
+    O(n) TOTAL regardless of window width, no per-row loop, no
+    (n × window) matrix).  Frames truncated at a group's start (the
+    first ``window−1`` rows of each run) instead read a per-run prefix
+    accumulate over a (runs × window−1) gather.
+
+    Integer column only (the engine's exactness contract — extremes
+    never overflow, but a float column would need the quantize
+    convention anyway for the driver hash).  SQL null semantics: NULLs
+    are skipped via ±sentinel substitution; an all-NULL frame yields
+    NULL.  Emits whichever of ``out_min`` / ``out_max`` is non-None in
+    ONE walk over ONE coarse-bucket exchange.
+    """
+    from ..hashing import hash64_columns
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if out_min is None and out_max is None:
+        raise ValueError("at least one of out_min/out_max is required")
+    schema = ds.schema().base_schema
+    if not pa.types.is_integer(schema.field(col).type):
+        raise ValueError(
+            f"{col!r} must be integer (got {schema.field(col).type}) — "
+            "quantize floats to cents/ppm per the engine convention"
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(c) -> np.ndarray:
+        enc = pc.dictionary_encode(c)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _van_herk(
+        v: np.ndarray, reduce, sentinel: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(L, R): within-block prefix and suffix accumulates, blocks of
+        width ``window`` by absolute index.  The tail pad must be the
+        op's neutral sentinel — R in the final partial block reads it."""
+        n = len(v)
+        pad = (-n) % window
+        vp = np.concatenate([v, np.full(pad, sentinel, v.dtype)])
+        m = vp.reshape(-1, window)
+        L = reduce.accumulate(m, axis=1).ravel()[:n]
+        R = reduce.accumulate(m[:, ::-1], axis=1)[:, ::-1].ravel()[:n]
+        return L, R
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys] + list(order_cols)
+        )
+        n = g.num_rows
+        out = {c: g[c] for c in g.column_names}
+        if n == 0:
+            if out_min is not None:
+                out[out_min] = pa.array([], pa.int64())
+            if out_max is not None:
+                out[out_max] = pa.array([], pa.int64())
+            return pa.table(out)
+        vcol = g[col].cast(pa.int64())
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        valid = np.asarray(vcol.is_valid())
+        # null-bearing int64 comes back as float64+NaN — zero-fill BEFORE
+        # the int cast (an int64-max sentinel would not survive the float
+        # round-trip: float64(2^63−1) == 2^63 overflows back to int64.min)
+        vraw = vcol.to_numpy(zero_copy_only=False)
+        vraw = np.where(valid, vraw, 0).astype(np.int64)
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        pos = idx - run_start
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, n))
+        fstart = np.maximum(idx - window + 1, run_start)
+        # frame null-skipping: any valid value in [fstart, i]?
+        seen = np.cumsum(valid.astype(np.int64))
+        base_idx = fstart - 1
+        has_base = base_idx >= 0
+        sbase = np.where(has_base, seen[np.maximum(base_idx, 0)], 0)
+        has_val = (seen - sbase) > 0
+
+        def one(reduce, sentinel: int) -> pa.Array:
+            v = np.where(valid, vraw, sentinel).astype(np.int64)
+            L, R = _van_herk(v, reduce, sentinel)
+            full = pos >= window - 1
+            res = np.empty(n, np.int64)
+            res[full] = reduce(R[fstart[full]], L[idx[full]])
+            # truncated frames: per-run prefix accumulate over the first
+            # window−1 positions
+            if window > 1 and (~full).any():
+                k = np.arange(window - 1, dtype=np.int64)
+                gi = starts[:, None] + k[None, :]
+                inside = k[None, :] < np.minimum(run_len, window - 1)[:, None]
+                mat = v[np.minimum(gi, n - 1)]
+                mat = np.where(inside, mat, sentinel)
+                pref = reduce.accumulate(mat, axis=1)
+                tr = np.flatnonzero(~full)
+                run_id = np.cumsum(new_run) - 1
+                res[tr] = pref[run_id[tr], pos[tr]]
+            return pa.array(res, mask=~has_val, type=pa.int64())
+
+        if out_min is not None:
+            out[out_min] = one(np.minimum, np.iinfo(np.int64).max)
+        if out_max is not None:
+            out[out_max] = one(np.maximum, np.iinfo(np.int64).min)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )

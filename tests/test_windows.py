@@ -1252,3 +1252,107 @@ def test_group_ewma_validation(ray_session):
             out_col="e",
             alpha=0.25,
         ).take_all()
+
+
+# ---------------------------------------------------------------------------
+# group_rolling_extremes
+
+
+def _roll_ref(vals, w, fn):
+    """Per-run scalar reference with SQL null semantics."""
+    out = []
+    for i in range(len(vals)):
+        frame = [v for v in vals[max(0, i - w + 1) : i + 1] if v is not None]
+        out.append(fn(frame) if frame else None)
+    return out
+
+
+@pytest.mark.parametrize("window", [1, 2, 3, 7, 50])
+def test_rolling_extremes_differential(ray_session, window):
+    """Random multi-group values incl. NULLs vs a scalar reference —
+    exercises full frames, truncated run starts, the partial last van
+    Herk block, and all-NULL frames."""
+    import random
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_rolling_extremes
+
+    rng = random.Random(window)
+    n = 300
+    ks = [rng.randrange(5) for _ in range(n)]
+    vs = [rng.randrange(-50, 50) if rng.random() > 0.15 else None for _ in range(n)]
+    t = pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "o": pa.array(list(range(n)), pa.int64()),
+            "v": pa.array(vs, pa.int64()),
+        }
+    )
+    rows = group_rolling_extremes(
+        ray.data.from_arrow(t).repartition(4),
+        keys=["k"],
+        order_cols=[("o", "ascending")],
+        col="v",
+        window=window,
+    ).take_all()
+    got = {(r["k"], r["o"]): (r["roll_min"], r["roll_max"]) for r in rows}
+    for k in set(ks):
+        seq = [(o, v) for o, (kk, v) in enumerate(zip(ks, vs)) if kk == k]
+        vals = [v for _, v in seq]
+        mins = _roll_ref(vals, window, min)
+        maxs = _roll_ref(vals, window, max)
+        for (o, _), mn, mx in zip(seq, mins, maxs):
+            assert got[(k, o)] == (mn, mx), (k, o, window)
+
+
+def test_rolling_extremes_single_output_and_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_rolling_extremes
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "o": pa.array([0, 1, 2], pa.int64()),
+            "v": pa.array([3, 1, 2], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    rows = group_rolling_extremes(
+        ds,
+        keys=["k"],
+        order_cols=[("o", "ascending")],
+        col="v",
+        window=2,
+        out_max=None,
+    ).take_all()
+    assert [r["roll_min"] for r in sorted(rows, key=lambda r: r["o"])] == [3, 1, 1]
+    assert "roll_max" not in rows[0]
+    with pytest.raises(ValueError, match="at least one"):
+        group_rolling_extremes(
+            ds,
+            keys=["k"],
+            order_cols=[("o", "ascending")],
+            col="v",
+            window=2,
+            out_min=None,
+            out_max=None,
+        )
+    with pytest.raises(ValueError, match="window"):
+        group_rolling_extremes(
+            ds,
+            keys=["k"],
+            order_cols=[("o", "ascending")],
+            col="v",
+            window=0,
+        )
+    tf = pa.table({"k": [1], "o": [0], "v": [1.5]})
+    with pytest.raises(ValueError, match="integer"):
+        group_rolling_extremes(
+            ray.data.from_arrow(tf),
+            keys=["k"],
+            order_cols=[("o", "ascending")],
+            col="v",
+            window=2,
+        )
