@@ -8136,6 +8136,83 @@ FROM orders
 """
 
 
+def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Last-touch attribution (``windows.group_last_match``): every
+    purchase event carries the event_id of the LATEST strictly-preceding
+    view by the same user in (ts, event_id) order, plus the microsecond
+    gap — the marketing-attribution primitive.  The carry is three
+    vector ops over one coarse-bucket exchange; purchases with no prior
+    view keep NULLs (never dropped — null-position equality is part of
+    the oracle contract)."""
+    from ..stages.windows import group_last_match
+
+    events = read_table(
+        sf_dir,
+        "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "ts": batch["ts"],
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "value_cents": _cents(batch["value"]),
+                "is_view": pc.equal(batch["event_type"], "view"),
+            }
+        )
+
+    carried = group_last_match(
+        events.map_batches(prep, batch_format="pyarrow"),
+        keys=["user_id"],
+        order_cols=[("ts", "ascending"), ("event_id", "ascending")],
+        flag_col="is_view",
+        payload_cols={"event_id": "view_event_id", "ts": "view_ts"},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["event_type"], "purchase")
+        b = batch.filter(keep)
+        gap = pc.subtract(
+            b["ts"].cast(pa.int64()), b["view_ts"].cast(pa.int64())
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "value_cents": b["value_cents"],
+                "view_event_id": b["view_event_id"],
+                "gap_us": gap,
+            }
+        )
+
+    return carried.map_batches(finalize, batch_format="pyarrow")
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS view_event_id,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS view_ts
+  FROM events
+)
+SELECT event_id, user_id, value_cents,
+       CAST(view_event_id AS BIGINT) AS view_event_id,
+       epoch_us(ts) - epoch_us(view_ts) AS gap_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+
 def events_rolling_minmax(sf_dir: str, window: int = 7) -> ray.data.Dataset:
     """Rolling 7-row min AND max of per-user event value cents
     (``windows.group_rolling_extremes``) — both extremes in ONE walk over

@@ -1647,3 +1647,87 @@ def group_rolling_extremes(
         .groupby("bucket")
         .map_groups(walk, batch_format="pyarrow")
     )
+
+
+def group_last_match(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    flag_col: str,
+    payload_cols: dict[str, str],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """For every row, carry the payload columns of the LATEST
+    STRICTLY-PRECEDING row in its group whose ``flag_col`` is true — SQL
+    ``LAST_VALUE(CASE WHEN flag THEN payload END IGNORE NULLS) OVER
+    (PARTITION BY keys ORDER BY order_cols ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``.  The attribution primitive: with
+    ``flag = (event_type = 'view')`` each purchase row receives its
+    last-touch view; rows with no preceding match carry NULLs.
+
+    ``payload_cols`` maps source column → output column.  The walk is
+    three vector ops on top of the running-sum skeleton: a global
+    ``maximum.accumulate`` of flagged indices, a one-slot shift for the
+    "strictly preceding" frame, and a validity test ``prev ≥ run_start``
+    (an earlier GROUP's match index is always < this run's start, so the
+    global accumulate needs no segmented reset); payloads gather through
+    a null-masked ``take``.  One coarse-bucket exchange, no per-row
+    Python.
+    """
+    from ..hashing import hash64_columns
+
+    if not payload_cols:
+        raise ValueError("payload_cols must name at least one column")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(c) -> np.ndarray:
+        enc = pc.dictionary_encode(c)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys] + list(order_cols)
+        )
+        n = g.num_rows
+        out = {c: g[c] for c in g.column_names}
+        if n == 0:
+            for src, dst in payload_cols.items():
+                out[dst] = g[src]
+            return pa.table(out)
+        fcol = g[flag_col]
+        if isinstance(fcol, pa.ChunkedArray):
+            fcol = fcol.combine_chunks()
+        flag = np.asarray(fcol.is_valid()) & fcol.to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        last = np.maximum.accumulate(np.where(flag, idx, -1))
+        prev = np.r_[np.int64(-1), last[:-1]]
+        ok = prev >= run_start  # cross-run indices fail this by ordering
+        indices = pa.array(np.maximum(prev, 0), mask=~ok, type=pa.int64())
+        for src, dst in payload_cols.items():
+            col = g[src]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out[dst] = col.take(indices)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )

@@ -1356,3 +1356,72 @@ def test_rolling_extremes_single_output_and_validation(ray_session):
             col="v",
             window=2,
         )
+
+
+# ---------------------------------------------------------------------------
+# group_last_match
+
+
+def test_last_match_fixture(ray_session):
+    """Hand-walked: strictly-preceding semantics (a flagged row never
+    attributes to itself), cross-run isolation, no-match NULLs."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_last_match
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "o": pa.array([0, 1, 2, 3, 0, 1], pa.int64()),
+            "f": pa.array([True, False, True, False, False, True], pa.bool_()),
+            "p": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+        }
+    )
+    rows = group_last_match(
+        ray.data.from_arrow(t).repartition(3),
+        keys=["k"],
+        order_cols=[("o", "ascending")],
+        flag_col="f",
+        payload_cols={"p": "last_p"},
+    ).take_all()
+    got = {(r["k"], r["o"]): r["last_p"] for r in rows}
+    assert got == {
+        (1, 0): None,   # nothing precedes
+        (1, 1): 10,     # the o=0 flag
+        (1, 2): 10,     # STRICTLY preceding — not itself
+        (1, 3): 12,
+        (2, 0): None,   # key 1's flags never leak into key 2
+        (2, 1): None,   # the only flag in key 2 is this row itself
+    }
+
+
+def test_last_match_null_flags_and_empty_payload_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_last_match
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "o": pa.array([0, 1, 2], pa.int64()),
+            "f": pa.array([True, None, False], pa.bool_()),
+            "p": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+    rows = group_last_match(
+        ray.data.from_arrow(t),
+        keys=["k"],
+        order_cols=[("o", "ascending")],
+        flag_col="f",
+        payload_cols={"p": "lp"},
+    ).take_all()
+    got = {r["o"]: r["lp"] for r in rows}
+    assert got == {0: None, 1: "a", 2: "a"}  # NULL flag is not a match
+    with pytest.raises(ValueError, match="payload_cols"):
+        group_last_match(
+            ray.data.from_arrow(t),
+            keys=["k"],
+            order_cols=[("o", "ascending")],
+            flag_col="f",
+            payload_cols={},
+        )
