@@ -273,3 +273,98 @@ def chi2_independence(
             "c_levels": pa.array([len(c_tot)], pa.int64()),
         }
     )
+
+
+def ks_two_sample(
+    ds: ray.data.Dataset,
+    value_col: str,
+    side_col: str,
+    sides: tuple,
+    *,
+    scale: int = 10**6,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of ``side_col == sides[0]`` and
+    ``sides[1]`` — the drift-detection primitive ("did this source's
+    value distribution shift between snapshots / cohorts").
+
+    Exact-rational form: with cumulative counts ``F1(v), F2(v)`` over the
+    merged sorted support, ``D = max |F1/n1 − F2/n2|`` is reported as the
+    cross-multiplied integer ``d_num = max |F1·n2 − F2·n1|`` (exact — no
+    division inside the max) plus ``n1, n2`` and ONE pinned
+    ``FLOOR(DOUBLE(d_num)/DOUBLE(n1·n2)·scale + 0.5)`` ppm rendering,
+    mirroring the SQL window form term-for-term.
+
+    Plan: one map-combined count exchange over the corpus → one row per
+    DISTINCT ``(value)`` with per-side counts; the prefix scan runs
+    driver-side over that support, bounded by the quantized value
+    domain's cardinality, not the corpus (the sketch-family convention —
+    ``value_col`` must be integer, i.e. already cents/ppm-quantized;
+    rows matching neither side are ignored; NULL values raise loudly).
+
+    Returns one row: ``d_num, n1, n2, d_ppm`` (all BIGINT).
+    """
+    from .agg import bucket_groupby_sum
+
+    if len(sides) != 2 or sides[0] == sides[1]:
+        raise ValueError(f"sides must be two distinct labels, got {sides!r}")
+    schema = ds.schema().base_schema
+    if not pa.types.is_integer(schema.field(value_col).type):
+        raise ValueError(
+            f"{value_col!r} must be integer (got "
+            f"{schema.field(value_col).type}) — quantize to cents/ppm"
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        side = batch[side_col]
+        m1 = pc.equal(side, sides[0])
+        m2 = pc.equal(side, sides[1])
+        keep = pc.or_kleene(m1, m2)
+        b = batch.filter(pc.fill_null(keep, False))
+        v = b[value_col]
+        if v.null_count:
+            raise ValueError(
+                f"ks_two_sample: {value_col!r} has NULLs in a matching "
+                "row — filter or impute first"
+            )
+        one = pc.cast(
+            pc.fill_null(pc.equal(b[side_col], sides[0]), False), pa.int64()
+        )
+        return pa.table(
+            {
+                "v": v.cast(pa.int64()),
+                "c1": one,
+                "c2": pc.subtract(pa.scalar(1, pa.int64()), one),
+            }
+        )
+
+    counts = bucket_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["v"],
+        sum_cols=["c1", "c2"],
+        n_buckets=n_buckets,
+    ).take_all()
+    counts.sort(key=lambda r: r["v"])
+    f1 = 0
+    f2 = 0
+    n1 = sum(int(r["c1"]) for r in counts)
+    n2 = sum(int(r["c2"]) for r in counts)
+    d_num = 0
+    for r in counts:
+        f1 += int(r["c1"])
+        f2 += int(r["c2"])
+        d_num = max(d_num, abs(f1 * n2 - f2 * n1))  # exact Python ints
+    d_ppm = (
+        int(np.floor(float(d_num) / float(n1 * n2) * scale + 0.5))
+        if n1 and n2
+        else 0
+    )
+    return pa.table(
+        {
+            "d_num": pa.array([d_num], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "d_ppm": pa.array([d_ppm], pa.int64()),
+        }
+    )

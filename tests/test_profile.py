@@ -183,3 +183,101 @@ def test_chi2_null_category_raises(ray_session):
     )
     with pytest.raises(ValueError, match="NULL"):
         chi2_independence(ray.data.from_arrow(t), "r", "c")
+
+
+# ---------------------------------------------------------------------------
+# two-sample KS
+
+
+def test_ks_two_sample_fixture(ray_session):
+    """Hand-checked: A = {1,2,3}, B = {3,4,5} → max gap at v=2:
+    |2·3 − 0·3| = 6, D = 6/9."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import ks_two_sample
+
+    t = pa.table(
+        {
+            "v": pa.array([1, 2, 3, 3, 4, 5], pa.int64()),
+            "side": pa.array(["a", "a", "a", "b", "b", "b"]),
+        }
+    )
+    got = ks_two_sample(
+        ray.data.from_arrow(t).repartition(2), "v", "side", ("a", "b")
+    ).to_pylist()[0]
+    assert got == {
+        "d_num": 6,
+        "n1": 3,
+        "n2": 3,
+        "d_ppm": 666667,  # floor(6/9·1e6 + 0.5)
+    }
+
+
+def test_ks_identical_distributions_zero(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import ks_two_sample
+
+    vals = [1, 5, 9, 9, 12] * 2
+    sides = ["a"] * 5 + ["b"] * 5
+    t = pa.table({"v": pa.array(vals, pa.int64()), "side": pa.array(sides)})
+    got = ks_two_sample(
+        ray.data.from_arrow(t), "v", "side", ("a", "b")
+    ).to_pylist()[0]
+    assert got["d_num"] == 0 and got["d_ppm"] == 0
+
+
+def test_ks_differential_vs_scipy_style_reference(ray_session):
+    """Random two-sample draws vs an independent all-pairs reference,
+    block-invariant; third-side rows are ignored."""
+    import random
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import ks_two_sample
+
+    rng = random.Random(11)
+    for trial in range(3):
+        va = [rng.randrange(20) for _ in range(80)]
+        vb = [rng.randrange(25) for _ in range(60)]
+        vals = va + vb + [99, 98]
+        sides = ["a"] * 80 + ["b"] * 60 + ["zzz", "zzz"]
+        t = pa.table(
+            {"v": pa.array(vals, pa.int64()), "side": pa.array(sides)}
+        )
+        # reference: D over the merged support
+        support = sorted(set(va) | set(vb))
+        d_ref = 0
+        for s in support:
+            f1 = sum(1 for x in va if x <= s)
+            f2 = sum(1 for x in vb if x <= s)
+            d_ref = max(d_ref, abs(f1 * len(vb) - f2 * len(va)))
+        for nblocks in (1, 4):
+            got = ks_two_sample(
+                ray.data.from_arrow(t).repartition(nblocks),
+                "v",
+                "side",
+                ("a", "b"),
+            ).to_pylist()[0]
+            assert got["d_num"] == d_ref
+            assert (got["n1"], got["n2"]) == (80, 60)
+
+
+def test_ks_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import ks_two_sample
+
+    t = pa.table(
+        {
+            "v": pa.array([1, None], pa.int64()),
+            "side": pa.array(["a", "b"]),
+        }
+    )
+    with pytest.raises(Exception, match="NULL"):
+        ks_two_sample(ray.data.from_arrow(t), "v", "side", ("a", "b"))
+    with pytest.raises(ValueError, match="sides"):
+        ks_two_sample(ray.data.from_arrow(t), "v", "side", ("a", "a"))
+    tf = pa.table({"v": [1.5], "side": ["a"]})
+    with pytest.raises(ValueError, match="integer"):
+        ks_two_sample(ray.data.from_arrow(tf), "v", "side", ("a", "b"))
