@@ -275,6 +275,63 @@ def chi2_independence(
     )
 
 
+def _side_value_counts(
+    ds: ray.data.Dataset,
+    value_col: str,
+    side_col: str,
+    sides: tuple,
+    n_buckets: int,
+    op_name: str,
+) -> list[dict]:
+    """Shared two-sample support reduction: one map-combined count
+    exchange → ``[{v, c1, c2}, ...]`` sorted ascending by value, bounded
+    by the quantized value domain's cardinality (the sketch-family
+    convention).  Rows matching neither side are ignored; NULL values in
+    a matching row raise loudly."""
+    from .agg import bucket_groupby_sum
+
+    if len(sides) != 2 or sides[0] == sides[1]:
+        raise ValueError(f"sides must be two distinct labels, got {sides!r}")
+    schema = ds.schema().base_schema
+    if not pa.types.is_integer(schema.field(value_col).type):
+        raise ValueError(
+            f"{value_col!r} must be integer (got "
+            f"{schema.field(value_col).type}) — quantize to cents/ppm"
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        side = batch[side_col]
+        m1 = pc.equal(side, sides[0])
+        m2 = pc.equal(side, sides[1])
+        keep = pc.or_kleene(m1, m2)
+        b = batch.filter(pc.fill_null(keep, False))
+        v = b[value_col]
+        if v.null_count:
+            raise ValueError(
+                f"{op_name}: {value_col!r} has NULLs in a matching "
+                "row — filter or impute first"
+            )
+        one = pc.cast(
+            pc.fill_null(pc.equal(b[side_col], sides[0]), False), pa.int64()
+        )
+        return pa.table(
+            {
+                "v": v.cast(pa.int64()),
+                "c1": one,
+                "c2": pc.subtract(pa.scalar(1, pa.int64()), one),
+            }
+        )
+
+    counts = bucket_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["v"],
+        sum_cols=["c1", "c2"],
+        n_buckets=n_buckets,
+    ).take_all()
+    counts.sort(key=lambda r: r["v"])
+    return counts
+
+
 def ks_two_sample(
     ds: ray.data.Dataset,
     value_col: str,
@@ -305,47 +362,9 @@ def ks_two_sample(
 
     Returns one row: ``d_num, n1, n2, d_ppm`` (all BIGINT).
     """
-    from .agg import bucket_groupby_sum
-
-    if len(sides) != 2 or sides[0] == sides[1]:
-        raise ValueError(f"sides must be two distinct labels, got {sides!r}")
-    schema = ds.schema().base_schema
-    if not pa.types.is_integer(schema.field(value_col).type):
-        raise ValueError(
-            f"{value_col!r} must be integer (got "
-            f"{schema.field(value_col).type}) — quantize to cents/ppm"
-        )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        side = batch[side_col]
-        m1 = pc.equal(side, sides[0])
-        m2 = pc.equal(side, sides[1])
-        keep = pc.or_kleene(m1, m2)
-        b = batch.filter(pc.fill_null(keep, False))
-        v = b[value_col]
-        if v.null_count:
-            raise ValueError(
-                f"ks_two_sample: {value_col!r} has NULLs in a matching "
-                "row — filter or impute first"
-            )
-        one = pc.cast(
-            pc.fill_null(pc.equal(b[side_col], sides[0]), False), pa.int64()
-        )
-        return pa.table(
-            {
-                "v": v.cast(pa.int64()),
-                "c1": one,
-                "c2": pc.subtract(pa.scalar(1, pa.int64()), one),
-            }
-        )
-
-    counts = bucket_groupby_sum(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        keys=["v"],
-        sum_cols=["c1", "c2"],
-        n_buckets=n_buckets,
-    ).take_all()
-    counts.sort(key=lambda r: r["v"])
+    counts = _side_value_counts(
+        ds, value_col, side_col, sides, n_buckets, "ks_two_sample"
+    )
     f1 = 0
     f2 = 0
     n1 = sum(int(r["c1"]) for r in counts)
@@ -366,5 +385,58 @@ def ks_two_sample(
             "n1": pa.array([n1], pa.int64()),
             "n2": pa.array([n2], pa.int64()),
             "d_ppm": pa.array([d_ppm], pa.int64()),
+        }
+    )
+
+
+def mann_whitney_u(
+    ds: ray.data.Dataset,
+    value_col: str,
+    side_col: str,
+    sides: tuple,
+    *,
+    scale: int = 10**6,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Exact two-sample Mann–Whitney U (rank-sum) statistic — the
+    nonparametric "is one distribution stochastically larger" companion
+    to :func:`ks_two_sample`, with textbook tie handling (average ranks).
+
+    Integer form: average ranks over a tied block spanning cumulative
+    positions ``(cum, cum+c]`` equal ``(2·cum + c + 1)/2`` — always a
+    half-integer, so the DOUBLED rank sum ``2·R1 = Σ_v c1(v)·(2·cum_before
+    + c + 1)`` is an exact integer, and ``u2 = 2·U1 = 2·R1 − n1·(n1+1)``
+    with it.  The identity ``U1 + U2 = n1·n2`` pins the complement.  One
+    pinned ``FLOOR(DOUBLE(u2)/DOUBLE(2·n1·n2)·scale + 0.5)`` renders the
+    common-language effect size (AUC) in ppm.
+
+    Same plan and preconditions as :func:`ks_two_sample` (shared support
+    reduction; integer value column; loud NULLs).  Returns one row:
+    ``u2, n1, n2, auc_ppm`` (all BIGINT).
+    """
+    counts = _side_value_counts(
+        ds, value_col, side_col, sides, n_buckets, "mann_whitney_u"
+    )
+    n1 = sum(int(r["c1"]) for r in counts)
+    n2 = sum(int(r["c2"]) for r in counts)
+    cum = 0
+    r2x1 = 0  # 2·R1, exact
+    for r in counts:
+        c1 = int(r["c1"])
+        c = c1 + int(r["c2"])
+        r2x1 += c1 * (2 * cum + c + 1)
+        cum += c
+    u2 = r2x1 - n1 * (n1 + 1)
+    auc_ppm = (
+        int(np.floor(float(u2) / float(2 * n1 * n2) * scale + 0.5))
+        if n1 and n2
+        else 0
+    )
+    return pa.table(
+        {
+            "u2": pa.array([u2], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "auc_ppm": pa.array([auc_ppm], pa.int64()),
         }
     )

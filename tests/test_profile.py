@@ -281,3 +281,71 @@ def test_ks_validation(ray_session):
     tf = pa.table({"v": [1.5], "side": ["a"]})
     with pytest.raises(ValueError, match="integer"):
         ks_two_sample(ray.data.from_arrow(tf), "v", "side", ("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U
+
+
+def _mw_ref(va, vb):
+    """Independent reference: U1 by all-pairs counting (wins + half
+    ties) — doubled to stay integer."""
+    u2 = 0
+    for a in va:
+        for b in vb:
+            if a > b:
+                u2 += 2
+            elif a == b:
+                u2 += 1
+    return u2
+
+
+def test_mann_whitney_fixture_and_identity(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import mann_whitney_u
+
+    va = [3, 4, 2, 6]
+    vb = [1, 4, 5]
+    vals = va + vb
+    sides = ["a"] * len(va) + ["b"] * len(vb)
+    t = pa.table({"v": pa.array(vals, pa.int64()), "side": pa.array(sides)})
+    got = mann_whitney_u(
+        ray.data.from_arrow(t).repartition(2), "v", "side", ("a", "b")
+    ).to_pylist()[0]
+    assert got["u2"] == _mw_ref(va, vb)
+    # U1 + U2 = n1·n2  ⇒  u2(a,b) + u2(b,a) = 2·n1·n2
+    got_rev = mann_whitney_u(
+        ray.data.from_arrow(t), "v", "side", ("b", "a")
+    ).to_pylist()[0]
+    assert got["u2"] + got_rev["u2"] == 2 * len(va) * len(vb)
+
+
+def test_mann_whitney_differential(ray_session):
+    import random
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import mann_whitney_u
+
+    rng = random.Random(23)
+    for trial in range(3):
+        va = [rng.randrange(15) for _ in range(70)]
+        vb = [rng.randrange(18) for _ in range(50)]
+        t = pa.table(
+            {
+                "v": pa.array(va + vb, pa.int64()),
+                "side": pa.array(["a"] * 70 + ["b"] * 50),
+            }
+        )
+        for nblocks in (1, 3):
+            got = mann_whitney_u(
+                ray.data.from_arrow(t).repartition(nblocks),
+                "v",
+                "side",
+                ("a", "b"),
+            ).to_pylist()[0]
+            assert got["u2"] == _mw_ref(va, vb)
+            assert (got["n1"], got["n2"]) == (70, 50)
+            # AUC in [0, 1] rendered in ppm
+            assert 0 <= got["auc_ppm"] <= 10**6
