@@ -440,3 +440,58 @@ def mann_whitney_u(
             "auc_ppm": pa.array([auc_ppm], pa.int64()),
         }
     )
+
+
+def two_proportion_z(
+    ds: ray.data.Dataset,
+    group_col: str,
+    success_col: str,
+    groups: tuple,
+    *,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Two-proportion z-test (pooled standard error) — the A/B-test
+    primitive for conversion rates.  The corpus reduces to four exact
+    integers ``(x1, n1, x2, n2)`` in ONE map-combined count exchange;
+    the statistic is then a FIXED float expression evaluated in the
+    documented op order (every step correctly rounded, identical in
+    numpy and SQL, the ``group_ewma`` recipe):
+
+        p1 = x1/n1;  p2 = x2/n2;  p = (x1+x2)/(n1+n2)
+        se = sqrt(p·(1−p)·(1/n1 + 1/n2));  z = (p1 − p2)/se
+
+    ``success_col`` must be integer 0/1; rows outside the two groups are
+    ignored; NULLs raise; a zero denominator or zero pooled variance
+    yields a NULL z (SQL's NaN-free convention both sides).  Returns one
+    row: ``x1, n1, x2, n2, z``.
+    """
+    counts = _side_value_counts(
+        ds, success_col, group_col, groups, n_buckets, "two_proportion_z"
+    )
+    x1 = sum(int(r["c1"]) for r in counts if r["v"] == 1)
+    n1 = sum(int(r["c1"]) for r in counts)
+    x2 = sum(int(r["c2"]) for r in counts if r["v"] == 1)
+    n2 = sum(int(r["c2"]) for r in counts)
+    if any(int(r["v"]) not in (0, 1) for r in counts):
+        raise ValueError("two_proportion_z: success values must be 0 or 1")
+    z = None
+    if n1 and n2:
+        p1 = np.float64(x1) / np.float64(n1)
+        p2 = np.float64(x2) / np.float64(n2)
+        p = np.float64(x1 + x2) / np.float64(n1 + n2)
+        se = np.sqrt(
+            p
+            * (np.float64(1.0) - p)
+            * (np.float64(1.0) / np.float64(n1) + np.float64(1.0) / np.float64(n2))
+        )
+        if se > 0.0:
+            z = float((p1 - p2) / se)
+    return pa.table(
+        {
+            "x1": pa.array([x1], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "x2": pa.array([x2], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )

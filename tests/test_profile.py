@@ -349,3 +349,57 @@ def test_mann_whitney_differential(ray_session):
             assert (got["n1"], got["n2"]) == (70, 50)
             # AUC in [0, 1] rendered in ppm
             assert 0 <= got["auc_ppm"] <= 10**6
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z
+
+
+def test_two_proportion_z_reference(ray_session):
+    """Hand-pinned op order vs an independent float walk; degenerate
+    pooled variance (all successes) yields NULL z."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import two_proportion_z
+
+    # A: 3/5 convert, B: 1/4
+    grp = ["a"] * 5 + ["b"] * 4
+    s = [1, 1, 1, 0, 0, 1, 0, 0, 0]
+    t = pa.table(
+        {"grp": pa.array(grp), "s": pa.array(s, pa.int64())}
+    )
+    got = two_proportion_z(
+        ray.data.from_arrow(t).repartition(2), "grp", "s", ("a", "b")
+    ).to_pylist()[0]
+    assert (got["x1"], got["n1"], got["x2"], got["n2"]) == (3, 5, 1, 4)
+    p1 = np.float64(3) / np.float64(5)
+    p2 = np.float64(1) / np.float64(4)
+    p = np.float64(4) / np.float64(9)
+    se = np.sqrt(
+        p * (np.float64(1.0) - p)
+        * (np.float64(1.0) / np.float64(5) + np.float64(1.0) / np.float64(4))
+    )
+    assert got["z"] == float((p1 - p2) / se)
+    # all-success both sides: se == 0 → NULL z
+    t2 = pa.table(
+        {
+            "grp": pa.array(["a", "b", "a", "b"]),
+            "s": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    got2 = two_proportion_z(
+        ray.data.from_arrow(t2), "grp", "s", ("a", "b")
+    ).to_pylist()[0]
+    assert got2["z"] is None and got2["x1"] == 2
+
+
+def test_two_proportion_z_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import two_proportion_z
+
+    t = pa.table(
+        {"grp": pa.array(["a", "b"]), "s": pa.array([1, 2], pa.int64())}
+    )
+    with pytest.raises(Exception, match="0 or 1"):
+        two_proportion_z(ray.data.from_arrow(t), "grp", "s", ("a", "b"))
