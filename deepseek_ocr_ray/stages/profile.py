@@ -495,3 +495,78 @@ def two_proportion_z(
             "z": pa.array([z], pa.float64()),
         }
     )
+
+
+# Benford's-law expected first-digit shares, ppm (FLOOR(log10(1+1/d)·1e6
+# + 0.5) — precomputed constants, spelled identically in the SQL oracle)
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    scale: int = 10**6,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Benford's-law first-significant-digit audit of a positive integer
+    column — the forensic data-quality screen (fabricated or truncated
+    amounts drift from the log distribution).
+
+    Digit extraction is EXACT via decimal rendering (first character of
+    the integer's string form — a float ``log10`` could misround at
+    powers of ten; the SQL oracle uses the same ``SUBSTR(CAST ...)``)
+    over one map-combined count exchange.  Rows ≤ 0 are ignored (no
+    first significant digit; the oracle filters identically).  Output is
+    always 9 rows, digits 1–9 (zero-observed digits kept — an audit that
+    silently dropped a digit row would hide exactly the anomaly it
+    exists to catch): ``digit, observed, obs_ppm, exp_ppm`` with
+    ``obs_ppm`` the one pinned ``FLOOR(DOUBLE/DOUBLE·scale + 0.5)``
+    rendering and ``exp_ppm`` the precomputed constants.
+    """
+    from .agg import bucket_groupby_sum
+
+    schema = ds.schema().base_schema
+    if not pa.types.is_integer(schema.field(col).type):
+        raise ValueError(
+            f"benford_audit: {col!r} must be integer (got "
+            f"{schema.field(col).type}) — quantize to cents first"
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch[col].cast(pa.int64())
+        pos = pc.filter(v, pc.greater(v, 0))
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(pc.cast(pos, pa.string()), 0, 1),
+            pa.int64(),
+        )
+        return pa.table({"digit": digit})
+
+    obs_rows = bucket_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["digit"],
+        sum_cols=[],
+        count_col="o",
+        n_buckets=n_buckets,
+    ).take_all()
+    obs = {int(r["digit"]): int(r["o"]) for r in obs_rows}
+    n = sum(obs.values())
+    digits = list(range(1, 10))
+    observed = [obs.get(d, 0) for d in digits]
+    obs_ppm = [
+        int(np.floor(float(o) / float(n) * scale + 0.5)) if n else 0
+        for o in observed
+    ]
+    return pa.table(
+        {
+            "digit": pa.array(digits, pa.int64()),
+            "observed": pa.array(observed, pa.int64()),
+            "obs_ppm": pa.array(obs_ppm, pa.int64()),
+            "exp_ppm": pa.array(
+                [BENFORD_PPM[d] for d in digits], pa.int64()
+            ),
+        }
+    )

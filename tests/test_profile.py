@@ -403,3 +403,48 @@ def test_two_proportion_z_validation(ray_session):
     )
     with pytest.raises(Exception, match="0 or 1"):
         two_proportion_z(ray.data.from_arrow(t), "grp", "s", ("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# Benford audit
+
+
+def test_benford_fixture(ray_session):
+    """Engineered digits incl. a zero-observed digit row, ignored
+    non-positives, and the pinned constants."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import BENFORD_PPM, benford_audit
+
+    vals = [1, 19, 123, 2, 25, 3, 900, 0, -7]  # digits 1,1,1,2,2,3,9
+    t = pa.table({"c": pa.array(vals, pa.int64())})
+    got = benford_audit(
+        ray.data.from_arrow(t).repartition(3), "c"
+    ).to_pylist()
+    assert [r["digit"] for r in got] == list(range(1, 10))
+    by_d = {r["digit"]: r for r in got}
+    assert by_d[1]["observed"] == 3 and by_d[2]["observed"] == 2
+    assert by_d[3]["observed"] == 1 and by_d[9]["observed"] == 1
+    assert by_d[4]["observed"] == 0  # zero-observed digit keeps its row
+    n = 7
+    assert by_d[1]["obs_ppm"] == int(np.floor(3 / n * 1e6 + 0.5))
+    assert by_d[4]["obs_ppm"] == 0
+    for d in range(1, 10):
+        assert by_d[d]["exp_ppm"] == BENFORD_PPM[d]
+    # the constants really are FLOOR(log10(1+1/d)·1e6 + 0.5)
+    import math
+
+    for d in range(1, 10):
+        assert BENFORD_PPM[d] == int(
+            math.floor(math.log10(1 + 1 / d) * 10**6 + 0.5)
+        )
+
+
+def test_benford_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import benford_audit
+
+    t = pa.table({"c": [1.5]})
+    with pytest.raises(ValueError, match="integer"):
+        benford_audit(ray.data.from_arrow(t), "c")
