@@ -570,3 +570,102 @@ def benford_audit(
             ),
         }
     )
+
+
+def spearman_corr(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Exact Spearman rank correlation with textbook tie handling
+    (average ranks) between two quantized integer columns.
+
+    Every intermediate is an EXACT integer: with DOUBLED average ranks
+    (``u = 2·cum_before + c + 1`` over each marginal support — the
+    Mann-Whitney device; the doubling cancels in the ratio),
+
+        num = n·Σcuv − (Σcu)(Σcv)
+        d1  = n·Σcu² − (Σcu)²;   d2 analogously for v
+
+    accumulate in arbitrary-precision Python ints over the JOINT support,
+    and the single float rendering is the pinned chain
+    ``DOUBLE(num) / SQRT(DOUBLE(d1)·DOUBLE(d2))`` — identical in the SQL
+    oracle, so the double is bit-equal.
+
+    Plan: ONE map-combined count exchange reduces the corpus to distinct
+    ``(x, y)`` pairs with counts; margins, ranks and sums derive from
+    that table driver-side.  The joint support must be bounded (the
+    KS-family convention — quantized cents/bps/counts, NOT free-range
+    doubles); both columns must be integer, NULLs raise.  Returns one
+    row: ``n, rho`` (rho NULL when either column is constant).
+    """
+    from .agg import bucket_groupby_sum
+
+    schema = ds.schema().base_schema
+    for c in (x_col, y_col):
+        if not pa.types.is_integer(schema.field(c).type):
+            raise ValueError(
+                f"spearman_corr: {c!r} must be integer (got "
+                f"{schema.field(c).type}) — quantize to cents/bps"
+            )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = batch[x_col]
+        y = batch[y_col]
+        if x.null_count or y.null_count:
+            raise ValueError(
+                "spearman_corr: NULL values — filter or impute first"
+            )
+        return pa.table(
+            {"x": x.cast(pa.int64()), "y": y.cast(pa.int64())}
+        )
+
+    joint = bucket_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["x", "y"],
+        sum_cols=[],
+        count_col="c",
+        n_buckets=n_buckets,
+    ).take_all()
+    n = sum(int(r["c"]) for r in joint)
+
+    def doubled_ranks(axis: str) -> dict:
+        marg: dict = {}
+        for r in joint:
+            marg[int(r[axis])] = marg.get(int(r[axis]), 0) + int(r["c"])
+        ranks = {}
+        cum = 0
+        for v in sorted(marg):
+            c = marg[v]
+            ranks[v] = 2 * cum + c + 1
+            cum += c
+        return ranks
+
+    ux = doubled_ranks("x")
+    vy = doubled_ranks("y")
+    scu = scv = scuv = scu2 = scv2 = 0
+    for r in joint:
+        c = int(r["c"])
+        u = ux[int(r["x"])]
+        v = vy[int(r["y"])]
+        scu += c * u
+        scv += c * v
+        scuv += c * u * v
+        scu2 += c * u * u
+        scv2 += c * v * v
+    num = n * scuv - scu * scv
+    d1 = n * scu2 - scu * scu
+    d2 = n * scv2 - scv * scv
+    rho = None
+    if d1 > 0 and d2 > 0:
+        rho = float(
+            np.float64(num) / np.sqrt(np.float64(d1) * np.float64(d2))
+        )
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "rho": pa.array([rho], pa.float64()),
+        }
+    )

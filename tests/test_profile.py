@@ -448,3 +448,114 @@ def test_benford_validation(ray_session):
     t = pa.table({"c": [1.5]})
     with pytest.raises(ValueError, match="integer"):
         benford_audit(ray.data.from_arrow(t), "c")
+
+
+# ---------------------------------------------------------------------------
+# Spearman
+
+
+def test_spearman_known_values(ray_session):
+    """Monotone ⇒ +1, antitone ⇒ −1, with-ties case vs scipy-free
+    reference computed from the definition."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import spearman_corr
+
+    x = [1, 2, 3, 4, 5]
+    t = pa.table(
+        {
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    got = spearman_corr(ray.data.from_arrow(t), "x", "y").to_pylist()[0]
+    assert got == {"n": 5, "rho": 1.0}
+    t2 = pa.table(
+        {
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array([50, 40, 30, 20, 10], pa.int64()),
+        }
+    )
+    got2 = spearman_corr(ray.data.from_arrow(t2), "x", "y").to_pylist()[0]
+    assert got2["rho"] == -1.0
+    # constant column → NULL rho
+    t3 = pa.table(
+        {
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array([7] * 5, pa.int64()),
+        }
+    )
+    assert (
+        spearman_corr(ray.data.from_arrow(t3), "x", "y").to_pylist()[0]["rho"]
+        is None
+    )
+
+
+def test_spearman_ties_differential(ray_session):
+    """Random tied data vs a from-the-definition reference (average
+    ranks + Pearson), block-invariant."""
+    import random
+
+    import numpy as np
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import spearman_corr
+
+    rng = random.Random(41)
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + j + 1) / 2  # average of 1-based ranks i+1..j
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    for trial in range(3):
+        xs = [rng.randrange(8) for _ in range(200)]
+        ys = [x + rng.randrange(5) for x in xs]
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        rx, ry = np.array(rx), np.array(ry)
+        ref = float(
+            ((rx - rx.mean()) * (ry - ry.mean())).sum()
+            / np.sqrt(
+                ((rx - rx.mean()) ** 2).sum() * ((ry - ry.mean()) ** 2).sum()
+            )
+        )
+        t = pa.table(
+            {
+                "x": pa.array(xs, pa.int64()),
+                "y": pa.array(ys, pa.int64()),
+            }
+        )
+        for nblocks in (1, 4):
+            got = spearman_corr(
+                ray.data.from_arrow(t).repartition(nblocks), "x", "y"
+            ).to_pylist()[0]
+            assert abs(got["rho"] - ref) < 1e-12
+            assert got["n"] == 200
+
+
+def test_spearman_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import spearman_corr
+
+    t = pa.table(
+        {
+            "x": pa.array([1, None], pa.int64()),
+            "y": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="NULL"):
+        spearman_corr(ray.data.from_arrow(t), "x", "y")
+    tf = pa.table({"x": [1.5], "y": [1]})
+    with pytest.raises(ValueError, match="integer"):
+        spearman_corr(ray.data.from_arrow(tf), "x", "y")
