@@ -1121,3 +1121,237 @@ def test_embedding_negatives_dense_guard(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="not dense"):
         analytics.embedding_negatives(str(d))
+
+
+# ---------------------------------------------------------------------------
+# ninth-extension window + stats ops vs DuckDB on random tables
+
+
+def _rand_keyed_values(seed: int, with_nulls: bool = False):
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(100, 400))
+    vals = rng.randint(-500, 500, n).astype(np.int64)
+    mask = rng.rand(n) < 0.12 if with_nulls else np.zeros(n, bool)
+    return pa.table(
+        {
+            "k": pa.array((rng.zipf(1.4, n) % 9).astype(np.int64), pa.int64()),
+            "o": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "v": pa.array(vals, mask=mask, type=pa.int64()),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_group_ewma_differential_vs_duckdb(ray_session, seed):
+    """Random series, recursive-CTE oracle — BIT equality on the doubles."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_ewma
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(80, 300))
+    t = pa.table(
+        {
+            "k": pa.array((rng.zipf(1.4, n) % 7).astype(np.int64), pa.int64()),
+            "o": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "v": pa.array(np.round(rng.randn(n) * 10, 3), pa.float64()),
+        }
+    )
+    got = group_ewma(
+        ray.data.from_arrow(t).repartition(3),
+        keys=["k"],
+        order_cols=[("o", "ascending")],
+        col="v",
+        out_col="ewma",
+        alpha=0.25,
+    ).take_all()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        WITH RECURSIVE ordered AS MATERIALIZED (
+          SELECT k, o, v,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn
+          FROM t
+        ),
+        rec AS (
+          SELECT k, o, v, rn, v AS ewma FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT x.k, x.o, x.v, x.rn, 0.75 * r.ewma + 0.25 * x.v
+          FROM ordered x JOIN rec r ON x.k = r.k AND x.rn = r.rn + 1
+        )
+        SELECT k, o, ewma FROM rec
+        """
+    ).arrow()
+    w = {(r["k"], r["o"]): r["ewma"] for r in want.to_pylist()}
+    for r in got:
+        assert np.float64(r["ewma"]).view(np.int64) == np.float64(
+            w[(r["k"], r["o"])]
+        ).view(np.int64), (seed, r["k"], r["o"])
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_rolling_extremes_differential_vs_duckdb(ray_session, seed):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_rolling_extremes
+
+    t = _rand_keyed_values(seed, with_nulls=True)
+    got = group_rolling_extremes(
+        ray.data.from_arrow(t).repartition(4),
+        keys=["k"],
+        order_cols=[("o", "ascending")],
+        col="v",
+        window=5,
+    ).take_all()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        SELECT k, o,
+               MIN(v) OVER (PARTITION BY k ORDER BY o
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mn,
+               MAX(v) OVER (PARTITION BY k ORDER BY o
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mx
+        FROM t
+        """
+    ).arrow().to_pylist()
+    w = {(r["k"], r["o"]): (r["mn"], r["mx"]) for r in want}
+    for r in got:
+        assert (r["roll_min"], r["roll_max"]) == w[(r["k"], r["o"])], (
+            seed,
+            r["k"],
+            r["o"],
+        )
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_last_match_differential_vs_duckdb(ray_session, seed):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_last_match
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(100, 300))
+    t = pa.table(
+        {
+            "k": pa.array((rng.zipf(1.4, n) % 6).astype(np.int64), pa.int64()),
+            "o": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "f": pa.array(rng.rand(n) < 0.3, pa.bool_()),
+            "p": pa.array(rng.randint(0, 10**6, n).astype(np.int64), pa.int64()),
+        }
+    )
+    got = group_last_match(
+        ray.data.from_arrow(t).repartition(3),
+        keys=["k"],
+        order_cols=[("o", "ascending")],
+        flag_col="f",
+        payload_cols={"p": "lp"},
+    ).take_all()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        SELECT k, o,
+               LAST_VALUE(CASE WHEN f THEN p END IGNORE NULLS)
+                 OVER (PARTITION BY k ORDER BY o
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lp
+        FROM t
+        """
+    ).arrow().to_pylist()
+    w = {(r["k"], r["o"]): r["lp"] for r in want}
+    for r in got:
+        assert r["lp"] == w[(r["k"], r["o"])], (seed, r["k"], r["o"])
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_stat_tests_differential_vs_duckdb(ray_session, seed):
+    """KS, Mann-Whitney and Spearman on one random two-sided table vs
+    their windowed SQL forms — exact ints and bit-equal floats."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import (
+        ks_two_sample,
+        mann_whitney_u,
+        spearman_corr,
+    )
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(150, 400))
+    t = pa.table(
+        {
+            "v": pa.array(rng.randint(0, 30, n).astype(np.int64), pa.int64()),
+            "v2": pa.array(rng.randint(0, 25, n).astype(np.int64), pa.int64()),
+            "side": pa.array(
+                ["a" if x else "b" for x in rng.rand(n) < 0.5], pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    con = duckdb.connect()
+    con.register("t", t)
+
+    ks = ks_two_sample(ds, "v", "side", ("a", "b")).to_pylist()[0]
+    want_ks = con.execute(
+        """
+        WITH cnt AS (
+          SELECT v, CAST(SUM(CASE WHEN side='a' THEN 1 ELSE 0 END) AS HUGEINT) c1,
+                 CAST(SUM(CASE WHEN side='b' THEN 1 ELSE 0 END) AS HUGEINT) c2
+          FROM t GROUP BY v
+        ),
+        tot AS (SELECT SUM(c1) n1, SUM(c2) n2 FROM cnt),
+        cum AS (SELECT SUM(c1) OVER (ORDER BY v) f1,
+                       SUM(c2) OVER (ORDER BY v) f2 FROM cnt)
+        SELECT CAST(MAX(ABS(f1*n2 - f2*n1)) AS BIGINT) d_num,
+               CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2
+        FROM cum, tot GROUP BY n1, n2
+        """
+    ).arrow().to_pylist()[0]
+    assert (ks["d_num"], ks["n1"], ks["n2"]) == (
+        want_ks["d_num"],
+        want_ks["n1"],
+        want_ks["n2"],
+    )
+
+    mw = mann_whitney_u(ds, "v", "side", ("a", "b")).to_pylist()[0]
+    want_mw = con.execute(
+        """
+        WITH cnt AS (
+          SELECT v, CAST(SUM(CASE WHEN side='a' THEN 1 ELSE 0 END) AS HUGEINT) c1,
+                 CAST(COUNT(*) AS HUGEINT) c
+          FROM t GROUP BY v
+        ),
+        cum AS (SELECT v, c1, c, SUM(c) OVER (ORDER BY v) - c AS cb FROM cnt),
+        tot AS (SELECT SUM(c1) n1, SUM(c - c1) n2 FROM cnt)
+        SELECT CAST(SUM(c1*(2*cb + c + 1)) - n1*(n1+1) AS BIGINT) u2
+        FROM cum, tot GROUP BY n1, n2
+        """
+    ).arrow().to_pylist()[0]
+    assert mw["u2"] == want_mw["u2"]
+
+    rho = spearman_corr(ds, "v", "v2").to_pylist()[0]
+    want_rho = con.execute(
+        """
+        WITH joint AS (
+          SELECT v AS x, v2 AS y, CAST(COUNT(*) AS HUGEINT) c FROM t GROUP BY 1, 2
+        ),
+        xm AS (SELECT x, SUM(c) cx FROM joint GROUP BY 1),
+        xr AS (SELECT x, 2*(SUM(cx) OVER (ORDER BY x) - cx) + cx + 1 AS u FROM xm),
+        ym AS (SELECT y, SUM(c) cy FROM joint GROUP BY 1),
+        yr AS (SELECT y, 2*(SUM(cy) OVER (ORDER BY y) - cy) + cy + 1 AS v FROM ym),
+        s AS (
+          SELECT CAST(SUM(c) AS HUGEINT) n, CAST(SUM(c*u) AS HUGEINT) scu,
+                 CAST(SUM(c*v) AS HUGEINT) scv, CAST(SUM(c*u*v) AS HUGEINT) scuv,
+                 CAST(SUM(c*u*u) AS HUGEINT) scu2, CAST(SUM(c*v*v) AS HUGEINT) scv2
+          FROM joint JOIN xr USING (x) JOIN yr USING (y)
+        )
+        SELECT CAST(n*scuv - scu*scv AS DOUBLE)
+               / SQRT(CAST(n*scu2 - scu*scu AS DOUBLE)
+                      * CAST(n*scv2 - scv*scv AS DOUBLE)) AS rho
+        FROM s
+        """
+    ).arrow().to_pylist()[0]
+    assert np.float64(rho["rho"]).view(np.int64) == np.float64(
+        want_rho["rho"]
+    ).view(np.int64)
