@@ -8136,6 +8136,48 @@ FROM orders
 """
 
 
+def part_name_clusters(sf_dir: str, min_jw: float = 0.84) -> ray.data.Dataset:
+    """End-to-end entity resolution (``fuzzy.entity_clusters``): the
+    JW-scored Levenshtein-band pairs of :func:`part_name_jw` close into
+    clusters via connected components; every distinct p_name maps to its
+    cluster's lexicographically smallest name (singletons map to
+    themselves).  The oracle is a recursive transitive-closure CTE over
+    the same pair predicate."""
+    from ..stages.fuzzy import entity_clusters
+
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+    return entity_clusters(ds, "p_name", min_jw=min_jw)
+
+
+PART_NAME_CLUSTERS_SQL = """
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM part GROUP BY 1
+),
+pairs AS MATERIALIZED (
+  SELECT a.name AS na, b.name AS nb
+  FROM d a JOIN d b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2
+    AND jaro_winkler_similarity(a.name, b.name) >= 0.84
+),
+edges AS MATERIALIZED (
+  SELECT na AS u, nb AS v FROM pairs
+  UNION
+  SELECT nb, na FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.name,
+       LEAST(d.name, COALESCE(MIN(r.v), d.name)) AS cluster,
+       d.cnt
+FROM d LEFT JOIN reach r ON r.u = d.name
+GROUP BY d.name, d.cnt
+"""
+
+
 def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
     """Last-touch attribution (``windows.group_last_match``): every
     purchase event carries the event_id of the LATEST strictly-preceding

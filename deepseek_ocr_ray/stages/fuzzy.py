@@ -531,3 +531,87 @@ def edit_distance_join(
         .groupby("bucket2")
         .map_groups(verify, batch_format="pyarrow")
     )
+
+
+def entity_clusters(
+    ds: ray.data.Dataset,
+    column: str,
+    *,
+    min_jw: float = 0.0,
+    max_dist: int = 2,
+    max_len: int = 64,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """End-to-end entity resolution over a key column: candidate pairs
+    from the Levenshtein band, Jaro-Winkler-scored and thresholded
+    (:func:`jaro_winkler_join`), closed into clusters by connected
+    components (``stages/graph.py`` min-label propagation) — every
+    DISTINCT value receives the LEXICOGRAPHICALLY SMALLEST value of its
+    cluster as canonical representative; unmatched values are singletons
+    (their own representative).
+
+    Output: one row per distinct value — ``(name, cluster, cnt)`` with
+    ``cnt`` the value's corpus row count.
+
+    Node ids are sorted-name ranks, so the min-label component id maps
+    back to the min NAME — the representative choice is deterministic
+    and total-order-stable.  The distinct-value set of a KEY column is
+    bounded (the fuzzy-family contract: names, titles, codes — NOT free
+    text), so the rank map builds driver-side from the same distinct
+    reduction the join already runs; the component pass auto-selects the
+    driver or distributed plan on edge volume.
+    """
+    from .agg import bucket_groupby_sum
+    from .graph import connected_components
+
+    distinct = bucket_groupby_sum(
+        ds.map_batches(
+            lambda b: b.select([column]).drop_null(), batch_format="pyarrow"
+        ),
+        keys=[column],
+        sum_cols=[],
+        count_col="cnt",
+        n_buckets=n_buckets,
+    ).take_all()
+    names = sorted(r[column] for r in distinct)
+    cnt = {r[column]: int(r["cnt"]) for r in distinct}
+    rank = {n: i for i, n in enumerate(names)}
+
+    pairs = jaro_winkler_join(
+        ds,
+        column,
+        min_jw=min_jw,
+        max_dist=max_dist,
+        max_len=max_len,
+        n_buckets=n_buckets,
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        u = [rank[x] for x in batch["name_a"].to_pylist()]
+        v = [rank[x] for x in batch["name_b"].to_pylist()]
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    nodes = ray.data.from_arrow(
+        pa.table({"id": pa.array(list(range(len(names))), pa.int64())})
+    )
+    cc = connected_components(edges, nodes, id_col="id").take_all()
+    rep = {int(r["id"]): int(r["cluster_id"]) for r in cc}
+    out_names = names
+    out = pa.table(
+        {
+            "name": pa.array(out_names, pa.string()),
+            "cluster": pa.array(
+                [names[rep.get(rank[n], rank[n])] for n in out_names],
+                pa.string(),
+            ),
+            "cnt": pa.array([cnt[n] for n in out_names], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -362,3 +362,27 @@ def test_jaro_winkler_join_fixture(ray_session):
         set(r) == {"name_a", "name_b", "dist", "count_a", "count_b", "jw"}
         for r in rows
     )
+
+
+def test_entity_clusters_fixture(ray_session):
+    """Chain a—b—c clusters to the lexicographic min even though a and c
+    never pair directly; unmatched values are singletons."""
+    import ray
+
+    from deepseek_ocr_ray.stages.fuzzy import entity_clusters
+
+    # bart—cart—dart chain (each adjacent pair lev 1), "zzz" singleton,
+    # duplicates carry counts
+    vals = ["bart", "cart", "dart", "zzz", "cart"]
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(2)
+    rows = entity_clusters(ds, "v", min_jw=0.0).take_all()
+    got = {r["name"]: (r["cluster"], r["cnt"]) for r in rows}
+    assert got == {
+        "bart": ("bart", 1),
+        "cart": ("bart", 2),
+        "dart": ("bart", 1),
+        "zzz": ("zzz", 1),
+    }
+    # a high threshold breaks the chain into singletons
+    rows_hi = entity_clusters(ds, "v", min_jw=0.999).take_all()
+    assert all(r["name"] == r["cluster"] for r in rows_hi)
