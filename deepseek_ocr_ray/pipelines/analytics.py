@@ -8344,6 +8344,51 @@ SELECT event_id, user_id, value, ewma FROM rec
 """
 
 
+def events_holt(
+    sf_dir: str, alpha: float = 0.5, beta: float = 0.25
+) -> ray.data.Dataset:
+    """Per-user Holt double-exponential smoothing of event values
+    (``windows.group_holt``) — level + trend recurrences bit-equal to
+    the oracle's two-column recursive CTE (α = 0.5, β = 0.25 are powers
+    of two, so the α·v and β·d multiplies are exact shifts)."""
+    from ..stages.windows import group_holt
+
+    events = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = group_holt(
+        events,
+        keys=["user_id"],
+        order_cols=[("ts", "ascending"), ("event_id", "ascending")],
+        col="value",
+        alpha=alpha,
+        beta=beta,
+    )
+    return out.drop_columns(["ts"])
+
+
+EVENTS_HOLT_SQL = """
+WITH RECURSIVE ordered AS MATERIALIZED (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT user_id, event_id, value, rn,
+         value AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.value, o.rn,
+         0.5 * o.value + 0.5 * (r.level + r.trend),
+         0.25 * ((0.5 * o.value + 0.5 * (r.level + r.trend)) - r.level)
+             + 0.75 * r.trend
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id, value, level, trend FROM rec
+"""
+
+
 def events_value_bins(sf_dir: str) -> ray.data.Dataset:
     """Grouped equi-depth discretization (``stages/encode.quantile_bin``)
     — each event's value cents map to one of 8 per-type quantile bins,

@@ -1731,3 +1731,102 @@ def group_last_match(
         .groupby("bucket")
         .map_groups(walk, batch_format="pyarrow")
     )
+
+
+def group_holt(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    col: str,
+    alpha: float,
+    beta: float,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Holt double-exponential smoothing per group — the trend-aware
+    sibling of :func:`group_ewma`:
+
+        l_0 = v_0;  b_0 = 0
+        l_i = α·v_i + (1−α)·(l_{i−1} + b_{i−1})
+        b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+
+    Same bit-exactness contract (identical correctly-rounded op sequence
+    vs the oracle's recursive CTE; α, β SHOULD be negative powers of two
+    so the α·v / β·d multiplies are exact shifts) and the same
+    position-vectorized walk (two coupled state arrays updated per
+    group-local step).  ``col`` must be non-null float64.
+    """
+    from ..hashing import hash64_columns
+
+    for nm, a in (("alpha", alpha), ("beta", beta)):
+        if not (0.0 < a <= 1.0):
+            raise ValueError(f"{nm} must be in (0, 1], got {a}")
+    a = np.float64(alpha)
+    b_ = np.float64(beta)
+    oma = np.float64(1.0) - a
+    omb = np.float64(1.0) - b_
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = hash64_columns(batch, keys) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def _codes(c) -> np.ndarray:
+        enc = pc.dictionary_encode(c)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["bucket"]).sort_by(
+            [(k, "ascending") for k in keys] + list(order_cols)
+        )
+        n = g.num_rows
+        out = {c: g[c] for c in g.column_names}
+        if n == 0:
+            out[level_col] = pa.array([], pa.float64())
+            out[trend_col] = pa.array([], pa.float64())
+            return pa.table(out)
+        vcol = g[col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        if not pa.types.is_float64(vcol.type):
+            raise ValueError(
+                f"group_holt: {col!r} must be float64 (got {vcol.type})"
+            )
+        if vcol.null_count:
+            raise ValueError(
+                f"group_holt: {col!r} has NULLs — impute first; a skipped "
+                "NULL would desynchronize the recurrence vs the oracle"
+            )
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        new_run = np.zeros(n, bool)
+        new_run[0] = True
+        for k in keys:
+            c = _codes(g[k])
+            new_run[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, n))
+        lev = np.empty(n, np.float64)
+        trd = np.empty(n, np.float64)
+        lev[starts] = v[starts]
+        trd[starts] = 0.0
+        for k in range(1, int(run_len.max())):
+            sel = starts[run_len > k] + k
+            lp = lev[sel - 1]
+            s = lp + trd[sel - 1]
+            l_new = a * v[sel] + oma * s
+            lev[sel] = l_new
+            trd[sel] = b_ * (l_new - lp) + omb * trd[sel - 1]
+        out[level_col] = pa.array(lev, pa.float64())
+        out[trend_col] = pa.array(trd, pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )

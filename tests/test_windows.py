@@ -1425,3 +1425,64 @@ def test_last_match_null_flags_and_empty_payload_validation(ray_session):
             flag_col="f",
             payload_cols={},
         )
+
+
+# ---------------------------------------------------------------------------
+# group_holt
+
+
+def test_group_holt_recurrence_fixture(ray_session):
+    """Hand-walked level+trend with the exact pinned op order."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_holt
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "o": pa.array([0, 1, 2], pa.int64()),
+            "v": pa.array([4.0, 8.0, 2.0], pa.float64()),
+        }
+    )
+    rows = group_holt(
+        ray.data.from_arrow(t),
+        keys=["k"],
+        order_cols=[("o", "ascending")],
+        col="v",
+        alpha=0.5,
+        beta=0.25,
+    ).take_all()
+    got = {r["o"]: (r["level"], r["trend"]) for r in rows}
+    l0, b0 = np.float64(4.0), np.float64(0.0)
+    s = l0 + b0
+    l1 = np.float64(0.5) * np.float64(8.0) + np.float64(0.5) * s
+    b1 = np.float64(0.25) * (l1 - l0) + np.float64(0.75) * b0
+    s2 = l1 + b1
+    l2 = np.float64(0.5) * np.float64(2.0) + np.float64(0.5) * s2
+    b2 = np.float64(0.25) * (l2 - l1) + np.float64(0.75) * b1
+    assert got[0] == (4.0, 0.0)
+    assert got[1] == (float(l1), float(b1))
+    assert got[2] == (float(l2), float(b2))
+
+
+def test_group_holt_validation(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.windows import group_holt
+
+    t = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "o": pa.array([0], pa.int64()),
+            "v": pa.array([1.0], pa.float64()),
+        }
+    )
+    with pytest.raises(ValueError, match="beta"):
+        group_holt(
+            ray.data.from_arrow(t),
+            keys=["k"],
+            order_cols=[("o", "ascending")],
+            col="v",
+            alpha=0.5,
+            beta=0.0,
+        )
