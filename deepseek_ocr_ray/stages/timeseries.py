@@ -155,3 +155,51 @@ def cusum_change_point(
             "total": pa.array([total], pa.int64()),
         }
     )
+
+
+def theil_sen_slope(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    *,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Theil-Sen robust trend of the daily event-count series: the
+    DISCRETE median of all pairwise slopes ``(x_j − x_i)/(day_j − day_i)``
+    over the calendar support — outlier days cannot drag it the way they
+    drag OLS.
+
+    Exactness: each slope is ONE correctly-rounded int/int double
+    division; the median picks the sorted element at ``floor((m−1)/2)``
+    (the ``quantile_disc`` convention, identical in the oracle), so the
+    result is bit-equal to SQL.  The pair set is O(n_days²) — bounded by
+    the CALENDAR, not the corpus (the support-finalize convention);
+    fewer than two days yields a NULL slope.
+
+    Returns one row: ``(slope, n_days, n_pairs)``.
+    """
+    rows = daily_counts(ds, ts_col, n_buckets=n_buckets)
+    days = np.array([int(r["day"]) for r in rows], np.int64)
+    x = np.array([int(r["n"]) for r in rows], np.int64)
+    n = len(rows)
+    if n < 2:
+        return pa.table(
+            {
+                "slope": pa.array([None], pa.float64()),
+                "n_days": pa.array([n], pa.int64()),
+                "n_pairs": pa.array([0], pa.int64()),
+            }
+        )
+    i, j = np.triu_indices(n, k=1)
+    slopes = (x[j] - x[i]).astype(np.float64) / (days[j] - days[i]).astype(
+        np.float64
+    )
+    slopes.sort(kind="stable")
+    m = len(slopes)
+    med = float(slopes[(m - 1) // 2])
+    return pa.table(
+        {
+            "slope": pa.array([med], pa.float64()),
+            "n_days": pa.array([n], pa.int64()),
+            "n_pairs": pa.array([m], pa.int64()),
+        }
+    )

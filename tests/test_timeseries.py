@@ -114,3 +114,46 @@ def test_cusum_empty_and_tie(ray_session):
     t = pa.table({"ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us"))})
     got = cusum_change_point(ray.data.from_arrow(t), "ts").to_pylist()[0]
     assert got["change_day"] == 0 and got["cusum_abs"] == 1
+
+
+def test_theil_sen_engineered(ray_session):
+    """Linear series with one outlier day: the median slope stays on the
+    true trend while OLS would drift."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.timeseries import theil_sen_slope
+
+    # counts 2,4,6,8,100 on days 0..4 — true slope 2, one wild outlier
+    days = []
+    for d, c in enumerate([2, 4, 6, 8, 100]):
+        days += [d] * c
+    ts = [d * US_PER_DAY for d in days]
+    t = pa.table({"ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us"))})
+    got = theil_sen_slope(
+        ray.data.from_arrow(t).repartition(2), "ts"
+    ).to_pylist()[0]
+    assert got["n_days"] == 5 and got["n_pairs"] == 10
+    assert got["slope"] == 2.0  # median of pairwise slopes ignores the spike
+    # reference: full pairwise median with the same index convention
+    import numpy as np
+
+    x = np.array([2, 4, 6, 8, 100], np.float64)
+    dd = np.arange(5, dtype=np.float64)
+    sl = sorted(
+        (x[j] - x[i]) / (dd[j] - dd[i])
+        for i in range(5)
+        for j in range(i + 1, 5)
+    )
+    assert got["slope"] == sl[(len(sl) - 1) // 2]
+
+
+def test_theil_sen_degenerate(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.timeseries import theil_sen_slope
+
+    one = pa.table(
+        {"ts": pa.array([5], pa.int64()).cast(pa.timestamp("us"))}
+    )
+    got = theil_sen_slope(ray.data.from_arrow(one), "ts").to_pylist()[0]
+    assert got == {"slope": None, "n_days": 1, "n_pairs": 0}
