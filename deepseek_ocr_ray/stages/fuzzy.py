@@ -212,7 +212,7 @@ def jaro_winkler_pairs(a: pa.Array, b: pa.Array) -> np.ndarray:
     in_b = jcols < lb[:, None]
     m2 = np.zeros((n, Lb), bool)
     m1 = np.zeros((n, max(La, 1)), bool)
-    for i in range(La):
+    for i in range(La if Lb else 0):  # a zero-width B has no windows
         active = i < la
         if not active.any():
             break

@@ -400,3 +400,91 @@ def test_kcore_matches_brute_fixpoint(pairs, k):
     nodes, deg = _local_kcore(u, v, k)
     want = _brute_kcore(norm, k)
     assert dict(zip(nodes.tolist(), deg.tolist())) == want
+
+
+# ---------------------------------------------------------------------------
+# ninth-extension kernels
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcXY ", max_size=12),
+            st.text(alphabet="abcXY ", max_size=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_jaro_winkler_symmetry_and_range(pairs):
+    """JW is symmetric (greedy matching commutes under the window
+    definition), lands in [0, 1], and is 1 iff equal-nonempty."""
+    import pyarrow as pa
+
+    from deepseek_ocr_ray.stages.fuzzy import jaro_winkler_pairs
+
+    a = pa.array([p[0] for p in pairs])
+    b = pa.array([p[1] for p in pairs])
+    ab = jaro_winkler_pairs(a, b)
+    ba = jaro_winkler_pairs(b, a)
+    for k, (x, y) in enumerate(pairs):
+        assert 0.0 <= ab[k] <= 1.0
+        assert ab[k] == ba[k], (x, y)
+        if x == y and x:
+            assert ab[k] == 1.0
+        if (ab[k] == 1.0) and x and y:
+            assert x == y
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, width=64
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([0.125, 0.25, 0.5, 1.0]),
+)
+def test_ewma_convexity_bounds(vals, alpha):
+    """EWMA is a convex combination: every smoothed value stays within
+    [min(prefix), max(prefix)] of its own group prefix."""
+    import numpy as np
+
+    a = np.float64(alpha)
+    om = np.float64(1.0) - a
+    s = np.float64(vals[0])
+    lo = hi = vals[0]
+    for v in vals[1:]:
+        s = om * s + a * np.float64(v)
+        lo, hi = min(lo, v), max(hi, v)
+        assert lo - 1e-9 <= s <= hi + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.booleans()),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_kaplan_meier_monotone_nonincreasing(pairs):
+    """S(t) is non-increasing and in [0, 1]; with no events it stays 1."""
+    import numpy as np
+
+    from collections import Counter
+
+    durs = sorted(set(d for d, _ in pairs))
+    s = np.float64(1.0)
+    prev = 1.0
+    for t in durs:
+        n = sum(1 for d, _ in pairs if d >= t)
+        dd = sum(1 for d, o in pairs if d == t and o)
+        s = s * (np.float64(1.0) - np.float64(dd) / np.float64(n))
+        assert 0.0 <= float(s) <= prev + 1e-15
+        prev = float(s)
+    if not any(o for _, o in pairs):
+        assert float(s) == 1.0
