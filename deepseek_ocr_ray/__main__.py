@@ -326,6 +326,62 @@ def cmd_quality_audit(args: argparse.Namespace) -> int:
     return 0 if all(r["passed"] for r in card.to_pylist()) else 1
 
 
+def cmd_drift(args: argparse.Namespace) -> int:
+    """Two-sample distribution drift between the same numeric column of
+    two parquet tables: exact KS (d_ppm) + Mann-Whitney AUC (auc_ppm)
+    from stages/profile.py, printed as one JSON drift card.  Exit 1 when
+    ``d_ppm`` exceeds ``--max-d-ppm`` — the CI drift-gate contract."""
+    _ensure_ray(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .stages.profile import ks_two_sample, mann_whitney_u
+
+    scale = float(args.scale)
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            q = pc.cast(
+                pc.floor(
+                    pc.add(pc.multiply(batch[args.col], scale), 0.5)
+                ),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "v": q,
+                    "side": pa.array([side] * batch.num_rows, pa.string()),
+                }
+            )
+
+        return fn
+
+    a = ray.data.read_parquet(args.input).map_batches(
+        tag("a"), batch_format="pyarrow"
+    )
+    b = ray.data.read_parquet(args.input2).map_batches(
+        tag("b"), batch_format="pyarrow"
+    )
+    ds = a.union(b)
+    ks = ks_two_sample(ds, "v", "side", ("a", "b")).to_pylist()[0]
+    mw = mann_whitney_u(ds, "v", "side", ("a", "b")).to_pylist()[0]
+    card = {
+        "col": args.col,
+        "scale": scale,
+        "n_a": ks["n1"],
+        "n_b": ks["n2"],
+        "ks_d_ppm": ks["d_ppm"],
+        "mw_auc_ppm": mw["auc_ppm"],
+        "max_d_ppm": args.max_d_ppm,
+        "drifted": bool(
+            args.max_d_ppm is not None and ks["d_ppm"] > args.max_d_ppm
+        ),
+    }
+    print(json.dumps(card))
+    return 1 if card["drifted"] else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deepseek_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -456,6 +512,24 @@ def main(argv: list[str] | None = None) -> int:
     pz.add_argument("--files", type=int, default=32)
     pz.add_argument("--num-cpus", type=int, default=None)
     pz.set_defaults(fn=cmd_zorder)
+
+    pdr = sub.add_parser(
+        "drift", help="two-sample KS/MW drift card between two tables"
+    )
+    pdr.add_argument("--input", required=True, help="baseline parquet")
+    pdr.add_argument("--input2", required=True, help="candidate parquet")
+    pdr.add_argument("--col", required=True, help="numeric column")
+    pdr.add_argument(
+        "--scale", default=100, type=float, help="quantizer (100 = cents)"
+    )
+    pdr.add_argument(
+        "--max-d-ppm",
+        type=int,
+        default=None,
+        help="exit 1 when the KS d_ppm exceeds this",
+    )
+    pdr.add_argument("--num-cpus", type=int, default=None)
+    pdr.set_defaults(fn=cmd_drift)
 
     pqa = sub.add_parser("quality-audit", help="constraint checks -> data card")
     pqa.add_argument("--input", required=True)

@@ -95,3 +95,50 @@ def test_quality_audit_cli_no_checks(tmp_path):
     src = _frag_dir(tmp_path, n_files=1, rows=5)
     r = _run(["quality-audit", "--input", src])
     assert r.returncode == 2
+
+
+def _value_dir(tmp_path, name, vals):
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"v": pa.array(vals, pa.float64())}),
+        os.path.join(d, "part-0.parquet"),
+    )
+    return d
+
+
+def test_drift_cli_no_drift(tmp_path):
+    """Identical distributions: d_ppm 0, AUC 500000, exit 0."""
+    vals = [float(x) for x in range(1, 101)]
+    a = _value_dir(tmp_path, "a", vals)
+    b = _value_dir(tmp_path, "b", vals)
+    r = _run(
+        [
+            "drift", "--input", a, "--input2", b, "--col", "v",
+            "--max-d-ppm", "100000",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = json.loads(r.stdout.strip().splitlines()[-1])
+    assert card["ks_d_ppm"] == 0
+    assert card["mw_auc_ppm"] == 500000
+    assert card["drifted"] is False
+    assert (card["n_a"], card["n_b"]) == (100, 100)
+
+
+def test_drift_cli_detects_shift(tmp_path):
+    """A +50 location shift trips the gate: exit 1, drifted true."""
+    vals = [float(x) for x in range(1, 101)]
+    a = _value_dir(tmp_path, "a", vals)
+    b = _value_dir(tmp_path, "b", [v + 50.0 for v in vals])
+    r = _run(
+        [
+            "drift", "--input", a, "--input2", b, "--col", "v",
+            "--max-d-ppm", "100000",
+        ]
+    )
+    assert r.returncode == 1, r.stderr[-2000:]
+    card = json.loads(r.stdout.strip().splitlines()[-1])
+    assert card["drifted"] is True and card["ks_d_ppm"] == 500000
+    # AUC < 0.5: side a is stochastically smaller
+    assert card["mw_auc_ppm"] < 500000
