@@ -1355,3 +1355,220 @@ def test_stat_tests_differential_vs_duckdb(ray_session, seed):
     assert np.float64(rho["rho"]).view(np.int64) == np.float64(
         want_rho["rho"]
     ).view(np.int64)
+
+
+@pytest.mark.parametrize("seed", [9, 10])
+def test_timeseries_family_differential_vs_duckdb(ray_session, seed):
+    """lead-lag dots, CUSUM change point and Theil-Sen slope vs their SQL
+    forms on one random event table (timestamps in us over ~25 days)."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.timeseries import (
+        US_PER_DAY,
+        cusum_change_point,
+        lead_lag_dots,
+        theil_sen_slope,
+    )
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(300, 700))
+    days = rng.randint(0, 25, n).astype(np.int64)
+    ts = days * US_PER_DAY + rng.randint(0, US_PER_DAY, n)
+    is_v = (rng.rand(n) < 0.5).astype(np.int64)
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "is_v": pa.array(is_v, pa.int64()),
+            "is_p": pa.array(1 - is_v, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    con = duckdb.connect()
+    con.register("t", t)
+
+    ll = lead_lag_dots(ds, "ts", "is_v", "is_p", max_lag=4).to_pylist()
+    want_ll = con.execute(
+        """
+        WITH d AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(SUM(is_v) AS BIGINT) x, CAST(SUM(is_p) AS BIGINT) y
+          FROM t GROUP BY 1
+        ),
+        lags AS (SELECT UNNEST(range(-4, 5)) AS lag)
+        SELECT CAST(l.lag AS BIGINT) lag,
+               CAST(COALESCE(SUM(a.x * b.y), 0) AS BIGINT) dot
+        FROM lags l LEFT JOIN d a ON TRUE
+        LEFT JOIN d b ON b.day = a.day + l.lag
+        GROUP BY l.lag ORDER BY lag
+        """
+    ).arrow().to_pylist()
+    assert [(r["lag"], r["dot"]) for r in ll] == [
+        (r["lag"], r["dot"]) for r in want_ll
+    ]
+
+    cp = cusum_change_point(ds, "ts").to_pylist()[0]
+    want_cp = con.execute(
+        """
+        WITH d AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) n
+          FROM t GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) total,
+                       CAST(COUNT(*) AS BIGINT) nd FROM d),
+        c AS (
+          SELECT day, ABS(nd * SUM(n) OVER (ORDER BY day)
+                 - (ROW_NUMBER() OVER (ORDER BY day)) * total) s
+          FROM d CROSS JOIN tot
+        )
+        SELECT CAST(day AS BIGINT) change_day, CAST(s AS BIGINT) cusum_abs
+        FROM c ORDER BY s DESC, day LIMIT 1
+        """
+    ).arrow().to_pylist()[0]
+    assert cp["change_day"] == want_cp["change_day"]
+    assert cp["cusum_abs"] == want_cp["cusum_abs"]
+
+    tsn = theil_sen_slope(ds, "ts").to_pylist()[0]
+    want_tsn = con.execute(
+        """
+        WITH d AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) n
+          FROM t GROUP BY 1
+        ),
+        pairs AS (
+          SELECT CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+                 AS slope
+          FROM d a JOIN d b ON b.day > a.day
+        )
+        SELECT quantile_disc(slope, 0.5) slope FROM pairs
+        """
+    ).arrow().to_pylist()[0]
+    assert np.float64(tsn["slope"]).view(np.int64) == np.float64(
+        want_tsn["slope"]
+    ).view(np.int64)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_km_chi2_benford_differential_vs_duckdb(ray_session, seed):
+    """Kaplan-Meier (recursive CTE), chi-squared (HUGEINT grid) and
+    Benford (decimal digits) vs SQL on random tables."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import benford_audit, chi2_independence
+    from deepseek_ocr_ray.stages.survival import kaplan_meier
+
+    rng = np.random.RandomState(seed)
+
+    # KM
+    n = int(rng.randint(60, 200))
+    t = pa.table(
+        {
+            "dur": pa.array(rng.randint(0, 20, n).astype(np.int64), pa.int64()),
+            "obs": pa.array(rng.randint(0, 2, n).astype(np.int64), pa.int64()),
+        }
+    )
+    km = kaplan_meier(
+        ray.data.from_arrow(t).repartition(3), "dur", "obs"
+    ).to_pylist()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        WITH RECURSIVE tab AS MATERIALIZED (
+          SELECT dur, CAST(SUM(obs) AS BIGINT) d,
+                 CAST(SUM(1 - obs) AS BIGINT) cens,
+                 CAST(COUNT(*) AS BIGINT) tot
+          FROM t GROUP BY dur
+        ),
+        ord AS MATERIALIZED (
+          SELECT dur, d, cens,
+                 CAST(SUM(tot) OVER (ORDER BY dur DESC) AS BIGINT) n_risk,
+                 ROW_NUMBER() OVER (ORDER BY dur) rn
+          FROM tab
+        ),
+        rec AS (
+          SELECT dur, d, cens, n_risk, rn,
+                 1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS surv
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.dur, o.d, o.cens, o.n_risk, o.rn,
+                 r.surv * (1 - CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE))
+          FROM ord o JOIN rec r ON o.rn = r.rn + 1
+        )
+        SELECT dur, n_risk, d, cens, surv FROM rec ORDER BY dur
+        """
+    ).arrow().to_pylist()
+    assert len(km) == len(want)
+    for g, w in zip(km, want):
+        assert (g["duration"], g["n_risk"], g["n_event"], g["n_censored"]) == (
+            w["dur"], w["n_risk"], w["d"], w["cens"],
+        )
+        assert np.float64(g["surv"]).view(np.int64) == np.float64(
+            w["surv"]
+        ).view(np.int64)
+
+    # chi2
+    n2 = int(rng.randint(100, 300))
+    t2 = pa.table(
+        {
+            "r": pa.array([chr(65 + v) for v in rng.randint(0, 5, n2)]),
+            "c": pa.array([chr(120 + v) for v in rng.randint(0, 3, n2)]),
+        }
+    )
+    chi = chi2_independence(
+        ray.data.from_arrow(t2).repartition(2), "r", "c"
+    ).to_pylist()[0]
+    con2 = duckdb.connect()
+    con2.register("t2", t2)
+    want2 = con2.execute(
+        """
+        WITH cells AS (
+          SELECT r, c, CAST(COUNT(*) AS HUGEINT) o FROM t2 GROUP BY 1, 2
+        ),
+        rm AS (SELECT r, CAST(SUM(o) AS HUGEINT) rt FROM cells GROUP BY 1),
+        cm AS (SELECT c, CAST(SUM(o) AS HUGEINT) ct FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS HUGEINT) n FROM cells),
+        grid AS (
+          SELECT rm.rt, cm.ct, COALESCE(cells.o, 0) o
+          FROM rm CROSS JOIN cm
+          LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+        )
+        SELECT CAST(SUM(CAST(FLOOR(
+            CAST((o*n - rt*ct)*(o*n - rt*ct) AS DOUBLE)
+            / CAST(rt*ct*n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+            chi2_ppm
+        FROM grid, tot
+        """
+    ).arrow().to_pylist()[0]
+    assert chi["chi2_ppm"] == want2["chi2_ppm"]
+
+    # Benford
+    n3 = int(rng.randint(100, 400))
+    vals = (rng.lognormal(6, 2, n3) * 100).astype(np.int64)
+    t3 = pa.table({"v": pa.array(vals, pa.int64())})
+    ben = benford_audit(
+        ray.data.from_arrow(t3).repartition(2), "v"
+    ).to_pylist()
+    con3 = duckdb.connect()
+    con3.register("t3", t3)
+    want3 = con3.execute(
+        """
+        WITH pos AS (
+          SELECT CAST(SUBSTR(CAST(v AS VARCHAR), 1, 1) AS BIGINT) digit
+          FROM t3 WHERE v > 0
+        ),
+        obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) o FROM pos GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) n FROM obs),
+        dg AS (SELECT UNNEST(range(1, 10)) digit)
+        SELECT CAST(dg.digit AS BIGINT) digit, COALESCE(obs.o, 0) observed,
+               CAST(FLOOR(CAST(COALESCE(obs.o, 0) AS DOUBLE)
+                    / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT) obs_ppm
+        FROM dg LEFT JOIN obs ON obs.digit = dg.digit CROSS JOIN tot
+        ORDER BY digit
+        """
+    ).arrow().to_pylist()
+    for g, w in zip(ben, want3):
+        assert (g["digit"], g["observed"], g["obs_ppm"]) == (
+            w["digit"], w["observed"], w["obs_ppm"],
+        )
