@@ -669,3 +669,77 @@ def spearman_corr(
             "rho": pa.array([rho], pa.float64()),
         }
     )
+
+
+def chi2_goodness_of_fit(
+    ds: ray.data.Dataset,
+    col: str,
+    expected: dict,
+    *,
+    scale: int = 10**6,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Chi-squared goodness-of-fit of a categorical column against a
+    FIXED expected distribution — the uniformity / known-mix audit
+    beside :func:`chi2_independence` (which tests two columns against
+    each other).
+
+    ``expected`` maps category → ``(num, den)`` expected share as an
+    exact RATIONAL (uniform over 7 days = ``(1, 7)``; a ppm table =
+    ``(ppm, 10**6)``), so the statistic keeps the exact-int recipe:
+    ``e = n·num/den`` and the per-cell contribution
+
+        (o − e)²/e = (o·den − n·num)² / (n·num·den)
+
+    is an exact integer ratio, quantized with ONE pinned
+    ``FLOOR(DOUBLE/DOUBLE·scale + 0.5)`` per cell and summed order-free.
+    Categories observed but NOT in ``expected`` raise loudly (an
+    unexpected level is an audit failure, not a silent bucket);
+    expected-but-unobserved categories contribute ``o = 0``.  One
+    map-combined count exchange; returns one row:
+    ``chi2_ppm, dof, n_rows``.
+    """
+    from .agg import bucket_groupby_sum
+
+    if not expected:
+        raise ValueError("expected must name at least one category")
+    for k, (num, den) in expected.items():
+        if num <= 0 or den <= 0:
+            raise ValueError(
+                f"expected[{k!r}] = ({num}, {den}) — shares must be "
+                "positive rationals"
+            )
+
+    obs_rows = bucket_groupby_sum(
+        ds.map_batches(
+            lambda b: b.select([col]).drop_null(), batch_format="pyarrow"
+        ),
+        keys=[col],
+        sum_cols=[],
+        count_col="o",
+        n_buckets=n_buckets,
+    ).take_all()
+    obs = {r[col]: int(r["o"]) for r in obs_rows}
+    unexpected = sorted(set(obs) - set(expected), key=str)
+    if unexpected:
+        raise ValueError(
+            f"chi2_goodness_of_fit: observed categories not in expected: "
+            f"{unexpected[:5]} — extend the expected table or filter first"
+        )
+    n = sum(obs.values())
+    chi2_ppm = 0
+    if n:
+        for k, (num, den) in expected.items():
+            o = obs.get(k, 0)
+            numer = (o * den - n * num) ** 2  # exact Python ints
+            denom = n * num * den
+            chi2_ppm += int(
+                np.floor(float(numer) / float(denom) * scale + 0.5)
+            )
+    return pa.table(
+        {
+            "chi2_ppm": pa.array([chi2_ppm], pa.int64()),
+            "dof": pa.array([max(len(expected) - 1, 0)], pa.int64()),
+            "n_rows": pa.array([n], pa.int64()),
+        }
+    )

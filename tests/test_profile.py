@@ -559,3 +559,56 @@ def test_spearman_validation(ray_session):
     tf = pa.table({"x": [1.5], "y": [1]})
     with pytest.raises(ValueError, match="integer"):
         spearman_corr(ray.data.from_arrow(tf), "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# chi2 goodness of fit
+
+
+def test_chi2_gof_uniform_and_rational(ray_session):
+    """Exact-fraction reference with a zero-observed expected category;
+    unexpected observed categories raise."""
+    from fractions import Fraction
+
+    import math
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import chi2_goodness_of_fit
+
+    vals = ["a"] * 6 + ["b"] * 3  # "c" expected but unobserved
+    t = pa.table({"v": pa.array(vals)})
+    exp = {"a": (1, 3), "b": (1, 3), "c": (1, 3)}
+    got = chi2_goodness_of_fit(
+        ray.data.from_arrow(t).repartition(2), "v", exp
+    ).to_pylist()[0]
+    n = 9
+    ppm = 0
+    exact = Fraction(0)
+    for k, (num, den) in exp.items():
+        o = {"a": 6, "b": 3}.get(k, 0)
+        numer = (o * den - n * num) ** 2
+        denom = n * num * den
+        ppm += int(math.floor(numer / denom * 10**6 + 0.5))
+        exact += Fraction(numer, denom)
+    assert got == {"chi2_ppm": ppm, "dof": 2, "n_rows": 9}
+    assert abs(got["chi2_ppm"] / 1e6 - float(exact)) < 1e-3
+    # unexpected category raises loudly
+    t2 = pa.table({"v": pa.array(["a", "zzz"])})
+    with pytest.raises(ValueError, match="not in expected"):
+        chi2_goodness_of_fit(ray.data.from_arrow(t2), "v", exp)
+    with pytest.raises(ValueError, match="positive"):
+        chi2_goodness_of_fit(ray.data.from_arrow(t), "v", {"a": (0, 1)})
+
+
+def test_chi2_gof_perfect_fit_zero(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import chi2_goodness_of_fit
+
+    vals = ["x"] * 2 + ["y"] * 6
+    t = pa.table({"v": pa.array(vals)})
+    got = chi2_goodness_of_fit(
+        ray.data.from_arrow(t), "v", {"x": (1, 4), "y": (3, 4)}
+    ).to_pylist()[0]
+    assert got["chi2_ppm"] == 0
