@@ -151,3 +151,51 @@ def test_validation(ray_session):
     s_old = {"k": pa.array(["x"], pa.string()), "v": pa.array([1], pa.int64())}
     with pytest.raises(ValueError, match="integral"):
         table_diff(_ds(s_old), _ds(s_old), key_col="k")
+
+
+# ---------------------------------------------------------------------------
+# table_fingerprint
+
+
+def test_fingerprint_order_and_layout_invariant(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.state.diff import table_fingerprint
+
+    t = pa.table(
+        {
+            "a": pa.array([3, 1, 2, 2], pa.int64()),
+            "b": pa.array(["x", None, "y", "y"], pa.string()),
+        }
+    )
+    rev = t.take(pa.array([3, 2, 1, 0]))
+    for method in ("fast", "md5"):
+        f1 = table_fingerprint(
+            ray.data.from_arrow(t).repartition(3), ["a", "b"], method=method
+        ).to_pylist()[0]
+        f2 = table_fingerprint(
+            ray.data.from_arrow(rev), ["a", "b"], method=method
+        ).to_pylist()[0]
+        assert f1 == f2 and f1["n_rows"] == 4
+        # a changed row changes the fingerprint
+        t3 = t.set_column(0, "a", pa.array([3, 1, 2, 99], pa.int64()))
+        f3 = table_fingerprint(
+            ray.data.from_arrow(t3), ["a", "b"], method=method
+        ).to_pylist()[0]
+        assert f3["fingerprint"] != f1["fingerprint"]
+
+
+def test_fingerprint_counts_multiplicity(ray_session):
+    """Duplicate rows are NOT cancelled (sum, not xor): 1×row vs 2×row
+    differ."""
+    import ray.data
+
+    from deepseek_ocr_ray.state.diff import table_fingerprint
+
+    one = pa.table({"a": pa.array([7], pa.int64())})
+    two = pa.table({"a": pa.array([7, 7], pa.int64())})
+    f1 = table_fingerprint(ray.data.from_arrow(one), ["a"]).to_pylist()[0]
+    f2 = table_fingerprint(ray.data.from_arrow(two), ["a"]).to_pylist()[0]
+    assert f1["fingerprint"] != f2["fingerprint"]
+    with pytest.raises(ValueError, match="method"):
+        table_fingerprint(ray.data.from_arrow(one), ["a"], method="nope")
