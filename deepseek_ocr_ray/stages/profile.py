@@ -743,3 +743,81 @@ def chi2_goodness_of_fit(
             "n_rows": pa.array([n], pa.int64()),
         }
     )
+
+
+def gini_coefficient(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    scale: int = 10**6,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Exact Gini concentration coefficient of a non-negative quantized
+    integer column — the inequality audit ("how concentrated is corpus
+    volume over documents / revenue over customers").
+
+    Histogram form keeps it exact at any scale: with sorted distinct
+    values ``v_i`` (counts ``c_i``, cumulative ``C_i``), the individuals
+    holding ``v_i`` occupy ranks ``C_{i−1}+1 … C_i``, so
+
+        2·Σ rank·x = Σ v_i·(C_i(C_i+1) − C_{i−1}(C_{i−1}+1))
+        G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)
+
+    — every term an exact big int over the DISTINCT-value support (the
+    KS-family convention: one map-combined count exchange; the support
+    is bounded by the quantized value domain, not the row count), then
+    ONE pinned ppm rendering.  Negative values raise (Gini is defined
+    for non-negative quantities); an all-zero or empty column yields
+    NULL.  Returns one row: ``gini_ppm, n_rows, total``.
+    """
+    from .agg import bucket_groupby_sum
+
+    schema = ds.schema().base_schema
+    if not pa.types.is_integer(schema.field(value_col).type):
+        raise ValueError(
+            f"{value_col!r} must be integer (got "
+            f"{schema.field(value_col).type}) — quantize to cents first"
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].cast(pa.int64())
+        if v.null_count:
+            raise ValueError(
+                "gini_coefficient: NULL values — filter or impute first"
+            )
+        if pc.any(pc.less(v, 0)).as_py():
+            raise ValueError(
+                "gini_coefficient: negative values — Gini is defined for "
+                "non-negative quantities"
+            )
+        return pa.table({"v": v})
+
+    rows = bucket_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["v"],
+        sum_cols=[],
+        count_col="c",
+        n_buckets=n_buckets,
+    ).take_all()
+    rows.sort(key=lambda r: r["v"])
+    n = sum(int(r["c"]) for r in rows)
+    total = sum(int(r["v"]) * int(r["c"]) for r in rows)
+    gini_ppm = None
+    if n and total:
+        cum_prev = 0
+        two_rank_x = 0
+        for r in rows:
+            v, c = int(r["v"]), int(r["c"])
+            cum = cum_prev + c
+            two_rank_x += v * (cum * (cum + 1) - cum_prev * (cum_prev + 1))
+            cum_prev = cum
+        num = two_rank_x - (n + 1) * total
+        den = n * total
+        gini_ppm = int(np.floor(float(num) / float(den) * scale + 0.5))
+    return pa.table(
+        {
+            "gini_ppm": pa.array([gini_ppm], pa.int64()),
+            "n_rows": pa.array([n], pa.int64()),
+            "total": pa.array([total], pa.int64()),
+        }
+    )

@@ -612,3 +612,58 @@ def test_chi2_gof_perfect_fit_zero(ray_session):
         ray.data.from_arrow(t), "v", {"x": (1, 4), "y": (3, 4)}
     ).to_pylist()[0]
     assert got["chi2_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Gini
+
+
+def test_gini_known_values(ray_session):
+    """Perfect equality → 0; near-total concentration; duplicate values
+    through the histogram ranks; exact-fraction reference."""
+    from fractions import Fraction
+
+    import math
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import gini_coefficient
+
+    eq = pa.table({"v": pa.array([5] * 8, pa.int64())})
+    got = gini_coefficient(ray.data.from_arrow(eq), "v").to_pylist()[0]
+    assert got == {"gini_ppm": 0, "n_rows": 8, "total": 40}
+
+    vals = [0, 0, 0, 10]  # one holder of everything: G = (n-1)/n = 0.75
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    got = gini_coefficient(
+        ray.data.from_arrow(t).repartition(2), "v"
+    ).to_pylist()[0]
+    assert got["gini_ppm"] == 750000
+
+    def ref(vals):
+        xs = sorted(vals)
+        n = len(xs)
+        tot = sum(xs)
+        num = sum((i + 1) * x for i, x in enumerate(xs)) * 2 - (n + 1) * tot
+        return Fraction(num, n * tot)
+
+    vals = [1, 1, 2, 3, 5, 8, 13, 13]
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    got = gini_coefficient(ray.data.from_arrow(t), "v").to_pylist()[0]
+    r = ref(vals)
+    assert got["gini_ppm"] == int(
+        math.floor(float(r.numerator) / float(r.denominator) * 1e6 + 0.5)
+    )
+
+
+def test_gini_validation_and_degenerate(ray_session):
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import gini_coefficient
+
+    neg = pa.table({"v": pa.array([1, -2], pa.int64())})
+    with pytest.raises(Exception, match="negative"):
+        gini_coefficient(ray.data.from_arrow(neg), "v")
+    zeros = pa.table({"v": pa.array([0, 0], pa.int64())})
+    got = gini_coefficient(ray.data.from_arrow(zeros), "v").to_pylist()[0]
+    assert got["gini_ppm"] is None and got["n_rows"] == 2
