@@ -1987,6 +1987,115 @@ def basket_pairs(sf_dir: str, k: int = 20, n_buckets: int = 64) -> ray.data.Data
     )
 
 
+def basket_rules(sf_dir: str, k: int = 10, n_buckets: int = 64):
+    """Association rules over the top-k co-occurring part pairs — the
+    support / confidence / lift finish on :func:`basket_pair_counts`
+    (market-basket mining's reporting layer).  Each top pair (a, b)
+    emits BOTH directed rules a→b and b→a:
+
+        support_ppm    = ⌊n_pair / n_baskets · 1e6 + ½⌋
+        confidence_ppm = ⌊n_pair / n_antecedent · 1e6 + ½⌋
+        lift_ppm       = ⌊n_pair·n_baskets / (n_ant·n_cons) · 1e6 + ½⌋
+
+    — each ONE pinned float chain over exact integers (lift > 1 means
+    genuinely associated; ppm keeps it int64).  Per-item basket counts
+    are catalog-bounded (broadcast, no join exchange); the basket total
+    is a distributed distinct count; only the k winning pairs reach the
+    driver.  Returns a pa.Table of 2·k rule rows sorted by
+    (n_pair desc, antecedent, consequent)."""
+    from ..stages.agg import bucket_groupby_sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    # distinct (order, part) — shared base for pair AND item counts
+    lp = bucket_groupby_sum(
+        li,
+        keys=["l_orderkey", "l_partkey"],
+        sum_cols=[],
+        count_col="_c",
+        n_buckets=n_buckets,
+    )
+    n_baskets = bucket_groupby_sum(
+        li.select_columns(["l_orderkey"]),
+        keys=["l_orderkey"],
+        sum_cols=[],
+        count_col="_c",
+        n_buckets=n_buckets,
+    ).count()
+    item_rows = bucket_groupby_sum(
+        lp.select_columns(["l_partkey"]),
+        keys=["l_partkey"],
+        sum_cols=[],
+        count_col="ni",
+        n_buckets=n_buckets,
+    ).take_all()  # catalog-bounded
+    ni = {int(r["l_partkey"]): int(r["ni"]) for r in item_rows}
+    top = basket_pairs(sf_dir, k=k, n_buckets=n_buckets).take_all()
+
+    def ppm(num: int, den: int) -> int:
+        return int(np.floor(float(num) / float(den) * 10**6 + 0.5))
+
+    rows = []
+    for r in top:
+        p1, p2, np_ = int(r["p1"]), int(r["p2"]), int(r["n_orders"])
+        for ant, cons in ((p1, p2), (p2, p1)):
+            rows.append(
+                {
+                    "antecedent": ant,
+                    "consequent": cons,
+                    "n_pair": np_,
+                    "n_ant": ni[ant],
+                    "support_ppm": ppm(np_, n_baskets),
+                    "confidence_ppm": ppm(np_, ni[ant]),
+                    "lift_ppm": ppm(np_ * n_baskets, ni[ant] * ni[cons]),
+                }
+            )
+    rows.sort(key=lambda r: (-r["n_pair"], r["antecedent"], r["consequent"]))
+    return pa.table(
+        {
+            c: pa.array([r[c] for r in rows], pa.int64())
+            for c in (
+                "antecedent", "consequent", "n_pair", "n_ant",
+                "support_ppm", "confidence_ppm", "lift_ppm",
+            )
+        }
+    )
+
+
+BASKET_RULES_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS HUGEINT) AS nb FROM lineitem),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS ni FROM lp GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS HUGEINT) AS np
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+topk AS (SELECT * FROM pairs ORDER BY np DESC, p1, p2 LIMIT 10),
+rules AS (
+  SELECT p1 AS antecedent, p2 AS consequent, np, i1.ni AS n_ant,
+         i2.ni AS n_cons, nb
+  FROM topk JOIN item i1 ON i1.l_partkey = topk.p1
+            JOIN item i2 ON i2.l_partkey = topk.p2 CROSS JOIN n
+  UNION ALL
+  SELECT p2, p1, np, i2.ni, i1.ni, nb
+  FROM topk JOIN item i1 ON i1.l_partkey = topk.p1
+            JOIN item i2 ON i2.l_partkey = topk.p2 CROSS JOIN n
+)
+SELECT CAST(antecedent AS BIGINT) AS antecedent,
+       CAST(consequent AS BIGINT) AS consequent,
+       CAST(np AS BIGINT) AS n_pair,
+       CAST(n_ant AS BIGINT) AS n_ant,
+       CAST(FLOOR(CAST(np AS DOUBLE) / CAST(nb AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS support_ppm,
+       CAST(FLOOR(CAST(np AS DOUBLE) / CAST(n_ant AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS confidence_ppm,
+       CAST(FLOOR(CAST(np * nb AS DOUBLE) / CAST(n_ant * n_cons AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS lift_ppm
+FROM rules
+"""
+
+
 BASKET_PAIRS_SQL = """
 WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT CAST(a.l_partkey AS BIGINT) AS p1, CAST(b.l_partkey AS BIGINT) AS p2,

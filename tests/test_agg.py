@@ -1283,3 +1283,47 @@ def test_grouping_sets_validation(ray_session):
         grouping_sets_sum(ds, ["a"], [("a",), ("a",)], ["v"])
     with pytest.raises(ValueError, match="duplicate column"):
         grouping_sets_sum(ds, ["a"], [("a", "a")], ["v"])
+
+
+# ---------------------------------------------------------------------------
+# association rules (basket_rules is driven through the sf-dir query; the
+# engineered semantics live here against a hand-built basket set)
+
+
+def test_basket_rules_engineered(ray_session, tmp_path):
+    """Hand-built baskets: {A,B},{A,B},{A,C},{B} — check both directed
+    rules' support/confidence/lift ppm against hand arithmetic."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines.analytics import basket_rules
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    orders = [1, 1, 2, 2, 3, 3, 4, 1]  # order 1 lists part A twice (dup)
+    parts = [100, 200, 100, 200, 100, 300, 200, 100]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(orders, pa.int64()),
+                "l_partkey": pa.array(parts, pa.int64()),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    rows = basket_rules(d, k=1).to_pylist()
+    # top pair is (100, 200) in 2 baskets of 4; n_100 = 3 baskets, n_200 = 3
+    assert len(rows) == 2
+    ab = next(r for r in rows if r["antecedent"] == 100)
+    ba = next(r for r in rows if r["antecedent"] == 200)
+    assert ab["n_pair"] == ba["n_pair"] == 2
+    assert ab["n_ant"] == 3 and ba["n_ant"] == 3
+    want_support = int(np.floor(2 / 4 * 1e6 + 0.5))
+    want_conf = int(np.floor(2 / 3 * 1e6 + 0.5))
+    want_lift = int(np.floor(2 * 4 / (3 * 3) * 1e6 + 0.5))
+    for r in (ab, ba):
+        assert r["support_ppm"] == want_support
+        assert r["confidence_ppm"] == want_conf
+        assert r["lift_ppm"] == want_lift
