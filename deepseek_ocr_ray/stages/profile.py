@@ -821,3 +821,68 @@ def gini_coefficient(
             "total": pa.array([total], pa.int64()),
         }
     )
+
+
+def qq_table(
+    ds: ray.data.Dataset,
+    value_col: str,
+    side_col: str,
+    sides: tuple,
+    *,
+    quantiles_bp: tuple = (1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000),
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Quantile-quantile table between two samples — the WHERE companion
+    to :func:`ks_two_sample`'s scalar HOW MUCH: side-by-side discrete
+    quantiles of both distributions at the requested basis points.
+
+    DuckDB ``quantile_disc`` convention throughout (zero-indexed rank
+    ``ceil(q·n) − 1`` with the FLOAT multiply — ``agg._disc_rank``, the
+    form probed against DuckDB across (q, n) grids; an exact-rational
+    index would diverge where float ``q·n`` rounds across an integer),
+    so every output is an ACTUAL observed value.  Shares the
+    :func:`_side_value_counts` support reduction (one count exchange;
+    quantiles resolve by cumulative-count bisection over the bounded
+    support).  Returns one row per basis point: ``(q_bp, v1, v2)``; an
+    empty side yields NULLs for it.
+    """
+    from .agg import _disc_rank
+
+    if not quantiles_bp or any(not (0 <= q <= 10000) for q in quantiles_bp):
+        raise ValueError("quantiles_bp must be within [0, 10000]")
+    counts = _side_value_counts(
+        ds, value_col, side_col, sides, n_buckets, "qq_table"
+    )
+    vals = [int(r["v"]) for r in counts]
+
+    def side_quantiles(key: str) -> list:
+        cum = []
+        t = 0
+        for r in counts:
+            t += int(r[key])
+            cum.append(t)
+        n = t
+        out = []
+        for q_bp in quantiles_bp:
+            if n == 0:
+                out.append(None)
+                continue
+            rank = _disc_rank(n, q_bp / 10000.0)
+            # first support value whose cumulative count exceeds the rank
+            lo, hi = 0, len(cum) - 1
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if cum[mid] > rank:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            out.append(vals[lo])
+        return out
+
+    return pa.table(
+        {
+            "q_bp": pa.array(list(quantiles_bp), pa.int64()),
+            "v1": pa.array(side_quantiles("c1"), pa.int64()),
+            "v2": pa.array(side_quantiles("c2"), pa.int64()),
+        }
+    )

@@ -667,3 +667,43 @@ def test_gini_validation_and_degenerate(ray_session):
     zeros = pa.table({"v": pa.array([0, 0], pa.int64())})
     got = gini_coefficient(ray.data.from_arrow(zeros), "v").to_pylist()[0]
     assert got["gini_ppm"] is None and got["n_rows"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Q-Q table
+
+
+def test_qq_table_fixture_and_duckdb_rank_convention(ray_session):
+    """Deciles of two known samples vs DuckDB's quantile_disc directly —
+    pins the ceil(q·n)−1 rank convention across both sides."""
+    import duckdb
+
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import qq_table
+
+    va = list(range(1, 22))          # 21 values, 1..21
+    vb = [5, 5, 5, 9, 100]           # ties + outlier
+    t = pa.table(
+        {
+            "v": pa.array(va + vb, pa.int64()),
+            "side": pa.array(["a"] * len(va) + ["b"] * len(vb)),
+        }
+    )
+    got = qq_table(
+        ray.data.from_arrow(t).repartition(3), "v", "side", ("a", "b")
+    ).to_pylist()
+    con = duckdb.connect()
+    con.register("t", t)
+    for r in got:
+        q = r["q_bp"] / 10000.0
+        w1 = con.execute(
+            "SELECT quantile_disc(v, ?) FROM t WHERE side = 'a'", [q]
+        ).fetchone()[0]
+        w2 = con.execute(
+            "SELECT quantile_disc(v, ?) FROM t WHERE side = 'b'", [q]
+        ).fetchone()[0]
+        assert (r["v1"], r["v2"]) == (w1, w2), r["q_bp"]
+    with pytest.raises(ValueError, match="quantiles_bp"):
+        qq_table(ray.data.from_arrow(t), "v", "side", ("a", "b"),
+                 quantiles_bp=(20000,))
