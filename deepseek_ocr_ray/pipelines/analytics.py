@@ -327,6 +327,98 @@ GROUP BY 1 ORDER BY n DESC, token LIMIT 100
 """
 
 
+def vocab_growth(sf_dir: str, n_points: int = 10) -> pa.Table:
+    """Vocabulary growth curve (the Heaps'-law audit): distinct-token
+    vocabulary size at ``n_points`` evenly spaced doc-id checkpoints —
+    "is this corpus still contributing new vocabulary, or is marginal
+    data redundant".
+
+    One-pass plan: the curve needs no per-checkpoint rescans because
+    ``vocab(t) = #{tokens whose MIN doc_id ≤ t}`` — per-block
+    ``group_by(token).min(doc_id)`` partials combine through ONE keyed
+    exchange (rows = distinct tokens), then each block of the token
+    table reduces to ``n_points`` partial counts via one
+    ``searchsorted`` (nothing token-sized reaches the driver).  Same
+    Arrow-C++ tokenize as :func:`token_vocab` (lower → regex split —
+    SQL parity by construction).  Returns ``(t_doc, vocab)`` rows.
+    """
+    from ..stages.agg import bucket_groupby_agg
+
+    if n_points < 1:
+        raise ValueError("n_points must be >= 1")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        m = pc.max(batch["doc_id"]).as_py()
+        return pa.table({"m": pa.array([m if m is not None else -1], pa.int64())})
+
+    max_rows = ds.map_batches(max_partial, batch_format="pyarrow").take_all()
+    max_doc = max((int(r["m"]) for r in max_rows), default=-1)
+    cps = [((k + 1) * max_doc) // n_points for k in range(n_points)]
+
+    def local_first(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+        toks = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            lens,
+        )
+        keep = pc.not_equal(toks, "")
+        part = pa.table(
+            {
+                "token": toks.filter(keep),
+                "doc": pa.array(doc[keep.to_numpy(zero_copy_only=False)]),
+            }
+        )
+        g = part.group_by("token").aggregate([("doc", "min")])
+        return pa.table({"token": g["token"], "doc": g["doc_min"]})
+
+    firsts = bucket_groupby_agg(
+        ds.map_batches(local_first, batch_format="pyarrow"),
+        ["token"],
+        [("doc", "min", "first_doc")],
+    )
+
+    def cp_counts(batch: pa.Table) -> pa.Table:
+        fd = np.sort(
+            batch["first_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        counts = np.searchsorted(fd, np.array(cps, np.int64), side="right")
+        return pa.table(
+            {
+                "k": pa.array(list(range(n_points)), pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = firsts.map_batches(cp_counts, batch_format="pyarrow").take_all()
+    vocab = [0] * n_points
+    for r in parts:
+        vocab[int(r["k"])] += int(r["c"])
+    return pa.table(
+        {
+            "t_doc": pa.array(cps, pa.int64()),
+            "vocab": pa.array(vocab, pa.int64()),
+        }
+    )
+
+
+VOCAB_GROWTH_SQL = """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT t.tok AS token, MIN(doc_id) AS first_doc
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> '' GROUP BY 1
+),
+cps AS (SELECT UNNEST(range(1, 11)) AS k)
+SELECT CAST((k * m) // 10 AS BIGINT) AS t_doc,
+       CAST(SUM(CASE WHEN first_doc <= (k * m) // 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS vocab
+FROM cps, mx, tok GROUP BY 1
+"""
+
+
 def bigram_counts(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     """Corpus collocations: global top-k most frequent adjacent token
     pairs — the co-occurrence statistic behind phrase mining and PMI.

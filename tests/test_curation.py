@@ -1229,3 +1229,41 @@ def test_documents_split_safe_dup_groups_share_split(ray_session, tmp_path):
                              (3, [3]), (4, [4])]:
             for m in members:
                 assert out[m] == base[win], (method, win, m)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth
+
+
+def test_vocab_growth_engineered(ray_session, tmp_path):
+    """Known first-appearance structure: docs 0..9, doc d introduces
+    exactly one new token beyond a shared one — vocab(t) = t+2 for
+    t >= 1 (shared + per-doc tokens seen so far)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines.analytics import vocab_growth
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    texts = [f"shared tok{i}" for i in range(10)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = vocab_growth(d).to_pylist()
+    assert len(got) == 10
+    # checkpoints are k·max/10 for k=1..10 with max doc_id 9
+    assert [r["t_doc"] for r in got] == [9 * k // 10 for k in range(1, 11)]
+    for r in got:
+        t = r["t_doc"]
+        assert r["vocab"] == t + 2, r  # 'shared' + tok0..tokt
+    # monotone non-decreasing by construction
+    vs = [r["vocab"] for r in got]
+    assert vs == sorted(vs)
