@@ -886,3 +886,98 @@ def qq_table(
             "v2": pa.array(side_quantiles("c2"), pa.int64()),
         }
     )
+
+
+def conformal_thresholds(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    alpha_bp: int = 1000,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Split-conformal calibration thresholds per group — the
+    distribution-free prediction-interval primitive: with nonconformity
+    scores ``s = |v − median_g|`` over a calibration set, the threshold
+    at miscoverage α is the ``k``-th smallest score,
+    ``k = min(⌈(n+1)·(1−α)⌉, n)`` — intervals ``median ± threshold``
+    then cover ≥ 1−α exchangeably, with no distributional assumption.
+
+    Exactness: scores are exact integers (|cents − median cents|); the
+    per-group median comes from ``agg.group_quantile_disc`` (groups are
+    bounded — the map broadcasts, no join exchange); ``k`` uses the
+    float ``ceil((n+1)·(1−α))`` both sides (α from basis points); the
+    rank resolves over the per-(group, score) count support — ONE
+    count exchange, driver bisection, the KS-family convention.
+    Returns one row per group: ``(group, median, threshold, n)``.
+    """
+    from .agg import group_quantile_disc
+
+    if not (0 < alpha_bp < 10000):
+        raise ValueError("alpha_bp must be in (0, 10000)")
+    schema = ds.schema().base_schema
+    if not pa.types.is_integer(schema.field(value_col).type):
+        raise ValueError(
+            f"{value_col!r} must be integer (got "
+            f"{schema.field(value_col).type}) — quantize to cents first"
+        )
+    med_rows = group_quantile_disc(
+        ds, [group_col], value_col, 0.5, out_col="m", n_buckets=n_buckets
+    ).take_all()  # bounded: one row per group
+    med = {r[group_col]: int(r["m"]) for r in med_rows}
+
+    def scores(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        v = batch[value_col].cast(pa.int64())
+        if v.null_count or g.null_count:
+            raise ValueError(
+                "conformal_thresholds: NULL group/value — filter first"
+            )
+        gv = g.to_numpy(zero_copy_only=False)
+        vv = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        ms = np.array([med[x] for x in gv], np.int64)
+        return pa.table(
+            {
+                group_col: g,
+                "s": pa.array(np.abs(vv - ms), pa.int64()),
+            }
+        )
+
+    from .agg import bucket_groupby_sum
+
+    counts = bucket_groupby_sum(
+        ds.map_batches(scores, batch_format="pyarrow"),
+        keys=[group_col, "s"],
+        sum_cols=[],
+        count_col="c",
+        n_buckets=n_buckets,
+    ).take_all()
+    by_g: dict = {}
+    for r in counts:
+        by_g.setdefault(r[group_col], []).append((int(r["s"]), int(r["c"])))
+    keys_sorted = sorted(by_g)
+    out_g, out_m, out_t, out_n = [], [], [], []
+    q = 1.0 - alpha_bp / 10000.0
+    for gk in keys_sorted:
+        rows = sorted(by_g[gk])
+        n = sum(c for _, c in rows)
+        k = min(int(np.ceil((n + 1) * q)), n)  # float ceil, SQL parity
+        cum = 0
+        thr = None
+        for s, c in rows:
+            cum += c
+            if cum >= k:
+                thr = s
+                break
+        out_g.append(gk)
+        out_m.append(med[gk])
+        out_t.append(thr)
+        out_n.append(n)
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "median": pa.array(out_m, pa.int64()),
+            "threshold": pa.array(out_t, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )

@@ -707,3 +707,41 @@ def test_qq_table_fixture_and_duckdb_rank_convention(ray_session):
     with pytest.raises(ValueError, match="quantiles_bp"):
         qq_table(ray.data.from_arrow(t), "v", "side", ("a", "b"),
                  quantiles_bp=(20000,))
+
+
+# ---------------------------------------------------------------------------
+# conformal thresholds
+
+
+def test_conformal_thresholds_coverage_guarantee(ray_session):
+    """The k-th-smallest-score rule: with n=9 scores and α=0.1,
+    k = ceil(10·0.9) = 9 → the largest score; the chosen threshold
+    covers ≥ 1−α of the calibration set by construction."""
+    import ray.data
+
+    from deepseek_ocr_ray.stages.profile import conformal_thresholds
+
+    vals = [10, 12, 14, 16, 18, 20, 22, 24, 100]  # median 18
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * len(vals)),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    got = conformal_thresholds(
+        ray.data.from_arrow(t).repartition(2), "g", "v", alpha_bp=1000
+    ).to_pylist()
+    assert len(got) == 1
+    r = got[0]
+    assert r["median"] == 18 and r["n"] == 9
+    k = min(int(np.ceil(10 * 0.9)), 9)  # = 9 → largest score 82
+    assert r["threshold"] == 82
+    covered = sum(1 for v in vals if abs(v - 18) <= r["threshold"])
+    assert covered / len(vals) >= 0.9
+    # a tighter alpha keeps a smaller threshold
+    got50 = conformal_thresholds(
+        ray.data.from_arrow(t), "g", "v", alpha_bp=5000
+    ).to_pylist()[0]
+    assert got50["threshold"] < r["threshold"]
+    with pytest.raises(ValueError, match="alpha_bp"):
+        conformal_thresholds(ray.data.from_arrow(t), "g", "v", alpha_bp=0)
