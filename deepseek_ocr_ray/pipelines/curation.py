@@ -4862,3 +4862,105 @@ SELECT lang,
          AS missing_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+def gopher_length_kappa(sf_dir: str, min_chars: int = 200) -> pa.Table:
+    """Cohen's kappa between the full Gopher composite filter and the
+    cheap length heuristic (``n_chars >= min_chars``) — the
+    can-a-proxy-replace-the-expensive-filter audit (raw agreement
+    overstates cheap raters; kappa discounts chance agreement).
+
+    Exact-rational form: with confusion counts ``n11 n10 n01 n00`` and
+    margins ``r1 = n11+n10, c1 = n11+n01`` (and ``r0, c0``),
+
+        kappa = (n·(n11+n00) − (r1·c1 + r0·c0))
+              / (n²          − (r1·c1 + r0·c0))
+
+    — exact big ints, ONE pinned ppm rendering (agree_ppm likewise).
+    One streaming map computes BOTH raters per block (the Gopher kernel
+    plus one comparison — no join: both flags derive from the same
+    row); blocks reduce to four partial counts.  Returns one row:
+    ``(n11, n10, n01, n00, agree_ppm, kappa_ppm)``; kappa is NULL when
+    either rater is constant (pe = 1)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gop = _gopher_batch(batch)
+        a = gop["gopher_pass"].to_numpy(zero_copy_only=False).astype(bool)
+        b = (
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            >= min_chars
+        )
+        return pa.table(
+            {
+                "n11": pa.array([int(np.sum(a & b))], pa.int64()),
+                "n10": pa.array([int(np.sum(a & ~b))], pa.int64()),
+                "n01": pa.array([int(np.sum(~a & b))], pa.int64()),
+                "n00": pa.array([int(np.sum(~a & ~b))], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n11 = sum(int(r["n11"]) for r in parts)
+    n10 = sum(int(r["n10"]) for r in parts)
+    n01 = sum(int(r["n01"]) for r in parts)
+    n00 = sum(int(r["n00"]) for r in parts)
+    n = n11 + n10 + n01 + n00
+    agree_ppm = (
+        int(np.floor(float(n11 + n00) / float(n) * 10**6 + 0.5)) if n else 0
+    )
+    r1, r0 = n11 + n10, n01 + n00
+    c1, c0 = n11 + n01, n10 + n00
+    chance = r1 * c1 + r0 * c0
+    kappa_ppm = None
+    if n and n * n != chance:
+        num = n * (n11 + n00) - chance
+        den = n * n - chance
+        kappa_ppm = int(np.floor(float(num) / float(den) * 10**6 + 0.5))
+    return pa.table(
+        {
+            "n11": pa.array([n11], pa.int64()),
+            "n10": pa.array([n10], pa.int64()),
+            "n01": pa.array([n01], pa.int64()),
+            "n00": pa.array([n00], pa.int64()),
+            "agree_ppm": pa.array([agree_ppm], pa.int64()),
+            "kappa_ppm": pa.array([kappa_ppm], pa.int64()),
+        }
+    )
+
+
+GOPHER_LENGTH_KAPPA_SQL = (
+    "WITH g AS ("
+    + GOPHER_QUALITY_SQL
+    + """),
+flags AS (
+  SELECT g.gopher_pass AS a,
+         CASE WHEN d.n_chars >= 200 THEN 1 ELSE 0 END AS b
+  FROM g JOIN documents d USING (doc_id)
+),
+cm AS (
+  SELECT CAST(SUM(a * b) AS HUGEINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS HUGEINT) AS n10,
+         CAST(SUM((1 - a) * b) AS HUGEINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS HUGEINT) AS n00
+  FROM flags
+),
+f AS (
+  SELECT n11, n10, n01, n00,
+         n11 + n10 + n01 + n00 AS n,
+         (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS chance
+  FROM cm
+)
+SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       CAST(FLOOR(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS agree_ppm,
+       CASE WHEN n * n <> chance
+            THEN CAST(FLOOR(CAST(n * (n11 + n00) - chance AS DOUBLE)
+                            / CAST(n * n - chance AS DOUBLE)
+                            * 1000000 + 0.5) AS BIGINT) END AS kappa_ppm
+FROM f
+"""
+)

@@ -1267,3 +1267,48 @@ def test_vocab_growth_engineered(ray_session, tmp_path):
     # monotone non-decreasing by construction
     vs = [r["vocab"] for r in got]
     assert vs == sorted(vs)
+
+
+def test_gopher_length_kappa_engineered(ray_session, tmp_path):
+    """Hand-built corpus with a known confusion matrix: kappa matches the
+    exact-fraction definition; raw agreement alone would overstate."""
+    import os
+
+    from fractions import Fraction
+
+    import math
+
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines.curation import gopher_length_kappa
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    # long good text passes gopher AND length; short text fails both;
+    # a long symbol-soup fails gopher but passes length
+    good = ("solid prose line with many plain words " * 8).strip()
+    soup = ("--- ... --- ... " * 40).strip()
+    texts = [good, good, "tiny", soup]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = gopher_length_kappa(d).to_pylist()[0]
+    n11, n10, n01, n00 = got["n11"], got["n10"], got["n01"], got["n00"]
+    assert (n11, n10, n01, n00) == (2, 0, 1, 1)
+    n = 4
+    chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    want = Fraction(n * (n11 + n00) - chance, n * n - chance)
+    assert got["kappa_ppm"] == int(
+        math.floor(
+            float(want.numerator) / float(want.denominator) * 1e6 + 0.5
+        )
+    )
+    assert got["agree_ppm"] == 750000  # 3 of 4 agree — higher than kappa
+    assert got["kappa_ppm"] < got["agree_ppm"]
