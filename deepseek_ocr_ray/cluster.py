@@ -371,7 +371,7 @@ def equi_join(
         rtab = pa.concat_tables(
             [
                 t.select(list(dict.fromkeys([r_on] + rcols)))
-                for t in ray.get(right.to_arrow_refs())
+                for t in ray.get(arrow_block_refs(right))
                 if t.num_rows
             ]
             or [
@@ -726,6 +726,21 @@ def salted_inner_join(
     )
 
 
+def arrow_block_refs(ds: "ray.data.Dataset") -> list:
+    """Arrow block refs of ``ds`` with EXACTLY ONE plan execution.
+
+    Ray 2.49's ``Dataset.to_arrow_refs()`` on a LAZY dataset follows the
+    full execution with ``schema(fetch_if_missing=True)``, which launches
+    a SECOND limit-1 execution of the entire upstream plan — a silent
+    double-run of the pipeline's first block for every collect, and a
+    correctness hazard for side-effecting sinks (``export_shards``'s
+    skipped-flags saw files the probe run had already written).
+    Materializing first makes the trailing schema call a cached lookup,
+    so the plan runs exactly once.  Only for results the caller KNOWS
+    are bounded."""
+    return ds.materialize().to_arrow_refs()
+
+
 def collect_table(ds: "ray.data.Dataset") -> pa.Table | None:
     """Materialize a (small, bounded) Dataset into ONE pa.Table robustly:
     zero-row blocks are dropped BEFORE concatenation (a computed empty
@@ -734,7 +749,7 @@ def collect_table(ds: "ray.data.Dataset") -> pa.Table | None:
     prevent), and survivors are cast to the first block's schema.
     Returns None when every block is empty.  Only for results the caller
     KNOWS are bounded (thresholded edge lists, per-block summaries)."""
-    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(arrow_block_refs(ds)) if t.num_rows]
     if not tabs:
         return None
     target = tabs[0].schema

@@ -124,6 +124,11 @@ class PipelineConfig:
     cpu_batch_size: int = 256
     # hash-partitioning width for checkpointed runs
     num_partitions: int = 16
+    # partition_id derivation: "fast" (vectorized engine hash — C-speed
+    # over the Arrow buffers, the production default) or "md5" (per-doc
+    # md5 low-32 — the SQL/reference-parity rule the fixture oracle pins;
+    # same convention as the samplers' method="md5")
+    partition_id_mode: str = "fast"
     # units per salt chunk for exchange="salted" (skew defusal: no assembly
     # group holds more than ~this many units of one document)
     salt_span: int = 64

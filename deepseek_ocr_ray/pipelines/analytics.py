@@ -32,6 +32,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..cluster import (
+    arrow_block_refs,
     assembly_buckets_for_bytes,
     dataset_size_estimate,
     equi_join,
@@ -340,7 +341,12 @@ def vocab_growth(sf_dir: str, n_points: int = 10) -> pa.Table:
     table reduces to ``n_points`` partial counts via one
     ``searchsorted`` (nothing token-sized reaches the driver).  Same
     Arrow-C++ tokenize as :func:`token_vocab` (lower → regex split —
-    SQL parity by construction).  Returns ``(t_doc, vocab)`` rows.
+    SQL parity by construction).  Returns ``(k, t_doc, vocab)`` rows —
+    the checkpoint index ``k`` (1-based) stays in the output so a tiny
+    corpus (``max_doc < n_points``) where several checkpoints collapse
+    onto one ``t_doc`` still yields exactly ``n_points`` distinct rows
+    on both sides.  NOTE: ``VOCAB_GROWTH_SQL`` hardcodes the default
+    ``n_points=10`` (``range(1, 11)``); other values have no oracle.
     """
     from ..stages.agg import bucket_groupby_agg
 
@@ -398,6 +404,7 @@ def vocab_growth(sf_dir: str, n_points: int = 10) -> pa.Table:
         vocab[int(r["k"])] += int(r["c"])
     return pa.table(
         {
+            "k": pa.array(list(range(1, n_points + 1)), pa.int64()),
             "t_doc": pa.array(cps, pa.int64()),
             "vocab": pa.array(vocab, pa.int64()),
         }
@@ -412,10 +419,11 @@ tok AS (
   WHERE t.tok <> '' GROUP BY 1
 ),
 cps AS (SELECT UNNEST(range(1, 11)) AS k)
-SELECT CAST((k * m) // 10 AS BIGINT) AS t_doc,
+SELECT CAST(k AS BIGINT) AS k,
+       CAST((k * m) // 10 AS BIGINT) AS t_doc,
        CAST(SUM(CASE WHEN first_doc <= (k * m) // 10 THEN 1 ELSE 0 END)
             AS BIGINT) AS vocab
-FROM cps, mx, tok GROUP BY 1
+FROM cps, mx, tok GROUP BY 1, 2
 """
 
 
@@ -3261,9 +3269,14 @@ def embedding_logreg(
     SQL; the pytest gate pins bit-equality against a driver-local
     replica of the same quantized recipe, parallelism invariance, and
     exact recovery on an engineered separable fixture."""
-    from ..stages.linalg import logreg_fit
+    from ..cluster import dataset_size_estimate
+    from ..stages.linalg import LOGREG_CACHE_MAX_BYTES, logreg_fit
 
     ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    # size the cache decision on the PRE-map dataset — the binarize
+    # map_batches erases the metadata estimate logreg_fit would consult
+    est = dataset_size_estimate(ds)
+    cache = est is not None and est <= LOGREG_CACHE_MAX_BYTES
 
     def binarize(batch: pa.Table) -> pa.Table:
         y = pc.cast(
@@ -3276,6 +3289,7 @@ def embedding_logreg(
         label_col="y",
         lr=lr,
         iters=iters,
+        cache=cache,
     )
     return pa.table(
         {
@@ -8673,7 +8687,7 @@ def part_cosine_pairs(sf_dir: str) -> ray.data.Dataset:
     parts_tbl = pa.concat_tables(
         [
             t
-            for t in _ray.get(counts.to_arrow_refs())
+            for t in _ray.get(arrow_block_refs(counts))
             if "l_partkey" in t.column_names
         ],
         promote_options="default",
@@ -9135,7 +9149,9 @@ def embedding_negatives(sf_dir: str) -> ray.data.Dataset:
     parts = [
         t
         for t in _ray.get(
-            ds.map_batches(bounds, batch_format="pyarrow").to_arrow_refs()
+            arrow_block_refs(
+            ds.map_batches(bounds, batch_format="pyarrow")
+        )
         )
         if "n" in t.column_names and t.num_rows
     ]

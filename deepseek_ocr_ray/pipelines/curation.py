@@ -45,7 +45,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..cluster import collect_table
+from ..cluster import arrow_block_refs, collect_table
 from .analytics import read_table
 
 # ---------------------------------------------------------------------------
@@ -4778,7 +4778,7 @@ def documents_evolved_union(sf_dir: str) -> pa.Table:
 
         import ray as _ray
 
-        tables = _ray.get(docs.to_arrow_refs())
+        tables = _ray.get(arrow_block_refs(docs))
         a = pa.concat_tables(
             [split_gen(t, 0) for t in tables], promote_options="default"
         )

@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from ..cluster import arrow_block_refs
+
 __all__ = ["read_parquet_evolved", "schema_versions"]
 
 
@@ -56,7 +58,9 @@ def _sweep_schemas(paths: list[str]) -> list[tuple[str, str]]:
         pa.table({"path": pa.array(sorted(paths), pa.string())})
     )
     parts = _ray.get(
-        listing.map_batches(probe, batch_format="pyarrow").to_arrow_refs()
+        arrow_block_refs(
+        listing.map_batches(probe, batch_format="pyarrow")
+    )
     )
     out: list[tuple[str, str]] = []
     for t in parts:

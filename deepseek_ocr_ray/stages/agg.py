@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..cluster import arrow_block_refs
 from ..hashing import hash64_columns
 
 AGG_FNS = ("sum", "min", "max", "count", "mean")
@@ -1279,7 +1280,7 @@ def group_standardize(
         n_buckets=n_buckets,
     )
     stats = pa.concat_tables(
-        _ray.get(stats_ds.to_arrow_refs()), promote_options="default"
+        _ray.get(arrow_block_refs(stats_ds)), promote_options="default"
     )
     if stats.num_rows > max_groups:
         raise ValueError(

@@ -19,7 +19,9 @@ the boundary index, span lists are built by flattening the unit-level Arrow
 list columns once and re-slicing them with per-doc offsets, and markdown is
 ``pc.binary_join`` over per-unit pieces — no ``to_pylist`` of payload
 columns, no per-row Python in the hot path.  The only Python loop left is
-one md5 per OUTPUT document for the pinned ``partition_id`` column.
+the ``partition_id`` column is a vectorized engine hash by default
+(``partition_id_mode="fast"``); ``"md5"`` keeps the pinned md5 rule
+for reference/fixture parity (the one per-row Python loop, opt-in).
 """
 
 from __future__ import annotations
@@ -38,9 +40,11 @@ from .transforms import MEDIA_KINDS, SENTINEL_KIND
 
 def stable_bucket(doc_ids: list[str], n_buckets: int) -> list[int]:
     """md5-based bucket — stable across processes/parallelism (Python's
-    ``hash`` is salted per process and must never partition data).  Kept
-    for the pinned ``partition_id`` output column; the internal exchange
-    buckets use the vectorized ``string_hash64`` instead."""
+    ``hash`` is salted per process and must never partition data).  The
+    PARITY mode for the ``partition_id`` output column
+    (``partition_id_mode="md5"`` — what the fixture oracle pins); the
+    production default and the internal exchange buckets both use the
+    vectorized ``string_hash64``."""
     return [
         int.from_bytes(hashlib.md5(d.encode()).digest()[:4], "little") % n_buckets
         for d in doc_ids
@@ -160,6 +164,7 @@ def _final_table(
     errors: pa.Array,
     *,
     n_parts: int,
+    mode: str = "fast",
 ) -> pa.Table:
     """Assemble the OUT_SCHEMA table from per-doc columns + flattened spans."""
     total = int(spans_per_doc.sum())
@@ -177,8 +182,15 @@ def _final_table(
     spans_col = pa.ListArray.from_arrays(
         pa.array(cum.astype(np.int32), pa.int32()), span_struct
     )
-    # the one remaining per-OUTPUT-row Python loop: pinned md5 partition ids
-    pids = stable_bucket(docs.to_pylist(), n_parts)
+    if mode == "fast":
+        # production path: vectorized engine hash, zero per-row Python
+        pids = (string_hash64(docs) % np.uint64(n_parts)).astype(np.int32)
+    elif mode == "md5":
+        # parity mode: the pinned md5 rule the fixture oracle replicates
+        # (O(output docs) Python md5 loop — SQL/reference parity only)
+        pids = stable_bucket(docs.to_pylist(), n_parts)
+    else:
+        raise ValueError(f"unknown partition_id_mode {mode!r}")
     return pa.table(
         {
             "doc_id": docs.cast(pa.string()),
@@ -264,6 +276,7 @@ def assemble_bucket(group: pa.Table, *, config: PipelineConfig) -> pa.Table:
         trunc,
         errors,
         n_parts=config.num_partitions,
+        mode=config.partition_id_mode,
     )
 
 
@@ -456,4 +469,5 @@ def merge_salted_partials(group: pa.Table, *, config: PipelineConfig) -> pa.Tabl
         trunc,
         errors,
         n_parts=config.num_partitions,
+        mode=config.partition_id_mode,
     )

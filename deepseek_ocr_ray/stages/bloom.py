@@ -27,6 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..cluster import arrow_block_refs
 from ..hashing import hash64_array, mix64
 
 DEFAULT_M_BITS = 1 << 23  # 1 MiB bitmap
@@ -103,7 +104,7 @@ def bloom_build(
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
     merged = np.zeros(m_bits // 64, dtype=np.uint64)
-    for t in ray.get(partials.to_arrow_refs()):
+    for t in ray.get(arrow_block_refs(partials)):
         if t.num_rows:
             merged |= _or_blobs(t)
     return ray.put(merged)

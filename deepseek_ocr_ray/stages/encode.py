@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..cluster import arrow_block_refs
+
 __all__ = ["categorical_encode"]
 
 
@@ -73,7 +75,9 @@ def categorical_encode(
         )
 
     parts = _ray.get(
-        ds.map_batches(blk_vocab, batch_format="pyarrow").to_arrow_refs()
+        arrow_block_refs(
+            ds.map_batches(blk_vocab, batch_format="pyarrow")
+        )
     )
     merged = pa.concat_tables(parts, promote_options="default")
     vocabs: list[pa.Array] = []
@@ -179,7 +183,7 @@ def target_encode(
         n_buckets=n_buckets,
     )
     stats = pa.concat_tables(
-        _ray.get(stats_ds.to_arrow_refs()), promote_options="default"
+        _ray.get(arrow_block_refs(stats_ds)), promote_options="default"
     )
     if stats.num_rows > max_groups:
         raise ValueError(
@@ -294,7 +298,7 @@ def quantile_bin(
     bounds_ds = group_quantiles_disc(
         ds, list(keys), value_col, qs, bcols, n_buckets=n_buckets
     )
-    parts = _ray.get(bounds_ds.to_arrow_refs())
+    parts = _ray.get(arrow_block_refs(bounds_ds))
     parts = [t for t in parts if bcols[0] in t.column_names]
     bounds = pa.concat_tables(parts, promote_options="default")
     if bounds.num_rows > max_groups:
@@ -402,7 +406,7 @@ def impute_group_mean(
     )
     parts = [
         t
-        for t in _ray.get(stats_ds.to_arrow_refs())
+        for t in _ray.get(arrow_block_refs(stats_ds))
         if "_s" in t.column_names
     ]
     if parts:
@@ -542,7 +546,7 @@ def group_minmax_scale(
     )
     parts = [
         t
-        for t in _ray.get(stats_ds.to_arrow_refs())
+        for t in _ray.get(arrow_block_refs(stats_ds))
         if "_lo" in t.column_names
     ]
     stats = pa.concat_tables(parts, promote_options="default")

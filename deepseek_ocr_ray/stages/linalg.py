@@ -530,11 +530,61 @@ def groupwise_ols(
     return red.map_batches(finish, batch_format="pyarrow").sort(group_cols)
 
 
-# Below this (metadata-estimated) input size the training loop materializes
-# the dataset once so the T full-batch passes re-read blocks from the object
-# store instead of re-executing the scan; above it the loop streams each
-# pass (the only option at corpus scale — never materialize 100 TB).
+# Below this (metadata-estimated) input size the training loop pre-quantizes
+# the feature matrix ONCE into materialized object-store blocks and runs the
+# T gradient passes as plain Ray tasks over those block refs — zero Dataset
+# executions inside the loop (a 50-iteration loop otherwise launches 50+
+# streaming-executor runs, which is both slow and, empirically, capable of
+# tripping Ray-core scheduler races under churn).  Above it the loop streams
+# each pass (the only option at corpus scale — never materialize 100 TB).
 LOGREG_CACHE_MAX_BYTES = 256 << 20
+
+
+def _logreg_horizon_check(q: np.ndarray) -> None:
+    """Loud guard: a block's exact-int gradient partial Σ rᵢ·qᵢⱼ must fit
+    int64 (|r| ≤ 10⁶ ppm residual per row)."""
+    nb = q.shape[0]
+    if not nb:
+        return
+    qmax = int(np.abs(q).max())
+    if qmax and nb > _I64_SAFE // (qmax * 1_000_000):
+        raise ValueError(
+            "logreg_fit: block of "
+            f"{nb} rows × max|q|={qmax} exceeds the int64 gradient "
+            "horizon — lower the block size or the quantization scale"
+        )
+
+
+def _logreg_grad_kernel(
+    q: np.ndarray, y: np.ndarray, w: np.ndarray, b: float, scale: int
+) -> tuple[int, int, np.ndarray]:
+    """One block's exact-int gradient partial (shared by the streaming
+    map_batches pass and the cached block-ref task loop — identical math,
+    so both paths produce bit-identical coefficients)."""
+    z = (q / float(scale)) @ w + b
+    p = 1.0 / (1.0 + np.exp(-z))
+    r = np.floor((p - y) * 1e6 + 0.5).astype(np.int64)
+    return q.shape[0], int(r.sum()), q.T @ r
+
+
+@ray.remote
+def _logreg_grad_block(
+    tab: pa.Table, w: np.ndarray, b: float, scale: int
+) -> tuple[int, int, list[int] | None]:
+    """Gradient partial over ONE pre-quantized cached block (columns
+    ``y`` int64, ``q`` list<int64>) — a plain Ray task so the iteration
+    loop never re-enters the streaming executor; the block stays in the
+    object store and is read zero-copy every iteration."""
+    nb = tab.num_rows
+    if nb == 0:
+        return 0, 0, None
+    y = tab["y"].to_numpy(zero_copy_only=False)
+    flat = tab["q"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    q = flat.reshape(nb, -1)
+    n, g0, g = _logreg_grad_kernel(q, y, w, b, scale)
+    return n, g0, g.tolist()
 
 
 def logreg_fit(
@@ -546,6 +596,7 @@ def logreg_fit(
     iters: int = 50,
     scale: int = 1_000_000,
     cache_max_bytes: int = LOGREG_CACHE_MAX_BYTES,
+    cache: bool | None = None,
 ) -> tuple[np.ndarray, float, int]:
     """Full-batch logistic regression over a ``list<float>`` feature column
     and a 0/1 integer label — distributed ITERATIVE model fitting (the
@@ -561,20 +612,83 @@ def logreg_fit(
     the driver with one fixed-order expression per iteration.  The loud
     block horizon (rows·10⁶·max|q|) trips before the int64 sum can wrap.
 
-    Each iteration is ONE streaming pass whose exchange is one
+    Each streaming iteration is ONE pass whose exchange is one
     (d+2)-int64 row per block — at 100 TB the loop costs T scans and moves
     O(T·blocks·d) bytes.  Inputs under ``cache_max_bytes`` (metadata
-    estimate) are materialized once so the passes re-read object-store
-    blocks instead of re-executing the scan.
+    estimate) take the fast path instead: ONE prepare pass quantizes
+    (q, y) into materialized object-store blocks, and every iteration is
+    a fan-out of plain Ray tasks over those block refs — no per-iteration
+    Dataset execution at all (both paths share one gradient kernel and an
+    exact-int merge, so coefficients are bit-identical either way).
 
     Returns ``(w, b, n)`` — feature weights (d,), intercept, row count."""
     from ..cluster import collect_table, dataset_size_estimate
 
     if iters < 1:
         raise ValueError("logreg_fit: iters must be >= 1")
-    est = dataset_size_estimate(ds)
-    if est is not None and est <= cache_max_bytes:
-        ds = ds.materialize()
+    if cache is None:
+        # metadata-only estimate; a map_batches in front of the input
+        # erases it (None → streaming), so callers that KNOW the pre-map
+        # size should pass ``cache`` explicitly
+        est = dataset_size_estimate(ds)
+        cached = est is not None and est <= cache_max_bytes
+    else:
+        cached = cache
+
+    def _update(w, b, n_total, g, g0):
+        # one fixed-order float expression per iteration (both paths)
+        denom = 1e6 * float(scale) * float(n_total)
+        return (
+            w - lr * (g.astype(np.float64) / denom),
+            b - lr * (float(g0) / 1e6 / float(n_total)),
+        )
+
+    # probe one row for the feature width (cheap limit-1 scan)
+    first = ds.limit(1).take_all()
+    d = len(first[0][vec_col]) if first else 0
+    w = np.zeros(d, np.float64)
+    b = 0.0
+    n_total = 0
+
+    if cached:
+        def prepare(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "y": pa.array([], pa.int64()),
+                        "q": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            q = quantize_matrix(list_to_matrix(batch[vec_col]), scale)
+            _logreg_horizon_check(q)
+            y = ints_to_numpy(batch[label_col])
+            nb, dd = q.shape
+            qcol = pa.ListArray.from_arrays(
+                pa.array(range(0, (nb + 1) * dd, dd), pa.int32()),
+                pa.array(q.ravel(), pa.int64()),
+            )
+            return pa.table({"y": pa.array(y, pa.int64()), "q": qcol})
+
+        prepared = ds.map_batches(
+            prepare, batch_format="pyarrow"
+        ).materialize()
+        refs = prepared.to_arrow_refs()
+        for _ in range(iters):
+            parts = ray.get(
+                [
+                    _logreg_grad_block.remote(ref, w, b, scale)
+                    for ref in refs
+                ]
+            )
+            parts = [p for p in parts if p[0]]
+            n_total = sum(p[0] for p in parts)
+            if n_total == 0:
+                return w, b, 0
+            # exact Python-int merge — layout-order-proof
+            g = np.array([p[2] for p in parts], dtype=object).sum(axis=0)
+            g0 = sum(p[1] for p in parts)
+            w, b = _update(w, b, n_total, g, g0)
+        return w, b, n_total
 
     state_ref = None
 
@@ -591,38 +705,19 @@ def logreg_fit(
             # an empty block's (0, 0) feature matrix cannot dot the weight
             # vector — contribute nothing instead of a shape error
             return _empty_grad
-        w, b = ray.get(state_ref)
-        m = list_to_matrix(batch[vec_col])
-        q = quantize_matrix(m, scale)
+        ww, bb = ray.get(state_ref)
+        q = quantize_matrix(list_to_matrix(batch[vec_col]), scale)
+        _logreg_horizon_check(q)
         y = ints_to_numpy(batch[label_col])
-        nb = q.shape[0]
-        if nb:
-            qmax = int(np.abs(q).max())
-            if qmax and nb > _I64_SAFE // (qmax * 1_000_000):
-                raise ValueError(
-                    "logreg_fit: block of "
-                    f"{nb} rows × max|q|={qmax} exceeds the int64 gradient "
-                    "horizon — lower the block size or the quantization "
-                    "scale"
-                )
-        z = (q / float(scale)) @ w + b
-        p = 1.0 / (1.0 + np.exp(-z))
-        r = np.floor((p - y) * 1e6 + 0.5).astype(np.int64)
-        g = q.T @ r
+        nb, g0, g = _logreg_grad_kernel(q, y, ww, bb, scale)
         return pa.table(
             {
                 "n": pa.array([nb], pa.int64()),
-                "g0": pa.array([int(r.sum())], pa.int64()),
+                "g0": pa.array([g0], pa.int64()),
                 "g": pa.array([g.tolist()], pa.list_(pa.int64())),
             }
         )
 
-    # probe one row for the feature width (cheap limit-1 scan)
-    first = ds.limit(1).take_all()
-    d = len(first[0][vec_col]) if first else 0
-    w = np.zeros(d, np.float64)
-    b = 0.0
-    n_total = 0
     for _ in range(iters):
         state_ref = ray.put((w, b))
         parts = collect_table(
@@ -637,9 +732,7 @@ def logreg_fit(
         # exact Python-int merge — layout-order-proof
         g = np.array(g_rows, dtype=object).sum(axis=0)
         g0 = sum(parts["g0"].to_pylist())
-        denom = 1e6 * float(scale) * float(n_total)
-        w = w - lr * (g.astype(np.float64) / denom)
-        b = b - lr * (float(g0) / 1e6 / float(n_total))
+        w, b = _update(w, b, n_total, g, g0)
     return w, b, n_total
 
 

@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
+from ..cluster import arrow_block_refs
 from ..hashing import hash64_array, mix64
 from .zonemap import _data_files, _fingerprint
 
@@ -110,7 +111,9 @@ def build_bloom_index(
     parts = [
         t
         for t in _ray.get(
-            listing.map_batches(sweep, batch_format="pyarrow").to_arrow_refs()
+            arrow_block_refs(
+            listing.map_batches(sweep, batch_format="pyarrow")
+        )
         )
         if "bits" in t.column_names
     ]

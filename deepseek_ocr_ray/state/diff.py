@@ -46,7 +46,7 @@ import ray.data
 
 from ..hashing import hash64_columns, splitmix_bucket
 
-__all__ = ["table_diff"]
+__all__ = ["table_diff", "table_fingerprint"]
 
 
 def _empty_result(key_col: str) -> pa.Table:

@@ -32,6 +32,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..cluster import arrow_block_refs
+
 __all__ = [
     "check_not_null",
     "check_range",
@@ -50,7 +52,7 @@ def _sum_block_counts(ds: ray.data.Dataset, count_fn) -> int:
         return pa.table({"_c": pa.array([int(count_fn(batch))], pa.int64())})
 
     parts = _ray.get(
-        ds.map_batches(emit, batch_format="pyarrow").to_arrow_refs()
+        arrow_block_refs(ds.map_batches(emit, batch_format="pyarrow"))
     )
     total = 0
     for t in parts:
@@ -115,9 +117,10 @@ def check_foreign_key(
         return pa.table({"_k": u.cast(pa.int64())})
 
     parts = _ray.get(
-        parent.select_columns([parent_col])
-        .map_batches(blk_keys, batch_format="pyarrow")
-        .to_arrow_refs()
+        arrow_block_refs(
+            parent.select_columns([parent_col])
+            .map_batches(blk_keys, batch_format="pyarrow")
+        )
     )
     # an all-empty parent can surface schema-less zero-row blocks that
     # bypass map_batches (Ray 2.49 convention — see state/zonemap.py)

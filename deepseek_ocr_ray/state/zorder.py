@@ -28,6 +28,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..cluster import arrow_block_refs
+
 __all__ = ["zorder_key", "zorder_write"]
 
 _MARKER = "_ZORDER.json"
@@ -109,7 +111,9 @@ def zorder_write(
     parts = [
         t
         for t in _ray.get(
-            ds.map_batches(bounds, batch_format="pyarrow").to_arrow_refs()
+            arrow_block_refs(
+            ds.map_batches(bounds, batch_format="pyarrow")
+        )
         )
         if f"{cols[0]}_lo" in t.column_names and t.num_rows
     ]

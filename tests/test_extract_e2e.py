@@ -29,7 +29,11 @@ def pipeline_rows(ray_session):
 
     from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
 
-    out = extract_dataset(synthetic_dataset(N_DOCS, SEED), PipelineConfig())
+    # md5 parity mode: the sequential oracle pins the md5 partition rule
+    out = extract_dataset(
+        synthetic_dataset(N_DOCS, SEED),
+        PipelineConfig(partition_id_mode="md5"),
+    )
     return {r["doc_id"]: r for r in out.take_all()}
 
 
@@ -343,3 +347,22 @@ def test_interleave_stats_brute(ray_session):
         assert got.alternations == want_alt
         checked += 1
     assert checked == 50
+
+
+def test_partition_id_fast_mode_is_vectorized_hash(ray_session):
+    """Default (fast) partition ids follow the engine hash rule and stay
+    in range — and differ from md5 parity only in the bucket rule."""
+    import numpy as np
+
+    from deepseek_ocr_ray.hashing import string_hash64
+    from deepseek_ocr_ray.sources.interleaved import synthetic_dataset
+
+    cfg = PipelineConfig()  # fast is the default
+    out = extract_dataset(synthetic_dataset(30, SEED), cfg).take_all()
+    ids = pa.array([r["doc_id"] for r in out], pa.string())
+    want = (
+        string_hash64(ids) % np.uint64(cfg.num_partitions)
+    ).astype(np.int64)
+    got = np.array([r["partition_id"] for r in out], np.int64)
+    assert (got == want).all()
+    assert ((got >= 0) & (got < cfg.num_partitions)).all()
