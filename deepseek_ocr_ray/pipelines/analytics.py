@@ -2099,10 +2099,12 @@ def basket_rules(sf_dir: str, k: int = 10, n_buckets: int = 64):
 
     — each ONE pinned float chain over exact integers (lift > 1 means
     genuinely associated; ppm keeps it int64).  Per-item basket counts
-    are catalog-bounded (broadcast, no join exchange); the basket total
-    is a distributed distinct count; only the k winning pairs reach the
-    driver.  Returns a pa.Table of 2·k rule rows sorted by
-    (n_pair desc, antecedent, consequent)."""
+    are collected ONLY for the ≤2k parts appearing in the winning
+    pairs (an ``is_in`` filter ahead of the count exchange), so the
+    driver state is O(k) by construction — a 10⁹-item catalog costs
+    nothing here.  The basket total is a distributed distinct count;
+    only the k winning pairs reach the driver.  Returns a pa.Table of
+    2·k rule rows sorted by (n_pair desc, antecedent, consequent)."""
     from ..stages.agg import bucket_groupby_sum
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -2121,15 +2123,27 @@ def basket_rules(sf_dir: str, k: int = 10, n_buckets: int = 64):
         count_col="_c",
         n_buckets=n_buckets,
     ).count()
+    top = basket_pairs(sf_dir, k=k, n_buckets=n_buckets).take_all()
+    need = pa.array(
+        sorted(
+            {int(r["p1"]) for r in top} | {int(r["p2"]) for r in top}
+        ),
+        pa.int64(),
+    )
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["l_partkey"], value_set=need))
+
     item_rows = bucket_groupby_sum(
-        lp.select_columns(["l_partkey"]),
+        lp.select_columns(["l_partkey"]).map_batches(
+            keep_needed, batch_format="pyarrow"
+        ),
         keys=["l_partkey"],
         sum_cols=[],
         count_col="ni",
         n_buckets=n_buckets,
-    ).take_all()  # catalog-bounded
+    ).take_all()  # ≤ 2·k rows by construction
     ni = {int(r["l_partkey"]): int(r["ni"]) for r in item_rows}
-    top = basket_pairs(sf_dir, k=k, n_buckets=n_buckets).take_all()
 
     def ppm(num: int, den: int) -> int:
         return int(np.floor(float(num) / float(den) * 10**6 + 0.5))
@@ -7226,9 +7240,17 @@ UNION ALL SELECT o_orderkey, o_custkey, price_cents FROM ins
 # ---------------------------------------------------------------------------
 
 
+# "micro-dim" means the DATA MODEL bounds the table (TPC-H fixes nation
+# at 25 rows and region at 5 at every scale factor) — make that argument
+# loud instead of implicit: past this many rows the table is not a
+# micro-dim and the caller must switch to a broadcast map / join plan.
+MICRO_DIM_MAX_ROWS = 10_000
+
+
 def _nation_region_dims(sf_dir: str):
     """The two catalog micro-dims (≤25 / 5 rows by TPC-H construction) —
-    driver-side reads, shared by the region-scoped shapes."""
+    driver-side reads, shared by the region-scoped shapes.  Loudly
+    capped at :data:`MICRO_DIM_MAX_ROWS`."""
     import pyarrow.parquet as _pq
 
     nat = _pq.read_table(
@@ -7239,6 +7261,14 @@ def _nation_region_dims(sf_dir: str):
         os.path.join(sf_dir, "region.parquet"),
         columns=["r_regionkey", "r_name"],
     )
+    for name, tab in (("nation", nat), ("region", reg)):
+        if tab.num_rows > MICRO_DIM_MAX_ROWS:
+            raise ValueError(
+                f"_nation_region_dims: {name} has {tab.num_rows} rows — "
+                f"past the micro-dim bound ({MICRO_DIM_MAX_ROWS}); this "
+                "driver-side read assumes a catalog-bounded dimension. "
+                "Use a broadcast map or a distributed join instead."
+            )
     return nat, reg
 
 

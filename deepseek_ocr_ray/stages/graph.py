@@ -31,6 +31,8 @@ that corpus.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -836,8 +838,19 @@ def _probe_closed(w1: np.ndarray, w2: np.ndarray, probe) -> np.ndarray:
 
 
 # Above this edge-set byte size the probe table stops fitting the plasma
-# broadcast budget and the composite-key planner join takes over.
-_TRIANGLE_BROADCAST_MAX_EDGES = (256 << 20) // 24
+# broadcast budget and the composite-key planner join takes over.  The
+# broadcast probe is ONE plasma object per node (u, v, sorted composite
+# keys = 24 B/edge) read zero-copy by every walk task, so the bound is
+# per-node object-store headroom, not per-task heap — 1 GiB (~44M edges)
+# is comfortable on production nodes.  The budget matters: the round-5
+# sf1 soak measured a 10x WALL CLIFF at the boundary (12M edges: 29 s on
+# the broadcast plan vs 300 s on the join plan, same data — the join
+# plan's 411M-wedge exchange is linear but carries a ~10x constant), so
+# an undersized cap silently decimates the graph family.  Tunable via
+# GRAFT_TRIANGLE_BROADCAST_BYTES for smaller nodes.
+_TRIANGLE_BROADCAST_MAX_EDGES = int(
+    os.environ.get("GRAFT_TRIANGLE_BROADCAST_BYTES", str(1 << 30))
+) // 24
 
 
 def _resolve_probe(probe: str, n_edges: int) -> str:

@@ -955,3 +955,36 @@ def test_q20_dominance_strict_year_and_prefix(ray_session, tmp_path):
     )
     out = analytics.q20_dominant_suppliers(str(tmp_path)).to_pandas()
     assert list(zip(out["s_suppkey"], out["s_name"])) == [(1, "SA")]
+
+
+def test_micro_dim_cap_is_loud(tmp_path, monkeypatch):
+    """Past the micro-dim bound the driver-side read REFUSES instead of
+    silently building an unbounded driver table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from deepseek_ocr_ray.pipelines import analytics
+
+    d = str(tmp_path)
+    n = 50
+    pq.write_table(
+        pa.table({
+            "n_nationkey": pa.array(list(range(n)), pa.int64()),
+            "n_name": pa.array([f"N{i}" for i in range(n)], pa.string()),
+            "n_regionkey": pa.array([0] * n, pa.int64()),
+        }),
+        os.path.join(d, "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "r_regionkey": pa.array([0], pa.int64()),
+            "r_name": pa.array(["R"], pa.string()),
+        }),
+        os.path.join(d, "region.parquet"),
+    )
+    monkeypatch.setattr(analytics, "MICRO_DIM_MAX_ROWS", 25)
+    with pytest.raises(ValueError, match="micro-dim bound"):
+        analytics._nation_region_dims(d)
