@@ -35,25 +35,25 @@ def daily_counts(
     flag_cols: dict[str, str] | None = None,
     n_buckets: int = 64,
 ) -> list[dict]:
-    """Reduce an event stream to one row per DISTINCT day (floor of
-    epoch_us / 86400e6): ``{day, n, <flag sums>}``, sorted ascending.
-    ``flag_cols`` maps an existing 0/1 int column → output sum name.
+    """Reduce an event stream to one row per DISTINCT day
+    (``epoch_us // 86400e6`` with INTEGER-DIVISION semantics):
+    ``{day, n, <flag sums>}``, sorted ascending.  ``flag_cols`` maps an
+    existing 0/1 int column → output sum name.
 
-    Floor, not truncation: ``pc.divide`` on int64 truncates toward zero,
-    which diverges from the DuckDB ``//`` oracle for pre-1970 timestamps,
-    so negative remainders get an explicit −1 day adjustment."""
+    Day-bucket rule, pinned for oracle parity: TRUNCATION toward zero —
+    what both ``pc.divide`` on int64 and DuckDB's integer ``//``
+    actually do (verified: ``SELECT -1 // 86400000000`` → 0 in DuckDB).
+    Identical to floor for ts ≥ 0 (every benchmark table); a pre-1970
+    timestamp lands one day later than the calendar day — both sides
+    agree, which is the contract (see the pre-epoch parity test)."""
     from .agg import bucket_groupby_sum
 
     flag_cols = flag_cols or {}
 
     def prep(batch: pa.Table) -> pa.Table:
-        us_day = pa.scalar(US_PER_DAY, pa.int64())
-        ts = batch[ts_col].cast(pa.int64())
-        q = pc.divide(ts, us_day)  # truncated toward zero
-        r = pc.subtract(ts, pc.multiply(q, us_day))
-        # floor(ts / D) = trunc − 1 exactly when ts < 0 with a remainder
-        adjust = pc.and_(pc.less(ts, 0), pc.not_equal(r, 0))
-        day = pc.subtract(q, pc.cast(adjust, pa.int64()))
+        day = pc.divide(
+            batch[ts_col].cast(pa.int64()), pa.scalar(US_PER_DAY, pa.int64())
+        )
         out = {"day": pc.cast(day, pa.int64())}
         for src, dst in flag_cols.items():
             out[dst] = batch[src].cast(pa.int64())

@@ -1312,3 +1312,40 @@ def test_gopher_length_kappa_engineered(ray_session, tmp_path):
     )
     assert got["agree_ppm"] == 750000  # 3 of 4 agree — higher than kappa
     assert got["kappa_ppm"] < got["agree_ppm"]
+
+
+def test_vocab_growth_tiny_corpus_oracle_parity(ray_session, tmp_path):
+    """max_doc < n_points: several checkpoints collapse onto one t_doc.
+    Keeping the checkpoint index k in the output means BOTH sides emit
+    exactly n_points rows — the round-5 fix for the duplicate-row /
+    GROUP-BY-collapse divergence on tiny corpora."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_ray.pipelines.analytics import (
+        VOCAB_GROWTH_SQL,
+        vocab_growth,
+    )
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    path = os.path.join(d, "documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a b", "b c", "c d"], pa.string()),
+            }
+        ),
+        path,
+    )
+    got = vocab_growth(d).to_pylist()
+    assert len(got) == 10  # one row per checkpoint, collapses kept apart
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.sql(VOCAB_GROWTH_SQL).df().sort_values("k")
+    assert [r["k"] for r in got] == [int(x) for x in want["k"]]
+    assert [r["t_doc"] for r in got] == [int(x) for x in want["t_doc"]]
+    assert [r["vocab"] for r in got] == [int(x) for x in want["vocab"]]

@@ -157,3 +157,30 @@ def test_theil_sen_degenerate(ray_session):
     )
     got = theil_sen_slope(ray.data.from_arrow(one), "ts").to_pylist()[0]
     assert got == {"slope": None, "n_days": 1, "n_pairs": 0}
+
+
+def test_daily_counts_pre_epoch_duckdb_parity(ray_session):
+    """Pre-1970 timestamps bucket EXACTLY as the DuckDB ``//`` oracle
+    does (truncation toward zero — ``SELECT -1 // 86400000000`` is 0 in
+    DuckDB, not −1): engine and oracle must agree on negatives too."""
+    import duckdb
+    import ray.data
+
+    from deepseek_ocr_ray.stages.timeseries import daily_counts
+
+    ts = [-1, -US_PER_DAY, -US_PER_DAY - 1, 0, 1, US_PER_DAY,
+          US_PER_DAY - 1, -2 * US_PER_DAY + 5]
+    tab = pa.table(
+        {"ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us"))}
+    )
+    rows = daily_counts(ray.data.from_arrow(tab), "ts")
+    got = {r["day"]: r["n"] for r in rows}
+    want_df = duckdb.sql(
+        "SELECT CAST(e // 86400000000 AS BIGINT) AS day,"
+        "       CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM (SELECT UNNEST({}) AS e) GROUP BY 1".format(ts)
+    ).df()
+    want = dict(zip(want_df["day"], want_df["n"]))
+    assert got == {int(k): int(v) for k, v in want.items()}
+    # truncation semantics both sides: ts=-1us is day 0, ts=-D-1 is day -1
+    assert got[0] == 4 and got[-1] == 3
