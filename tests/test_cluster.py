@@ -434,3 +434,33 @@ def test_extract_resolves_buckets_from_metadata(ray_session):
     assert n >= 64
     # explicit count always wins
     assert _resolve_assembly_buckets(ds, 5) == 5
+
+
+def test_collect_table_executes_plan_exactly_once(ray_session, tmp_path):
+    """Ray 2.49's lazy ``to_arrow_refs`` follows execution with a
+    ``schema(fetch_if_missing=True)`` limit-1 probe — a SECOND run of
+    the whole plan (side effects included; the round-4 export_shards
+    resume flake).  ``collect_table``/``arrow_block_refs`` must execute
+    the plan exactly once."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import ray.data
+
+    from deepseek_ocr_ray.cluster import collect_table
+
+    marker_dir = str(tmp_path / "runs")
+    os.makedirs(marker_dir)
+
+    def touch(batch: pa.Table) -> pa.Table:
+        with open(os.path.join(marker_dir, uuid.uuid4().hex), "w"):
+            pass
+        return batch
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(list(range(100)), pa.int64())})
+    )  # one block -> one task per plan execution
+    out = collect_table(ds.map_batches(touch, batch_format="pyarrow"))
+    assert out.num_rows == 100
+    assert len(os.listdir(marker_dir)) == 1  # 2 = the schema-probe re-run

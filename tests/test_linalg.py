@@ -712,3 +712,34 @@ def test_groupwise_ols_declared_bound_enforced(ray_session):
             ray.data.from_arrow(t), ["g"], ["x0", "x1"], "y",
             max_abs_row_product=10**9,
         ).to_pandas()
+
+
+def test_logreg_cached_and_streaming_paths_bit_identical(ray_session):
+    """The cached block-ref task loop and the streaming map_batches loop
+    share one gradient kernel and an exact-int merge — coefficients must
+    be bit-for-bit equal on the same input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deepseek_ocr_ray.stages.linalg import logreg_fit
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 6
+    x = rng.normal(0, 1, (n, d))
+    y = (x[:, 0] + 0.5 * x[:, 1] > 0).astype(np.int64)
+    tab = pa.table(
+        {
+            "y": pa.array(y, pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in x.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tab).repartition(4)
+    w_c, b_c, n_c = logreg_fit(ds, label_col="y", iters=12, cache=True)
+    w_s, b_s, n_s = logreg_fit(ds, label_col="y", iters=12, cache=False)
+    assert n_c == n_s == n
+    assert b_c == b_s  # bit equality, not allclose
+    assert (w_c == w_s).all()
