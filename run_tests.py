@@ -76,14 +76,22 @@ def main() -> int:
         if args.kexpr:
             cmd += ["-k", args.kexpr]
         env = {**os.environ, **extra_env}
-        t0 = time.time()
-        print(f"=== chunk {name}: {len(chunk)} file(s) ===", flush=True)
-        proc = subprocess.run(cmd, cwd=REPO, env=env)
-        status = "OK" if proc.returncode == 0 else f"FAIL rc={proc.returncode}"
-        print(f"=== chunk {name}: {status} in {time.time()-t0:.0f}s ===",
-              flush=True)
-        # pytest rc 5 = no tests collected (a -k filter can empty a chunk)
-        if proc.returncode not in (0, 5):
+        # one automatic retry: this sandbox's Ray 2.49 occasionally kills a
+        # whole pytest process mid-run (task_manager/reference_count races —
+        # the chunk dies with NO pytest summary line); a genuine test
+        # failure reproduces on the retry, a spurious process death does not
+        for attempt in (1, 2):
+            t0 = time.time()
+            print(f"=== chunk {name} (attempt {attempt}): "
+                  f"{len(chunk)} file(s) ===", flush=True)
+            proc = subprocess.run(cmd, cwd=REPO, env=env)
+            ok = proc.returncode in (0, 5)  # 5 = -k emptied the chunk
+            status = "OK" if ok else f"FAIL rc={proc.returncode}"
+            print(f"=== chunk {name}: {status} in {time.time()-t0:.0f}s ===",
+                  flush=True)
+            if ok:
+                break
+        else:
             failures.append(name)
 
     print(f"\nTOTAL {len(jobs)} chunks in {time.time()-t_all:.0f}s; "
